@@ -1,0 +1,114 @@
+"""SparkSession construction.
+
+Re-expresses the reference's two session profiles
+(/root/reference/cc2dataset/spark_session_builder.py:8-75 — a local profile
+and an S3A-tuned standalone-cluster profile) as idiomatic Spark 3.5+/4.x
+config, with AQE enabled (the reference predates AQE and hand-sized its
+shuffles to 4000 partitions; we let adaptive execution coalesce instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# S3A tuning inherited from the reference cluster profile
+# (/root/reference/cc2dataset/spark_session_builder.py:51-70): aggressive
+# connection pools, fast upload, random fadvise for ranged reads, and the
+# magic (S3-optimized) committer. Harmless when no s3a:// path is read.
+_S3A_PROFILE = {
+    "spark.hadoop.fs.s3a.threads.max": "512",
+    "spark.hadoop.fs.s3a.connection.maximum": "2048",
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+    "spark.hadoop.fs.s3a.experimental.input.fadvise": "random",
+    "spark.hadoop.fs.s3a.block.size": "2M",
+    "spark.hadoop.fs.s3a.readahead.range": "2M",
+    "spark.hadoop.fs.s3a.committer.name": "magic",
+    "spark.hadoop.fs.s3a.aws.credentials.provider": (
+        "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+    ),
+}
+
+# Scale-first defaults. These are sized for multi-executor clusters; on
+# local[N] they are still correct (AQE coalesces the 200+ shuffle
+# partitions down to the data size at runtime).
+_ENGINE_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    # reference sets task retries to 10 for flaky remote IO
+    # (/root/reference/cc2dataset/spark_session_builder.py:44)
+    "spark.task.maxFailures": "10",
+    "spark.sql.shuffle.partitions": "64",
+    # Spark rejects parquet TIMESTAMP(NANOS) outright; read as long and
+    # convert at the source (sources/tables.py truncates ns -> us, the
+    # same truncation DuckDB applies).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def build_spark_session(
+    master: str | None = None,
+    app_name: str = "cc2dataset_spark",
+    num_cores: int | None = None,
+    mem_gb: int | None = None,
+    shuffle_partitions: int | None = None,
+    s3_profile: bool = False,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession.
+
+    ``master=None`` defers to spark-submit / an existing session (cluster
+    deploys); otherwise e.g. ``local[32]`` or ``spark://host:7077``.
+    Mirrors the knobs of the reference builder
+    (/root/reference/cc2dataset/spark_session_builder.py:8-31) without the
+    manual executor-memory arithmetic — on YARN/k8s that belongs to the
+    submitter, and AQE replaces the hand-tuned 4000 shuffle partitions.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    for k, v in _ENGINE_DEFAULTS.items():
+        builder = builder.config(k, v)
+    if mem_gb is not None:
+        # 90/10 heap/overhead split, as in the reference
+        # (/root/reference/cc2dataset/spark_session_builder.py:33-38).
+        heap = int(mem_gb * 0.9)
+        builder = builder.config("spark.executor.memory", f"{heap}g")
+        builder = builder.config(
+            "spark.executor.memoryOverhead", f"{max(1, mem_gb - heap)}g"
+        )
+        builder = builder.config("spark.driver.memory", f"{min(mem_gb, 50)}g")
+    if num_cores is not None:
+        builder = builder.config("spark.executor.cores", str(num_cores))
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    if s3_profile:
+        for k, v in _S3A_PROFILE.items():
+            builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def local_session(
+    cpus: int | None = None, app_name: str = "cc2dataset_spark"
+) -> SparkSession:
+    """Local test/bench session on ``local[$SPARK_GRAFT_CPUS]``."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    return build_spark_session(
+        master=f"local[{cpus}]",
+        app_name=app_name,
+        shuffle_partitions=max(32, cpus),
+    )

@@ -1,0 +1,61 @@
+"""Relational table sources over the driver fixture parquet.
+
+Tables and schemas per /root/repo/FIXTURES.md §B. Scans stay fully
+declarative (``spark.read.parquet``) so Catalyst keeps predicate pushdown,
+column pruning, and partition sizing; never collect or infer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast when joined
+# against fact tables — at 100 TB these stay KB-to-MB sized.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Parquet carries the schema; no inference.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot read
+    natively; with ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces
+    as a nanosecond BIGINT that we floor-truncate to microseconds —
+    byte-identical to DuckDB's ns->us truncation.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # Must hold even on sessions we didn't build (the driver passes
+        # its own SparkSession); runtime-settable SQL conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,51 @@
+"""Run every catalog query with an oracle against DuckDB (differential
+correctness, SURVEY.md §5 rebuild strategy (b))."""
+
+import pytest
+
+from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+from tests.oracle_harness import compare, duckdb_conn
+
+_load_all()
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb_conn(sf_dir)
+    yield con
+    con.close()
+
+
+_ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+_ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", _ORACLE_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    compare(df, oracle_con, q.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    osql = e.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(osql) <= set(qs)
