@@ -34,8 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
     TPC-H-style Q3 plan until the reference pipeline module lands.
     """
     qs = _catalog.queries()
-    flagship = qs.get("cc_extract_dedup_links") or qs["q3_shipping_priority"]
-    return flagship(spark, _SMOKE_SF_DIR)
+    return qs["cc_extract_dedup_links"](spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

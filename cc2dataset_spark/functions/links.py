@@ -1,0 +1,138 @@
+"""Link-extraction operators P1-P13 (SURVEY.md §2.2) as declarative
+Column expressions over exploded WAT link structs.
+
+Reference semantics: /root/reference/cc2dataset/main.py:23-131 (predicates
+and projections), main.py:104-114 (absolutization), main.py:157-164 (base
+URL), main.py:166-176 (scheme filter, uid, provenance). Everything is a
+JVM-side expression except RFC-3986 ``urljoin``, which has no Spark
+built-in and is the pipeline's one Python (pandas/Arrow) UDF — and it is
+only ever applied to the minority of rows whose URL is relative, via a
+split/union plan rather than a per-row conditional (a Python UDF inside
+``when()`` would still be evaluated for every row by BatchEvalPython).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+VIDEO_EXTS = (".avi", ".mp4", ".mkv", ".webm", ".mov", ".mpg", ".mpeg", ".m4v")
+AUDIO_EXTS = (".ogg", ".wav", ".mp3", ".flac", ".m4a")
+TEXT_EXTS = (
+    "pdf", "epub", "djvu", "mobi", "doc", "docx", "rtf", "txt",
+    "odt", "ppt", "pptx", "pages", "keynote", "wps", "md",
+)
+
+DOCUMENT_TYPES = ("image", "image_only", "audio", "text", "video")
+
+
+def _url() -> Column:
+    # reference uses link.get("url", "") — null behaves as empty string
+    return F.coalesce(F.col("link.url"), F.lit(""))
+
+
+def _ends_with_any(col: Column, exts: tuple[str, ...]) -> Column:
+    out = F.lit(False)
+    for ext in exts:
+        out = out | col.endswith(ext)
+    return out
+
+
+def valid_video_link() -> Column:
+    """P1 — url ends with a video extension (main.py:23-27)."""
+    return _ends_with_any(_url(), VIDEO_EXTS)
+
+
+def valid_audio_link() -> Column:
+    """P3 — url ends with an audio extension (main.py:70-72)."""
+    return _ends_with_any(_url(), AUDIO_EXTS)
+
+
+def valid_text_link() -> Column:
+    """P2 — last '.'-segment in the text-extension set, >=2 segments
+    (main.py:56-62)."""
+    splits = F.split(_url(), r"\.")
+    return (F.size(splits) >= 2) & F.element_at(splits, -1).isin(*TEXT_EXTS)
+
+
+def valid_image_link() -> Column:
+    """P4 — DOM path IMG@/src with non-empty alt (main.py:81-84)."""
+    return (F.coalesce(F.col("link.path"), F.lit("")) == "IMG@/src") & (
+        F.length(F.coalesce(F.col("link.alt"), F.lit(""))) > 0
+    )
+
+
+def valid_image_only_link() -> Column:
+    """P5 — DOM path IMG@/src, empty alt allowed (main.py:93-95)."""
+    return F.coalesce(F.col("link.path"), F.lit("")) == "IMG@/src"
+
+
+# P8 dispatch: document_type -> (predicate, alt projection). Image types
+# take link.alt; audio/video/text take link.text (main.py:31,66,77,89,100).
+_DISPATCH = {
+    "image": (valid_image_link, lambda: F.coalesce(F.col("link.alt"), F.lit(""))),
+    "image_only": (
+        valid_image_only_link,
+        lambda: F.coalesce(F.col("link.alt"), F.lit("")),
+    ),
+    "audio": (valid_audio_link, lambda: F.coalesce(F.col("link.text"), F.lit(""))),
+    "text": (valid_text_link, lambda: F.coalesce(F.col("link.text"), F.lit(""))),
+    "video": (valid_video_link, lambda: F.coalesce(F.col("link.text"), F.lit(""))),
+}
+
+
+def link_predicate(document_type: str) -> Column:
+    """P8 — predicate for a document type (main.py:117-131)."""
+    if document_type not in _DISPATCH:
+        raise ValueError(f"Unknown document type {document_type}")
+    return _DISPATCH[document_type][0]()
+
+
+def link_alt(document_type: str) -> Column:
+    """P6/P7 — caption projection for a document type."""
+    if document_type not in _DISPATCH:
+        raise ValueError(f"Unknown document type {document_type}")
+    return _DISPATCH[document_type][1]()
+
+
+@pandas_udf(StringType())
+def urljoin_udf(base: pd.Series, url: pd.Series) -> pd.Series:
+    """P10 — RFC-3986 resolution, byte-identical to Python's urljoin
+    (main.py:104-110: ValueError -> passthrough). Arrow-vectorized."""
+    from urllib.parse import urljoin
+
+    def join(b, u):
+        if u is None:
+            return u
+        if u.startswith("http://") or u.startswith("https://"):
+            return u
+        try:
+            return urljoin(b or "", u)
+        except ValueError:
+            return u
+
+    return pd.Series([join(b, u) for b, u in zip(base, url)])
+
+
+def absolutize_urls(df: DataFrame, url: str = "url", base: str = "base_url") -> DataFrame:
+    """Resolve relative URLs against a base column.
+
+    Split/union plan: rows already absolute pass through untouched
+    (pure JVM filter); only relative rows cross the Python boundary.
+    Narrow transformations only — no shuffle is introduced.
+    """
+    is_abs = F.col(url).startswith("http://") | F.col(url).startswith("https://")
+    absolute = df.where(is_abs)
+    relative = df.where(~is_abs).withColumn(
+        url, urljoin_udf(F.col(base), F.col(url))
+    )
+    return absolute.unionByName(relative)
+
+
+def uid_column(alt: str = "alt", url: str = "url") -> Column:
+    """P12 — uid = md5(alt || url), byte-identical to
+    hashlib.md5((alt+url).encode()).hexdigest() (main.py:174)."""
+    return F.md5(F.concat(F.col(alt), F.col(url)))

@@ -1,0 +1,105 @@
+"""Text-analysis scalar operators for LLM-data pipelines (north-star
+extension; no reference implementation — SURVEY.md §2 EXT / Stage 3).
+
+All pure JVM Column expressions (zero Python in the hot path): token
+counting, quality scoring, n-gram shingling, language-ID heuristic,
+rolling-hash fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined) — MinHash/Jaccard input.
+
+    Expressed with transform over a token-index sequence so the whole
+    thing stays in codegen.
+    """
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.when(k <= 0, F.array()).otherwise(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+        )
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of character n-grams."""
+    c = F.col(col) if isinstance(col, str) else col
+    k = F.length(c) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.substring(c, i, F.lit(n)))
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(0.0)
+
+
+def mean_word_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(0.0)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: favors mid-length docs with
+    low punctuation density and word lengths typical of natural text."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / 64.0, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    mwl = mean_word_length(col)
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
+    return F.round(len_score * (1.0 - punct_penalty * 0.5) * word_score, 6)
+
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Scoring is count-of-hits, ties broken by
+# fixed language order.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "que"),
+    "de": ("der", "die", "und", "das", "ein", "nicht", "mit", "ist"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-overlap language guess over a lowercased token set."""
+    toks = F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col)))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, markers in _LANG_MARKERS.items():
+        score = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        improved = score > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """64-bit document fingerprint (xxhash64 of normalized text) —
+    deterministic content id for exact dedup at scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)

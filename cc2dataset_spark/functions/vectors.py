@@ -1,0 +1,74 @@
+"""Vector math over array<float>/array<double> embedding columns —
+similarity-search building blocks (north-star extension, SURVEY.md §2.3
+similarity join row). All JVM higher-order functions; no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product via zip_with + aggregate (whole-stage codegen)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(_c(a), F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    d = dot(a, b)
+    n = norm(a) * norm(b)
+    return F.when(n > 0, d / n).otherwise(F.lit(0.0))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    diffs = F.zip_with(_c(a), _c(b), lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def as_double_array(a: Column | str) -> Column:
+    """Promote array<float> to array<double> so all arithmetic happens
+    in double (deterministic across engines)."""
+    return _c(a).cast("array<double>")
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes for SimHash/LSH
+    bucketing. Pure Python at plan-build time (tiny, broadcast as
+    literals into the plan)."""
+    import math
+    import random as _random
+
+    rng = _random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / s for x in v])
+    return planes
+
+
+def simhash_signature(a: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-random-projection signature as a BIGINT bit-pack (<=63
+    planes): bit i set iff dot(v, plane_i) > 0."""
+    if len(planes) > 63:
+        raise ValueError("simhash_signature supports at most 63 planes")
+    sig = F.lit(0).cast("bigint")
+    v = _c(a)
+    for i, plane in enumerate(planes):
+        prods = F.zip_with(
+            v,
+            F.array(*[F.lit(float(x)) for x in plane]),
+            lambda x, y: x * y,
+        )
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(d > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig

@@ -1,0 +1,52 @@
+"""Deduplication operators (SURVEY.md §2.4 A1/A5 + north-star dedup
+family). Exact dedup here; near-dup (MinHash/SimHash/Jaccard/embedding)
+in cc2dataset_spark.operators.neardup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_exact_arbitrary(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A1 — reference semantics: keep ONE arbitrary row per key
+    (dropDuplicates, main.py:256). Fastest form: single hash exchange
+    on the key, map-side partial aggregation. Use when the survivor
+    identity doesn't matter (the reference's case)."""
+    return df.dropDuplicates(keys)
+
+
+def dedup_exact(
+    df: DataFrame, keys: list[str], order_by: list[Column] | None = None
+) -> DataFrame:
+    """Deterministic exact dedup: keep the min row per key under an
+    explicit ordering (default: the remaining columns as a struct).
+    Same single-shuffle shape as dropDuplicates (groupBy + min_by),
+    but reproducible — required for oracle-checked results and for
+    any pipeline that must be re-runnable bit-for-bit at 100 TB.
+    """
+    others = [c for c in df.columns if c not in keys]
+    ordering = (
+        F.struct(*order_by)
+        if order_by
+        else F.struct(*[F.col(c) for c in others])
+    )
+    picked = df.groupBy(*keys).agg(
+        F.min_by(F.struct(*[F.col(c) for c in others]), ordering).alias("_row")
+    )
+    return picked.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
+
+
+def dedup_by_fingerprint(
+    df: DataFrame, fingerprint: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup via a content hash: keeps the row with the
+    smallest id per fingerprint. One shuffle on the (64-bit) hash —
+    at 100 TB this shuffles only {hash, id, payload-needed-columns},
+    and the hash groupBy is skew-free by construction."""
+    return dedup_exact(
+        df.withColumn("_fp", fingerprint),
+        keys=["_fp"],
+        order_by=[F.col(id_col)],
+    ).drop("_fp")

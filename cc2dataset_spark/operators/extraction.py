@@ -1,0 +1,85 @@
+"""The reference's core extraction operator, re-expressed as one
+declarative plan (SURVEY.md §3.2: "the reference's query is a fixed
+physical plan hand-fused into one generator").
+
+Input: DataFrame[WAT_SCHEMA]. Output: DataFrame[uid, url, alt,
+cc_filename, page_url] — semantically identical to
+extract_documents_from_wat (/root/reference/cc2dataset/main.py:134-183),
+but expressed as explode + Column predicates + md5, so Catalyst applies
+nested-schema pruning (only the navigated JSON paths are read from
+parquet), predicate pushdown, and whole-stage codegen. Python runs only
+for relative-URL resolution (minority of rows, Arrow-batched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.functions.links import (
+    absolutize_urls,
+    link_alt,
+    link_predicate,
+    uid_column,
+    urljoin_udf,
+)
+
+_HTML_META = "Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`"
+
+
+def extract_document_links(wat_df: DataFrame, document_type: str) -> DataFrame:
+    """WAT records -> deduplicable (uid, url, alt, cc_filename, page_url).
+
+    Plan stages (all narrow — zero shuffles):
+      1. envelope guards (P9): null-propagating struct access replaces
+         the reference's `if X not in Y: continue` (main.py:146-155)
+      2. base-URL resolution (main.py:157-164): urljoin only when a
+         <base href> exists (split/union keeps the UDF off other rows)
+      3. explode(Links) — the 1->N expansion (main.py:166)
+      4. per-type predicate + projection (P1-P8)
+      5. absolutization + scheme filter (P10/P11, main.py:167-172)
+      6. uid + provenance (P12/P13, main.py:173-176)
+    """
+    links_col = F.col(f"{_HTML_META}.Links")
+    base_raw = F.col(f"{_HTML_META}.Head.Base")
+    page_url = F.col("Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`")
+    cc_filename = F.col("Container.Filename")
+
+    guarded = wat_df.where(links_col.isNotNull() & page_url.isNotNull()).select(
+        links_col.alias("links"),
+        base_raw.alias("base_raw"),
+        page_url.alias("page_url"),
+        cc_filename.alias("cc_filename"),
+    )
+
+    # Base resolution: base_url = urljoin(page_url, Base) when Base
+    # present, else page_url. Only Base-bearing rows touch Python.
+    no_base = guarded.where(F.col("base_raw").isNull()).withColumn(
+        "base_url", F.col("page_url")
+    )
+    with_base = guarded.where(F.col("base_raw").isNotNull()).withColumn(
+        "base_url", urljoin_udf(F.col("page_url"), F.col("base_raw"))
+    )
+    based = no_base.unionByName(with_base).drop("base_raw")
+
+    exploded = based.select(
+        F.explode("links").alias("link"), "base_url", "page_url", "cc_filename"
+    )
+    filtered = exploded.where(link_predicate(document_type)).select(
+        F.coalesce(F.col("link.url"), F.lit("")).alias("url"),
+        link_alt(document_type).alias("alt"),
+        "base_url",
+        "page_url",
+        "cc_filename",
+    )
+    absolute = absolutize_urls(filtered, url="url", base="base_url")
+    scheme_ok = absolute.where(
+        F.col("url").startswith("http://") | F.col("url").startswith("https://")
+    )
+    return scheme_ok.select(
+        uid_column("alt", "url").alias("uid"),
+        "url",
+        "alt",
+        "cc_filename",
+        "page_url",
+    )

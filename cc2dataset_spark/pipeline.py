@@ -1,0 +1,206 @@
+"""End-to-end cc2dataset pipeline orchestration (SURVEY.md §2.11).
+
+Re-expression of the reference's job layer (X1-X8,
+/root/reference/cc2dataset/main.py:254-395): dedup/shuffle/write block,
+multipart staging with union-merge, manifest + _SUCCESS resume, job-id
+namespacing. Differences are physics, not semantics:
+
+- The reference chains THREE shuffles (dropDuplicates -> sort(rand())
+  -> repartition, main.py:256-260) and the repartition destroys the
+  sort order anyway (§2.6 O2). We do TWO: the dedup exchange, then a
+  single `repartition(n, rand(seed))` that both decorrelates rows and
+  controls output file count.
+- Multipart merge reads all parts with one multi-path parquet scan
+  instead of a driver-side union fold (main.py:320-327).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.operators.extraction import extract_document_links
+from cc2dataset_spark.sources.wat import read_wat_archives
+
+DEFAULT_MIN_FILES = 256
+WATS_PER_FILE = 500
+
+
+def output_file_count(wat_count: int, min_files: int = DEFAULT_MIN_FILES) -> int:
+    """Reference sizing: >=256 files, ~1 per 500 WATs (main.py:260)."""
+    return max(min_files, wat_count // WATS_PER_FILE)
+
+
+def deduplicate_repartition_write(
+    df: DataFrame,
+    output_path: str,
+    wat_count: int,
+    shuffle: bool = True,
+    seed: int = 42,
+    min_files: int = DEFAULT_MIN_FILES,
+) -> int:
+    """Dedup by uid, optionally decorrelate row placement, write
+    parquet, return the written row count (main.py:254-266).
+
+    Single post-dedup exchange: `repartition(n, rand(seed))` hashes a
+    seeded random key — rows scatter uniformly across n files (the
+    decorrelation the reference wanted from sort(rand())) without a
+    range-sort shuffle.
+    """
+    uniques = df.dropDuplicates(["uid"])
+    n = output_file_count(wat_count, min_files)
+    if shuffle:
+        repartitioned = uniques.repartition(n, F.rand(seed))
+    else:
+        repartitioned = uniques.repartition(n)
+    repartitioned.write.mode("overwrite").parquet(output_path)
+    # count from the written files, like the reference (a cheap
+    # parquet-metadata job; footer row counts, no data read)
+    spark = df.sparkSession
+    return spark.read.parquet(output_path).count()
+
+
+def job_id(now: datetime | None = None) -> str:
+    """%Y-%m-%d-%H-%M-%S job namespace (main.py:332-333)."""
+    now = now or datetime.now(timezone.utc)
+    return now.strftime("%Y-%m-%d-%H-%M-%S")
+
+
+def _write_manifest(path: str, wat_paths: list[str]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf8") as f:
+        f.write("\n".join(wat_paths))
+
+
+def _read_manifest(path: str) -> list[str]:
+    with open(path, encoding="utf8") as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def last_successful_part(output_path: str) -> int:
+    """Resume point: highest part_{i} bearing a _SUCCESS marker
+    (main.py:290-296). Returns -1 when none."""
+    last = -1
+    if not os.path.isdir(output_path):
+        return last
+    for name in os.listdir(output_path):
+        if name.startswith("part_") and os.path.exists(
+            os.path.join(output_path, name, "_SUCCESS")
+        ):
+            last = max(last, int(name.split("_")[1]))
+    return last
+
+
+def process_part(
+    spark: SparkSession,
+    wat_paths: list[str],
+    output_path: str,
+    document_type: str,
+    shuffle: bool = True,
+    seed: int = 42,
+    min_files: int = DEFAULT_MIN_FILES,
+) -> int:
+    """X1 — one part: archives -> extraction -> dedup -> write."""
+    wat_df = read_wat_archives(spark, wat_paths)
+    extracted = extract_document_links(wat_df, document_type)
+    return deduplicate_repartition_write(
+        extracted,
+        output_path,
+        wat_count=len(wat_paths),
+        shuffle=shuffle,
+        seed=seed,
+        min_files=min_files,
+    )
+
+
+def merge_parts(
+    spark: SparkSession,
+    part_paths: list[str],
+    merged_path: str,
+    wat_count: int,
+    shuffle: bool = True,
+    seed: int = 42,
+    min_files: int = DEFAULT_MIN_FILES,
+) -> int:
+    """X2 merge — one multi-path scan of all parts (U1) + global dedup
+    + write. Strictly fewer stages than a union fold."""
+    merged = spark.read.parquet(*part_paths)
+    return deduplicate_repartition_write(
+        merged,
+        merged_path,
+        wat_count=wat_count,
+        shuffle=shuffle,
+        seed=seed,
+        min_files=min_files,
+    )
+
+
+def cc2dataset(
+    spark: SparkSession,
+    output_path: str,
+    wat_paths: list[str],
+    document_type: str = "image",
+    multipart: int | None = None,
+    shuffle: bool = True,
+    resume: str | None = None,
+    seed: int = 42,
+    min_files: int = DEFAULT_MIN_FILES,
+) -> int:
+    """Full pipeline (X1-X5, main.py:336-387): job-namespaced output,
+    manifest, optional multipart with resume, final merge. Returns the
+    final dataset row count. ``wat_paths`` comes from
+    sources.wat.read_wat_index (separated so hermetic tests can inject
+    local paths — the reference hardwires network listing).
+    """
+    if resume is not None and multipart is None:
+        raise ValueError("resume requires multipart")
+    job_path = resume if resume else os.path.join(output_path, job_id())
+    manifest = os.path.join(job_path, "_wat_index_files.txt")
+    if resume:
+        wat_paths = _read_manifest(manifest)
+
+    if multipart is None:
+        # Parquet overwrite clears the job dir, so the manifest is
+        # written after the data (underscore prefix so Hadoop ignores it in scans) for single-part jobs (the reference
+        # writes it first and loses it to the overwrite —
+        # main.py:376-377 vs main.py:261).
+        n = process_part(
+            spark, wat_paths, job_path, document_type, shuffle, seed, min_files
+        )
+        _write_manifest(manifest, wat_paths)
+        return n
+    if not resume:
+        _write_manifest(manifest, wat_paths)
+
+    chunk = (len(wat_paths) + multipart - 1) // multipart
+    start_part = last_successful_part(job_path) + 1 if resume else 0
+    for i in range(start_part, multipart):
+        part_wats = wat_paths[i * chunk : (i + 1) * chunk]
+        if not part_wats:
+            continue
+        process_part(
+            spark,
+            part_wats,
+            os.path.join(job_path, f"part_{i}"),
+            document_type,
+            shuffle,
+            seed,
+            min_files,
+        )
+    part_paths = [
+        os.path.join(job_path, f"part_{i}")
+        for i in range(multipart)
+        if os.path.exists(os.path.join(job_path, f"part_{i}", "_SUCCESS"))
+    ]
+    return merge_parts(
+        spark,
+        part_paths,
+        os.path.join(job_path, "merged"),
+        wat_count=len(wat_paths),
+        shuffle=shuffle,
+        seed=seed,
+        min_files=min_files,
+    )

@@ -1,0 +1,276 @@
+"""WAT/WARC sources (SURVEY.md §2.1 S1-S10).
+
+Three ingestion paths, most- to least-declarative:
+
+1. ``read_wat_structs`` — WAT records already materialized as structs
+   (parquet/JSON with WAT_SCHEMA). Fully declarative; used by the
+   hermetic tests and any pre-parsed lake.
+2. ``read_wat_jsonl`` — JSON-lines of WAT envelopes via
+   ``spark.read.schema(WAT_SCHEMA).json`` (schema-on-read, no inference;
+   malformed rows -> nulls, dropped by the envelope guards, mirroring
+   the reference's skip-and-log at main.py:139-143).
+3. ``read_wat_archives`` — real gzipped WARC archives. Binary WARC
+   decoding has no Spark primitive, so this is the one mapPartitions
+   source (one Spark partition per WAT path, exactly like the
+   reference's ``sc.parallelize(paths, len(paths))`` at main.py:274),
+   emitting rows with an EXPLICIT schema (no sampling inference).
+   Needs fastwarc; import is gated so the engine works without it.
+
+Index discovery (S1-S5) lists crawl indexes and samples WAT paths;
+network listing is driver-side (it is a metadata operation), the
+index-file *content* read is distributed via spark.read.text.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Explicit WAT record schema (SURVEY.md §1.1) — the dynamic dict paths
+# the reference navigates (main.py:144-164), made static.
+LINK_TYPE = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("alt", StringType()),
+        StructField("text", StringType()),
+        StructField("path", StringType()),
+    ]
+)
+
+WAT_SCHEMA = StructType(
+    [
+        StructField(
+            "Envelope",
+            StructType(
+                [
+                    StructField(
+                        "Payload-Metadata",
+                        StructType(
+                            [
+                                StructField(
+                                    "HTTP-Response-Metadata",
+                                    StructType(
+                                        [
+                                            StructField(
+                                                "HTML-Metadata",
+                                                StructType(
+                                                    [
+                                                        StructField(
+                                                            "Links", ArrayType(LINK_TYPE)
+                                                        ),
+                                                        StructField(
+                                                            "Head",
+                                                            StructType(
+                                                                [
+                                                                    StructField(
+                                                                        "Base",
+                                                                        StringType(),
+                                                                    )
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                ),
+                                            )
+                                        ]
+                                    ),
+                                )
+                            ]
+                        ),
+                    ),
+                    StructField(
+                        "WARC-Header-Metadata",
+                        StructType([StructField("WARC-Target-URI", StringType())]),
+                    ),
+                ]
+            ),
+        ),
+        StructField(
+            "Container", StructType([StructField("Filename", StringType())])
+        ),
+    ]
+)
+
+# Output schema of extraction — explicit, never inferred
+# (reference infers via toDF at main.py:285; column order pinned by
+# tests/test_single_warc.py:19).
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("uid", StringType()),
+        StructField("url", StringType()),
+        StructField("alt", StringType()),
+        StructField("cc_filename", StringType()),
+        StructField("page_url", StringType()),
+    ]
+)
+
+
+def read_wat_structs(spark: SparkSession, path: str) -> DataFrame:
+    """Pre-parsed WAT records from parquet (nested-schema pruning keeps
+    the scan to just the navigated paths)."""
+    return spark.read.schema(WAT_SCHEMA).parquet(path)
+
+
+def read_wat_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """WAT envelopes as JSON lines with schema-on-read."""
+    return spark.read.schema(WAT_SCHEMA).json(path)
+
+
+# ---------------------------------------------------------------------------
+# Index discovery (S1-S5) — driver-side listing + distributed index read
+# ---------------------------------------------------------------------------
+
+CC_S3_GLOB = "s3://commoncrawl/crawl-data/*/wat.paths.gz"
+CC_HTTP_PREFIX = "https://data.commoncrawl.org/"
+
+
+def get_cc_wat_index_links(source_cc_protocol: str = "s3") -> list[str]:
+    """List crawl-index files (S1/S2, main.py:209-228). Driver-side
+    metadata operation; requires fsspec+s3fs at call time."""
+    import fsspec
+
+    if source_cc_protocol == "s3":
+        fs, p = fsspec.core.url_to_fs("s3://commoncrawl/crawl-data/")
+        return ["s3://" + e for e in fs.glob(p + "/*/wat.paths.gz")]
+    if source_cc_protocol == "http":
+        fs, p = fsspec.core.url_to_fs("https://index.commoncrawl.org/collinfo.json")
+        import json as _json
+
+        crawls = _json.loads(fs.open(p).read())
+        return [
+            CC_HTTP_PREFIX + f"crawl-data/{c['id']}/wat.paths.gz" for c in crawls
+        ]
+    raise ValueError(f"Unknown protocol {source_cc_protocol}")
+
+
+def read_wat_index(
+    spark: SparkSession,
+    index_paths: list[str],
+    wat_count: int | None = None,
+    seed: int | None = None,
+    prefix: str = "",
+) -> list[str]:
+    """Read gzipped index files of WAT paths (S3/S4) distributed via
+    spark.read.text (Hadoop gzip codec), then sample/shuffle (S5).
+
+    The reference samples WITH replacement (random.choices,
+    main.py:247) — kept for parity; pre-dedup duplicates are fine
+    because the pipeline dedups by uid anyway.
+    """
+    rows = spark.read.text(index_paths).collect()
+    wats = [prefix + r.value.strip() for r in rows if r.value.strip()]
+    rng = random.Random(seed)
+    if wat_count is not None:
+        return rng.choices(wats, k=wat_count)
+    rng.shuffle(wats)  # decorrelate parts (main.py:249-250)
+    return wats
+
+
+# ---------------------------------------------------------------------------
+# Archive source (S6-S10) — the one mapPartitions boundary
+# ---------------------------------------------------------------------------
+
+
+def _iter_wat_links(path: str, retries: int = 10) -> Iterator[dict]:
+    """Stream raw link rows from one WAT archive.
+
+    Mirrors the reference's 3-tier error containment (main.py:141-143,
+    178-183, 190-200): record-level skip, file-level skip, retried IO.
+    Requires fastwarc (+ simdjson if available, else stdlib json).
+    """
+    from io import BytesIO
+
+    import fsspec
+    from fastwarc.warc import ArchiveIterator, WarcRecordType
+
+    try:
+        import simdjson as _json
+    except ImportError:  # pragma: no cover - container-dependent
+        import json as _json
+
+    stream = None
+    with fsspec.open(path, "rb") as f:
+        for i in range(retries):
+            try:
+                stream = BytesIO(f.read())
+                break
+            except Exception:  # noqa: BLE001 - flaky remote IO
+                if i == retries - 1:
+                    return
+                time.sleep(1 + random.random())
+    try:
+        for record in ArchiveIterator(
+            stream, record_types=WarcRecordType.metadata, parse_http=False
+        ):
+            try:
+                data = _json.load(record.reader)
+            except Exception:  # noqa: BLE001 - malformed record: skip
+                continue
+            envelope = data["Envelope"]
+            payload = envelope["Payload-Metadata"]
+            if "HTTP-Response-Metadata" not in payload:
+                continue
+            html = payload["HTTP-Response-Metadata"]
+            if "HTML-Metadata" not in html:
+                continue
+            meta = html["HTML-Metadata"]
+            if "Links" not in meta:
+                continue
+            yield {
+                "Envelope": {
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Links": [
+                                    {
+                                        "url": l.get("url"),
+                                        "alt": l.get("alt"),
+                                        "text": l.get("text"),
+                                        "path": l.get("path"),
+                                    }
+                                    for l in meta["Links"]
+                                ],
+                                "Head": {"Base": meta.get("Head", {}).get("Base")},
+                            }
+                        }
+                    },
+                    "WARC-Header-Metadata": {
+                        "WARC-Target-URI": envelope["WARC-Header-Metadata"][
+                            "WARC-Target-URI"
+                        ]
+                    },
+                },
+                "Container": {"Filename": data["Container"]["Filename"]},
+            }
+    except Exception:  # noqa: BLE001 - whole-file parse failure: skip
+        return
+
+
+def read_wat_archives(spark: SparkSession, wat_paths: list[str]) -> DataFrame:
+    """WAT archives -> DataFrame[WAT_SCHEMA].
+
+    One Spark partition per WAT path so a 100 TB crawl parallelizes to
+    one task per ~1 GB archive with no skew (reference main.py:273-274).
+    Everything downstream (explode, predicates, dedup) is declarative.
+    """
+    try:
+        import fastwarc  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - container-dependent
+        raise NotImplementedError(
+            "read_wat_archives requires fastwarc, which is not installed in "
+            "this environment; use read_wat_jsonl/read_wat_structs, or "
+            "install fastwarc for real Common Crawl ingestion"
+        ) from ex
+    sc = spark.sparkContext
+    rdd = sc.parallelize(wat_paths, max(1, len(wat_paths))).flatMap(_iter_wat_links)
+    return spark.createDataFrame(rdd, WAT_SCHEMA)

@@ -1,0 +1,66 @@
+"""Hermetic golden tests of the layer-A extraction operator: the Spark
+plan must reproduce the pure-Python oracle's 5-tuples exactly (uids are
+md5 of resolved urls, so urljoin parity is covered byte-for-byte)."""
+
+import pytest
+
+from cc2dataset_spark.operators.extraction import extract_document_links
+from cc2dataset_spark.sources.wat import WAT_SCHEMA, read_wat_jsonl
+from tests.wat_fixtures import FIXTURE_RECORDS, oracle_extract
+
+DOCUMENT_TYPES = ("image", "image_only", "audio", "text", "video")
+
+
+@pytest.fixture(scope="module")
+def wat_df(spark):
+    return spark.createDataFrame(FIXTURE_RECORDS, WAT_SCHEMA)
+
+
+@pytest.mark.parametrize("document_type", DOCUMENT_TYPES)
+def test_extraction_matches_oracle(spark, wat_df, document_type):
+    got = sorted(tuple(r) for r in extract_document_links(wat_df, document_type).collect())
+    want = sorted(oracle_extract(FIXTURE_RECORDS, document_type))
+    assert got == want
+    assert len(want) > 0, f"fixture exercises no {document_type} links"
+
+
+def test_unknown_document_type_raises(spark, wat_df):
+    with pytest.raises(ValueError, match="Unknown document type"):
+        extract_document_links(wat_df, "bogus")
+
+
+def test_jsonl_roundtrip(spark, tmp_path, wat_df):
+    """JSON-lines source with schema-on-read gives the same extraction."""
+    import json
+
+    p = tmp_path / "wat.jsonl"
+    with open(p, "w", encoding="utf8") as f:
+        for rec in FIXTURE_RECORDS:
+            f.write(json.dumps(rec) + "\n")
+    df = read_wat_jsonl(spark, str(p))
+    got = sorted(tuple(r) for r in extract_document_links(df, "image").collect())
+    want = sorted(oracle_extract(FIXTURE_RECORDS, "image"))
+    assert got == want
+
+
+def test_dedup_collapses_duplicate_uid(spark, wat_df):
+    """The duplicate (alt,url) planted across records yields one row
+    after dedup (reference main.py:256 semantics)."""
+    df = extract_document_links(wat_df, "image")
+    assert df.count() == df.dropDuplicates(["uid"]).count() + 1
+
+
+def test_malformed_json_rows_are_skipped(spark, tmp_path):
+    """Malformed JSON lines null out under schema-on-read and fall to
+    the envelope guards — the skip-and-log tier at main.py:139-143."""
+    import json
+
+    p = tmp_path / "bad.jsonl"
+    with open(p, "w", encoding="utf8") as f:
+        f.write(json.dumps(FIXTURE_RECORDS[0]) + "\n")
+        f.write("{not valid json!!\n")
+        f.write(json.dumps(FIXTURE_RECORDS[1]) + "\n")
+    df = read_wat_jsonl(spark, str(p))
+    got = sorted(tuple(r) for r in extract_document_links(df, "image").collect())
+    want = sorted(oracle_extract([FIXTURE_RECORDS[0], FIXTURE_RECORDS[1]], "image"))
+    assert got == want

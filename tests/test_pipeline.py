@@ -1,0 +1,108 @@
+"""Hermetic pipeline tests (X1-X5): dedup/write block, multipart merge,
+resume, and the invariants implied by the reference
+(/root/reference/cc2dataset/main.py:254-329): dedup idempotence and
+multipart-merge == single-part on the same input."""
+
+import json
+import os
+
+import pytest
+
+from cc2dataset_spark import pipeline
+from cc2dataset_spark.operators.extraction import extract_document_links
+from cc2dataset_spark.sources.wat import read_wat_jsonl
+from tests.wat_fixtures import FIXTURE_RECORDS, oracle_extract
+
+
+@pytest.fixture(scope="module")
+def wat_jsonl(tmp_path_factory):
+    """Two jsonl 'archives' standing in for WAT files."""
+    d = tmp_path_factory.mktemp("wats")
+    paths = []
+    for i, chunk in enumerate([FIXTURE_RECORDS[:3], FIXTURE_RECORDS[3:]]):
+        p = d / f"wat_{i}.jsonl"
+        with open(p, "w", encoding="utf8") as f:
+            for rec in chunk:
+                f.write(json.dumps(rec) + "\n")
+        paths.append(str(p))
+    return paths
+
+
+@pytest.fixture(autouse=True)
+def _jsonl_archive_source(monkeypatch):
+    """Swap the fastwarc archive source for the jsonl source so the
+    orchestration layer runs hermetically."""
+    monkeypatch.setattr(
+        pipeline,
+        "read_wat_archives",
+        lambda spark, paths: read_wat_jsonl(spark, paths),
+    )
+
+
+def _expected_unique_uids(document_type="image"):
+    return {t[0] for t in oracle_extract(FIXTURE_RECORDS, document_type)}
+
+
+def test_single_part_pipeline(spark, tmp_path, wat_jsonl):
+    out = str(tmp_path / "out")
+    n = pipeline.cc2dataset(
+        spark, out, wat_jsonl, document_type="image", min_files=4
+    )
+    assert n == len(_expected_unique_uids())
+    job_dirs = os.listdir(out)
+    assert len(job_dirs) == 1  # job-id namespace (X5)
+    job = os.path.join(out, job_dirs[0])
+    assert os.path.exists(os.path.join(job, "_wat_index_files.txt"))
+    written = spark.read.parquet(job)
+    assert sorted(written.columns) == ["alt", "cc_filename", "page_url", "uid", "url"]
+    assert {r.uid for r in written.select("uid").collect()} == _expected_unique_uids()
+
+
+def test_multipart_equals_single_part(spark, tmp_path, wat_jsonl):
+    single = str(tmp_path / "single")
+    multi = str(tmp_path / "multi")
+    n1 = pipeline.cc2dataset(spark, single, wat_jsonl, document_type="image", min_files=2)
+    n2 = pipeline.cc2dataset(
+        spark, multi, wat_jsonl, document_type="image", multipart=2, min_files=2
+    )
+    assert n1 == n2 == len(_expected_unique_uids())
+    job = os.path.join(multi, os.listdir(multi)[0])
+    merged = spark.read.parquet(os.path.join(job, "merged"))
+    assert {r.uid for r in merged.select("uid").collect()} == _expected_unique_uids()
+
+
+def test_resume_skips_completed_parts(spark, tmp_path, wat_jsonl, monkeypatch):
+    out = str(tmp_path / "resume")
+    pipeline.cc2dataset(spark, out, wat_jsonl, document_type="image", multipart=2, min_files=2)
+    job = os.path.join(out, os.listdir(out)[0])
+    assert pipeline.last_successful_part(job) == 1
+
+    calls = []
+    real = pipeline.process_part
+
+    def counting(spark_, paths, outp, *a, **kw):
+        calls.append(outp)
+        return real(spark_, paths, outp, *a, **kw)
+
+    monkeypatch.setattr(pipeline, "process_part", counting)
+    n = pipeline.cc2dataset(
+        spark, out, wat_jsonl, document_type="image", multipart=2, resume=job, min_files=2
+    )
+    assert calls == []  # both parts had _SUCCESS; only the merge re-ran
+    assert n == len(_expected_unique_uids())
+
+
+def test_resume_requires_multipart(spark, tmp_path, wat_jsonl):
+    with pytest.raises(ValueError, match="resume requires multipart"):
+        pipeline.cc2dataset(spark, str(tmp_path), wat_jsonl, resume="x")
+
+
+def test_dedup_idempotent(spark, wat_jsonl):
+    df = extract_document_links(read_wat_jsonl(spark, wat_jsonl), "image_only")
+    once = df.dropDuplicates(["uid"])
+    assert once.count() == once.dropDuplicates(["uid"]).count()
+
+
+def test_output_file_count_floor():
+    assert pipeline.output_file_count(10) == 256
+    assert pipeline.output_file_count(500 * 300) == 300
