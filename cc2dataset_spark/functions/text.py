@@ -25,17 +25,22 @@ def token_count(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of n-word shingles (space-joined) — MinHash/Jaccard input.
 
-    Expressed with transform over a token-index sequence so the whole
-    thing stays in codegen.
+    Built by zipping n shifted slices of the token array, so the
+    (expensive) tokenization expression is evaluated O(n) times per
+    row — an index-lambda formulation re-evaluates it per shingle and
+    is ~10x slower on real documents.
     """
     toks = tokens(col)
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.when(k <= 0, F.array()).otherwise(
-        F.transform(
-            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    safe_k = F.greatest(k, F.lit(0))
+    acc = F.slice(toks, F.lit(1), safe_k)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, F.lit(1 + j), safe_k),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    )
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(acc)
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:

@@ -53,14 +53,16 @@ def extract_document_links(wat_df: DataFrame, document_type: str) -> DataFrame:
     )
 
     # Base resolution: base_url = urljoin(page_url, Base) when Base
-    # present, else page_url. Only Base-bearing rows touch Python.
-    no_base = guarded.where(F.col("base_raw").isNull()).withColumn(
-        "base_url", F.col("page_url")
-    )
-    with_base = guarded.where(F.col("base_raw").isNotNull()).withColumn(
-        "base_url", urljoin_udf(F.col("page_url"), F.col("base_raw"))
-    )
-    based = no_base.unionByName(with_base).drop("base_raw")
+    # present, else page_url. One Arrow pass over records (records are
+    # 10-100x fewer than links; a record-level split/union here doubles
+    # the downstream plan for negligible savings — the udf returns its
+    # input untouched on null Base).
+    based = guarded.withColumn(
+        "base_url",
+        F.when(F.col("base_raw").isNull(), F.col("page_url")).otherwise(
+            urljoin_udf(F.col("page_url"), F.col("base_raw"))
+        ),
+    ).drop("base_raw")
 
     exploded = based.select(
         F.explode("links").alias("link"), "base_url", "page_url", "cc_filename"

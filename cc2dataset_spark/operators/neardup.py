@@ -1,0 +1,263 @@
+"""Near-duplicate detection family (north-star dedup ops; SURVEY.md
+§2.4 A5). No reference implementation — the reference only has exact
+uid-dedup (main.py:256); these are the scale extensions a training-data
+pipeline needs.
+
+All signatures are deterministic (xxhash64 with fixed salts), so every
+operator is reproducible run-to-run — a hard requirement for multi-part
+pipelines that dedup incrementally.
+
+Scale shapes:
+- MinHash LSH: cost is O(docs x shingles) map-side + a shuffle keyed on
+  (band_idx, band_hash). Bucket sizes are ~uniform (hash keys), so no
+  skew; candidate verification joins shingle arrays only for candidate
+  pairs, never all pairs.
+- Exact Jaccard (explode + equi-join on shingle) is quadratic in
+  per-shingle document frequency — fine as a verifier/oracle, not the
+  100 TB path; stop-shingle filtering caps the blowup.
+- Embedding near-dup: brute force is the correctness baseline;
+  SimHash sign-buckets give the subquadratic candidate path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.functions.text import tokens, word_shingles
+from cc2dataset_spark.functions.vectors import (
+    as_double_array,
+    cosine_similarity,
+    random_hyperplanes,
+    simhash_signature,
+)
+
+
+# Universal-hash permutation family h_i(x) = (a_i*x + b_i) mod p over a
+# 2^31 domain: products stay under 2^62 so ANSI-mode bigint arithmetic
+# can never overflow. Fixed seed keeps signatures reproducible.
+_MERSENNE_P = 2147483647  # 2^31 - 1
+
+
+def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    rnd = __import__("random").Random(0x5EED)
+    return [
+        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — MinHash signature per document.
+
+    One xxhash64 pass over the shingle strings, then the k permutations
+    are cheap bigint affine maps over those hashes (the classic
+    universal-hashing MinHash; one string-hash pass instead of k keeps
+    the whole signature inside one codegen stage). Documents with no
+    shingles (shorter than the shingle width) drop out, matching
+    standard MinHash semantics."""
+    sh = F.array_distinct(word_shingles(text_col, shingle_words))
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+
+    sigs = F.array(
+        *[
+            F.array_min(F.transform(F.col("_h"), perm(a, b)))
+            for a, b in _perm_constants(num_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), hashed.alias("_h"))
+        .where(F.size("_h") > 0)
+        .select(F.col(id_col), sigs.alias("sig"))
+    )
+
+
+def lsh_band_buckets(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Signature -> (id, band_idx, band_hash). Documents agreeing on any
+    full band land in the same bucket."""
+    n = bands
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.slice(F.col("sig"), b * (16 // n) + 1, 16 // n).cast(
+                            "array<string>"
+                        ).cast("string"),
+                    )
+                    for b in range(n)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) — docs sharing >=1 band.
+    The only shuffle is the equi-join on (band_idx, band_hash)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    buckets = lsh_band_buckets(sigs, id_col, bands)
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs: join the two shingle sets in,
+    compute |A∩B| / |A∪B| with array ops, keep >= threshold."""
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_words)).alias("sh"),
+    )
+    joined = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    jac = common.cast("double") / union
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup: candidates by banded LSH, verified by
+    exact Jaccard. Deterministic output (id_a < id_b, jaccard)."""
+    cands = minhash_candidate_pairs(df, text_col, id_col)
+    return jaccard_verify_pairs(cands, df, text_col, id_col, threshold=threshold)
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard via shingle explode + equi-join —
+    the SQL-expressible ground truth the LSH path approximates.
+    ``max_shingle_df`` drops shingles appearing in more than N docs
+    (stop-shingles), the standard cap on join blowup at scale."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_words))).alias("s"),
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("s").agg(F.count("*").alias("df_"))
+            .where(F.col("df_") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(rare), "s")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (correctness baseline;
+    quadratic — bound the input or use simhash_neardup_pairs at scale)."""
+    v = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 16,
+    dim: int = 64,
+    threshold: float = 0.35,
+    seed: int = 42,
+) -> DataFrame:
+    """Subquadratic near-dup: SimHash sign-bucket candidates (equal
+    16-bit signature), then exact cosine verification. Recall trades off
+    against n_bits; the shuffle is keyed on the signature (uniform)."""
+    planes = random_hyperplanes(dim, n_bits, seed)
+    v = df.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("v"),
+        simhash_signature(as_double_array(vec_col), planes).alias("sig"),
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "sig")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "sig")
+    cand = a.join(b, "sig").where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (north-star; SURVEY.md §2.3
+similarity-join row). Brute-force top-k is the exact baseline; the
+SimHash-bucketed ANN variant is the subquadratic scale path (same shape
+as IVF: restrict candidates to a bucket, rank within it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.functions.vectors import (
+    as_double_array,
+    cosine_similarity,
+    random_hyperplanes,
+    simhash_signature,
+)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Queries are broadcast (the small side by construction); the corpus
+    is scanned once — a 1000-executor cluster ranks its own partitions
+    and the per-query top-k merges via the window's partial
+    WindowGroupLimit. Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def simhash_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's SimHash
+    bucket (8-bit default -> ~corpus/256 candidates per query), ranked
+    exactly within the bucket. The join is an equi-join on the
+    signature — shuffle-light and skew-free at any scale."""
+    planes = random_hyperplanes(dim, n_bits, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qv"),
+        simhash_signature(as_double_array(vec_col), planes).alias("sig"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+        simhash_signature(as_double_array(vec_col), planes).alias("sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def knn_label_vote(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-label classification with deterministic tie-breaks
+    (highest vote count, then smallest label)."""
+    topk = brute_force_topk(queries, corpus, k, vec_col, id_col)
+    labeled = topk.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), label_col), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", label_col).agg(F.count("*").alias("votes"))
+    return votes.groupBy("query_id").agg(
+        F.expr(f"max_by({label_col}, struct(votes, -{label_col}))").alias(
+            "predicted_label"
+        ),
+        F.max("votes").alias("top_votes"),
+    )

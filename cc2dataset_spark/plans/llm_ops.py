@@ -1,0 +1,394 @@
+"""LLM-data-pipeline queries (north-star ops): text analysis, dedup
+family, similarity search, multimodal plumbing — each oracle-checked
+where SQL-expressible, rows-only otherwise (LSH/ANN approximations and
+binary payloads).
+
+Float discipline: cosine/jaccard are computed with the same sequential
+double folds in both engines (verified bit-exact), and only rounded
+values (6 dp) are emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.functions import text as T
+from cc2dataset_spark.operators import multimodal as MM
+from cc2dataset_spark.operators import neardup as ND
+from cc2dataset_spark.operators import similarity as SIM
+from cc2dataset_spark.operators.dedup import dedup_exact
+from cc2dataset_spark.plans.catalog import query
+from cc2dataset_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           n_chars,
+           CASE WHEN len(t) > 0
+                THEN round(CAST(list_aggregate(list_transform(t, x -> length(x)),
+                                               'sum') AS DOUBLE) / len(t), 6)
+                ELSE 0.0 END AS mean_word_len,
+           len(list_distinct(t)) AS n_unique_tokens
+    FROM toks
+    """,
+    tags=("text", "llm"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + vocabulary stats, all codegen expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    total_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        "n_chars",
+        F.when(
+            F.size(toks) > 0,
+            F.round(total_len.cast("double") / F.size(toks), 6),
+        )
+        .otherwise(0.0)
+        .alias("mean_word_len"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM documents
+    ), m AS (
+      SELECT doc_id, punct_ratio,
+             least(len(toks) / 64.0, 1.0) AS len_score,
+             least(punct_ratio * 4.0, 1.0) AS punct_penalty,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                           'sum') AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mwl
+      FROM t
+    )
+    SELECT doc_id,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(len_score * (1.0 - punct_penalty * 0.5)
+                 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END),
+                 6) AS quality
+    FROM m
+    """,
+    tags=("text", "llm"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length/punctuation/word-shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+_MARKER_SQL = {
+    "en": "['the','and','of','to','a','in','is','that']",
+    "es": "['el','la','de','que','y','los','en','un']",
+    "fr": "['le','la','les','de','et','un','une','que']",
+    "de": "['der','die','und','das','ein','nicht','mit','ist']",
+    "zh": "['的','是','了','在','我','有','和','不']",
+}
+
+
+@query(
+    "text_lang_id",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> '')) AS t
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             len(list_intersect(t, {_MARKER_SQL['en']})) AS s_en,
+             len(list_intersect(t, {_MARKER_SQL['es']})) AS s_es,
+             len(list_intersect(t, {_MARKER_SQL['fr']})) AS s_fr,
+             len(list_intersect(t, {_MARKER_SQL['de']})) AS s_de,
+             len(list_intersect(t, {_MARKER_SQL['zh']})) AS s_zh
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+                WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+                WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS lang_guess
+    FROM s
+    """,
+    tags=("text", "llm"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID; emitted next to the fixture's true
+    lang so downstream accuracy checks are a groupBy away."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_guess"))
+
+
+@query(
+    "dedup_fingerprint_documents",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup by normalized-text fingerprint, deterministic
+    min-id survivor. One hash-keyed shuffle; the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        docs.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the ground
+    truth the MinHash path approximates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ND.exact_jaccard_pairs(docs, threshold=0.5)
+
+
+@query("dedup_minhash_neardup", oracle=None, tags=("dedup", "llm", "lsh"))
+def dedup_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (16 hashes, 4 bands) with exact-Jaccard
+    verification. Rows-only: banding is an approximation by design;
+    tests/test_llm_ops.py checks its recall against the exact pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ND.minhash_neardup_pairs(docs, threshold=0.5)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) >= 0.35
+    """,
+    tags=("dedup", "llm", "vector"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute-force baseline (the
+    sequential double fold is bit-identical to DuckDB's)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ND.embedding_neardup_pairs(emb, threshold=0.35)
+
+
+@query("dedup_simhash_embeddings", oracle=None, tags=("dedup", "llm", "lsh"))
+def dedup_simhash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sign-bucket near-dup candidates + cosine verify — the
+    subquadratic scale path for dedup_embedding_cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ND.simhash_neardup_pairs(emb, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity", "llm", "vector"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for the first 20 query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
+
+
+@query("ann_simhash_topk", oracle=None, tags=("similarity", "llm", "lsh"))
+def ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via SimHash buckets; recall vs the exact path
+    is asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.simhash_ann_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
+
+
+@query(
+    "knn_label_vote",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             round(
+               list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 50
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ), votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM topk GROUP BY query_id, label
+    )
+    SELECT query_id, predicted_label, top_votes FROM (
+      SELECT query_id, label AS predicted_label,
+             MAX(votes) OVER (PARTITION BY query_id) AS top_votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY votes DESC, label ASC
+             ) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+    tags=("similarity", "llm", "vector"),
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-label classification with deterministic ties."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_label_vote(emb.where(F.col("vec_id") < 50), emb, k=5)
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           ELSE 'webp' END AS format,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct: byte sizes and formats
+    survive the binary round-trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = MM.attach_binary_payload(docs)
+    return wrapped.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query("multimodal_decode_stub", oracle=None, tags=("multimodal", "llm"))
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas media decode (stubbed codec, production-shaped Arrow
+    batching and schema)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_media(MM.attach_binary_payload(docs))
+
+
+@query(
+    "dedup_exact_min_survivor",
+    oracle="""
+    SELECT lang, source, doc_id, n_chars
+    FROM (
+      SELECT lang, source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_min_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact dedup operator (operators/dedup.dedup_exact):
+    one survivor per (lang, source) under min-(doc_id,...) ordering —
+    the reproducible twin of dropDuplicates."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id", "n_chars"
+    )
+    picked = dedup_exact(
+        docs, keys=["lang", "source"], order_by=[F.col("doc_id")]
+    )
+    return picked.select("lang", "source", "doc_id", "n_chars")

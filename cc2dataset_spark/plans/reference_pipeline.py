@@ -135,5 +135,7 @@ def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real WAT extraction operator (explode + P4 + urljoin UDF +
     P11/P12) over synthetic records, deduped by uid — the reference's
     full single-part dataflow minus the archive decode."""
-    wat_df = spark.createDataFrame(_DEMO_WAT_RECORDS, WAT_SCHEMA)
+    # coalesce(1): two demo records - don't fan 32 near-empty tasks
+    # through the Python-UDF branch
+    wat_df = spark.createDataFrame(_DEMO_WAT_RECORDS, WAT_SCHEMA).coalesce(1)
     return extract_document_links(wat_df, "image").dropDuplicates(["uid"])

@@ -181,87 +181,20 @@ def read_wat_index(
 # ---------------------------------------------------------------------------
 
 
-def _iter_wat_links(path: str, retries: int = 10) -> Iterator[dict]:
-    """Stream raw link rows from one WAT archive.
-
-    Mirrors the reference's 3-tier error containment (main.py:141-143,
-    178-183, 190-200): record-level skip, file-level skip, retried IO.
-    Requires fastwarc (+ simdjson if available, else stdlib json).
-    """
-    from io import BytesIO
-
-    import fsspec
-    from fastwarc.warc import ArchiveIterator, WarcRecordType
-
-    try:
-        import simdjson as _json
-    except ImportError:  # pragma: no cover - container-dependent
-        import json as _json
-
-    stream = None
-    with fsspec.open(path, "rb") as f:
-        for i in range(retries):
-            try:
-                stream = BytesIO(f.read())
-                break
-            except Exception:  # noqa: BLE001 - flaky remote IO
-                if i == retries - 1:
-                    return
-                time.sleep(1 + random.random())
-    try:
-        for record in ArchiveIterator(
-            stream, record_types=WarcRecordType.metadata, parse_http=False
-        ):
-            try:
-                data = _json.load(record.reader)
-            except Exception:  # noqa: BLE001 - malformed record: skip
-                continue
-            envelope = data["Envelope"]
-            payload = envelope["Payload-Metadata"]
-            if "HTTP-Response-Metadata" not in payload:
-                continue
-            html = payload["HTTP-Response-Metadata"]
-            if "HTML-Metadata" not in html:
-                continue
-            meta = html["HTML-Metadata"]
-            if "Links" not in meta:
-                continue
-            yield {
-                "Envelope": {
-                    "Payload-Metadata": {
-                        "HTTP-Response-Metadata": {
-                            "HTML-Metadata": {
-                                "Links": [
-                                    {
-                                        "url": l.get("url"),
-                                        "alt": l.get("alt"),
-                                        "text": l.get("text"),
-                                        "path": l.get("path"),
-                                    }
-                                    for l in meta["Links"]
-                                ],
-                                "Head": {"Base": meta.get("Head", {}).get("Base")},
-                            }
-                        }
-                    },
-                    "WARC-Header-Metadata": {
-                        "WARC-Target-URI": envelope["WARC-Header-Metadata"][
-                            "WARC-Target-URI"
-                        ]
-                    },
-                },
-                "Container": {"Filename": data["Container"]["Filename"]},
-            }
-    except Exception:  # noqa: BLE001 - whole-file parse failure: skip
-        return
-
-
-def read_wat_archives(spark: SparkSession, wat_paths: list[str]) -> DataFrame:
+def read_wat_archives(
+    spark: SparkSession, wat_paths: list[str], retries: int = 10
+) -> DataFrame:
     """WAT archives -> DataFrame[WAT_SCHEMA].
 
     One Spark partition per WAT path so a 100 TB crawl parallelizes to
     one task per ~1 GB archive with no skew (reference main.py:273-274).
     Everything downstream (explode, predicates, dedup) is declarative.
+
+    The per-path iterator mirrors the reference's 3-tier error
+    containment (main.py:141-143, 178-183, 190-200): record-level skip,
+    file-level skip, retried IO. It is a self-contained closure —
+    pickled by value, so executors need fastwarc/fsspec but NOT this
+    package on their PYTHONPATH.
     """
     try:
         import fastwarc  # noqa: F401
@@ -271,6 +204,79 @@ def read_wat_archives(spark: SparkSession, wat_paths: list[str]) -> DataFrame:
             "this environment; use read_wat_jsonl/read_wat_structs, or "
             "install fastwarc for real Common Crawl ingestion"
         ) from ex
+
+    def iter_wat_links(path: str) -> Iterator[dict]:
+        import random as _random
+        import time as _time
+        from io import BytesIO
+
+        import fsspec
+        from fastwarc.warc import ArchiveIterator, WarcRecordType
+
+        try:
+            import simdjson as _json
+        except ImportError:  # pragma: no cover - container-dependent
+            import json as _json
+
+        stream = None
+        with fsspec.open(path, "rb") as f:
+            for i in range(retries):
+                try:
+                    stream = BytesIO(f.read())
+                    break
+                except Exception:  # noqa: BLE001 - flaky remote IO
+                    if i == retries - 1:
+                        return
+                    _time.sleep(1 + _random.random())
+        try:
+            for record in ArchiveIterator(
+                stream, record_types=WarcRecordType.metadata, parse_http=False
+            ):
+                try:
+                    data = _json.load(record.reader)
+                except Exception:  # noqa: BLE001 - malformed record: skip
+                    continue
+                envelope = data["Envelope"]
+                payload = envelope["Payload-Metadata"]
+                if "HTTP-Response-Metadata" not in payload:
+                    continue
+                html = payload["HTTP-Response-Metadata"]
+                if "HTML-Metadata" not in html:
+                    continue
+                meta = html["HTML-Metadata"]
+                if "Links" not in meta:
+                    continue
+                yield {
+                    "Envelope": {
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": {
+                                "HTML-Metadata": {
+                                    "Links": [
+                                        {
+                                            "url": l.get("url"),
+                                            "alt": l.get("alt"),
+                                            "text": l.get("text"),
+                                            "path": l.get("path"),
+                                        }
+                                        for l in meta["Links"]
+                                    ],
+                                    "Head": {
+                                        "Base": meta.get("Head", {}).get("Base")
+                                    },
+                                }
+                            }
+                        },
+                        "WARC-Header-Metadata": {
+                            "WARC-Target-URI": envelope["WARC-Header-Metadata"][
+                                "WARC-Target-URI"
+                            ]
+                        },
+                    },
+                    "Container": {"Filename": data["Container"]["Filename"]},
+                }
+        except Exception:  # noqa: BLE001 - whole-file parse failure: skip
+            return
+
     sc = spark.sparkContext
-    rdd = sc.parallelize(wat_paths, max(1, len(wat_paths))).flatMap(_iter_wat_links)
+    rdd = sc.parallelize(wat_paths, max(1, len(wat_paths))).flatMap(iter_wat_links)
     return spark.createDataFrame(rdd, WAT_SCHEMA)

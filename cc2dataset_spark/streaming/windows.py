@@ -1,0 +1,98 @@
+"""Streaming surface (SURVEY.md §2.10 — absent from the reference,
+built batch-first so the DuckDB oracle can check the semantics, then
+reused verbatim on streams: each operator here takes a DataFrame that
+may be batch or streaming; Structured Streaming runs the identical
+plan incrementally).
+
+Late data: pair any streaming use with ``with_watermark`` so state
+stores are bounded — at 100 TB/day of events, unbounded window state
+is the first thing that kills a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (micro-batch twin of
+    sources.tables.load_table('events'), including the ns->us
+    conversion)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-source streams take a directory; scope it to the events
+    # files with a glob filter
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def with_watermark(df: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Event-time watermark (no-op on batch frames)."""
+    return df.withWatermark("ts", delay) if df.isStreaming else df
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling window per event_type: count + exact decimal sum."""
+    w = F.window("ts", width)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding window counts (each event lands in width/slide windows)."""
+    w = F.window("ts", width, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-merged; session end = last event
+    + gap, Spark's session_window contract)."""
+    w = F.session_window("ts", gap)
+    return (
+        events.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

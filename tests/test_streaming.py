@@ -1,0 +1,66 @@
+"""True streaming tests: the same operators run as micro-batch streams
+must converge to the batch answers (batch-equivalence — the only oracle
+available for streaming, SURVEY.md Stage 4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.sources.tables import load_table
+from cc2dataset_spark.streaming import (
+    read_events_stream,
+    session_stats,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    batch = {tuple(r) for r in tumbling_counts(events).collect()}
+    stream = tumbling_counts(
+        read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    )
+    _run_to_memory(stream, "t_tumbling", "complete")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_tumbling").collect()}
+    assert got == batch
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    batch = {tuple(r) for r in session_stats(events).collect()}
+    stream = session_stats(
+        read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    )
+    _run_to_memory(stream, "t_session", "complete")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_session").collect()}
+    assert got == batch
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    stream = streaming_dedup(
+        read_events_stream(spark, sf_dir), keys=["user_id"], watermark="365 days"
+    )
+    _run_to_memory(stream.select("user_id"), "t_dedup", "append")
+    got = spark.sql("SELECT COUNT(*) n, COUNT(DISTINCT user_id) d FROM t_dedup").first()
+    want = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert got.d == want
+    assert got.n == want  # no key emitted twice
+
+
+def test_streaming_dedup_batch_degradation(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = streaming_dedup(events, keys=["user_id"])
+    assert not out.isStreaming
+    assert out.count() == events.select("user_id").distinct().count()
