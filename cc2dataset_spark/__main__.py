@@ -1,0 +1,92 @@
+"""CLI (SURVEY.md §2.11 X8 — the reference's entry point is broken by a
+missing ``import fire``, main.py:390-391; this one is argparse and
+works).
+
+Usage:
+  python -m cc2dataset_spark pipeline --output-path OUT --wat-paths f1 f2 ...
+  python -m cc2dataset_spark query QUERY_NAME [--sf-dir DIR]
+  python -m cc2dataset_spark list-queries
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cc2dataset_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pipe = sub.add_parser("pipeline", help="run the WAT extraction pipeline")
+    pipe.add_argument("--output-path", required=True)
+    pipe.add_argument("--wat-paths", nargs="+", required=True)
+    pipe.add_argument(
+        "--document-type",
+        default="image",
+        choices=["image", "image_only", "audio", "text", "video"],
+    )
+    pipe.add_argument("--multipart", type=int, default=None)
+    pipe.add_argument("--resume", default=None)
+    pipe.add_argument("--no-shuffle", action="store_true")
+    pipe.add_argument("--master", default=None)
+    pipe.add_argument("--num-cores", type=int, default=None)
+    pipe.add_argument("--mem-gb", type=int, default=None)
+
+    q = sub.add_parser("query", help="run one catalog query and show it")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+
+    sub.add_parser("list-queries", help="list catalog queries")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.command == "list-queries":
+        from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+        _load_all()
+        for name in sorted(QUERIES):
+            q = QUERIES[name]
+            kind = "oracle" if q.oracle else "rows-only"
+            print(f"{name}\t[{kind}]\t{q.doc.splitlines()[0] if q.doc else ''}")
+        return 0
+
+    from cc2dataset_spark.session import build_spark_session
+
+    if args.command == "query":
+        from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+        _load_all()
+        spark = build_spark_session(master="local[*]")
+        df = QUERIES[args.name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return 0
+
+    if args.command == "pipeline":
+        from cc2dataset_spark.pipeline import cc2dataset
+
+        spark = build_spark_session(
+            master=args.master, num_cores=args.num_cores, mem_gb=args.mem_gb
+        )
+        n = cc2dataset(
+            spark,
+            args.output_path,
+            args.wat_paths,
+            document_type=args.document_type,
+            multipart=args.multipart,
+            shuffle=not args.no_shuffle,
+            resume=args.resume,
+        )
+        print(f"rows written: {n}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -148,13 +148,28 @@ def cc2dataset(
     resume: str | None = None,
     seed: int = 42,
     min_files: int = DEFAULT_MIN_FILES,
+    session_factory=None,
 ) -> int:
     """Full pipeline (X1-X5, main.py:336-387): job-namespaced output,
     manifest, optional multipart with resume, final merge. Returns the
     final dataset row count. ``wat_paths`` comes from
     sources.wat.read_wat_index (separated so hermetic tests can inject
     local paths — the reference hardwires network listing).
+
+    ``session_factory`` (optional, () -> SparkSession): when set, each
+    part runs on a FRESH session — the active one is stopped first —
+    bounding executor-memory creep across parts exactly like the
+    reference's per-part session restart (X4, main.py:364-371 and
+    HISTORY.md:21).
     """
+
+    def next_session(current: SparkSession) -> SparkSession:
+        if session_factory is None:
+            return current
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        return session_factory()
     if resume is not None and multipart is None:
         raise ValueError("resume requires multipart")
     job_path = resume if resume else os.path.join(output_path, job_id())
@@ -181,6 +196,7 @@ def cc2dataset(
         part_wats = wat_paths[i * chunk : (i + 1) * chunk]
         if not part_wats:
             continue
+        spark = next_session(spark)
         process_part(
             spark,
             part_wats,
@@ -190,6 +206,7 @@ def cc2dataset(
             seed,
             min_files,
         )
+    spark = next_session(spark)
     part_paths = [
         os.path.join(job_path, f"part_{i}")
         for i in range(multipart)

@@ -1,0 +1,378 @@
+"""Relational surface, part 2: grouping sets, pivot, full-outer/cross
+joins, percentiles, histograms, range frames, date/regex scalar corpus,
+array ops, filtered aggregation, approx-distinct, and a grouped-UDAF
+(applyInPandas) operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.plans.catalog import query
+from cc2dataset_spark.plans.relational import dsum
+from cc2dataset_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "grouping_sets_geo",
+    oracle="""
+    SELECT n.n_name, c.c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def grouping_sets_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (A4) — distinct aggregation levels in one pass."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                 AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): explicit value list so the plan is a
+    single pass with no value-discovery job."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@query(
+    "join_full_outer_nation_roles",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_customers,
+           COALESCE(s.n_supp, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                     FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer_nation_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-aggregated sides."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = c.join(s, "nk", "full_outer")
+    return j.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "cross_join_region_matrix",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey <> b.r_regionkey
+    """,
+    tags=("join", "cross"),
+)
+def cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (nested-loop) on tiny dims."""
+    a = _t(spark, sf_dir, "region").alias("a")
+    b = _t(spark, sf_dir, "region").alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.r_regionkey") != F.col("b.r_regionkey"))
+        .select(
+            F.col("a.r_name").alias("from_region"),
+            F.col("b.r_name").alias("to_region"),
+        )
+    )
+
+
+@query(
+    "agg_percentiles_price",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines use the standard
+    linear-interpolation definition)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+@query(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing (the shuffle-free way
+    to histogram 100 TB: map-side partials over ~20 buckets)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approx_count_distinct next to the exact count —
+    rows-only (approximate by definition); the relative-error contract
+    is asserted in tests/test_relational2.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "window_range_frame_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_1h,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS n_1h
+    FROM events
+    """,
+    tags=("window", "range_frame"),
+)
+def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing-1-hour sum/count per user
+    (value-based frame, not row-based)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "scalar_date_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_days,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(dayofweek(l_shipdate) + 1 AS INT) AS ship_dow,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l_linenumber = 1 AND l_orderkey < 1000
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval scalar corpus over a keyed join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 1000)
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff("l_shipdate", "o_orderdate").cast("int").alias("ship_days"),
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+        F.dayofweek("l_shipdate").cast("int").alias("ship_dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@query(
+    "scalar_regex_extract",
+    oracle=r"""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_value,
+           regexp_matches(event_type, '^(click|view)$') AS is_interaction,
+           regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled
+    FROM events
+    """,
+    tags=("scalar", "regex"),
+)
+def scalar_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar corpus (extract / match / replace)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k_value"),
+        F.col("event_type").rlike(r"^(click|view)$").alias("is_interaction"),
+        F.regexp_replace("event_type", r"[aeiou]", "_").alias("type_devoweled"),
+    )
+
+
+@query(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1:3] AS head3,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS coord_sum,
+           list_sort(embedding[1:4])[1] AS min_head4
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("scalar", "array"),
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar corpus: size/slice/fold/sort over embeddings."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    emb_d = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.slice("embedding", 1, 3).alias("head3"),
+        F.round(
+            F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("coord_sum"),
+        F.array_min(F.slice("embedding", 1, 4)).alias("min_head4"),
+    )
+
+
+@query(
+    "agg_filtered_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+           CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity
+                              ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+             AS returned_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "conditional"),
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered / conditional aggregation (count FILTER, CASE-sum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_taxfree"),
+        dsum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0)
+        ).alias("returned_qty"),
+    )
+
+
+@query(
+    "udaf_user_trend",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+             AS daily_trend,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("udaf", "pandas"),
+)
+def udaf_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via applyInPandas (SURVEY §2.9): per-user OLS slope
+    of value over time (units: value/day). Arrow-batched; one shuffle
+    on user_id. The closure is self-contained (pickled by value)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["us"].to_numpy(dtype="float64") / 86400000000.0
+        y = pdf["value"].to_numpy(dtype="float64")
+        xbar, ybar = x.mean(), y.mean()
+        denom = ((x - xbar) ** 2).sum()
+        s = float(((x - xbar) * (y - ybar)).sum() / denom) if denom else None
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "daily_trend": [None if s is None else round(s, 4)],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        slope, "user_id bigint, daily_trend double, n_events bigint"
+    )

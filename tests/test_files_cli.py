@@ -1,0 +1,66 @@
+"""CSV/JSON source roundtrips (S15) + CLI surface (X8)."""
+
+from cc2dataset_spark.__main__ import main
+from cc2dataset_spark.sources.files import read_csv, read_json, write_csv, write_json
+from cc2dataset_spark.sources.tables import load_table
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    p = str(tmp_path / "docs_csv")
+    write_csv(docs, p)
+    back = read_csv(spark, p, "doc_id bigint, lang string, n_chars bigint")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in docs.collect()}
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    p = str(tmp_path / "ev_json")
+    write_json(ev, p)
+    back = read_json(spark, p, "event_id bigint, event_type string, value double")
+    assert back.count() == ev.count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ev.collect()}
+
+
+def test_cli_list_queries(capsys):
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out
+    assert "[oracle]" in out
+    assert "dedup_minhash_neardup" in out
+
+
+def test_pipeline_session_restart(spark, tmp_path, monkeypatch):
+    """session_factory is invoked per part + once for the merge."""
+    import json as _json
+
+    from cc2dataset_spark import pipeline
+    from cc2dataset_spark.sources.wat import read_wat_jsonl
+    from tests.wat_fixtures import FIXTURE_RECORDS
+
+    p = tmp_path / "w.jsonl"
+    with open(p, "w", encoding="utf8") as f:
+        for rec in FIXTURE_RECORDS:
+            f.write(_json.dumps(rec) + "\n")
+    monkeypatch.setattr(
+        pipeline, "read_wat_archives", lambda s, paths: read_wat_jsonl(s, paths)
+    )
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return spark  # reuse the test session; stopping is skipped below
+
+    monkeypatch.setattr(
+        pipeline.SparkSession, "getActiveSession", staticmethod(lambda: None)
+    )
+    n = pipeline.cc2dataset(
+        spark,
+        str(tmp_path / "out"),
+        [str(p), str(p)],
+        multipart=2,
+        min_files=2,
+        session_factory=factory,
+    )
+    assert n > 0
+    assert len(calls) == 3  # part_0, part_1, merge
