@@ -99,6 +99,75 @@ def simhash_ann_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: assign every corpus vector to its nearest
+    centroid (inverted list), search each query only in its n_probes
+    closest lists.
+
+    Centroids are a deterministic sample of the corpus itself (every
+    corpus_size/n_lists-th vector by id) — at scale, replace with
+    k-means centroids computed once and broadcast; the join shape is
+    identical. Two broadcast joins + one window; the corpus is scanned
+    once and shuffled once on list_id.
+    """
+    v = corpus.select(F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv"))
+    # Deterministic pseudo-random centroid sample: the n_lists corpus
+    # vectors with the smallest id-hashes. (At real scale: k-means once,
+    # broadcast the centroids; the join shape below is unchanged.)
+    w_hash = Window.orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+    centroids = (
+        v.withColumn("_rn", F.row_number().over(w_hash))
+        .where(F.col("_rn") <= n_lists)
+        .select(F.col("_rn").alias("list_id"), F.col("cv").alias("centroid"))
+    )
+
+    def best_lists(side: DataFrame, vcol: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centroids)).select(
+            *side.columns,
+            "list_id",
+            cosine_similarity(F.col(vcol), F.col("centroid")).alias("_cs"),
+        )
+        w = Window.partitionBy(*[c for c in side.columns if c.endswith("_id")]).orderBy(
+            F.col("_cs").desc(), F.col("list_id")
+        )
+        return scored.withColumn("_r", F.row_number().over(w)).where(
+            F.col("_r") <= n
+        ).drop("_cs", "_r")
+
+    assigned = best_lists(
+        v.select(F.col("cid").alias("corpus_id"), F.col("cv")), "cv", 1
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    probed = best_lists(q, "qv", n_probes)
+    scored = (
+        assigned.join(probed, "list_id")
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def knn_label_vote(
     queries: DataFrame,
     corpus: DataFrame,

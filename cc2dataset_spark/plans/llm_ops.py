@@ -283,6 +283,14 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
 
 
+@query("ann_ivf_topk", oracle=None, tags=("similarity", "llm", "ivf"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (inverted lists around sampled centroids, 2-probe
+    search); recall vs the exact path asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
+
+
 @query("ann_simhash_topk", oracle=None, tags=("similarity", "llm", "lsh"))
 def ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via SimHash buckets; recall vs the exact path
@@ -356,6 +364,46 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("meta.format").alias("format"),
         F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@query(
+    "text_tokenize_udtf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(UNNEST(generate_series(0, len(t) - 1)) AS INT) AS pos,
+           UNNEST(t) AS token
+    FROM toks WHERE len(t) > 0
+    """,
+    tags=("text", "udtf"),
+)
+def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY §2.9 UDTF row): 1->N tokenizer as a lateral
+    table function. The class is defined locally so it pickles by
+    value (executors don't need this package importable)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(t for t in text.strip().split() if t):
+                yield i, tok
+
+    spark.udtf.register("tokenize_words", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL tokenize_words(d.text) t
+        WHERE d.doc_id < 100
+        """
     )
 
 

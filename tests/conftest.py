@@ -17,7 +17,11 @@ def spark():
         master="local[32]",
         app_name="cc2dataset_spark-tests",
         shuffle_partitions=32,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "8g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "8g",
+            "spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests",
+        },
     )
     yield s
     s.stop()

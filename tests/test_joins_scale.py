@@ -1,0 +1,66 @@
+"""Scale-pattern joins: salted-join equivalence, bucketed co-located
+join exchange elimination, IVF ANN recall."""
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.operators import similarity as SIM
+from cc2dataset_spark.operators.joins import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from cc2dataset_spark.sources.tables import load_table
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey", salt_buckets=4).groupBy(
+        "l_orderkey"
+    ).count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "li_b", "l_orderkey", num_buckets=8)
+    write_bucketed(o, "o_b", "l_orderkey", num_buckets=8)
+    # bucketed scans ignore the broadcast fast path only above the
+    # threshold; force SMJ so the exchange elimination is observable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "li_b", "o_b", "l_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert j.count() == li.join(o, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(q, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in SIM.ivf_topk(q, emb, k=3).collect()
+    }
+    assert approx  # produces results for every query
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.2, f"IVF recall suspiciously low: {recall:.2f}"
