@@ -340,6 +340,80 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    tags=("sample",),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample via content hash (S5 twin of
+    df.sample: reproducible across engines AND runs, which seeded
+    rand() is not)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "scalar_struct_map_ops",
+    oracle="""
+    SELECT event_id,
+           struct_pack(t := event_type, h := hour(ts)).t AS type_from_struct,
+           map {event_type: value}[event_type][1] AS value_from_map,
+           CAST(cardinality(map {event_type: value}) AS INT) AS map_size
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("scalar", "struct", "map"),
+)
+def scalar_struct_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct/map construction + field/key access (complex types stay
+    internal; outputs are scalars so the comparison is engine-neutral)."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    m = F.create_map(F.col("event_type"), F.col("value"))
+    return e.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("t"), F.hour("ts").alias("h")
+        )["t"].alias("type_from_struct"),
+        F.element_at(m, F.col("event_type")).alias("value_from_map"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "analytic"),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value analytics (last over the full-partition
+    frame — the default growing frame is a classic footgun)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@query(
     "udaf_user_trend",
     oracle="""
     SELECT user_id,

@@ -1,0 +1,85 @@
+"""Property-based parity tests (SURVEY.md §5 rebuild strategy (c)).
+
+The uid = md5(alt || resolved_url) contract means urljoin parity must
+hold byte-for-byte for arbitrary inputs — hypothesis hunts the corner
+cases (scheme-less, dot-segments, fragments, empty, unicode).
+One Spark job per example set, not per example.
+"""
+
+from urllib.parse import urljoin
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.functions.links import urljoin_udf
+from cc2dataset_spark.operators.dedup import dedup_exact
+
+URL_CHARS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789-._~:/?#[]@!$&'()*+,;=% é中",
+    max_size=40,
+)
+BASES = st.one_of(
+    st.just("http://example.com/a/b/c.html"),
+    st.just("https://h.io/x/"),
+    URL_CHARS.map(lambda s: "http://e.com/" + s),
+)
+URLS = st.one_of(
+    URL_CHARS,
+    URL_CHARS.map(lambda s: "/" + s),
+    URL_CHARS.map(lambda s: "../" + s),
+    URL_CHARS.map(lambda s: "//host/" + s),
+    URL_CHARS.map(lambda s: "http://abs.io/" + s),
+    URL_CHARS.map(lambda s: "mailto:" + s),
+    st.just(""),
+)
+
+
+def _py_reference(base: str, url: str) -> str:
+    if url.startswith("http://") or url.startswith("https://"):
+        return url
+    try:
+        return urljoin(base, url)
+    except ValueError:
+        return url
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(BASES, URLS), min_size=1, max_size=60))
+def test_urljoin_udf_matches_python(spark, pairs):
+    df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["base_url", "url"]).astype("string")
+    ).coalesce(1)
+    got = [
+        r.out
+        for r in df.select(
+            urljoin_udf(F.col("base_url"), F.col("url")).alias("out")
+        ).collect()
+    ]
+    want = [_py_reference(b, u) for b, u in pairs]
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5), st.text(max_size=8)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_dedup_exact_idempotent_and_minimal(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int, s string").coalesce(2)
+    once = dedup_exact(df, keys=["k"])
+    twice = dedup_exact(once, keys=["k"])
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b  # idempotent
+    # survivor = min (v, s) struct per key, independent of partitioning
+    expect = {}
+    for k, v, s in rows:
+        cand = (v, s if s is not None else "")
+        cur = expect.get(k)
+        if cur is None or (v, s) < cur:
+            expect[k] = (v, s)
+    assert {r[0]: (r[1], r[2]) for r in a} == expect
