@@ -1,0 +1,80 @@
+"""As-of join (SURVEY.md §2.3: "no native primitive -> windowed last()
+over union" — this module is that composite).
+
+Two implementations with identical semantics, different scale
+envelopes:
+
+- ``plans/relational.join_asof_last_order``: candidate join + max_by.
+  Simple, but the candidate set per (key, left-row) is every earlier
+  right row — quadratic within hot keys.
+- ``asof_join_union`` (here): tag + union + partitioned window with
+  last(ignorenulls). Cost is one shuffle on the key and one sort per
+  partition — LINEAR in rows regardless of per-key history length.
+  This is the 100 TB shape (and the standard streaming-friendly
+  formulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    right_tiebreak: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` for the same key (backward as-of).
+
+    Ties on right_ts resolve to the greatest ``right_tiebreak``.
+    ``how='left'`` keeps unmatched left rows with null right values.
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
+    )
+    tb = (
+        F.col(right_tiebreak).cast("long")
+        if right_tiebreak
+        else F.monotonically_increasing_id()
+    )
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        tb.alias("_tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_values
+        ],
+    ).where(F.col("_side") == 1)
+    out = carried.select(
+        *lcols, *[F.col(f"_asof_{c}").alias(c) for c in right_values]
+    )
+    if how == "inner":
+        out = out.where(F.col(right_values[0]).isNotNull())
+    return out
