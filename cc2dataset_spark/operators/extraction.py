@@ -27,37 +27,36 @@ from cc2dataset_spark.functions.links import (
 _HTML_META = "Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`"
 
 
-def extract_document_links(wat_df: DataFrame, document_type: str) -> DataFrame:
-    """WAT records -> deduplicable (uid, url, alt, cc_filename, page_url).
-
-    Plan stages (all narrow — zero shuffles):
-      1. envelope guards (P9): null-propagating struct access replaces
-         the reference's `if X not in Y: continue` (main.py:146-155)
-      2. base-URL resolution (main.py:157-164): urljoin only when a
-         <base href> exists (split/union keeps the UDF off other rows)
-      3. explode(Links) — the 1->N expansion (main.py:166)
-      4. per-type predicate + projection (P1-P8)
-      5. absolutization + scheme filter (P10/P11, main.py:167-172)
-      6. uid + provenance (P12/P13, main.py:173-176)
-    """
+def _guarded(wat_df: DataFrame) -> DataFrame:
+    """Envelope guards (P9): null-propagating struct access replaces
+    the reference's `if X not in Y: continue` (main.py:146-155)."""
     links_col = F.col(f"{_HTML_META}.Links")
     base_raw = F.col(f"{_HTML_META}.Head.Base")
     page_url = F.col("Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`")
     cc_filename = F.col("Container.Filename")
-
-    guarded = wat_df.where(links_col.isNotNull() & page_url.isNotNull()).select(
+    return wat_df.where(links_col.isNotNull() & page_url.isNotNull()).select(
         links_col.alias("links"),
         base_raw.alias("base_raw"),
         page_url.alias("page_url"),
         cc_filename.alias("cc_filename"),
     )
 
-    # Base resolution: base_url = urljoin(page_url, Base) when Base
-    # present, else page_url. One Arrow pass over records (records are
-    # 10-100x fewer than links; a record-level split/union here doubles
-    # the downstream plan for negligible savings — the udf returns its
-    # input untouched on null Base).
-    based = guarded.withColumn(
+
+def extract_document_links(wat_df: DataFrame, document_type: str) -> DataFrame:
+    """WAT records -> deduplicable (uid, url, alt, cc_filename, page_url).
+
+    Plan stages (all narrow — zero shuffles):
+      1. envelope guards (P9)
+      2. base-URL resolution (main.py:157-164): one Arrow pass over
+         records (records are 10-100x fewer than links; the udf
+         passes through null Base)
+      3. explode(Links) — the 1->N expansion (main.py:166)
+      4. per-type predicate + projection (P1-P8)
+      5. absolutization + scheme filter (P10/P11, main.py:167-172);
+         only relative URLs cross the Python boundary (split/union)
+      6. uid + provenance (P12/P13, main.py:173-176)
+    """
+    based = _guarded(wat_df).withColumn(
         "base_url",
         F.when(F.col("base_raw").isNull(), F.col("page_url")).otherwise(
             urljoin_udf(F.col("page_url"), F.col("base_raw"))
@@ -84,4 +83,36 @@ def extract_document_links(wat_df: DataFrame, document_type: str) -> DataFrame:
         "alt",
         "cc_filename",
         "page_url",
+    )
+
+
+def extraction_stats(wat_df: DataFrame, document_type: str) -> DataFrame:
+    """Drop accounting (X7, SURVEY §2.11: "count drops via accumulators
+    instead of logs" — as a declarative aggregate, which is stronger:
+    exact, reproducible, and shuffle-light).
+
+    One row: records_total, records_no_links (failed guards), links
+    seen, links kept by the predicate, links dropped by the scheme
+    filter after resolution.
+    """
+    links_col = F.col(f"{_HTML_META}.Links")
+    page_url = F.col("Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`")
+    per_record = wat_df.select(
+        F.lit(1).alias("_rec"),
+        (links_col.isNull() | page_url.isNull()).alias("_no_links"),
+        F.coalesce(F.size(links_col), F.lit(0)).alias("_n_links"),
+    )
+    totals = per_record.agg(
+        F.count("*").alias("records_total"),
+        F.sum(F.col("_no_links").cast("long")).alias("records_no_links"),
+        F.sum("_n_links").alias("links_total"),
+    )
+    extracted = extract_document_links(wat_df, document_type)
+    kept = extracted.agg(F.count("*").alias("links_kept"))
+    return totals.crossJoin(kept).select(
+        "records_total",
+        "records_no_links",
+        "links_total",
+        "links_kept",
+        (F.col("links_total") - F.col("links_kept")).alias("links_dropped"),
     )

@@ -250,6 +250,83 @@ def dedup_simhash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.simhash_neardup_pairs(emb, threshold=0.35)
 
 
+@query(
+    "curate_quality_filter",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS kept_chars
+    FROM t
+    WHERE len(toks) BETWEEN 20 AND 1000
+      AND punct_ratio < 0.1
+      AND lang IN ('en', 'es', 'fr', 'de')
+    GROUP BY lang
+    """,
+    tags=("text", "llm", "curation"),
+)
+def curate_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation recipe (C4-style): length band + punctuation
+    density + language allowlist, reporting kept volume per language.
+    All predicates are scan-level pushable expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(
+        T.token_count("text").between(20, 1000)
+        & (T.punct_ratio("text") < 0.1)
+        & F.col("lang").isin("en", "es", "fr", "de")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double").alias("kept_chars"),
+    )
+
+
+@query(
+    "top_tokens_per_lang",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang, UNNEST(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                      x -> x <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT lang, token, COUNT(*) AS n
+      FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, n, rnk FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC)
+               AS rnk
+      FROM counts
+    ) WHERE rnk <= 5
+    """,
+    tags=("text", "llm", "curation"),
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head per language: explode -> two-phase count ->
+    per-group top-k (WindowGroupLimit keeps 5 rows per partition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(T.tokens(F.lower(F.trim(F.col("text"))))).alias("token")
+    )
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "token", "n", "rnk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
