@@ -9,9 +9,10 @@ engines). Duplicates are injected via a lateral sequence so the dedup
 stage has real work.
 
 ``cc_extract_image_wat`` drives the actual extraction operator
-(operators/extraction.py) over in-memory synthetic WAT records —
-not SQL-expressible (urljoin UDF), so rows-only checked; its value
-parity is covered byte-for-byte by tests/test_extraction.py.
+(operators/extraction.py) over WAT-shaped records derived from the
+documents fixture — not SQL-expressible (urljoin UDF), so rows-only
+checked; its value parity is covered byte-for-byte by
+tests/test_extraction.py.
 """
 
 from __future__ import annotations
@@ -22,7 +23,6 @@ from pyspark.sql import functions as F
 from cc2dataset_spark.operators.extraction import extract_document_links
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
-from cc2dataset_spark.sources.wat import WAT_SCHEMA
 
 
 @query(
@@ -86,56 +86,71 @@ def cc_extract_dedup_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEMO_WAT_RECORDS = [
-    {
-        "Envelope": {
-            "Payload-Metadata": {
-                "HTTP-Response-Metadata": {
-                    "HTML-Metadata": {
-                        "Links": [
-                            {"url": "https://i.ex.com/a.jpg", "alt": "alpha",
-                             "text": None, "path": "IMG@/src"},
-                            {"url": "/rel/b.jpg", "alt": "beta", "text": None,
-                             "path": "IMG@/src"},
-                            {"url": "c.jpg", "alt": "", "text": None,
-                             "path": "IMG@/src"},
-                        ],
-                        "Head": {"Base": None},
-                    }
-                }
-            },
-            "WARC-Header-Metadata": {"WARC-Target-URI": "http://page.ex.com/x/y.html"},
-        },
-        "Container": {"Filename": "demo-00.warc.gz"},
-    },
-    {
-        "Envelope": {
-            "Payload-Metadata": {
-                "HTTP-Response-Metadata": {
-                    "HTML-Metadata": {
-                        "Links": [
-                            {"url": "pic.png", "alt": "based", "text": None,
-                             "path": "IMG@/src"},
-                            {"url": "https://i.ex.com/a.jpg", "alt": "alpha",
-                             "text": None, "path": "IMG@/src"},
-                        ],
-                        "Head": {"Base": "https://cdn.ex.org/assets/"},
-                    }
-                }
-            },
-            "WARC-Header-Metadata": {"WARC-Target-URI": "https://page.ex.org/p.html"},
-        },
-        "Container": {"Filename": "demo-01.warc.gz"},
-    },
-]
+def _wat_records_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive WAT-shaped records from the documents fixture: one record
+    per doc with an absolute image link, a relative image link (and a
+    <base href> on every 5th record), and a non-image link — so the
+    extraction exercises every stage (explode, predicate, base
+    resolution, urljoin, scheme filter, uid) at fixture scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    link = lambda url, alt, text, path: F.struct(  # noqa: E731
+        url.alias("url"), alt.alias("alt"), text.alias("text"), path.alias("path")
+    )
+    links = F.array(
+        link(
+            F.concat(F.lit("https://img.cdn/"), did, F.lit("_a.jpg")),
+            F.substring("text", 1, 20),
+            F.lit(None).cast("string"),
+            F.lit("IMG@/src"),
+        ),
+        link(
+            F.concat(F.lit("rel/"), did, F.lit("_b.png")),
+            F.substring("text", 21, 20),
+            F.lit(None).cast("string"),
+            F.lit("IMG@/src"),
+        ),
+        link(
+            F.lit("skip.txt"),
+            F.lit(None).cast("string"),
+            F.lit("not an image"),
+            F.lit("A@/href"),
+        ),
+    )
+    html_meta = F.struct(
+        links.alias("Links"),
+        F.struct(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("https://base.cdn/assets/"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("Base")
+        ).alias("Head"),
+    )
+    return docs.select(
+        F.struct(
+            F.struct(
+                F.struct(html_meta.alias("HTML-Metadata")).alias(
+                    "HTTP-Response-Metadata"
+                )
+            ).alias("Payload-Metadata"),
+            F.struct(
+                F.concat(
+                    F.lit("https://site."), F.col("source"), F.lit("/"), did,
+                    F.lit(".html"),
+                ).alias("WARC-Target-URI")
+            ).alias("WARC-Header-Metadata"),
+        ).alias("Envelope"),
+        F.struct(F.concat(F.col("source"), F.lit(".warc.gz")).alias("Filename")).alias(
+            "Container"
+        ),
+    )
 
 
 @query("cc_extract_image_wat", oracle=None, tags=("layer_a", "extraction"))
 def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real WAT extraction operator (explode + P4 + urljoin UDF +
-    P11/P12) over synthetic records, deduped by uid — the reference's
-    full single-part dataflow minus the archive decode."""
-    # coalesce(1): two demo records - don't fan 32 near-empty tasks
-    # through the Python-UDF branch
-    wat_df = spark.createDataFrame(_DEMO_WAT_RECORDS, WAT_SCHEMA).coalesce(1)
+    P11/P12) over WAT records derived from the documents fixture,
+    deduped by uid — the reference's full single-part dataflow minus
+    the archive decode, at fixture scale (~2 image links per record,
+    half of them relative)."""
+    wat_df = _wat_records_from_documents(spark, sf_dir)
     return extract_document_links(wat_df, "image").dropDuplicates(["uid"])
