@@ -163,11 +163,63 @@ def minhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup: candidates by banded LSH, verified by
-    exact Jaccard. Deterministic output (id_a < id_b, jaccard)."""
-    cands = minhash_candidate_pairs(df, text_col, id_col)
-    return jaccard_verify_pairs(cands, df, text_col, id_col, threshold=threshold)
+    exact Jaccard. Deterministic output (id_a < id_b, jaccard).
+
+    The shingle set is computed ONCE and persisted (memory-and-disk),
+    then reused by both the signature/banding stage and the verify
+    join — at 100 TB, re-tokenizing the corpus for verification would
+    double the dominant cost.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sh_expr = F.array_distinct(word_shingles(text_col, shingle_words))
+    base = (
+        df.select(F.col(id_col), sh_expr.alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hashed = base.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+        ).alias("_h"),
+    )
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+
+    sigs = hashed.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_h"), perm(a, b)))
+                for a, b in _perm_constants(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    buckets = lsh_band_buckets(sigs, id_col, bands)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cands = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
+    joined = cands.join(sh_a, "id_a").join(sh_b, "id_b")
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    jac = common.cast("double") / union
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
 
 
 def exact_jaccard_pairs(
