@@ -442,6 +442,31 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_customer_metrics",
+    oracle="""
+    SELECT c_custkey, metric, value FROM (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE) AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nationkey
+      FROM customer WHERE c_custkey < 200
+    ) UNPIVOT (value FOR metric IN (acctbal, nationkey))
+    """,
+    tags=("reshape", "unpivot"),
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long reshape)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        "c_custkey", ["acctbal", "nationkey"], "metric", "value"
+    )
+
+
+@query(
     "udaf_user_trend",
     oracle="""
     SELECT user_id,

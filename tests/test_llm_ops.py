@@ -55,10 +55,21 @@ def test_ann_simhash_hits_exact_neighbors(emb):
     }
     approx = SIM.simhash_ann_topk(q, emb, k=3).collect()
     assert len(approx) > 0
-    # every approx result must be a real corpus vector ranked correctly
-    # within its bucket; spot-check overlap with the exact top-3
-    hits = sum(1 for r in approx if (r.query_id, r.neighbor_id) in exact)
-    assert hits >= 0  # overlap informative, not guaranteed for 8-bit hash
+    # correctness-within-approximation: every reported similarity must
+    # equal the exact cosine for that pair (the approximation restricts
+    # the candidate set, never the arithmetic)
+    all_sims = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in SIM.brute_force_topk(q, emb, k=emb.count()).collect()
+    }
+    for r in approx:
+        assert all_sims[(r.query_id, r.neighbor_id)] == r.cos_sim
+    # and no reported neighbor may beat the exact top-1
+    best = {}
+    for (qid, _), s in all_sims.items():
+        best[qid] = max(best.get(qid, -2.0), s)
+    for r in approx:
+        assert r.cos_sim <= best[r.query_id]
 
 
 def test_knn_vote_deterministic(emb):
