@@ -69,7 +69,11 @@ def _load_all() -> None:
     if _LOADED:
         return
     # imports for side effect of @query registration
-    from cc2dataset_spark.plans import relational, relational2  # noqa: F401
+    from cc2dataset_spark.plans import (  # noqa: F401
+        relational,
+        relational2,
+        relational3,
+    )
 
     try:
         from cc2dataset_spark.plans import llm_ops  # noqa: F401

@@ -1,0 +1,132 @@
+"""Relational surface, part 3: harder TPC-H-style composites —
+distribution-of-distributions (Q13), HAVING-subquery top spenders
+(Q18), and min-per-group lookup (Q2 shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.plans.catalog import query
+from cc2dataset_spark.plans.relational import dsum
+from cc2dataset_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("agg", "join", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join with a join-side predicate, then a
+    distribution over the per-customer counts (two aggregations, the
+    second over a tiny domain — map-side combined)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    tags=("agg", "join", "subquery", "tpch"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered IN subquery (planned as a
+    semi-join against the pre-aggregated lineitem) feeding a 3-table
+    join + final aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l WHERE l.l_quantity > 0
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(unit_cost) AS best_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS partkey,
+           MIN(c.l_suppkey) AS best_suppkey,
+           CAST(round(b.best_cost, 6) AS DOUBLE) AS best_cost
+    FROM costs c JOIN best b
+      ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+    GROUP BY c.l_partkey, b.best_cost
+    """,
+    tags=("agg", "join", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group minimum lookup (agg -> self-join on
+    the min), with a deterministic supplier tie-break."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost")).select(
+        F.col("l_partkey").alias("b_partkey"), "best_cost"
+    )
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == F.col("b_partkey"))
+            & (costs.unit_cost == F.col("best_cost")),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"), "best_cost")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+        .select(
+            "partkey",
+            "best_suppkey",
+            F.round("best_cost", 6).cast("double").alias("best_cost"),
+        )
+    )
