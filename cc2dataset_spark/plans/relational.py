@@ -554,7 +554,7 @@ def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead analytics: microsecond gap to the previous event and the
     next event type per user."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # NTZ->LTZ at UTC
     return _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -697,7 +697,7 @@ def scalar_json_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.where(k.isNotNull()).select(
         "event_id",
         k.cast("bigint").alias("prop_k"),
-        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
         F.hour("ts").cast("int").alias("hr"),
         F.upper("event_type").alias("event_type_uc"),
         F.round(F.col("value"), 4).cast("double").alias("value_r4"),

@@ -217,7 +217,7 @@ def window_range_frame_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return e.select(
@@ -483,7 +483,7 @@ def udaf_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     of value over time (units: value/day). Arrow-batched; one shuffle
     on user_id. The closure is self-contained (pickled by value)."""
     e = _t(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("us"), "value"
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "value"
     )
 
     def slope(pdf: pd.DataFrame) -> pd.DataFrame:

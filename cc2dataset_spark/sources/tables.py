@@ -43,15 +43,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Both confs must hold even on sessions we didn't build (the driver
+    # passes its own SparkSession); both are runtime-settable. UTC
+    # pins LTZ rendering and timestamp-literal parsing so results are
+    # host-timezone-independent (the fixtures and the DuckDB oracle
+    # are timezone-naive).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Must hold even on sessions we didn't build (the driver passes
-        # its own SparkSession); runtime-settable SQL conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # TIMESTAMP_NTZ, like every other fixture timestamp: collect()
+        # renders LTZ in the PYTHON PROCESS's timezone (not the session
+        # tz), so an LTZ ts breaks value comparison on non-UTC hosts.
+        # The LTZ->NTZ cast uses the session tz, pinned UTC above.
+        df = df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
+        )
     return df
 
 

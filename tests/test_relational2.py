@@ -31,7 +31,7 @@ def test_udaf_trend_matches_sql_regr(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.expr(
-                "round(regr_slope(value, unix_micros(ts) / 86400000000.0), 4)"
+                "round(regr_slope(value, unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000.0), 4)"
             ).alias("s")
         )
         .collect()
