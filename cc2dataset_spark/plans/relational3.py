@@ -86,6 +86,50 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setop_multiset_suppliers",
+    oracle="""
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    )
+    """,
+    tags=("setop", "multiset"),
+)
+def setop_multiset_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — multiplicities preserved),
+    U2's duplicate-aware variant."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_suppkey")
+    a = li.where(F.col("l_returnflag") == "A").select("l_suppkey")
+    return r.exceptAll(a)
+
+
+@query(
+    "explode_outer_long_words",
+    oracle="""
+    SELECT p_partkey, UNNEST(
+             CASE WHEN len(w) = 0 THEN [NULL] ELSE w END
+           ) AS long_word
+    FROM (
+      SELECT p_partkey,
+             list_filter(string_split(p_name, ' '), x -> length(x) > 7) AS w
+      FROM part
+    )
+    """,
+    tags=("scalar", "explode"),
+)
+def explode_outer_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows whose array is empty survive with a null
+    (the left-join flavor of the 1->N expansion)."""
+    p = _t(spark, sf_dir, "part")
+    w = F.filter(F.split("p_name", " "), lambda x: F.length(x) > 7)
+    return p.select(
+        "p_partkey", F.explode_outer(w).alias("long_word")
+    )
+
+
+@query(
     "q2_min_cost_supplier",
     oracle="""
     WITH costs AS (
