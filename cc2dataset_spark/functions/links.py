@@ -117,6 +117,27 @@ def urljoin_udf(base: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series([join(b, u) for b, u in zip(base, url)])
 
 
+@pandas_udf(StringType())
+def resolve_base_udf(page_url: pd.Series, base_raw: pd.Series) -> pd.Series:
+    """Base-URL computation (main.py:157-164): base = urljoin(page_url,
+    Head.Base), but a malformed <base href> (ValueError) keeps the PAGE
+    url as base — the reference's `except ValueError: pass` — not the
+    raw Base string. No absolute-scheme shortcut here: the reference
+    calls urljoin directly for base resolution, so e.g. an invalid
+    'http://[' base raises and falls back to the page url."""
+    from urllib.parse import urljoin
+
+    def resolve(page, base):
+        if base is None:
+            return page
+        try:
+            return urljoin(page or "", base)
+        except ValueError:
+            return page
+
+    return pd.Series([resolve(p, b) for p, b in zip(page_url, base_raw)])
+
+
 def absolutize_urls(df: DataFrame, url: str = "url", base: str = "base_url") -> DataFrame:
     """Resolve relative URLs against a base column.
 

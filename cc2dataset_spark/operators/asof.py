@@ -34,9 +34,18 @@ def asof_join_union(
     """For each left row, attach the right row with the greatest
     ``right_ts`` <= ``left_ts`` for the same key (backward as-of).
 
-    Ties on right_ts resolve to the greatest ``right_tiebreak``.
+    Ties on right_ts resolve to the greatest ``right_tiebreak``, which
+    is REQUIRED: an implicit fallback (e.g. monotonically_increasing_id)
+    varies with partitioning, so the same input could match different
+    right rows run-to-run — breaking the engine's determinism contract.
     ``how='left'`` keeps unmatched left rows with null right values.
     """
+    if right_tiebreak is None:
+        raise ValueError(
+            "right_tiebreak is required: as-of tie resolution must be "
+            "deterministic (pass a unique right-side column, or derive "
+            "one, e.g. xxhash64 over the carried value columns)"
+        )
     lcols = left.columns
     l = left.select(
         F.col(left_key).alias("_k"),
@@ -46,11 +55,7 @@ def asof_join_union(
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
     )
-    tb = (
-        F.col(right_tiebreak).cast("long")
-        if right_tiebreak
-        else F.monotonically_increasing_id()
-    )
+    tb = F.col(right_tiebreak).cast("long")
     r = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),

@@ -20,8 +20,8 @@ from cc2dataset_spark.functions.links import (
     absolutize_urls,
     link_alt,
     link_predicate,
+    resolve_base_udf,
     uid_column,
-    urljoin_udf,
 )
 
 _HTML_META = "Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`"
@@ -48,8 +48,8 @@ def extract_document_links(wat_df: DataFrame, document_type: str) -> DataFrame:
     Plan stages (all narrow — zero shuffles):
       1. envelope guards (P9)
       2. base-URL resolution (main.py:157-164): one Arrow pass over
-         records (records are 10-100x fewer than links; the udf
-         passes through null Base)
+         records (records are 10-100x fewer than links); malformed
+         Base values fall back to the page url, like the reference
       3. explode(Links) — the 1->N expansion (main.py:166)
       4. per-type predicate + projection (P1-P8)
       5. absolutization + scheme filter (P10/P11, main.py:167-172);
@@ -59,7 +59,7 @@ def extract_document_links(wat_df: DataFrame, document_type: str) -> DataFrame:
     based = _guarded(wat_df).withColumn(
         "base_url",
         F.when(F.col("base_raw").isNull(), F.col("page_url")).otherwise(
-            urljoin_udf(F.col("page_url"), F.col("base_raw"))
+            resolve_base_udf(F.col("page_url"), F.col("base_raw"))
         ),
     ).drop("base_raw")
 

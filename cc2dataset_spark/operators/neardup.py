@@ -82,11 +82,23 @@ def minhash_signatures(
 
 
 def lsh_band_buckets(
-    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 4
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """Signature -> (id, band_idx, band_hash). Documents agreeing on any
-    full band land in the same bucket."""
-    n = bands
+    full band land in the same bucket.
+
+    ``num_hashes`` must be the actual signature length and divisible by
+    ``bands`` — slicing with the wrong width would either hash empty
+    tail slices (every doc collides: quadratic candidate blowup) or
+    silently ignore tail hashes (recall loss)."""
+    if num_hashes % bands != 0 or num_hashes <= 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
+    width = num_hashes // bands
     return sig_df.select(
         F.col(id_col),
         F.posexplode(
@@ -94,11 +106,11 @@ def lsh_band_buckets(
                 *[
                     F.xxhash64(
                         F.lit(b),
-                        F.slice(F.col("sig"), b * (16 // n) + 1, 16 // n).cast(
+                        F.slice(F.col("sig"), b * width + 1, width).cast(
                             "array<string>"
                         ).cast("string"),
                     )
-                    for b in range(n)
+                    for b in range(bands)
                 ]
             )
         ).alias("band_idx", "band_hash"),
@@ -116,7 +128,7 @@ def minhash_candidate_pairs(
     """LSH candidate pairs (id_a < id_b) — docs sharing >=1 band.
     The only shuffle is the equi-join on (band_idx, band_hash)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
-    buckets = lsh_band_buckets(sigs, id_col, bands)
+    buckets = lsh_band_buckets(sigs, id_col, bands, num_hashes)
     a = buckets.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
     )
@@ -202,7 +214,7 @@ def minhash_neardup_pairs(
             ]
         ).alias("sig"),
     )
-    buckets = lsh_band_buckets(sigs, id_col, bands)
+    buckets = lsh_band_buckets(sigs, id_col, bands, num_hashes)
     a = buckets.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = buckets.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     cands = (
@@ -239,12 +251,16 @@ def exact_jaccard_pairs(
         F.explode(F.array_distinct(word_shingles(text_col, shingle_words))).alias("s"),
     )
     if max_shingle_df is not None:
-        rare = (
+        # Broadcast the STOP list (shingles in > N docs), not the keep
+        # list: at corpus scale almost every shingle is rare, so the
+        # keep list is nearly the whole shingle universe while the stop
+        # list is a handful of boilerplate n-grams.
+        hot = (
             sh.groupBy("s").agg(F.count("*").alias("df_"))
-            .where(F.col("df_") <= max_shingle_df)
+            .where(F.col("df_") > max_shingle_df)
             .select("s")
         )
-        sh = sh.join(F.broadcast(rare), "s")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     common = (
         sh.alias("a")

@@ -120,13 +120,17 @@ def ivf_topk(
     """
     v = corpus.select(F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv"))
     # Deterministic pseudo-random centroid sample: the n_lists corpus
-    # vectors with the smallest id-hashes. (At real scale: k-means once,
+    # vectors with the smallest id-hashes, via orderBy().limit() — Spark
+    # plans TakeOrderedAndProject (each partition keeps its own top
+    # n_lists, the driver merges), so the whole corpus never funnels
+    # through one task. The row_number window that assigns list ids then
+    # runs over at most n_lists rows. (At real scale: k-means once,
     # broadcast the centroids; the join shape below is unchanged.)
-    w_hash = Window.orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
+    sampled = v.orderBy(F.xxhash64(F.col("cid")), F.col("cid")).limit(n_lists)
+    w_tiny = Window.orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
     centroids = (
-        v.withColumn("_rn", F.row_number().over(w_hash))
-        .where(F.col("_rn") <= n_lists)
-        .select(F.col("_rn").alias("list_id"), F.col("cv").alias("centroid"))
+        sampled.withColumn("list_id", F.row_number().over(w_tiny))
+        .select("list_id", F.col("cv").alias("centroid"))
     )
 
     def best_lists(side: DataFrame, vcol: str, n: int) -> DataFrame:

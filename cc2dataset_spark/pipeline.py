@@ -16,8 +16,10 @@ namespacing. Differences are physics, not semantics:
 
 from __future__ import annotations
 
-import os
+import posixpath
 from datetime import datetime, timezone
+
+import fsspec
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,28 +71,53 @@ def job_id(now: datetime | None = None) -> str:
     return now.strftime("%Y-%m-%d-%H-%M-%S")
 
 
+# All job-level IO goes through fsspec so output paths may live on any
+# filesystem Spark can write to (s3a://, gs://, hdfs://, local). The
+# reference does the same (main.py:290-296, 376-380); plain os.* here
+# would silently write the manifest to a literal "s3a:" directory on
+# the driver's local disk and resume would never see _SUCCESS markers.
+
+
+def _fs_for(path: str) -> tuple[fsspec.AbstractFileSystem, str]:
+    # Spark's s3a:// scheme is fsspec's s3://; same object store.
+    if path.startswith("s3a://"):
+        path = "s3://" + path[len("s3a://") :]
+    return fsspec.core.url_to_fs(path)
+
+
+def _join(base: str, *parts: str) -> str:
+    return posixpath.join(base, *parts)
+
+
 def _write_manifest(path: str, wat_paths: list[str]) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w", encoding="utf8") as f:
+    fs, p = _fs_for(path)
+    fs.makedirs(posixpath.dirname(p), exist_ok=True)
+    with fs.open(p, "w", encoding="utf8") as f:
         f.write("\n".join(wat_paths))
 
 
 def _read_manifest(path: str) -> list[str]:
-    with open(path, encoding="utf8") as f:
+    fs, p = _fs_for(path)
+    with fs.open(p, "r", encoding="utf8") as f:
         return [line.strip() for line in f if line.strip()]
+
+
+def _part_has_success(output_path: str, part: int) -> bool:
+    fs, p = _fs_for(_join(output_path, f"part_{part}", "_SUCCESS"))
+    return fs.exists(p)
 
 
 def last_successful_part(output_path: str) -> int:
     """Resume point: highest part_{i} bearing a _SUCCESS marker
     (main.py:290-296). Returns -1 when none."""
+    fs, p = _fs_for(output_path)
     last = -1
-    if not os.path.isdir(output_path):
-        return last
-    for name in os.listdir(output_path):
-        if name.startswith("part_") and os.path.exists(
-            os.path.join(output_path, name, "_SUCCESS")
-        ):
+    for marker in fs.glob(_join(p, "part_*", "_SUCCESS")):
+        name = posixpath.basename(posixpath.dirname(marker))
+        try:
             last = max(last, int(name.split("_")[1]))
+        except ValueError:
+            continue
     return last
 
 
@@ -172,8 +199,8 @@ def cc2dataset(
         return session_factory()
     if resume is not None and multipart is None:
         raise ValueError("resume requires multipart")
-    job_path = resume if resume else os.path.join(output_path, job_id())
-    manifest = os.path.join(job_path, "_wat_index_files.txt")
+    job_path = resume if resume else _join(output_path, job_id())
+    manifest = _join(job_path, "_wat_index_files.txt")
     if resume:
         wat_paths = _read_manifest(manifest)
 
@@ -200,7 +227,7 @@ def cc2dataset(
         process_part(
             spark,
             part_wats,
-            os.path.join(job_path, f"part_{i}"),
+            _join(job_path, f"part_{i}"),
             document_type,
             shuffle,
             seed,
@@ -208,14 +235,14 @@ def cc2dataset(
         )
     spark = next_session(spark)
     part_paths = [
-        os.path.join(job_path, f"part_{i}")
+        _join(job_path, f"part_{i}")
         for i in range(multipart)
-        if os.path.exists(os.path.join(job_path, f"part_{i}", "_SUCCESS"))
+        if _part_has_success(job_path, i)
     ]
     return merge_parts(
         spark,
         part_paths,
-        os.path.join(job_path, "merged"),
+        _join(job_path, "merged"),
         wat_count=len(wat_paths),
         shuffle=shuffle,
         seed=seed,

@@ -50,14 +50,97 @@ def query(
     return deco
 
 
-def queries() -> dict[str, SparkQuery]:
+# The external driver's correctness harness checks the FIRST 50 entries
+# of queries() (CORRECTNESS_r01.json keys == registration order [:50]),
+# so ordering is part of the contract. This list pins the window
+# explicitly — one representative per SURVEY §2 row, with the families
+# the r1 driver never saw (reference pipeline, dedup/ANN/text/multimodal,
+# streaming windows) placed first. Queries not listed here follow in
+# registration order; all of them were driver-green in round 1 and stay
+# covered by the local oracle suite (tests/test_oracle.py).
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # reference-parity core (layer A)
+    "cc_extract_dedup_links",
+    "cc_extract_image_wat",
+    # LLM-ops: text analysis / curation
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "curate_quality_filter",
+    "top_tokens_per_lang",
+    "text_tokenize_udtf",
+    # LLM-ops: dedup family
+    "dedup_exact_min_survivor",
+    "dedup_fingerprint_documents",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_neardup",
+    "dedup_embedding_cosine",
+    "dedup_simhash_embeddings",
+    # LLM-ops: similarity search
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_simhash_topk",
+    "knn_label_vote",
+    # LLM-ops: multimodal
+    "multimodal_binary_stats",
+    "multimodal_decode_stub",
+    # streaming-window surface (batch-checkable twins)
+    "events_tumbling_10m",
+    "events_sliding_10m_5m",
+    "events_session_30m",
+    # fixed this round (array canonicalization; HLL oracle)
+    "array_ops_embeddings",
+    "agg_approx_distinct",
+    # as-of joins: linear scale path + candidate+max_by twin
+    "join_asof_union_last_order",
+    "join_asof_last_order",
+    # one representative per remaining §2 family (all r1-green)
+    "q1_pricing_summary",
+    "rollup_order_status",
+    "grouping_sets_geo",
+    "pivot_status_by_priority",
+    "unpivot_customer_metrics",
+    "q3_shipping_priority",
+    "join_broadcast_geo",
+    "join_semi_big_spenders",
+    "join_anti_no_orders",
+    "join_full_outer_nation_roles",
+    "cross_join_region_matrix",
+    "join_range_shipments",
+    "subquery_correlated_scalar",
+    "window_topk_orders_per_cust",
+    "window_range_frame_1h",
+    "window_first_last_nth",
+    "sort_topk_orders",
+    "setop_multiset_suppliers",
+    "setop_nation_coverage",
+    "scalar_string_part",
+    "scalar_date_arithmetic",
+    "scalar_struct_map_ops",
+    "udaf_user_trend",
+)
+
+
+def _ordered() -> dict[str, Query]:
     _load_all()
-    return {name: q.fn for name, q in QUERIES.items()}
+    out: dict[str, Query] = {}
+    for name in DRIVER_PRIORITY:
+        if name in QUERIES:
+            out[name] = QUERIES[name]
+    for name, q in QUERIES.items():
+        if name not in out:
+            out[name] = q
+    return out
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in _ordered().items() if q.oracle is not None
+    }
 
 
 _LOADED = False
@@ -68,13 +151,12 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    # imports for side effect of @query registration
-    from cc2dataset_spark.plans import (  # noqa: F401
-        relational,
-        relational2,
-        relational3,
-    )
-
+    # imports for side effect of @query registration; priority families
+    # first so even raw registration order puts them up front
+    try:
+        from cc2dataset_spark.plans import reference_pipeline  # noqa: F401
+    except ImportError:
+        pass
     try:
         from cc2dataset_spark.plans import llm_ops  # noqa: F401
     except ImportError:
@@ -83,8 +165,10 @@ def _load_all() -> None:
         from cc2dataset_spark.plans import windows_streaming  # noqa: F401
     except ImportError:
         pass
-    try:
-        from cc2dataset_spark.plans import reference_pipeline  # noqa: F401
-    except ImportError:
-        pass
+    from cc2dataset_spark.plans import (  # noqa: F401
+        relational,
+        relational2,
+        relational3,
+    )
+
     _LOADED = True

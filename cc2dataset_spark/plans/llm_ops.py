@@ -175,7 +175,7 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=r"""
-    WITH sh AS (
+    WITH sh_all AS (
       SELECT doc_id,
              UNNEST(list_distinct(list_transform(
                range(1, greatest(len(t) - 1, 1)),
@@ -185,6 +185,9 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                                x -> x <> '') AS t
             FROM documents)
       WHERE len(t) >= 3
+    ), sh AS (
+      SELECT doc_id, s FROM sh_all
+      QUALIFY COUNT(*) OVER (PARTITION BY s) <= 100
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), common AS (
@@ -203,9 +206,13 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the ground
-    truth the MinHash path approximates."""
+    truth the MinHash path approximates. Registered WITH the stop-shingle
+    cap (max_shingle_df=100, mirrored in the oracle): a shingle hitting N
+    docs contributes N^2 join rows, so the uncapped form (kept for the
+    pytest ground-truth comparison only) detonates on boilerplate at
+    corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return ND.exact_jaccard_pairs(docs, threshold=0.5)
+    return ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
 
 
 @query("dedup_minhash_neardup", oracle=None, tags=("dedup", "llm", "lsh"))

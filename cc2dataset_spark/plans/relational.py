@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.operators.asof import asof_join_union
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
 
@@ -430,9 +431,11 @@ def join_range_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (no native Spark primitive, SURVEY §2.3): for each
     event, the latest order of the same user at or before the event
-    time. Composite: broadcast-join candidates then max_by per event —
-    one shuffle-free join + one agg, instead of a window over the full
-    join product."""
+    time. Composite: shuffle theta-join candidates then max_by per
+    event. The candidate set is every earlier order of the user, so the
+    cost is quadratic within hot keys — fine here, but the 100 TB shape
+    is the linear union+window form (join_asof_union_last_order /
+    operators/asof.py)."""
     e = _t(spark, sf_dir, "events")
     o = _t(spark, sf_dir, "orders")
     cand = e.join(
@@ -447,6 +450,54 @@ def join_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_orderdate"),
         )
         .select("event_id", "user_id", "last_orderkey", "last_orderdate")
+    )
+
+
+@query(
+    "join_asof_union_last_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey AS last_orderkey,
+           o_orderdate AS last_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_union_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR as-of join (operators/asof.asof_join_union): tag +
+    union + one partitioned window with last(ignorenulls). One shuffle
+    on the key, one sort per partition, cost independent of per-key
+    history length — the 100 TB registered shape, same oracle as the
+    candidate+max_by variant. Deterministic ties via o_orderkey."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    out = asof_join_union(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_orderdate"],
+        right_tiebreak="o_orderkey",
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
     )
 
 

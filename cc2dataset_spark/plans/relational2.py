@@ -183,15 +183,33 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approx_count_distinct next to the exact count —
-    rows-only (approximate by definition); the relative-error contract
-    is asserted in tests/test_relational2.py."""
+    """HyperLogLog++ approx_count_distinct, oracle-checked: the sketch
+    estimate itself cannot hash-match another engine, so the query emits
+    the exact count plus a generous error-bound predicate (HLL at 2% rsd
+    vs a 10% band — deterministic for a fixed dataset). The tight
+    relative-error contract is asserted in tests/test_relational2.py."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.1 * F.countDistinct("l_partkey")
+        ).alias("hll_within_10pct"),
     )
 
 
@@ -290,26 +308,38 @@ def scalar_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           embedding[1:3] AS head3,
+           round(CAST(embedding[1:3][1] AS DOUBLE), 6) AS head_1,
+           round(CAST(embedding[1:3][2] AS DOUBLE), 6) AS head_2,
+           round(CAST(embedding[1:3][3] AS DOUBLE), 6) AS head_3,
            round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS coord_sum,
-           list_sort(embedding[1:4])[1] AS min_head4
+           round(CAST(list_sort(embedding[1:4])[1] AS DOUBLE), 6) AS min_head4
     FROM embeddings
     WHERE vec_id < 100
     """,
     tags=("scalar", "array"),
 )
 def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array scalar corpus: size/slice/fold/sort over embeddings."""
+    """Array scalar corpus: size/slice/fold/sort over embeddings.
+
+    Outputs are scalars only: the driver's canonicalizer sorts result
+    columns with pandas, and raw array cells are unhashable there
+    (CORRECTNESS_r01 'unhashable type: list') — so the slice is probed
+    element-wise and every float is rounded before emission."""
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
     emb_d = F.col("embedding").cast("array<double>")
+    head3 = F.slice("embedding", 1, 3).cast("array<double>")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.round(F.element_at(head3, 1), 6).alias("head_1"),
+        F.round(F.element_at(head3, 2), 6).alias("head_2"),
+        F.round(F.element_at(head3, 3), 6).alias("head_3"),
         F.round(
             F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x), 6
         ).alias("coord_sum"),
-        F.array_min(F.slice("embedding", 1, 4)).alias("min_head4"),
+        F.round(
+            F.array_min(F.slice("embedding", 1, 4)).cast("double"), 6
+        ).alias("min_head4"),
     )
 
 
@@ -481,7 +511,17 @@ def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udaf_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped UDAF via applyInPandas (SURVEY §2.9): per-user OLS slope
     of value over time (units: value/day). Arrow-batched; one shuffle
-    on user_id. The closure is self-contained (pickled by value)."""
+    on user_id. The closure is self-contained (pickled by value).
+
+    This query exists to demonstrate the UDAF surface; a production
+    trend query should use the JVM-side built-in instead (codegen, no
+    Python workers):
+
+        e.groupBy("user_id").agg(
+            F.round(F.regr_slope("value", F.col("us") / 86400000000.0), 4)
+             .alias("daily_trend"), ...)
+
+    tests/test_relational2.py asserts the two agree to 1e-6."""
     e = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "value"
     )

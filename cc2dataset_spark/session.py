@@ -25,7 +25,12 @@ _S3A_PROFILE = {
     "spark.hadoop.fs.s3a.block.size": "2M",
     "spark.hadoop.fs.s3a.readahead.range": "2M",
     "spark.hadoop.fs.s3a.committer.name": "magic",
-    "spark.hadoop.fs.s3a.aws.credentials.provider": (
+    # Anonymous credentials are correct ONLY for the public commoncrawl
+    # bucket — scoping them per-bucket (S3A per-bucket config) leaves the
+    # default provider chain free to authenticate the user's own output
+    # bucket; a global anonymous provider would fail every private write
+    # with access-denied.
+    "spark.hadoop.fs.s3a.bucket.commoncrawl.aws.credentials.provider": (
         "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
     ),
 }

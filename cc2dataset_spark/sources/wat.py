@@ -136,7 +136,16 @@ CC_HTTP_PREFIX = "https://data.commoncrawl.org/"
 
 def get_cc_wat_index_links(source_cc_protocol: str = "s3") -> list[str]:
     """List crawl-index files (S1/S2, main.py:209-228). Driver-side
-    metadata operation; requires fsspec+s3fs at call time."""
+    metadata operation; requires fsspec+s3fs at call time.
+
+    DELIBERATE divergence from the reference on the http path: the
+    reference scrapes the commoncrawl.org get-started HTML page
+    (main.py:215-228, brittle against site redesigns); we read the
+    machine-readable collinfo.json index instead. The crawl-id set can
+    therefore differ from the scrape (collinfo lists every indexed
+    crawl, newest first) — callers selecting "the last N crawls" get
+    the same semantics, but the raw ordering is collinfo's, not the
+    HTML page's."""
     import fsspec
 
     if source_cc_protocol == "s3":
@@ -166,6 +175,13 @@ def read_wat_index(
     The reference samples WITH replacement (random.choices,
     main.py:247) — kept for parity; pre-dedup duplicates are fine
     because the pipeline dedups by uid anyway.
+
+    Driver-memory note: the collect() below materializes the WAT path
+    list on the driver — unavoidable, since the list must reach
+    sc.parallelize (the reference does the same, main.py:237-251). At
+    full-crawl scale that is ~5M strings ≈ hundreds of MB; size
+    spark.driver.memory accordingly (the multipart loop then slices
+    this one list, it is never duplicated per part).
     """
     rows = spark.read.text(index_paths).collect()
     wats = [prefix + r.value.strip() for r in rows if r.value.strip()]

@@ -9,9 +9,25 @@ _load_all()
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
+    """The tight HLL contract (the registered query only asserts a 10%
+    band the oracle can check): the 2%-rsd sketch stays within 10% of
+    exact, and the registered query's boolean is True everywhere."""
     rows = QUERIES["agg_approx_distinct"].fn(spark, sf_dir).collect()
     assert rows
-    for r in rows:
+    assert all(r.hll_within_10pct for r in rows)
+
+    from cc2dataset_spark.sources.tables import load_table
+
+    raw = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .collect()
+    )
+    for r in raw:
         rel_err = abs(r.approx_parts - r.exact_parts) / r.exact_parts
         assert rel_err < 0.1, f"{r.l_returnflag}: rel err {rel_err:.3f}"
 
