@@ -21,8 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Exact all-pairs verifiers: quadratic by design (they are the ground
 # truth for the LSH/SimHash scale paths, benched below).
+# dedup_ngram_jaccard is NOT excluded anymore: its registered form
+# carries the stop-shingle cap (max_shingle_df), which bounds the
+# self-join fan-out, so it is a legitimate benchable operator.
 EXCLUDE = {
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
 }
 

@@ -6,6 +6,7 @@ as IVF: restrict candidates to a bucket, rank within it).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -99,6 +100,95 @@ def simhash_ann_topk(
     )
 
 
+def _seed_centroids(v: DataFrame, n_lists: int):
+    """Deterministic pseudo-random centroid sample: the n_lists corpus
+    vectors with the smallest id-hashes, via orderBy().limit() — Spark
+    plans TakeOrderedAndProject (each partition keeps its own top
+    n_lists, the driver merges), so the whole corpus never funnels
+    through one task. Returns a row-normalized numpy matrix (tiny:
+    n_lists x dim on the driver — an ANN index build is an action,
+    like fitting)."""
+    import numpy as np
+
+    rows = v.orderBy(F.xxhash64(F.col("cid")), F.col("cid")).limit(n_lists).collect()
+    c = np.array([r.cv for r in rows], dtype="float64")
+    return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+
+def kmeans_refine_centroids(
+    v: DataFrame, centroids, iters: int = 2
+):
+    """Lloyd refinement with the 100 TB shuffle shape: per iteration,
+    assignment is a NARROW Arrow-batched argmax (no corpus shuffle) and
+    the new means reduce via posexplode + groupBy(list_id, pos) with
+    map-side partial aggregation — only n_lists*dim rows ever cross the
+    wire. Means are float reductions, so refined centroids are
+    deterministic only up to reduction order; use the un-refined seed
+    sample where bit-stable output is required."""
+    import numpy as np
+
+    c = centroids
+    for _ in range(iters):
+        assigned = v.select(
+            _nearest_list_udf(c)(F.col("cv")).alias("list_id"), F.col("cv")
+        )
+        means = (
+            assigned.select("list_id", F.posexplode("cv").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        nxt = np.array(c, dtype="float64", copy=True)
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r.list_id, {})[r.pos] = r.m
+        for lid, coords in by_list.items():
+            nxt[lid - 1] = [coords[p] for p in sorted(coords)]
+        c = nxt / np.maximum(np.linalg.norm(nxt, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def _nearest_list_udf(centroid_matrix):
+    """1-based argmax-cosine list assignment (Arrow-batched numpy
+    matmul; ties -> lowest list_id, matching the window tie-break)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cn = np.ascontiguousarray(centroid_matrix)
+
+    @pandas_udf("int")
+    def nearest(cv: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        x = _np.array(cv.tolist(), dtype="float64")
+        xn = x / _np.maximum(_np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return _pd.Series((xn @ cn.T).argmax(axis=1) + 1).astype("int32")
+
+    return nearest
+
+
+def _top_lists_udf(centroid_matrix, n_probes: int):
+    """Array of the n_probes nearest list_ids per query vector (stable
+    sort: ties -> lowest list_id)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cn = np.ascontiguousarray(centroid_matrix)
+
+    @pandas_udf("array<int>")
+    def top_lists(qv: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        x = _np.array(qv.tolist(), dtype="float64")
+        xn = x / _np.maximum(_np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = _np.argsort(-(xn @ cn.T), axis=1, kind="stable")[:, :n_probes]
+        return _pd.Series([(row + 1).tolist() for row in order])
+
+    return top_lists
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -107,54 +197,45 @@ def ivf_topk(
     n_probes: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: assign every corpus vector to its nearest
     centroid (inverted list), search each query only in its n_probes
     closest lists.
 
-    Centroids are a deterministic sample of the corpus itself (every
-    corpus_size/n_lists-th vector by id) — at scale, replace with
-    k-means centroids computed once and broadcast; the join shape is
-    identical. Two broadcast joins + one window; the corpus is scanned
-    once and shuffled once on list_id.
+    Scale shape — the corpus is NEVER shuffled: centroids live on the
+    driver (n_lists x dim, collected once like an index fit), corpus
+    list assignment is a narrow Arrow-batched argmax, and the probe
+    join broadcasts the (tiny by contract) query side, so the only
+    wide op is the per-query top-k window over the candidate set
+    (~ queries * n_probes * corpus/n_lists rows), which plans with
+    WindowGroupLimit partial top-k.
+
+    ``kmeans_iters > 0`` refines the seed sample with Lloyd iterations
+    (see kmeans_refine_centroids) — better-balanced lists at the cost
+    of float-reduction-order nondeterminism in the centroids; the
+    default 0 keeps the fully deterministic hash-sample.
     """
     v = corpus.select(F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv"))
-    # Deterministic pseudo-random centroid sample: the n_lists corpus
-    # vectors with the smallest id-hashes, via orderBy().limit() — Spark
-    # plans TakeOrderedAndProject (each partition keeps its own top
-    # n_lists, the driver merges), so the whole corpus never funnels
-    # through one task. The row_number window that assigns list ids then
-    # runs over at most n_lists rows. (At real scale: k-means once,
-    # broadcast the centroids; the join shape below is unchanged.)
-    sampled = v.orderBy(F.xxhash64(F.col("cid")), F.col("cid")).limit(n_lists)
-    w_tiny = Window.orderBy(F.xxhash64(F.col("cid")), F.col("cid"))
-    centroids = (
-        sampled.withColumn("list_id", F.row_number().over(w_tiny))
-        .select("list_id", F.col("cv").alias("centroid"))
-    )
+    c = _seed_centroids(v, n_lists)
+    if kmeans_iters > 0:
+        c = kmeans_refine_centroids(v, c, kmeans_iters)
 
-    def best_lists(side: DataFrame, vcol: str, n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(centroids)).select(
-            *side.columns,
-            "list_id",
-            cosine_similarity(F.col(vcol), F.col("centroid")).alias("_cs"),
-        )
-        w = Window.partitionBy(*[c for c in side.columns if c.endswith("_id")]).orderBy(
-            F.col("_cs").desc(), F.col("list_id")
-        )
-        return scored.withColumn("_r", F.row_number().over(w)).where(
-            F.col("_r") <= n
-        ).drop("_cs", "_r")
-
-    assigned = best_lists(
-        v.select(F.col("cid").alias("corpus_id"), F.col("cv")), "cv", 1
+    assigned = v.select(
+        F.col("cid").alias("corpus_id"),
+        F.col("cv"),
+        _nearest_list_udf(c)(F.col("cv")).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
-    probed = best_lists(q, "qv", n_probes)
+    probed = q.select(
+        "query_id",
+        "qv",
+        F.explode(_top_lists_udf(c, n_probes)(F.col("qv"))).alias("list_id"),
+    )
     scored = (
-        assigned.join(probed, "list_id")
+        assigned.join(F.broadcast(probed), "list_id")
         .where(F.col("corpus_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -370,7 +370,11 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_ivf_topk", oracle=None, tags=("similarity", "llm", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (inverted lists around sampled centroids, 2-probe
-    search); recall vs the exact path asserted in tests."""
+    search); recall vs the exact path asserted in tests. The corpus is
+    never shuffled: driver-held centroids, narrow Arrow argmax
+    assignment, broadcast probe join (plan-asserted in
+    tests/test_joins_scale.py). kmeans_iters=0 keeps the registered
+    query deterministic; the Lloyd-refined path is tested separately."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
 

@@ -64,3 +64,48 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert approx  # produces results for every query
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.2, f"IVF recall suspiciously low: {recall:.2f}"
+
+
+def test_ivf_default_path_deterministic(spark, sf_dir):
+    """Hash-sampled centroids + stable-tie argmax: identical output
+    across runs (the kmeans-refined path explicitly is not)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    a = {tuple(r) for r in SIM.ivf_topk(q, emb, k=3).collect()}
+    b = {tuple(r) for r in SIM.ivf_topk(q, emb, k=3).collect()}
+    assert a == b
+
+
+def test_ivf_kmeans_refined_runs_with_recall(spark, sf_dir):
+    """Lloyd-refined centroids (the production path) keep recall at
+    least as usable as the seed sample."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(q, emb, k=3).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_topk(q, emb, k=3, kmeans_iters=2).collect()
+    }
+    assert refined
+    recall = len(refined & exact) / len(exact)
+    assert recall >= 0.2, f"refined IVF recall suspiciously low: {recall:.2f}"
+
+
+def test_ivf_plan_never_shuffles_corpus(spark, sf_dir):
+    """The 100 TB contract: corpus list-assignment is narrow, the probe
+    join broadcasts the query side — the only exchanges are the final
+    per-query window partitioning and broadcasts. In particular no
+    single-partition exchange may appear anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    df = SIM.ivf_topk(q, emb, k=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(corpus_id" not in plan, plan
+    assert "hashpartitioning(list_id" not in plan, plan
