@@ -264,8 +264,11 @@ def knn_label_vote(
     """k-NN majority-label classification with deterministic tie-breaks
     (highest vote count, then smallest label)."""
     topk = brute_force_topk(queries, corpus, k, vec_col, id_col)
-    labeled = topk.join(
-        corpus.select(F.col(id_col).alias("neighbor_id"), label_col), "neighbor_id"
+    # topk is tiny (queries * k rows) while the label side is the whole
+    # corpus: broadcast topk so the corpus is probed in place instead of
+    # shuffling it for a sort-merge join.
+    labeled = corpus.select(F.col(id_col).alias("neighbor_id"), label_col).join(
+        F.broadcast(topk), "neighbor_id"
     )
     votes = labeled.groupBy("query_id", label_col).agg(F.count("*").alias("votes"))
     return votes.groupBy("query_id").agg(

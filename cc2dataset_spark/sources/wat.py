@@ -260,7 +260,9 @@ def read_wat_archives(
                 if "HTML-Metadata" not in html:
                     continue
                 meta = html["HTML-Metadata"]
-                if "Links" not in meta:
+                # explicit None check: a present-but-null Links key must
+                # fail the guard (not TypeError into the whole-file skip)
+                if meta.get("Links") is None:
                     continue
                 yield {
                     "Envelope": {

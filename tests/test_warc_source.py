@@ -45,11 +45,20 @@ def test_read_wat_archives_gates_on_fastwarc(spark):
 
 @pytest.mark.skipif(not _HAS_FASTWARC, reason="fastwarc not installed")
 def test_read_wat_archives_golden_records(spark):
-    """Archive scan yields exactly the guarded fixture records: the
-    warcinfo record is filtered by record type, the malformed-JSON
-    record is skipped at record level."""
+    """Archive scan yields exactly the guard-passing fixture records:
+    the warcinfo record is filtered by record type, the malformed-JSON
+    record is skipped at record level, and the null-Links record fails
+    the envelope guard inside the iterator."""
+    guarded = [
+        r
+        for r in FIXTURE_RECORDS
+        if r["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+            "HTML-Metadata"
+        ]["Links"]
+        is not None
+    ]
     df = read_wat_archives(spark, [FIXTURE_PATH])
-    assert df.count() == len(FIXTURE_RECORDS)
+    assert df.count() == len(guarded)
 
 
 @pytest.mark.skipif(not _HAS_FASTWARC, reason="fastwarc not installed")

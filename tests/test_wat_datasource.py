@@ -1,0 +1,134 @@
+"""Tests for the ``wat`` Python Data Source (Spark 4 DataSource API):
+same records, same extraction output as the schema-on-read jsonl path,
+and partition-per-archive planning.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+
+import pytest
+
+from cc2dataset_spark.operators.extraction import extract_document_links
+from cc2dataset_spark.sources.wat import read_wat_jsonl
+from cc2dataset_spark.sources.wat_datasource import WatDataSource
+from tests.fixtures.build_tiny_wat import FIXTURE_PATH
+from tests.wat_fixtures import FIXTURE_RECORDS, oracle_extract
+
+_HAS_FASTWARC = importlib.util.find_spec("fastwarc") is not None
+
+# Records that pass the envelope guards (the wat source drops guard
+# failures pre-emit; the schema-on-read jsonl twin keeps them as
+# null-Links rows for the downstream declarative guard).
+_GUARDED = [
+    r
+    for r in FIXTURE_RECORDS
+    if r["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"
+    ]["Links"]
+    is not None
+]
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(WatDataSource)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def jsonl_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("watds")
+    paths = []
+    # split records across two files to exercise multi-partition planning
+    half = len(FIXTURE_RECORDS) // 2
+    for i, chunk in enumerate(
+        (FIXTURE_RECORDS[:half], FIXTURE_RECORDS[half:])
+    ):
+        p = d / f"part{i}.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in chunk) + "\nnot json\n")
+        paths.append(str(p))
+    return paths
+
+
+def test_wat_source_matches_jsonl_reader(registered, jsonl_paths):
+    spark = registered
+    via_ds = (
+        spark.read.format("wat")
+        .option("paths", ",".join(jsonl_paths))
+        .option("mode", "jsonl")
+        .load()
+    )
+    via_jsonl = read_wat_jsonl(spark, jsonl_paths)
+    # jsonl reader nulls failed guards, the source drops them pre-emit;
+    # compare post-guard extraction output instead of raw record sets
+    for doc_type in ("image", "text"):
+        a = sorted(tuple(r) for r in extract_document_links(via_ds, doc_type).collect())
+        b = sorted(
+            tuple(r) for r in extract_document_links(via_jsonl, doc_type).collect()
+        )
+        assert a == b
+        assert a == sorted(oracle_extract(FIXTURE_RECORDS, doc_type))
+
+
+def test_wat_source_one_partition_per_archive(registered, jsonl_paths):
+    df = (
+        registered.read.format("wat")
+        .option("paths", ",".join(jsonl_paths))
+        .option("mode", "jsonl")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == len(jsonl_paths)
+
+
+def test_wat_source_manifest_option(registered, jsonl_paths, tmp_path):
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text("\n".join(jsonl_paths))
+    df = (
+        registered.read.format("wat")
+        .option("manifest", str(manifest))
+        .option("mode", "jsonl")
+        .load()
+    )
+    assert df.count() == len(_GUARDED)
+
+
+def test_wat_source_rejects_bad_options(registered):
+    with pytest.raises(Exception, match="paths|manifest"):
+        registered.read.format("wat").option("mode", "jsonl").load().count()
+    with pytest.raises(Exception, match="mode"):
+        (
+            registered.read.format("wat")
+            .option("paths", "x.jsonl")
+            .option("mode", "nope")
+            .load()
+            .count()
+        )
+
+
+@pytest.mark.skipif(_HAS_FASTWARC, reason="fastwarc installed")
+def test_wat_source_warc_mode_gates_on_fastwarc(registered):
+    with pytest.raises(Exception, match="fastwarc"):
+        (
+            registered.read.format("wat")
+            .option("paths", FIXTURE_PATH)
+            .option("mode", "warc")
+            .load()
+            .count()
+        )
+
+
+@pytest.mark.skipif(not _HAS_FASTWARC, reason="fastwarc not installed")
+def test_wat_source_warc_mode_golden(registered):
+    df = (
+        registered.read.format("wat")
+        .option("paths", FIXTURE_PATH)
+        .option("mode", "warc")
+        .load()
+    )
+    assert df.count() == len(_GUARDED)
+    got = sorted(
+        tuple(r) for r in extract_document_links(df, "image").collect()
+    )
+    assert got == sorted(oracle_extract(FIXTURE_RECORDS, "image"))
