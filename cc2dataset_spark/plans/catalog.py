@@ -84,10 +84,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM-ops: multimodal
     "multimodal_binary_stats",
     "multimodal_decode_stub",
-    # streaming-window surface (batch-checkable twins)
+    # streaming surface (batch-checkable twins)
     "events_tumbling_10m",
     "events_sliding_10m_5m",
     "events_session_30m",
+    "events_followup_pairs_10m",
     # fixed this round (array canonicalization; HLL oracle)
     "array_ops_embeddings",
     "agg_approx_distinct",
@@ -110,7 +111,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "subquery_correlated_scalar",
     "window_topk_orders_per_cust",
     "window_range_frame_1h",
-    "window_first_last_nth",
     "sort_topk_orders",
     "setop_multiset_suppliers",
     "setop_nation_coverage",

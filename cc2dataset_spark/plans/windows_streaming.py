@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
+from cc2dataset_spark.streaming.joins import followup_events
 from cc2dataset_spark.streaming.windows import (
     session_stats,
     sliding_counts,
@@ -94,3 +95,30 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user, 30-minute gap (gaps-and-islands twin
     in the oracle)."""
     return session_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_followup_pairs_10m",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS first_id,
+           a.ts AS first_ts,
+           b.event_id AS next_id,
+           b.event_type AS next_type,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_micros
+    FROM events a
+    JOIN events b
+      ON b.user_id = a.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '10 minutes'
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def events_followup_pairs_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-checked: follow-up events by
+    the same user within 10 minutes (streaming/joins.followup_events —
+    watermarked on both sides when run on streams, so join state is
+    bounded; micro-batch == batch equivalence in
+    tests/test_streaming.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return followup_events(e, e)

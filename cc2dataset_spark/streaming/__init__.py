@@ -5,6 +5,7 @@ from cc2dataset_spark.streaming.windows import (
     tumbling_counts,
 )
 from cc2dataset_spark.streaming.dedup import streaming_dedup
+from cc2dataset_spark.streaming.joins import followup_events
 
 __all__ = [
     "read_events_stream",
@@ -12,4 +13,5 @@ __all__ = [
     "sliding_counts",
     "tumbling_counts",
     "streaming_dedup",
+    "followup_events",
 ]

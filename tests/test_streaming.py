@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from cc2dataset_spark.sources.tables import load_table
 from cc2dataset_spark.streaming import (
+    followup_events,
     read_events_stream,
     session_stats,
     streaming_dedup,
@@ -57,6 +58,21 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     want = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert got.d == want
     assert got.n == want  # no key emitted twice
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream inner join with watermarks + interval condition:
+    the micro-batch run must converge to the batch join (both sides of
+    the join are the same replayed event stream)."""
+    events = load_table(spark, sf_dir, "events")
+    batch = {tuple(r) for r in followup_events(events, events).collect()}
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    stream = followup_events(s1, s2, watermark="365 days")
+    assert stream.isStreaming
+    _run_to_memory(stream, "t_followups", "append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_followups").collect()}
+    assert got == batch
 
 
 def test_streaming_dedup_batch_degradation(spark, sf_dir):
