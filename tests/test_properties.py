@@ -13,6 +13,7 @@ from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.functions.links import urljoin_udf
+from cc2dataset_spark.operators.asof import asof_join_union
 from cc2dataset_spark.operators.dedup import dedup_exact
 
 URL_CHARS = st.text(
@@ -83,3 +84,59 @@ def test_dedup_exact_idempotent_and_minimal(spark, rows):
         if cur is None or (v, s) < cur:
             expect[k] = (v, s)
     assert {r[0]: (r[1], r[2]) for r in a} == expect
+
+
+# Tiny int domains force key collisions, timestamp ties, and
+# unmatched keys — the corner cases of the backward as-of contract.
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 15)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 15)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+def test_asof_union_matches_reference_semantics(spark, lrows, rrows):
+    """asof_join_union == the spec: per left row, the right row of the
+    same key with the greatest ts <= left ts, ties to the greatest
+    tiebreak; left rows without a match drop (inner) / null (left)."""
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid int, k int, lts int"
+    ).coalesce(2)
+    right = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rrows)], "rid int, rk int, rts int"
+    ).coalesce(3)
+
+    def reference(how):
+        out = {}
+        for i, (k, t) in enumerate(lrows):
+            cands = [
+                (rt, ri) for ri, (rk, rt) in enumerate(rrows) if rk == k and rt <= t
+            ]
+            best = max(cands) if cands else None
+            if best is None and how == "inner":
+                continue
+            out[i] = None if best is None else (best[1], best[0])
+        return out
+
+    for how in ("inner", "left"):
+        got = {
+            r.lid: (None if r.rid is None else (r.rid, r.rts))
+            for r in asof_join_union(
+                left,
+                right,
+                left_key="k",
+                right_key="rk",
+                left_ts="lts",
+                right_ts="rts",
+                right_values=["rid", "rts"],
+                right_tiebreak="rid",
+                how=how,
+            ).collect()
+        }
+        assert got == reference(how), how
