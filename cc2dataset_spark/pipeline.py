@@ -170,9 +170,16 @@ def process_part(
     shuffle: bool = True,
     seed: int = 42,
     min_files: int = DEFAULT_MIN_FILES,
+    source=None,
 ) -> int:
-    """X1 — one part: archives -> extraction -> dedup -> write."""
-    wat_df = read_wat_archives(spark, wat_paths)
+    """X1 — one part: archives -> extraction -> dedup -> write.
+
+    ``source`` ((spark, paths) -> DataFrame[WAT_SCHEMA], default the
+    fastwarc archive reader) selects the ingestion path: jsonl twins
+    for hermetic runs, or the registered ``wat`` Python Data Source
+    (sources/wat_datasource.py) for planner-visible partitioning."""
+    read = source if source is not None else read_wat_archives
+    wat_df = read(spark, wat_paths)
     extracted = extract_document_links(wat_df, document_type)
     return deduplicate_repartition_write(
         extracted,
@@ -217,6 +224,7 @@ def cc2dataset(
     seed: int = 42,
     min_files: int = DEFAULT_MIN_FILES,
     session_factory=None,
+    source=None,
 ) -> int:
     """Full pipeline (X1-X5, main.py:336-387): job-namespaced output,
     manifest, optional multipart with resume, final merge. Returns the
@@ -251,7 +259,14 @@ def cc2dataset(
         # writes it first and loses it to the overwrite —
         # main.py:376-377 vs main.py:261).
         n = process_part(
-            spark, wat_paths, job_path, document_type, shuffle, seed, min_files
+            spark,
+            wat_paths,
+            job_path,
+            document_type,
+            shuffle,
+            seed,
+            min_files,
+            source=source,
         )
         _write_manifest(manifest, wat_paths)
         return n
@@ -273,6 +288,7 @@ def cc2dataset(
             shuffle,
             seed,
             min_files,
+            source=source,
         )
     spark = next_session(spark)
     part_paths = [

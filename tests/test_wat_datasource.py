@@ -132,3 +132,30 @@ def test_wat_source_warc_mode_golden(registered):
         tuple(r) for r in extract_document_links(df, "image").collect()
     )
     assert got == sorted(oracle_extract(FIXTURE_RECORDS, "image"))
+
+
+def test_pipeline_runs_on_wat_datasource(registered, jsonl_paths, tmp_path):
+    """Full pipeline (extract -> dedup -> write -> count) fed by the
+    registered wat source via the public `source` seam — no
+    monkeypatching, end-to-end through spark.read.format("wat")."""
+    from cc2dataset_spark import pipeline
+    from tests.wat_fixtures import oracle_extract
+
+    def wat_source(spark, paths):
+        return (
+            spark.read.format("wat")
+            .option("paths", ",".join(paths))
+            .option("mode", "jsonl")
+            .load()
+        )
+
+    out = str(tmp_path / "out")
+    n = pipeline.cc2dataset(
+        registered,
+        out,
+        jsonl_paths,
+        document_type="image",
+        min_files=2,
+        source=wat_source,
+    )
+    assert n == len({t[0] for t in oracle_extract(FIXTURE_RECORDS, "image")})
