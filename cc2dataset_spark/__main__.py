@@ -32,6 +32,13 @@ def _build_parser() -> argparse.ArgumentParser:
     pipe.add_argument("--master", default=None)
     pipe.add_argument("--num-cores", type=int, default=None)
     pipe.add_argument("--mem-gb", type=int, default=None)
+    pipe.add_argument(
+        "--source",
+        default="warc",
+        choices=["warc", "jsonl", "wat-warc", "wat-jsonl"],
+        help="ingestion path: fastwarc reader (warc), schema-on-read "
+        "jsonl twin, or the registered wat Data Source in either mode",
+    )
 
     q = sub.add_parser("query", help="run one catalog query and show it")
     q.add_argument("name")
@@ -74,6 +81,25 @@ def main(argv: list[str] | None = None) -> int:
         spark = build_spark_session(
             master=args.master, num_cores=args.num_cores, mem_gb=args.mem_gb
         )
+        source = None
+        if args.source == "jsonl":
+            from cc2dataset_spark.sources.wat import read_wat_jsonl
+
+            source = read_wat_jsonl
+        elif args.source.startswith("wat-"):
+            from cc2dataset_spark.sources.wat_datasource import WatDataSource
+
+            spark.dataSource.register(WatDataSource)
+            mode = args.source.removeprefix("wat-")
+
+            def source(s, paths, _mode=mode):
+                return (
+                    s.read.format("wat")
+                    .option("paths", ",".join(paths))
+                    .option("mode", _mode)
+                    .load()
+                )
+
         n = cc2dataset(
             spark,
             args.output_path,
@@ -82,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
             multipart=args.multipart,
             shuffle=not args.no_shuffle,
             resume=args.resume,
+            source=source,
         )
         print(f"rows written: {n}")
         return 0

@@ -64,3 +64,40 @@ def test_pipeline_session_restart(spark, tmp_path, monkeypatch):
     )
     assert n > 0
     assert len(calls) == 3  # part_0, part_1, merge
+
+
+def test_cli_pipeline_source_flag(spark, tmp_path, monkeypatch):
+    """`pipeline --source jsonl` runs the whole CLI path end-to-end on
+    the hermetic jsonl twin (session builder patched to the test
+    session)."""
+    import json as _json
+
+    import cc2dataset_spark.__main__ as cli
+    from tests.wat_fixtures import FIXTURE_RECORDS, oracle_extract
+
+    p = tmp_path / "w.jsonl"
+    with open(p, "w", encoding="utf8") as f:
+        for rec in FIXTURE_RECORDS:
+            f.write(_json.dumps(rec) + "\n")
+    import cc2dataset_spark.session as session_mod
+
+    monkeypatch.setattr(
+        session_mod, "build_spark_session", lambda **kw: spark
+    )
+    rc = cli.main(
+        [
+            "pipeline",
+            "--output-path",
+            str(tmp_path / "out"),
+            "--wat-paths",
+            str(p),
+            "--source",
+            "jsonl",
+        ]
+    )
+    assert rc == 0
+    import glob as _glob
+
+    written = spark.read.parquet(*_glob.glob(str(tmp_path / "out" / "*")))
+    want = {t[0] for t in oracle_extract(FIXTURE_RECORDS, "image")}
+    assert {r.uid for r in written.select("uid").collect()} == want
