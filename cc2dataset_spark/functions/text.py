@@ -108,3 +108,34 @@ def fingerprint64(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.xxhash64(normalized)
+
+
+def winnow_fingerprints(
+    col: Column | str, shingle_words: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the standard rolling-hash fingerprint for document
+    near-dup/plagiarism detection): hash every word shingle, slide a
+    window of ``window`` consecutive hashes, keep each window's
+    minimum; any shared run of >= window + shingle_words - 1 tokens is
+    then guaranteed to share a fingerprint. The hash is md5 compared
+    lexicographically, so the whole computation is engine-neutral
+    (DuckDB-checkable) and pure codegen — no UDF, no shuffle.
+
+    Returns array<string>: the distinct fingerprint set (empty for
+    docs shorter than one shingle; a single global min for docs with
+    fewer than ``window`` shingles, per the winnowing definition).
+    """
+    h = F.transform(word_shingles(col, shingle_words), lambda s: F.md5(s))
+    nwin = F.size(h) - (window - 1)
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_min(F.slice(h, i, window)),
+        )
+    )
+    return (
+        F.when(F.size(h) == 0, F.array().cast("array<string>"))
+        .when(nwin < 1, F.array(F.array_min(h)))
+        .otherwise(wins)
+    )

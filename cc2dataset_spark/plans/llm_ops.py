@@ -528,3 +528,56 @@ def dedup_exact_min_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, keys=["lang", "source"], order_by=[F.col("doc_id")]
     )
     return picked.select("lang", "source", "doc_id", "n_chars")
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+               AS h
+      FROM t WHERE len(tk) >= 3
+    ), fp AS (
+      SELECT doc_id, len(h) AS n_shingles,
+             CASE WHEN len(h) >= 4
+                  THEN list_distinct(list_transform(
+                         range(1, len(h) - 2),
+                         i -> list_aggregate(h[i:i+3], 'min')))
+                  ELSE [list_aggregate(h, 'min')] END AS fps
+      FROM sh
+    )
+    SELECT doc_id, n_shingles,
+           len(fps) AS n_fingerprints,
+           md5(list_aggregate(list_sort(fps), 'string_agg', ',')) AS fp_digest
+    FROM fp
+    """,
+    tags=("text", "llm", "fingerprint"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — the standard
+    local fingerprint scheme for shared-substring detection at corpus
+    scale (functions/text.winnow_fingerprints; window 4 over word
+    3-gram md5 hashes). The driver row compares the per-doc
+    fingerprint-set digest, so the entire windowed-min pipeline is
+    value-checked; fingerprint-sharing semantics are unit-tested in
+    tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.transform(T.word_shingles("text"), lambda s: F.md5(s))
+    kept = docs.select(
+        "doc_id",
+        F.size(h).alias("n_shingles"),
+        T.winnow_fingerprints("text").alias("fps"),
+    ).where(F.col("n_shingles") > 0)
+    return kept.select(
+        "doc_id",
+        "n_shingles",
+        F.size("fps").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fp_digest"),
+    )

@@ -94,3 +94,42 @@ def test_multimodal_decode_shapes(docs):
 def test_decode_stub_requires_payload():
     with pytest.raises(NotImplementedError):
         MM.decode_stub(None, "png")
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing contract (window w over k-gram hashes): two
+    documents sharing a run of >= w + k - 1 tokens share at least one
+    fingerprint; unrelated documents share none."""
+    from cc2dataset_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens >= 4+3-1
+    rows = [
+        (1, "xx yy " + shared + " zz"),
+        (2, shared + " completely different tail here"),
+        (3, "nothing in common with the others at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {
+        r.doc_id: set(r.f)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("f")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    from cc2dataset_spark.functions.text import winnow_fingerprints
+
+    rows = [(1, "only three words here"), (2, "ab"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: list(r.f)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text").alias("f")
+        ).collect()
+    }
+    assert len(got[1]) == 1  # 2 shingles < window -> one global min
+    assert got[2] == [] and got[3] == []
