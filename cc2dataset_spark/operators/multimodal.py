@@ -119,3 +119,110 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
             )
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """mapInPandas resize to a fixed target: the standard pre-training
+    normalization step. Stub transform (deterministic byte slice) —
+    a real deployment swaps in PIL/ffmpeg scaling inside the same
+    batch function; schema and batching are production-shaped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            meta = pdf["meta"]
+            out_payload = [
+                None if p is None else bytes(p)[: max(1, (width * height) % 4096)]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [m["format"] for m in meta],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": out_payload,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
+    """1->N frame sampling over decoded media (video keyframe
+    extraction shape): each input row expands to ceil(n_frames/k)
+    frame rows inside the Arrow batch — the output batch length is
+    independent of the input batch length, which is exactly what
+    mapInPandas allows and mapPartitions-free DataFrame ops don't.
+    Frame payloads are stubbed (deterministic slices); n_frames comes
+    from the decode step."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, payloads = [], [], []
+            for doc_id, n_frames, payload in zip(
+                pdf["doc_id"], pdf["n_frames"], pdf["payload"]
+            ):
+                p = b"" if payload is None else bytes(payload)
+                for f in range(0, int(n_frames), every_k):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    payloads.append(p[f : f + 16])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: payload -> dense float vector, Arrow-batched
+    numpy (the CLIP-embedding shape — a real model replaces the byte
+    histogram with an encoder forward pass; the output feeds straight
+    into operators/similarity ANN). Deterministic: normalized byte
+    histogram over `dim` buckets."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            feats = []
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                norm = np.linalg.norm(hist)
+                feats.append((hist / norm if norm else hist).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("feature", ArrayType(DoubleType())),
+        ]
+    )
+    return df.mapInPandas(batches, schema)

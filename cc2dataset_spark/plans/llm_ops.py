@@ -581,3 +581,31 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("fps").alias("n_fingerprints"),
         F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fp_digest"),
     )
+
+
+@query("multimodal_frame_features", oracle=None, tags=("multimodal", "llm"))
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal chain: attach binary payload -> decode (stub) ->
+    sample frames (1->N mapInPandas) -> per-frame feature vectors ->
+    per-doc frame/feature stats. Rows-only (binary payloads aren't
+    SQL-comparable); determinism and batch-shape contracts are pinned
+    in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    wrapped = MM.attach_binary_payload(docs)
+    decoded = MM.decode_media(wrapped)
+    with_payload = decoded.join(
+        wrapped.select("doc_id", "payload"), "doc_id"
+    )
+    frames = MM.sample_frames(with_payload, every_k=5)
+    feats = MM.extract_features(
+        frames.select("doc_id", F.col("frame_payload").alias("payload"))
+    )
+    return (
+        feats.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sampled_frames"),
+            F.round(
+                F.avg(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)), 6
+            ).alias("mean_feature_sum"),
+        )
+    )

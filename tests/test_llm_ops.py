@@ -133,3 +133,37 @@ def test_winnow_short_doc_single_fingerprint(spark):
     }
     assert len(got[1]) == 1  # 2 shingles < window -> one global min
     assert got[2] == [] and got[3] == []
+
+
+def test_multimodal_resize_and_frames_and_features(docs, spark):
+    """Resize keeps one row per doc at the target dims; frame sampling
+    is 1->N with ceil(n_frames/k) rows; features are unit-norm vectors
+    — all deterministic across runs."""
+    wrapped = MM.attach_binary_payload(docs)
+    resized = MM.resize_media(wrapped, width=128, height=96)
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    assert all(r.width == 128 and r.height == 96 for r in rows)
+
+    decoded = MM.decode_media(wrapped).join(
+        wrapped.select("doc_id", "payload"), "doc_id"
+    )
+    frames = MM.sample_frames(decoded, every_k=7)
+    per_doc = {r.doc_id: r.n for r in frames.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    n_frames = {r.doc_id: r.n_frames for r in decoded.select("doc_id", "n_frames").collect()}
+    import math
+
+    assert per_doc == {d: math.ceil(n / 7) for d, n in n_frames.items()}
+
+    feats = MM.extract_features(wrapped)
+    import numpy as np
+
+    vals = feats.collect()
+    assert len(vals) == docs.count()
+    for r in vals[:20]:
+        v = np.array(r.feature)
+        assert len(v) == 8
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+    again = {tuple(r.feature) for r in MM.extract_features(wrapped).collect()}
+    assert {tuple(r.feature) for r in vals} == again
