@@ -139,3 +139,23 @@ def winnow_fingerprints(
         .when(nwin < 1, F.array(F.array_min(h)))
         .otherwise(wins)
     )
+
+
+# GPT-2-style pre-tokenization pattern, restricted to constructs that
+# behave identically in Java regex (Spark) and RE2 (DuckDB) — ASCII
+# classes only, no lookahead, no unicode categories. Order matters:
+# contractions, then space-prefixed letter/digit runs, then
+# space-prefixed punctuation runs, then a bare apostrophe.
+BPE_LIKE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|'"
+
+
+def bpe_like_tokens(col: Column | str) -> Column:
+    """BPE-ish regex tokenization (the north-star's second token
+    counter next to whitespace :func:`tokens`): splits contractions,
+    letter runs, digit runs, and punctuation runs the way byte-pair
+    pre-tokenizers do, as a single codegen regexp_extract_all — no
+    UDF. The pattern must be passed as a Column literal, NOT through a
+    SQL string (SQL literal parsing would eat the backslash in \\s and
+    silently change the token boundaries)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_LIKE_PATTERN), F.lit(0))

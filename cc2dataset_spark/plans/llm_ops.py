@@ -609,3 +609,48 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_feature_sum"),
         )
     )
+
+
+@query(
+    "text_bpe_token_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(text,
+               '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+|''') AS bpe,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           len(bpe) AS n_bpe_tokens,
+           len(ws) AS n_ws_tokens,
+           CASE WHEN len(ws) > 0
+                THEN round(CAST(len(bpe) AS DOUBLE) / len(ws), 6)
+                ELSE 0.0 END AS fertility,
+           len(list_distinct(bpe)) AS n_unique_bpe
+    FROM t
+    """,
+    tags=("text", "llm", "tokenizer"),
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting next to whitespace tokens — 'fertility'
+    (bpe/ws ratio) is the standard tokenizer-cost estimate a data
+    pipeline computes before training. Identical regex semantics in
+    both engines verified char-for-char (ASCII-only pattern; see
+    functions/text.BPE_LIKE_PATTERN)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = T.bpe_like_tokens("text")
+    ws = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.when(
+            F.size(ws) > 0,
+            F.round(F.size(bpe).cast("double") / F.size(ws), 6),
+        )
+        .otherwise(0.0)
+        .alias("fertility"),
+        F.size(F.array_distinct(bpe)).alias("n_unique_bpe"),
+    )
