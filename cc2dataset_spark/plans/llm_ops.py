@@ -569,13 +569,21 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked; fingerprint-sharing semantics are unit-tested in
     tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.transform(T.word_shingles("text"), lambda s: F.md5(s))
-    kept = docs.select(
+    # Three-phase projection ON PURPOSE: the hash array must be a
+    # materialized attribute before windowing, or Catalyst re-expands
+    # it per window index (O(n^2) md5 per doc — measured 48 s vs 2 s
+    # at sf0.1; see functions/text.shingle_hashes). CollapseProject
+    # keeps the split because the alias is non-cheap and multiply
+    # referenced.
+    hashed = docs.select(
+        "doc_id", T.shingle_hashes("text").alias("h")
+    ).where(F.size("h") > 0)
+    fps = hashed.select(
         "doc_id",
-        F.size(h).alias("n_shingles"),
-        T.winnow_fingerprints("text").alias("fps"),
-    ).where(F.col("n_shingles") > 0)
-    return kept.select(
+        F.size("h").alias("n_shingles"),
+        T.winnow_from_hashes(F.col("h")).alias("fps"),
+    )
+    return fps.select(
         "doc_id",
         "n_shingles",
         F.size("fps").alias("n_fingerprints"),
