@@ -47,21 +47,27 @@ from cc2dataset_spark.sources.tables import load_table
     tags=("text", "llm"),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + vocabulary stats, all codegen expressions."""
+    """Token counting + vocabulary stats, all codegen expressions.
+
+    The token array is materialized as its own projection attribute
+    first: four references to the inline tokens() expression would
+    re-run the split+filter four times per row (no CSE across
+    references — the corpus-scale tokenize pass is the dominant map
+    cost, so the constant factor matters)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    total_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
-    return docs.select(
+    tokenized = docs.select("doc_id", "n_chars", T.tokens("text").alias("t"))
+    total_len = F.aggregate("t", F.lit(0), lambda a, x: a + F.length(x))
+    return tokenized.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size("t").alias("n_tokens"),
         "n_chars",
         F.when(
-            F.size(toks) > 0,
-            F.round(total_len.cast("double") / F.size(toks), 6),
+            F.size("t") > 0,
+            F.round(total_len.cast("double") / F.size("t"), 6),
         )
         .otherwise(0.0)
         .alias("mean_word_len"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.array_distinct("t")).alias("n_unique_tokens"),
     )
 
 
