@@ -89,17 +89,42 @@ _LANG_MARKERS = {
 }
 
 
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Stopword-overlap language guess over a pre-materialized
+    lowercased distinct-token array column. Flat >=-cascade (ties go
+    to the earlier language), NOT a sequential best-so-far when-chain:
+    a chain embeds every earlier score expression twice per level, so
+    the tokenize subtree would be duplicated ~2^k times in the plan
+    (the exponential cousin of the no-CSE trap documented on
+    shingle_hashes)."""
+    score = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    s_en, s_es, s_fr, s_de, s_zh = (
+        score["en"], score["es"], score["fr"], score["de"], score["zh"]
+    )
+    return (
+        F.when(F.greatest(s_en, s_es, s_fr, s_de, s_zh) == 0, F.lit("und"))
+        .when(s_en >= F.greatest(s_es, s_fr, s_de, s_zh), F.lit("en"))
+        .when(s_es >= F.greatest(s_fr, s_de, s_zh), F.lit("es"))
+        .when(s_fr >= F.greatest(s_de, s_zh), F.lit("fr"))
+        .when(s_de >= s_zh, F.lit("de"))
+        .otherwise(F.lit("zh"))
+    )
+
+
 def lang_id(col: Column | str) -> Column:
-    """Stopword-overlap language guess over a lowercased token set."""
-    toks = F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col)))
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, markers in _LANG_MARKERS.items():
-        score = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
-        improved = score > best_score
-        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(improved, score).otherwise(best_score)
-    return best_lang
+    """Stopword-overlap language guess over a lowercased token set.
+    Convenience inline form; in a query, materialize the token array
+    first and use :func:`lang_id_from_tokens` so the tokenizer runs
+    once per row."""
+    toks = F.array_distinct(
+        tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    )
+    return lang_id_from_tokens(toks)
 
 
 def fingerprint64(col: Column | str) -> Column:

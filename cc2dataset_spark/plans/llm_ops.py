@@ -150,9 +150,18 @@ _MARKER_SQL = {
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID; emitted next to the fixture's true
-    lang so downstream accuracy checks are a groupBy away."""
+    lang so downstream accuracy checks are a groupBy away. Tokens are
+    materialized once, then scored with the flat cascade
+    (lang_id_from_tokens) — one tokenizer pass per row."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", T.lang_id("text").alias("lang_guess"))
+    tokenized = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(T.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    return tokenized.select(
+        "doc_id", "lang", T.lang_id_from_tokens(F.col("t")).alias("lang_guess")
+    )
 
 
 @query(
