@@ -102,12 +102,24 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm"),
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring (length/punctuation/word-shape)."""
+    """Heuristic quality scoring (length/punctuation/word-shape).
+    Token array materialized once; the quality formula then references
+    the attribute (the inline quality_score form tokenizes 3x per
+    row — fine for filters, wasteful for a full-corpus projection)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    tok = docs.select("doc_id", "text", T.tokens("text").alias("t"))
+    n_tok = F.size("t")
+    total = F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x))
+    mwl = F.when(n_tok > 0, total / n_tok).otherwise(0.0)
+    len_score = F.least(n_tok / 64.0, F.lit(1.0))
+    punct_penalty = F.least(T.punct_ratio("text") * 4.0, F.lit(1.0))
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
+    return tok.select(
         "doc_id",
         F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        T.quality_score("text").alias("quality"),
+        F.round(len_score * (1.0 - punct_penalty * 0.5) * word_score, 6).alias(
+            "quality"
+        ),
     )
 
 
