@@ -1,0 +1,81 @@
+"""Distributed frequency sketches (SURVEY.md §2 custom-operator row:
+"a novel sketch" — no reference implementation; the scale shape a
+training-data pipeline uses for heavy-hitter detection over columns
+too wide to count exactly).
+
+Count-Min (Cormode & Muthukrishnan, 2005) as pure DataFrame ops:
+
+- build: ONE scan of the input — each row explodes to d (depth) hash
+  cells, then groupBy(depth, bucket).count() with map-side partial
+  aggregation, so the shuffle carries at most d*width rows per
+  partition regardless of input size. The sketch itself is a tiny
+  d x width table (broadcastable).
+- estimate: min over the d counters addressed by the key's hashes —
+  a broadcast join of the sketch against the queried keys.
+
+Hashing is md5-based and engine-neutral (hex-digit positions via
+instr over a constant alphabet — no hex->int builtin is shared by
+Spark and DuckDB), so estimates are DuckDB-oracle-checkable and
+reproducible across engines. Count-Min guarantees
+estimate >= true count, with overestimates only from bucket
+collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _bucket(key: Column, depth_idx: int, width: int = 256) -> Column:
+    """Bucket in [0, width): md5 of the salted key, first two hex
+    digits -> 0..255 (width must divide 256). Engine-neutral: the same
+    expression is expressible in DuckDB with strpos/substr."""
+    h = F.md5(F.concat(F.lit(f"{depth_idx}|"), key))
+    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return (d1 * 16 + d2) % width
+
+
+def countmin_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(depth_idx, bucket, counter) — the sketch table, one input scan."""
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[_bucket(F.col(key_col), j, width) for j in range(depth)]
+            )
+        ).alias("depth_idx", "bucket")
+    )
+    return cells.groupBy("depth_idx", "bucket").agg(
+        F.count("*").alias("counter")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per key: min over the d addressed counters (missing cell -> 0).
+    The sketch is tiny (<= depth*width rows) and broadcast; keys are
+    never shuffled."""
+    addressed = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(
+                *[_bucket(F.col(key_col), j, width) for j in range(depth)]
+            )
+        ).alias("depth_idx", "bucket"),
+    )
+    joined = addressed.join(
+        F.broadcast(sketch), ["depth_idx", "bucket"], "left"
+    ).select(key_col, F.coalesce("counter", F.lit(0)).alias("counter"))
+    return joined.groupBy(key_col).agg(
+        F.min("counter").alias("cm_estimate")
+    )

@@ -689,3 +689,61 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fertility"),
         F.size(F.array_distinct(bpe)).alias("n_unique_bpe"),
     )
+
+
+@query(
+    "sketch_countmin_event_types",
+    oracle="""
+    WITH cells AS (
+      SELECT j,
+             (16 * (strpos('0123456789abcdef',
+                     substr(md5(j::VARCHAR || '|' || event_type), 1, 1)) - 1)
+              + (strpos('0123456789abcdef',
+                     substr(md5(j::VARCHAR || '|' || event_type), 2, 1)) - 1)
+             ) % 256 AS bucket
+      FROM events, UNNEST([0, 1, 2, 3]) AS t(j)
+    ), sketch AS (
+      SELECT j, bucket, COUNT(*) AS counter FROM cells GROUP BY 1, 2
+    ), keys AS (
+      SELECT DISTINCT event_type FROM events
+    ), addressed AS (
+      SELECT k.event_type, j,
+             (16 * (strpos('0123456789abcdef',
+                     substr(md5(j::VARCHAR || '|' || k.event_type), 1, 1)) - 1)
+              + (strpos('0123456789abcdef',
+                     substr(md5(j::VARCHAR || '|' || k.event_type), 2, 1)) - 1)
+             ) % 256 AS bucket
+      FROM keys k, UNNEST([0, 1, 2, 3]) AS t(j)
+    ), est AS (
+      SELECT a.event_type, MIN(COALESCE(s.counter, 0)) AS cm_estimate
+      FROM addressed a
+      LEFT JOIN sketch s ON s.j = a.j AND s.bucket = a.bucket
+      GROUP BY a.event_type
+    )
+    SELECT x.event_type, x.exact_count, est.cm_estimate
+    FROM (SELECT event_type, COUNT(*) AS exact_count
+          FROM events GROUP BY event_type) x
+    JOIN est ON est.event_type = x.event_type
+    """,
+    tags=("sketch", "llm"),
+)
+def sketch_countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/sketches): one scan builds the
+    d x width counter table with map-side combine; estimates are mins
+    over broadcast-joined counters. Engine-neutral md5 bucketing makes
+    the whole sketch DuckDB-oracle-checkable; cm_estimate >= exact
+    always (collision overestimates only), asserted per-key in
+    tests/test_llm_ops.py."""
+    from cc2dataset_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = countmin_build(e, "event_type")
+    keys = e.select("event_type").distinct()
+    est = countmin_estimate(sketch, keys, "event_type")
+    exact = e.groupBy("event_type").agg(F.count("*").alias("exact_count"))
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_count", "cm_estimate"
+    )

@@ -167,3 +167,33 @@ def test_multimodal_resize_and_frames_and_features(docs, spark):
 
     again = {tuple(r.feature) for r in MM.extract_features(wrapped).collect()}
     assert {tuple(r.feature) for r in vals} == again
+
+
+def test_countmin_overestimates_only_and_tight_when_sparse(spark, sf_dir):
+    """The Count-Min guarantee: estimate >= exact for every key; with
+    far fewer keys than buckets, estimates should be exact for most
+    keys (no collisions)."""
+    from cc2dataset_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+    from cc2dataset_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = countmin_build(e, "event_type", depth=4, width=256)
+    assert sketch.count() <= 4 * 256
+    est = {
+        r.event_type: r.cm_estimate
+        for r in countmin_estimate(
+            sketch, e.select("event_type").distinct(), "event_type"
+        ).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert est[k] >= exact[k], k
+    tight = sum(1 for k in exact if est[k] == exact[k])
+    assert tight >= len(exact) * 0.5
