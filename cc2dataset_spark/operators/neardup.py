@@ -161,11 +161,15 @@ def jaccard_verify_pairs(
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - common
-    jac = common.cast("double") / union
+    sized = joined.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("_c"),
+        (F.size("sh_a") + F.size("sh_b")).alias("_ab"),
+    )
+    jac = F.col("_c").cast("double") / (F.col("_ab") - F.col("_c"))
     return (
-        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        sized.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -226,10 +230,17 @@ def minhash_neardup_pairs(
     sh_a = base.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
     sh_b = base.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     joined = cands.join(sh_a, "id_a").join(sh_b, "id_b")
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - common
-    jac = common.cast("double") / union
-    return joined.select(
+    # materialize the intersection size once: referencing it from both
+    # the numerator and the union denominator inline would run the
+    # O(n) array_intersect twice per candidate pair
+    sized = joined.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("_c"),
+        (F.size("sh_a") + F.size("sh_b")).alias("_ab"),
+    )
+    jac = F.col("_c").cast("double") / (F.col("_ab") - F.col("_c"))
+    return sized.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
 

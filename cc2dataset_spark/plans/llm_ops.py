@@ -675,19 +675,24 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines verified char-for-char (ASCII-only pattern; see
     functions/text.BPE_LIKE_PATTERN)."""
     docs = load_table(spark, sf_dir, "documents")
-    bpe = T.bpe_like_tokens("text")
-    ws = T.tokens("text")
-    return docs.select(
+    # materialize both token arrays once (3 inline references would
+    # re-run the regex extraction 3x per row — see shingle_hashes)
+    tok = docs.select(
         "doc_id",
-        F.size(bpe).alias("n_bpe_tokens"),
-        F.size(ws).alias("n_ws_tokens"),
+        T.bpe_like_tokens("text").alias("bpe"),
+        T.tokens("text").alias("ws"),
+    )
+    return tok.select(
+        "doc_id",
+        F.size("bpe").alias("n_bpe_tokens"),
+        F.size("ws").alias("n_ws_tokens"),
         F.when(
-            F.size(ws) > 0,
-            F.round(F.size(bpe).cast("double") / F.size(ws), 6),
+            F.size("ws") > 0,
+            F.round(F.size("bpe").cast("double") / F.size("ws"), 6),
         )
         .otherwise(0.0)
         .alias("fertility"),
-        F.size(F.array_distinct(bpe)).alias("n_unique_bpe"),
+        F.size(F.array_distinct("bpe")).alias("n_unique_bpe"),
     )
 
 
