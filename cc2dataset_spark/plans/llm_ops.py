@@ -752,3 +752,37 @@ def sketch_countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type").select(
         "event_type", "exact_count", "cm_estimate"
     )
+
+
+@query(
+    "curate_cap_per_source",
+    oracle="""
+    SELECT doc_id, lang, source, picked_rank FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS picked_rank
+      FROM documents
+    ) WHERE picked_rank <= 50
+    """,
+    tags=("curation", "llm", "sampling"),
+)
+def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap (the anti-domination step every curation pipeline
+    runs: at most N documents per (lang, source) so no domain swamps
+    the mix). Deterministic pseudo-random pick via md5-of-id ordering
+    — reproducible across engines AND runs, unlike rand() — planned
+    with WindowGroupLimit so each partition keeps only its own top N
+    before the final rank filter."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("picked_rank", F.row_number().over(w))
+        .where(F.col("picked_rank") <= 50)
+        .select("doc_id", "lang", "source", "picked_rank")
+    )
