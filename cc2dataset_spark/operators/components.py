@@ -1,0 +1,94 @@
+"""Connected components over a near-dup pair graph (the step between
+pairwise similarity and actual deduplication: pairs -> clusters -> one
+survivor per cluster). No reference implementation — the reference
+only ever dedups on exact uid equality (main.py:256); transitive
+near-dup clustering is the scale extension.
+
+Algorithm: iterative min-label propagation (the DataFrame-native
+formulation of the classic parallel connected-components loop, same
+convergence shape as GraphX/small-star): every node starts labeled
+with its own id; each round, every node takes the min of its label and
+its neighbors' labels; converged when no label changes. Rounds needed
+~ graph diameter (near-dup clusters are small and dense, so typically
+2-3); each round is one equi-join + one groupBy — both keyed shuffles
+with map-side combine, no single-partition ops. The label of a
+component is its minimum node id, which doubles as the deterministic
+survivor choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``;
+    component == min node id reachable. Driver-coordinated loop with
+    one action per round (standard for iterative graph algorithms on
+    Spark); intermediate labels are persisted and the loop breaks on
+    convergence or ``max_iter``.
+    """
+    both = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    nodes = both.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component")).persist()
+    labels.count()
+
+    for _ in range(max_iter):
+        nbr_min = (
+            both.join(labels, both.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_survivors(
+    universe: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every row of ``universe`` labeled with its near-dup component
+    (singletons form their own) and the deterministic survivor flag
+    (component representative = min id). This is the complete dedup
+    decision: keep rows where is_survivor."""
+    comp = connected_components(edges, id_a, id_b)
+    return (
+        universe.select(F.col(id_col))
+        .join(comp, universe[id_col] == comp["id"], "left")
+        .select(
+            universe[id_col],
+            F.coalesce("component", universe[id_col]).alias("component_id"),
+        )
+        .withColumn("is_survivor", F.col(id_col) == F.col("component_id"))
+    )

@@ -786,3 +786,65 @@ def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("picked_rank") <= 50)
         .select("doc_id", "lang", "source", "picked_rank")
     )
+
+
+@query(
+    "dedup_cluster_survivors",
+    oracle=r"""
+    WITH RECURSIVE sh_all AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    ), sh AS (
+      SELECT doc_id, s FROM sh_all
+      QUALIFY COUNT(*) OVER (PARTITION BY s) <= 100
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(comp.component, d.doc_id) AS component_id,
+           d.doc_id = COALESCE(comp.component, d.doc_id) AS is_survivor
+    FROM documents d
+    LEFT JOIN comp ON comp.id = d.doc_id
+    """,
+    tags=("dedup", "llm", "graph"),
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup dedup decision: exact-Jaccard pairs
+    (stop-shingle capped) -> connected components (iterative min-label
+    propagation, operators/components.py) -> deterministic min-id
+    survivor per cluster, singletons surviving trivially. The oracle
+    replays the clustering as a DuckDB recursive CTE (transitive
+    closure with MIN per node) — fine at oracle scale, while the Spark
+    side converges in ~diameter rounds of keyed joins at any scale."""
+    from cc2dataset_spark.operators.components import cluster_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
+    return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")

@@ -197,3 +197,54 @@ def test_countmin_overestimates_only_and_tight_when_sparse(spark, sf_dir):
         assert est[k] >= exact[k], k
     tight = sum(1 for k in exact if est[k] == exact[k])
     assert tight >= len(exact) * 0.5
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation == union-find on a graph with a chain, a
+    triangle, a 2-clique, and implicit singleton exclusion."""
+    from cc2dataset_spark.operators.components import (
+        cluster_survivors,
+        connected_components,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> component 1
+        (10, 11), (11, 12), (10, 12),    # triangle -> component 10
+        (20, 21),                        # pair -> component 20
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {
+        r.id: r.component for r in connected_components(df).collect()
+    }
+    assert got == want
+
+    universe = spark.createDataFrame(
+        [(i,) for i in list(want) + [99]], "doc_id int"
+    )
+    surv = {
+        r.doc_id: (r.component_id, r.is_survivor)
+        for r in cluster_survivors(universe, df, "doc_id").collect()
+    }
+    assert surv[99] == (99, True)  # singleton survives as own component
+    assert surv[4] == (1, False)
+    assert surv[1] == (1, True)
+    assert surv[12] == (10, False)
+    assert surv[20] == (20, True)
