@@ -76,6 +76,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_neardup",
     "dedup_embedding_cosine",
     "dedup_simhash_embeddings",
+    "dedup_cluster_survivors",
     # LLM-ops: similarity search
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -83,7 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_label_vote",
     # LLM-ops: multimodal
     "multimodal_binary_stats",
-    "multimodal_decode_stub",
+    "multimodal_frame_features",
     # streaming surface (batch-checkable twins)
     "events_tumbling_10m",
     "events_sliding_10m_5m",
@@ -95,9 +96,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # as-of joins: linear scale path + candidate+max_by twin
     "join_asof_union_last_order",
     "join_asof_last_order",
-    # one representative per remaining §2 family (all r1-green)
+    # one representative per remaining §2 family (all r1-green;
+    # grouping_sets subsumes the rollup variant, which rotated out)
     "q1_pricing_summary",
-    "rollup_order_status",
     "grouping_sets_geo",
     "pivot_status_by_priority",
     "unpivot_customer_metrics",
