@@ -34,12 +34,28 @@ def connected_components(
     Spark); intermediate labels are persisted and the loop breaks on
     convergence or ``max_iter``.
     """
-    both = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    from pyspark.storagelevel import StorageLevel
+
+    # Persist the symmetrized edge set BEFORE looping: the edges
+    # lineage is typically an expensive similarity join (e.g. the
+    # capped Jaccard self-join), and every propagation round plus every
+    # convergence count would otherwise recompute it from scratch
+    # (measured 25 s vs 7 s warm at sf0.1 for the registered query).
+    # persist, NOT localCheckpoint, for the edges: an eager checkpoint
+    # materializes through the RDD path and loses AQE for the whole
+    # expensive join (measured 4.6x slower warm); the labels below DO
+    # use localCheckpoint because there the enemy is per-round lineage
+    # growth, and their plans are trivial.
+    both = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = both.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("component")).persist()
-    labels.count()
+    # localCheckpoint (not just persist): each round's labels must
+    # TRUNCATE lineage, or the logical plan doubles per round and
+    # optimizer/codegen time dominates the actual joins.
+    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
 
     for _ in range(max_iter):
         nbr_min = (
@@ -56,7 +72,7 @@ def connected_components(
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -64,7 +80,6 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
