@@ -8,6 +8,14 @@ local[$SPARK_GRAFT_CPUS], forcing full materialization through the
 "noop" sink, and prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+
+The driver records only the LAST ~2000 characters of stdout and parses
+the JSON line out of that tail, so the printed line is kept under a
+hard byte budget: per-query times are rounded to centiseconds and, if
+the dict still overflows the budget, the FASTEST queries are folded
+into a single "other:<n>" entry (their total is preserved there and in
+"value"). The complete per-query map is always written to
+BENCH_FULL.json next to this script.
 """
 
 from __future__ import annotations
@@ -62,19 +70,52 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-                "n_queries": len(times),
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(times),
+        "sf": float(sf),
+        "n_queries": len(times),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(compact_line(payload), flush=True)
     spark.stop()
+
+
+def compact_line(payload: dict, budget: int = 1800) -> str:
+    """Render the stdout JSON line under ``budget`` bytes.
+
+    Times go to 2 decimals; if the full query dict overflows, the
+    fastest entries collapse into one "other:<n>" bucket whose value is
+    their summed time, so "value" == sum(queries.values()) still holds
+    and every slow (interesting) query stays individually visible.
+    """
+    out = dict(payload)
+
+    def render(qdict: dict) -> str:
+        out["queries"] = qdict
+        return json.dumps(out, separators=(",", ":"))
+
+    q2 = {k: round(v, 2) for k, v in payload["queries"].items()}
+    line = render(q2)
+    if len(line) <= budget:
+        return line
+    # Drop fastest-first into the rollup bucket until the line fits.
+    by_time = sorted(q2, key=lambda k: (q2[k], k))
+    folded: dict[str, float] = {}
+    for cut in range(1, len(by_time) + 1):
+        dropped = by_time[:cut]
+        folded = {k: v for k, v in q2.items() if k not in dropped}
+        folded[f"other:{cut}"] = round(sum(q2[k] for k in dropped), 2)
+        line = render(folded)
+        if len(line) <= budget:
+            return line
+    return line
 
 
 if __name__ == "__main__":
