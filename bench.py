@@ -92,8 +92,12 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
 
     Times go to 2 decimals; if the full query dict overflows, the
     fastest entries collapse into one "other:<n>" bucket whose value is
-    their summed time, so "value" == sum(queries.values()) still holds
-    and every slow (interesting) query stays individually visible.
+    their summed time, so "value" approximately equals
+    sum(queries.values()) (up to per-query rounding of ±0.005) and
+    every slow (interesting) query stays individually visible.
+    "n_queries" always counts the queries actually benchmarked, which
+    can exceed len(queries) after folding; BENCH_FULL.json carries the
+    complete unfolded map.
     """
     out = dict(payload)
 
@@ -101,9 +105,12 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
         out["queries"] = qdict
         return json.dumps(out, separators=(",", ":"))
 
+    def fits(line: str) -> bool:
+        return len(line.encode("utf-8")) <= budget
+
     q2 = {k: round(v, 2) for k, v in payload["queries"].items()}
     line = render(q2)
-    if len(line) <= budget:
+    if fits(line):
         return line
     # Drop fastest-first into the rollup bucket until the line fits.
     by_time = sorted(q2, key=lambda k: (q2[k], k))
@@ -113,7 +120,7 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
         folded = {k: v for k, v in q2.items() if k not in dropped}
         folded[f"other:{cut}"] = round(sum(q2[k] for k in dropped), 2)
         line = render(folded)
-        if len(line) <= budget:
+        if fits(line):
             return line
     return line
 

@@ -57,7 +57,9 @@ def followup_events(
         .select(
             "user_id",
             "first_id",
-            "first_ts",
+            # streaming side carries LTZ ts (watermark requirement);
+            # normalize to NTZ so output matches the batch twin
+            F.col("first_ts").cast("timestamp_ntz").alias("first_ts"),
             "next_id",
             "next_type",
             (

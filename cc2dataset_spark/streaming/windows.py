@@ -18,7 +18,16 @@ from pyspark.sql import functions as F
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (micro-batch twin of
     sources.tables.load_table('events'), including the ns->us
-    conversion)."""
+    conversion).
+
+    ``withWatermark`` requires a TIMESTAMP (with-local-tz) event-time
+    column, while the fixture stores tz-less timestamps that batch
+    reads keep as TIMESTAMP_NTZ. The stream side therefore casts ts to
+    TIMESTAMP under a UTC-pinned session timezone; the windowing
+    operators below cast window bounds back to TIMESTAMP_NTZ, so the
+    streaming output stays value-identical to the batch twin.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-source streams take a directory; scope it to the events
@@ -29,8 +38,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # NTZ wall time -> LTZ instant via the UTC session tz: the same
+        # instant batch comparisons see, and watermark-compatible.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -49,8 +63,8 @@ def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
             "event_type",
             "n_events",
             "sum_value",
@@ -70,8 +84,8 @@ def sliding_counts(
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
             "n_events",
             "n_users",
         )
@@ -90,8 +104,8 @@ def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         )
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
             "sum_value",
         )

@@ -29,5 +29,14 @@ def test_bench_emits_contract_json():
     assert d["unit"] == "sec"
     assert d["value"] > 0
     assert d["sf"] == 0.001
-    assert d["n_queries"] == len(d["queries"]) > 50
+    # compact_line may fold the fastest queries into one "other:<n>"
+    # entry to fit the driver's stdout tail window; n_queries counts
+    # the queries actually run (the unfolded map is in BENCH_FULL.json).
+    assert d["n_queries"] > 50
+    assert d["n_queries"] >= len(d["queries"])
     assert all(v >= 0 for v in d["queries"].values())
+    # value == total wall; folding preserves the sum up to per-query
+    # centisecond rounding.
+    assert abs(d["value"] - sum(d["queries"].values())) <= 0.005 * d["n_queries"] + 0.01
+    full = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
+    assert full["n_queries"] == len(full["queries"]) == d["n_queries"]
