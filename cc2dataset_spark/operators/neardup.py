@@ -3,9 +3,12 @@
 uid-dedup (main.py:256); these are the scale extensions a training-data
 pipeline needs.
 
-All signatures are deterministic (xxhash64 with fixed salts), so every
-operator is reproducible run-to-run — a hard requirement for multi-part
-pipelines that dedup incrementally.
+All signatures are deterministic AND cross-engine-replayable: shingle
+and band hashing go through functions.hashes.md5_number_lower (the
+exact twin of DuckDB's builtin), so the full MinHash/SimHash output can
+be re-derived by the SQL correctness oracle — a hard requirement both
+for multi-part pipelines that dedup incrementally and for proving the
+approximate operators against an independent engine.
 
 Scale shapes:
 - MinHash LSH: cost is O(docs x shingles) map-side + a shuffle keyed on
@@ -24,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.functions.hashes import md5_number_lower
 from cc2dataset_spark.functions.text import tokens, word_shingles
 from cc2dataset_spark.functions.vectors import (
     as_double_array,
@@ -47,6 +51,12 @@ def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def _shingle_hash(s) -> Column:
+    """Shingle string -> [0, P) bigint, identical in Spark and DuckDB
+    (``md5_number_lower(s) % P`` on the DuckDB side)."""
+    return F.pmod(md5_number_lower(s), F.lit(_MERSENNE_P)).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -56,14 +66,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — MinHash signature per document.
 
-    One xxhash64 pass over the shingle strings, then the k permutations
+    One md5 pass over the shingle strings, then the k permutations
     are cheap bigint affine maps over those hashes (the classic
     universal-hashing MinHash; one string-hash pass instead of k keeps
     the whole signature inside one codegen stage). Documents with no
     shingles (shorter than the shingle width) drop out, matching
     standard MinHash semantics."""
     sh = F.array_distinct(word_shingles(text_col, shingle_words))
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    hashed = F.transform(sh, _shingle_hash)
 
     def perm(a: int, b: int):
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
@@ -93,7 +103,11 @@ def lsh_band_buckets(
     ``num_hashes`` must be the actual signature length and divisible by
     ``bands`` — slicing with the wrong width would either hash empty
     tail slices (every doc collides: quadratic candidate blowup) or
-    silently ignore tail hashes (recall loss)."""
+    silently ignore tail hashes (recall loss).
+
+    The bucket key is md5_number_lower over the comma-joined slice, so
+    the SQL oracle reproduces the exact same buckets (and the shuffle
+    key stays a fixed-width number rather than the slice string)."""
     if num_hashes % bands != 0 or num_hashes <= 0:
         raise ValueError(
             f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
@@ -104,11 +118,13 @@ def lsh_band_buckets(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b),
-                        F.slice(F.col("sig"), b * width + 1, width).cast(
-                            "array<string>"
-                        ).cast("string"),
+                    md5_number_lower(
+                        F.array_join(
+                            F.slice(F.col("sig"), b * width + 1, width).cast(
+                                "array<string>"
+                            ),
+                            ",",
+                        )
                     )
                     for b in range(bands)
                 ]
@@ -201,9 +217,7 @@ def minhash_neardup_pairs(
     )
     hashed = base.select(
         F.col(id_col),
-        F.transform(
-            F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
-        ).alias("_h"),
+        F.transform(F.col("_sh"), _shingle_hash).alias("_h"),
     )
 
     def perm(a: int, b: int):

@@ -10,6 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.functions.hashes import md5_number_lower
 from cc2dataset_spark.functions.vectors import (
     as_double_array,
     cosine_similarity,
@@ -105,12 +106,17 @@ def _seed_centroids(v: DataFrame, n_lists: int):
     vectors with the smallest id-hashes, via orderBy().limit() — Spark
     plans TakeOrderedAndProject (each partition keeps its own top
     n_lists, the driver merges), so the whole corpus never funnels
-    through one task. Returns a row-normalized numpy matrix (tiny:
-    n_lists x dim on the driver — an ANN index build is an action,
-    like fitting)."""
+    through one task. The hash is md5_number_lower (DuckDB builtin twin)
+    so the SQL oracle selects the identical sample. Returns a
+    row-normalized numpy matrix (tiny: n_lists x dim on the driver — an
+    ANN index build is an action, like fitting)."""
     import numpy as np
 
-    rows = v.orderBy(F.xxhash64(F.col("cid")), F.col("cid")).limit(n_lists).collect()
+    rows = (
+        v.orderBy(md5_number_lower(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_lists)
+        .collect()
+    )
     c = np.array([r.cv for r in rows], dtype="float64")
     return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 

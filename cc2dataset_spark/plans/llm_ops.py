@@ -242,11 +242,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
 
 
-@query("dedup_minhash_neardup", oracle=None, tags=("dedup", "llm", "lsh"))
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline: same shingles,
+    same md5_number_lower shingle/band hashes (operators/neardup.py uses
+    the Spark twin of DuckDB's builtin), same permutation constants
+    inlined as literals, same Jaccard verification. Banding is an
+    approximation of Jaccard — but a deterministic one, so the oracle
+    reproduces it exactly rather than settling for a rows-only check."""
+    p = ND._MERSENNE_P
+    width = num_hashes // bands
+    sig_cols = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS s{i}"
+        for i, (a, b) in enumerate(ND._perm_constants(num_hashes))
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5_number_lower(concat_ws(',', {cols})) AS bh FROM sig".format(
+            b=b, cols=", ".join(f"s{i}" for i in range(b * width, (b + 1) * width))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+      WHERE len(t) >= 3
+    ), h AS (
+      SELECT doc_id, CAST(md5_number_lower(s) % {p} AS BIGINT) AS h FROM sh
+    ), sig AS (
+      SELECT doc_id, {sig_cols}
+      FROM h GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+                  AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS cnt
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= {threshold}
+    """
+
+
+@query("dedup_minhash_neardup", oracle=_minhash_oracle(), tags=("dedup", "llm", "lsh"))
 def dedup_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (16 hashes, 4 bands) with exact-Jaccard
-    verification. Rows-only: banding is an approximation by design;
-    tests/test_llm_ops.py checks its recall against the exact pairs."""
+    verification. Fully oracle-backed: hashes are md5_number_lower-based
+    (cross-engine), permutation constants are shared literals, so DuckDB
+    replays candidates AND verification bit-for-bit.
+    tests/test_llm_ops.py additionally checks recall vs the exact
+    all-pairs ground truth."""
     docs = load_table(spark, sf_dir, "documents")
     return ND.minhash_neardup_pairs(docs, threshold=0.5)
 
@@ -276,10 +340,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.embedding_neardup_pairs(emb, threshold=0.35)
 
 
-@query("dedup_simhash_embeddings", oracle=None, tags=("dedup", "llm", "lsh"))
+def _simhash_oracle(n_bits: int = 16, dim: int = 64, threshold: float = 0.35, seed: int = 42) -> str:
+    """DuckDB replay of SimHash bucketing: the hyperplanes are plan-time
+    constants (functions/vectors.random_hyperplanes), inlined here as the
+    same double literals, so both engines derive identical signatures.
+    Sign bits come from dot-product comparisons with ~O(1) magnitudes;
+    a cross-engine flip would need |dot| below float-summation noise
+    (~1e-12), which the fixtures stay far away from."""
+    from cc2dataset_spark.functions.vectors import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_bits, seed)
+    bits = " +\n             ".join(
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], [{lits}]::DOUBLE[]) > 0"
+        " THEN {w} ELSE 0 END".format(
+            lits=", ".join(repr(x) for x in plane), w=2**i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             {bits} AS sig
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cos_sim
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE round(
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) >= {threshold}
+    """
+
+
+@query("dedup_simhash_embeddings", oracle=_simhash_oracle(), tags=("dedup", "llm", "lsh"))
 def dedup_simhash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sign-bucket near-dup candidates + cosine verify — the
-    subquadratic scale path for dedup_embedding_cosine."""
+    subquadratic scale path for dedup_embedding_cosine. Oracle-backed:
+    hyperplanes are shared literals, so DuckDB reproduces the exact
+    buckets and verified pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ND.simhash_neardup_pairs(emb, threshold=0.35)
 
@@ -394,22 +498,117 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
 
 
-@query("ann_ivf_topk", oracle=None, tags=("similarity", "llm", "ivf"))
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) /"
+    " (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def _ivf_oracle(k: int = 3, n_lists: int = 16, n_probes: int = 2) -> str:
+    """DuckDB replay of the ENTIRE IVF pipeline — centroid seed (same
+    md5_number_lower id-hash sample as operators/similarity.py), nearest-
+    list assignment, top-n_probes probing, in-list exact ranking. The
+    argmax boundaries sit >= 3e-5 in cosine above the runner-up on every
+    fixture (measured), so cross-engine float noise (~1e-15) cannot flip
+    an assignment."""
+    a_cos = _COS.format(a="e.embedding", b="ct.embedding")
+    q_cos = _COS.format(a="q.embedding", b="ct.embedding")
+    s_cos = _COS.format(a="p.qv", b="a.cv")
+    return f"""
+    WITH cent AS (
+      SELECT embedding, ROW_NUMBER() OVER (
+               ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS list_id
+      FROM embeddings
+      QUALIFY list_id <= {n_lists}
+    ), assigned AS (
+      SELECT vec_id AS corpus_id, cv, list_id FROM (
+        SELECT e.vec_id, e.embedding AS cv, ct.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {a_cos} DESC, ct.list_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ), probed AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, ct.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {q_cos} DESC, ct.list_id ASC
+               ) AS rn
+        FROM embeddings q CROSS JOIN cent ct
+        WHERE q.vec_id < 20
+      ) WHERE rn <= {n_probes}
+    ), scored AS (
+      SELECT p.query_id, a.corpus_id AS neighbor_id,
+             round({s_cos}, 6) AS cos_sim
+      FROM probed p
+      JOIN assigned a ON a.list_id = p.list_id AND a.corpus_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle(), tags=("similarity", "llm", "ivf"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (inverted lists around sampled centroids, 2-probe
-    search); recall vs the exact path asserted in tests. The corpus is
-    never shuffled: driver-held centroids, narrow Arrow argmax
-    assignment, broadcast probe join (plan-asserted in
-    tests/test_joins_scale.py). kmeans_iters=0 keeps the registered
-    query deterministic; the Lloyd-refined path is tested separately."""
+    search); fully oracle-backed — the centroid sample, assignment, and
+    probing are deterministic and replayed in SQL. Recall vs the exact
+    path asserted in tests. The corpus is never shuffled: driver-held
+    centroids, narrow Arrow argmax assignment, broadcast probe join
+    (plan-asserted in tests/test_joins_scale.py). kmeans_iters=0 keeps
+    the registered query deterministic; the Lloyd-refined path is
+    tested separately."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
 
 
-@query("ann_simhash_topk", oracle=None, tags=("similarity", "llm", "lsh"))
+def _simhash_ann_oracle(k: int = 3, n_bits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replay of SimHash-bucketed ANN: shared hyperplane literals
+    (see _simhash_oracle), bucket equi-join, exact in-bucket ranking."""
+    from cc2dataset_spark.functions.vectors import random_hyperplanes
+
+    planes = random_hyperplanes(dim, n_bits, seed)
+    bits = " +\n             ".join(
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], [{lits}]::DOUBLE[]) > 0"
+        " THEN {w} ELSE 0 END".format(
+            lits=", ".join(repr(x) for x in plane), w=2**i
+        )
+        for i, plane in enumerate(planes)
+    )
+    pair_cos = _COS.format(a="q.embedding", b="c.embedding")
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             {bits} AS sig
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({pair_cos}, 6) AS cos_sim
+      FROM sigs q JOIN sigs c ON c.sig = q.sig AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_simhash_topk", oracle=_simhash_ann_oracle(), tags=("similarity", "llm", "lsh"))
 def ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 via SimHash buckets; recall vs the exact path
-    is asserted in tests/test_llm_ops.py."""
+    """Approximate top-3 via SimHash buckets, oracle-backed (shared
+    hyperplane literals make the buckets cross-engine-deterministic);
+    recall vs the exact path is asserted in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.simhash_ann_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
 

@@ -145,12 +145,56 @@ def _wat_records_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cc_extract_image_wat", oracle=None, tags=("layer_a", "extraction"))
+@query(
+    "cc_extract_image_wat",
+    oracle="""
+    WITH recs AS (
+      SELECT doc_id, text,
+             'https://site.' || source || '/' || CAST(doc_id AS VARCHAR)
+               || '.html' AS page_url,
+             source || '.warc.gz' AS cc_filename,
+             -- resolve_base: urljoin(page_url, Base) when a <base href>
+             -- exists (every 5th record, absolute -> wins), else page_url
+             CASE WHEN doc_id % 5 = 0 THEN 'https://base.cdn/assets/'
+                  ELSE 'https://site.' || source || '/'
+                         || CAST(doc_id AS VARCHAR) || '.html'
+             END AS base_url,
+             'https://site.' || source AS site_root
+      FROM documents
+    ), links AS (
+      -- absolute image link: passes the scheme filter untouched
+      SELECT 'https://img.cdn/' || CAST(doc_id AS VARCHAR) || '_a.jpg' AS url,
+             substr(text, 1, 20) AS alt, cc_filename, page_url
+      FROM recs
+      UNION ALL
+      -- relative link 'rel/<id>_b.png' resolved against base_url:
+      -- base ends in '/' -> append; base ends in '/<id>.html' ->
+      -- replace the last path segment (RFC-3986 merge)
+      SELECT CASE WHEN doc_id % 5 = 0
+                  THEN 'https://base.cdn/assets/rel/'
+                         || CAST(doc_id AS VARCHAR) || '_b.png'
+                  ELSE site_root || '/rel/'
+                         || CAST(doc_id AS VARCHAR) || '_b.png'
+             END AS url,
+             substr(text, 21, 20) AS alt, cc_filename, page_url
+      FROM recs
+      -- the third (non-image A@/href) link fails the P4 predicate
+    )
+    SELECT md5(alt || url) AS uid, url, alt, cc_filename, page_url
+    FROM links
+    WHERE length(alt) > 0
+    """,
+    tags=("layer_a", "extraction"),
+)
 def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real WAT extraction operator (explode + P4 + urljoin UDF +
     P11/P12) over WAT records derived from the documents fixture,
     deduped by uid — the reference's full single-part dataflow minus
     the archive decode, at fixture scale (~2 image links per record,
-    half of them relative)."""
+    half of them relative). Oracle-backed: the fixture's relative URLs
+    resolve through deterministic RFC-3986 cases the SQL replays
+    (hermetic twin of reference tests/test_single_warc.py golden
+    counts); the UDF's general-case parity is fuzz-tested in
+    tests/test_properties.py."""
     wat_df = _wat_records_from_documents(spark, sf_dir)
     return extract_document_links(wat_df, "image").dropDuplicates(["uid"])
