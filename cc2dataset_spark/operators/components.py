@@ -63,6 +63,11 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # The convergence signal rides along as a flag column instead of
+        # a separate join-old-vs-new pass: the flag is derivable from
+        # the same nbr_min already in flight, so each round costs one
+        # materializing action (the localCheckpoint) plus a count over
+        # the just-cached blocks — not a second join.
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -71,16 +76,15 @@ def connected_components(
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_component", F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_changed").count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels

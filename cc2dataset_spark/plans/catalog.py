@@ -53,11 +53,18 @@ def query(
 # The external driver's correctness harness checks the FIRST 50 entries
 # of queries() (CORRECTNESS_r01.json keys == registration order [:50]),
 # so ordering is part of the contract. This list pins the window
-# explicitly — one representative per SURVEY §2 row, with the families
-# the r1 driver never saw (reference pipeline, dedup/ANN/text/multimodal,
-# streaming windows) placed first. Queries not listed here follow in
-# registration order; all of them were driver-green in round 1 and stay
-# covered by the local oracle suite (tests/test_oracle.py).
+# explicitly — one representative per SURVEY §2 row. Round-5 rotation:
+# the 7 queries that had never received a driver row
+# (text_winnow/text_bpe/sketch_countmin/curate_cap/q4/window_percent_
+# cume/multimodal_decode_stub) plus the new agg_regr_trend swap in over
+# 8 slots that were driver-green in BOTH rounds 1 and 4
+# (scalar_string_part, scalar_date_arithmetic, sort_topk_orders,
+# cross_join_region_matrix, pivot_status_by_priority,
+# unpivot_customer_metrics, setop_nation_coverage,
+# join_full_outer_nation_roles). Queries not listed here follow in
+# registration order; everything rotated out stays covered by the local
+# oracle suite (tests/test_oracle.py), which runs ALL oracle-backed
+# queries every CI pass.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # reference-parity core (layer A)
     "cc_extract_dedup_links",
@@ -69,7 +76,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curate_quality_filter",
     "top_tokens_per_lang",
     "text_tokenize_udtf",
-    # LLM-ops: dedup family
+    # rotated in r5: never driver-checked before
+    "text_winnow_fingerprints",
+    "text_bpe_token_stats",
+    "sketch_countmin_event_types",
+    "curate_cap_per_source",
+    # LLM-ops: dedup family (minhash/simhash oracle-backed since r5)
     "dedup_exact_min_survivor",
     "dedup_fingerprint_documents",
     "dedup_ngram_jaccard",
@@ -77,46 +89,41 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_simhash_embeddings",
     "dedup_cluster_survivors",
-    # LLM-ops: similarity search
+    # LLM-ops: similarity search (ivf/simhash oracle-backed since r5)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_simhash_topk",
     "knn_label_vote",
-    # LLM-ops: multimodal
+    # LLM-ops: multimodal (+ decode stub rotated in r5, rows-only)
     "multimodal_binary_stats",
     "multimodal_frame_features",
+    "multimodal_decode_stub",
     # streaming surface (batch-checkable twins)
     "events_tumbling_10m",
     "events_sliding_10m_5m",
     "events_session_30m",
     "events_followup_pairs_10m",
-    # fixed this round (array canonicalization; HLL oracle)
     "array_ops_embeddings",
     "agg_approx_distinct",
+    # new in r5: JVM regr_slope twin of the pandas UDAF
+    "agg_regr_trend",
     # as-of joins: linear scale path + candidate+max_by twin
     "join_asof_union_last_order",
     "join_asof_last_order",
-    # one representative per remaining §2 family (all r1-green;
-    # grouping_sets subsumes the rollup variant, which rotated out)
+    # one representative per remaining §2 family
     "q1_pricing_summary",
     "grouping_sets_geo",
-    "pivot_status_by_priority",
-    "unpivot_customer_metrics",
     "q3_shipping_priority",
+    "q4_order_priority_exists",
     "join_broadcast_geo",
     "join_semi_big_spenders",
     "join_anti_no_orders",
-    "join_full_outer_nation_roles",
-    "cross_join_region_matrix",
     "join_range_shipments",
     "subquery_correlated_scalar",
     "window_topk_orders_per_cust",
     "window_range_frame_1h",
-    "sort_topk_orders",
+    "window_percent_cume",
     "setop_multiset_suppliers",
-    "setop_nation_coverage",
-    "scalar_string_part",
-    "scalar_date_arithmetic",
     "scalar_struct_map_ops",
     "udaf_user_trend",
 )

@@ -547,3 +547,36 @@ def udaf_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         slope, "user_id bigint, daily_trend double, n_events bigint"
     )
+
+
+@query(
+    "agg_regr_trend",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+             AS daily_trend,
+           round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 4)
+             AS intercept,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "regression"),
+)
+def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shape twin of udaf_user_trend: per-user OLS trend
+    via the JVM built-in regr_slope/regr_intercept — whole-stage
+    codegen, map-side partial aggregation, no Python workers. This is
+    the form to use at 100 TB; the applyInPandas variant above exists to
+    exercise the UDAF surface (parity asserted in
+    tests/test_relational2.py)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 86400000000.0).alias("d"),
+        "value",
+    )
+    return e.groupBy("user_id").agg(
+        F.round(F.regr_slope("value", "d"), 4).alias("daily_trend"),
+        F.round(F.regr_intercept("value", "d"), 4).alias("intercept"),
+        F.count("*").alias("n_events"),
+    )
