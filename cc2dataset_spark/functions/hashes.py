@@ -36,3 +36,41 @@ def md5_number_lower(col: Column | str) -> Column:
     hx = F.md5(c)
     rev = F.concat(*[F.substring(hx, 31 - 2 * i, 2) for i in range(8)])
     return F.conv(rev, 16, 10).cast("decimal(20,0)")
+
+
+def md5_mod(col: Column | str, p: int) -> Column:
+    """``md5_number_lower(col) % p`` in pure BIGINT arithmetic (hot-path
+    form for per-shingle hashing: DECIMAL(20,0) pmod falls out of the
+    codegen fast path and measured ~2.5x slower end-to-end on the
+    MinHash pipeline).
+
+    The unsigned lower-64 value is hi*2^32 + lo with hi, lo < 2^32, so
+    value % p == (hi*(2^32 % p) + lo) % p — both conv() calls handle 8
+    hex chars (fits BIGINT), and the fold stays under 2^63 for any
+    p < 2^31. DuckDB side stays the literal ``md5_number_lower(s) % p``
+    (UBIGINT arithmetic, same residue).
+    """
+    if not (0 < p < 2**31):
+        raise ValueError(f"md5_mod requires 0 < p < 2^31, got {p}")
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_mod_from_hex(F.md5(c), p)
+
+
+def md5_mod_from_hex(hx: Column, p: int) -> Column:
+    """``md5_mod`` given an already-computed md5 HEX column.
+
+    Split out because expression trees are duplicated, not shared, when
+    one value feeds many sub-expressions inside a higher-order-function
+    lambda (no CSE there): hashing an array of shingles as
+    ``transform(sh, s -> md5_mod(s))`` would re-run md5 once per
+    substring reference (~8x). Callers materialize the digests first —
+    ``transform(transform(sh, md5), h -> md5_mod_from_hex(h, p))`` —
+    so md5 runs exactly once per element.
+    """
+    hi = F.conv(
+        F.concat(*[F.substring(hx, 31 - 2 * i, 2) for i in range(4)]), 16, 10
+    ).cast("bigint")
+    lo = F.conv(
+        F.concat(*[F.substring(hx, 23 - 2 * i, 2) for i in range(4)]), 16, 10
+    ).cast("bigint")
+    return F.pmod(hi * F.lit((1 << 32) % p) + lo, F.lit(p))

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cc2dataset_spark.functions.hashes import md5_number_lower
+from cc2dataset_spark.functions.hashes import md5_mod_from_hex, md5_number_lower
 from cc2dataset_spark.functions.text import tokens, word_shingles
 from cc2dataset_spark.functions.vectors import (
     as_double_array,
@@ -51,10 +51,13 @@ def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def _shingle_hash(s) -> Column:
-    """Shingle string -> [0, P) bigint, identical in Spark and DuckDB
-    (``md5_number_lower(s) % P`` on the DuckDB side)."""
-    return F.pmod(md5_number_lower(s), F.lit(_MERSENNE_P)).cast("bigint")
+def _hash_shingles(sh: Column) -> Column:
+    """array<shingle string> -> array<[0, P) bigint>, identical in
+    Spark and DuckDB (``md5_number_lower(s) % P`` on the DuckDB side).
+    Two-pass transform so each md5 digest is computed exactly once per
+    shingle (see functions/hashes.md5_mod_from_hex)."""
+    digests = F.transform(sh, F.md5)
+    return F.transform(digests, lambda h: md5_mod_from_hex(h, _MERSENNE_P))
 
 
 def minhash_signatures(
@@ -73,7 +76,7 @@ def minhash_signatures(
     shingles (shorter than the shingle width) drop out, matching
     standard MinHash semantics."""
     sh = F.array_distinct(word_shingles(text_col, shingle_words))
-    hashed = F.transform(sh, _shingle_hash)
+    hashed = _hash_shingles(sh)
 
     def perm(a: int, b: int):
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
@@ -217,7 +220,7 @@ def minhash_neardup_pairs(
     )
     hashed = base.select(
         F.col(id_col),
-        F.transform(F.col("_sh"), _shingle_hash).alias("_h"),
+        _hash_shingles(F.col("_sh")).alias("_h"),
     )
 
     def perm(a: int, b: int):
