@@ -14,6 +14,15 @@ its neighbors' labels; converged when no label changes. Rounds needed
 with map-side combine, no single-partition ops. The label of a
 component is its minimum node id, which doubles as the deterministic
 survivor choice.
+
+Scale caveat: min-label propagation needs O(diameter) rounds. That is
+the right trade for near-dup graphs (diameter 2-3 in practice —
+threshold-verified similarity edges form dense clique-ish clusters; the
+``max_iter`` guard bounds adversarial chains). If this operator is ever
+pointed at a graph whose components can be long paths (e.g. web-link
+graphs), switch to the alternating large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond"), which
+converges in O(log^2 n) rounds of the same join+groupBy shape.
 """
 
 from __future__ import annotations
