@@ -208,3 +208,26 @@ def bpe_like_tokens(col: Column | str) -> Column:
     silently change the token boundaries)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(c, F.lit(BPE_LIKE_PATTERN), F.lit(0))
+
+
+# PII scrubbing (C4/RefinedWeb-style pre-training hygiene): regexes are
+# deliberately RE2-simple so Spark (Java regex) and DuckDB (RE2) agree
+# on every match — both scan left-to-right, non-overlapping.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+def pattern_count(col: Column | str, pattern: str) -> Column:
+    """Number of non-overlapping matches of ``pattern``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace emails then long digit runs with typed placeholders.
+    Email pass runs FIRST: an email's local/domain part can contain a
+    7+ digit run, and the digit pass would otherwise split it and leave
+    a half-redacted address behind."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, LONG_DIGITS_RE, "<NUM>")

@@ -1047,3 +1047,147 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
     return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Curation: PII scrubbing + benchmark decontamination
+# --------------------------------------------------------------------------
+
+_PII_INJECT_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0"
+    " THEN ' ref ' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"
+    " ELSE '' END"
+)
+
+_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_DIGITS_SQL = r"[0-9]{7,}"
+
+
+@query(
+    "curate_pii_scrub",
+    oracle=(
+        "WITH scrubbed AS (\n"
+        "  SELECT doc_id, " + _PII_INJECT_SQL + " AS s FROM documents\n"
+        ")\n"
+        "SELECT doc_id,\n"
+        "       len(regexp_extract_all(s, '" + _EMAIL_SQL + "')) AS n_emails,\n"
+        "       len(regexp_extract_all(s, '" + _DIGITS_SQL + "')) AS n_digit_runs,\n"
+        "       md5(regexp_replace(regexp_replace(s, '" + _EMAIL_SQL + "',"
+        " '<EMAIL>', 'g'), '" + _DIGITS_SQL + "', '<NUM>', 'g')) AS redacted_md5\n"
+        "FROM scrubbed"
+    ),
+    tags=("text", "llm", "curation", "pii"),
+)
+def curate_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (pre-training hygiene): count and redact emails and
+    long digit runs, all codegen regex expressions — no Python in the
+    path. The fixture text carries no PII, so deterministic synthetic
+    PII is injected from doc_id (same fixture-derivation pattern as the
+    flagship link query); the oracle replays injection, counting, and
+    redaction. Output carries md5 of the redacted text so the driver
+    hash-compares the full redaction result without megabyte rows."""
+    from cc2dataset_spark.functions.text import (
+        EMAIL_RE,
+        LONG_DIGITS_RE,
+        pattern_count,
+        pii_redact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" ref "), F.lpad(F.col("doc_id").cast("string"), 9, "0")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = docs.select("doc_id", injected.alias("s"))
+    return scrubbed.select(
+        "doc_id",
+        pattern_count("s", EMAIL_RE).alias("n_emails"),
+        pattern_count("s", LONG_DIGITS_RE).alias("n_digit_runs"),
+        F.md5(pii_redact("s")).alias("redacted_md5"),
+    )
+
+
+_EVAL_SENTENCE = (
+    "every benchmark question in the held out evaluation split "
+    "must stay out of training data"
+)
+
+
+@query(
+    "curate_decontaminate",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' ' || array_to_string(
+                                 (string_split('__SENT__', ' '))
+                                   [1:8 + CAST(doc_id % 5 AS INT)], ' ')
+                          ELSE '' END AS text
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      FROM corpus
+    ), c_sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(t) - 6, 1)),
+               i -> array_to_string(t[i:i+7], ' ')))) AS s
+      FROM toks WHERE len(t) >= 8
+    ), b_toks AS (
+      SELECT list_filter(string_split_regex(trim('__SENT__'), '\s+'),
+                         x -> x <> '') AS t
+    ), b_sh AS (
+      SELECT DISTINCT UNNEST(list_transform(
+               range(1, greatest(len(t) - 6, 1)),
+               i -> array_to_string(t[i:i+7], ' '))) AS s
+      FROM b_toks
+    )
+    SELECT doc_id, COUNT(*) AS n_hit_shingles
+    FROM c_sh JOIN b_sh USING (s)
+    GROUP BY doc_id
+    """.replace("__SENT__", _EVAL_SENTENCE),
+    tags=("text", "llm", "curation", "decontamination"),
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C shape): flag corpus
+    documents sharing an 8-gram with the eval set, via a broadcast
+    semi-probe of the (small by definition) benchmark shingle set —
+    the corpus never shuffles (operators/contamination.py). The fixture
+    has no natural overlap, so a deterministic eval-sentence prefix is
+    appended to every 7th document (1-5 overlapping shingles, varying
+    by doc_id); the oracle replays injection and overlap exactly."""
+    from cc2dataset_spark.operators.contamination import ngram_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lit(_EVAL_SENTENCE), " ")
+    appendix = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.slice(words, F.lit(1), (F.lit(8) + F.col("doc_id") % 5).cast("int")),
+                " ",
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    corpus = docs.select("doc_id", F.concat("text", appendix).alias("text"))
+    benchmark = spark.range(1).select(F.lit(_EVAL_SENTENCE).alias("text"))
+    return ngram_decontaminate(corpus, benchmark, shingle_words=8)

@@ -248,3 +248,54 @@ def test_connected_components_matches_union_find(spark):
     assert surv[1] == (1, True)
     assert surv[12] == (10, False)
     assert surv[20] == (20, True)
+
+
+def test_pii_redact_email_before_digits(spark):
+    """An email whose local part carries a 7+ digit run must redact as
+    ONE <EMAIL>, not a mangled half-address; standalone runs and
+    mixed-text cases keep their own placeholders."""
+    from cc2dataset_spark.functions.text import (
+        EMAIL_RE,
+        LONG_DIGITS_RE,
+        pattern_count,
+        pii_redact,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("write 12345678@example.com or call 987654321", "<EMAIL>", 1, 2),
+        ("no pii here", "no pii here", 0, 0),
+        ("just 1234567", "just <NUM>", 0, 1),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _, _ in rows], ["s"])
+    got = {
+        r.s: (r.red, r.ne, r.nd)
+        for r in df.select(
+            "s",
+            pii_redact("s").alias("red"),
+            pattern_count("s", EMAIL_RE).alias("ne"),
+            pattern_count("s", LONG_DIGITS_RE).alias("nd"),
+        ).collect()
+    }
+    for text, frag, ne, nd in rows:
+        red, g_ne, g_nd = got[text]
+        assert frag in red, (text, red)
+        assert "@" not in red
+        assert (g_ne, g_nd) == (ne, nd), (text, g_ne, g_nd)
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle side must broadcast (corpus never
+    shuffles for the probe) and hit counts must follow the injected
+    1 + doc_id % 5 overlap."""
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    df = QUERIES["curate_decontaminate"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r.doc_id: r.n_hit_shingles for r in df.collect()}
+    assert got, "no contaminated docs found"
+    for doc_id, n in got.items():
+        assert doc_id % 7 == 0
+        assert n == 1 + doc_id % 5, (doc_id, n)
