@@ -64,7 +64,12 @@ def query(
 # join_full_outer_nation_roles). Queries not listed here follow in
 # registration order; everything rotated out stays covered by the local
 # oracle suite (tests/test_oracle.py), which runs ALL oracle-backed
-# queries every CI pass.
+# queries every CI pass. Second r5 rotation: the queries ADDED in r5
+# (q6/q10/q14, curate_pii_scrub, curate_decontaminate) take 5 more
+# twice-green slots (q1_pricing_summary, join_broadcast_geo,
+# join_semi_big_spenders, join_anti_no_orders,
+# subquery_correlated_scalar) so every operator family gets a driver
+# row in its debut round.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # reference-parity core (layer A)
     "cc_extract_dedup_links",
@@ -81,6 +86,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bpe_token_stats",
     "sketch_countmin_event_types",
     "curate_cap_per_source",
+    # new in r5: curation hygiene ops
+    "curate_pii_scrub",
+    "curate_decontaminate",
     # LLM-ops: dedup family (minhash/simhash oracle-backed since r5)
     "dedup_exact_min_survivor",
     "dedup_fingerprint_documents",
@@ -110,16 +118,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # as-of joins: linear scale path + candidate+max_by twin
     "join_asof_union_last_order",
     "join_asof_last_order",
+    # new in r5: TPC-H widening (pushdown probe, fact-fact top-k,
+    # broadcast-dim ratio)
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
     # one representative per remaining §2 family
-    "q1_pricing_summary",
     "grouping_sets_geo",
     "q3_shipping_priority",
     "q4_order_priority_exists",
-    "join_broadcast_geo",
-    "join_semi_big_spenders",
-    "join_anti_no_orders",
     "join_range_shipments",
-    "subquery_correlated_scalar",
     "window_topk_orders_per_cust",
     "window_range_frame_1h",
     "window_percent_cume",
