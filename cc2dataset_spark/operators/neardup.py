@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cc2dataset_spark.functions.hashes import md5_mod_from_hex, md5_number_lower
+from cc2dataset_spark.functions.hashes import md5_mod_from_hex
 from cc2dataset_spark.functions.text import tokens, word_shingles
 from cc2dataset_spark.functions.vectors import (
     as_double_array,
@@ -108,9 +108,14 @@ def lsh_band_buckets(
     tail slices (every doc collides: quadratic candidate blowup) or
     silently ignore tail hashes (recall loss).
 
-    The bucket key is md5_number_lower over the comma-joined slice, so
-    the SQL oracle reproduces the exact same buckets (and the shuffle
-    key stays a fixed-width number rather than the slice string)."""
+    The bucket key is xxhash64 over the comma-joined slice: a BIGINT
+    shuffle/join key (a DECIMAL key here measured ~2x slower through
+    the exchange+join+distinct). Band hashing only CREATES candidate
+    pairs — exact verification filters them — so the SQL oracle joins
+    on the band string itself and still reproduces the output exactly
+    unless xxhash64 collides across distinct slices (~2^-64 per bucket
+    pair, and even then the phantom candidate must also pass the
+    Jaccard threshold)."""
     if num_hashes % bands != 0 or num_hashes <= 0:
         raise ValueError(
             f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
@@ -121,7 +126,7 @@ def lsh_band_buckets(
         F.posexplode(
             F.array(
                 *[
-                    md5_number_lower(
+                    F.xxhash64(
                         F.array_join(
                             F.slice(F.col("sig"), b * width + 1, width).cast(
                                 "array<string>"

@@ -255,8 +255,10 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
         f"MIN((h * {a} + {b}) % {p}) AS s{i}"
         for i, (a, b) in enumerate(ND._perm_constants(num_hashes))
     )
+    # joins on the band STRING (Spark buckets by xxhash64 of the same
+    # string — a collision-free speed detail, see lsh_band_buckets)
     band_selects = "\n      UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_idx, md5_number_lower(concat_ws(',', {cols})) AS bh FROM sig".format(
+        "SELECT doc_id, {b} AS band_idx, concat_ws(',', {cols}) AS bh FROM sig".format(
             b=b, cols=", ".join(f"s{i}" for i in range(b * width, (b + 1) * width))
         )
         for b in range(bands)
