@@ -86,9 +86,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_bpe_token_stats",
     "sketch_countmin_event_types",
     "curate_cap_per_source",
-    # new in r5: curation hygiene ops
+    # new in r5: curation hygiene ops (+ deterministic split; took the
+    # r1+r4-green scalar_struct_map_ops slot)
     "curate_pii_scrub",
     "curate_decontaminate",
+    "curate_train_val_split",
     # LLM-ops: dedup family (minhash/simhash oracle-backed since r5)
     "dedup_exact_min_survivor",
     "dedup_fingerprint_documents",
@@ -132,7 +134,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_range_frame_1h",
     "window_percent_cume",
     "setop_multiset_suppliers",
-    "scalar_struct_map_ops",
     "udaf_user_trend",
 )
 

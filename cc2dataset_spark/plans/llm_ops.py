@@ -1193,3 +1193,44 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.select("doc_id", F.concat("text", appendix).alias("text"))
     benchmark = spark.range(1).select(F.lit(_EVAL_SENTENCE).alias("text"))
     return ngram_decontaminate(corpus, benchmark, shingle_words=8)
+
+
+@query(
+    "curate_train_val_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CAST(md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % 100
+                  AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+    tags=("llm", "curation", "split"),
+)
+def curate_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-independent
+    id hash (the salted key keeps this split uncorrelated with any other
+    hash-derived decision, e.g. the per-source cap's sampling). Pure
+    map-side — no shuffle, no RNG state: any worker, any round, any
+    engine assigns the same document to the same split, which is what
+    makes 100 TB splits resumable and leak-free. Oracle replays the
+    bucketing via DuckDB's native md5_number_lower."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_mod(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 100
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
