@@ -42,6 +42,14 @@ _ENGINE_DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # post-shuffle target: 128 MB partitions (matches
+    # files.maxPartitionBytes so scan and shuffle stages agree on the
+    # unit of work — SCALE.md sizes the 100 TB shuffle around this)
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024 * 1024),
+    # runtime bloom-filter pushdown: on selective fact-fact joins the
+    # probe side gets a row-level filter built from the build side —
+    # at 100 TB this prunes shuffle input before it is written
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
