@@ -11,9 +11,12 @@ tests/test_llm_ops.py).
 
 Scale note: md5 is a few x slower per call than xxhash64, but shingle
 hashing is a once-per-token-ish map-side cost dwarfed by the LSH
-shuffle; determinism across engines is worth it. Operators that only
-need *internal* uniformity (skew salting, centroid seeding) keep
-xxhash64.
+shuffle; determinism across engines is worth it. Operators whose hash
+choice cannot change the OUTPUT keep xxhash64 for speed: skew salting
+(operators/joins.py) and LSH band bucket keys (bucket hashing only
+creates candidate pairs, which exact verification filters). IVF
+centroid seeding (operators/similarity.py) uses md5_number_lower — its
+sample IS the output-determining index, so it must be replayable.
 """
 
 from __future__ import annotations

@@ -140,10 +140,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 
 def _ordered() -> dict[str, Query]:
     _load_all()
+    # The first 50 entries ARE the driver's correctness window, so a
+    # typo in DRIVER_PRIORITY must fail loudly — silently skipping it
+    # would let registration order fill the slot with an unintended
+    # query and the rotation bookkeeping above would be fiction.
+    unknown = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    if unknown:
+        raise KeyError(f"DRIVER_PRIORITY names not in registry: {unknown}")
     out: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:
-        if name in QUERIES:
-            out[name] = QUERIES[name]
+        out[name] = QUERIES[name]
     for name, q in QUERIES.items():
         if name not in out:
             out[name] = q

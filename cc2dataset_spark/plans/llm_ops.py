@@ -227,7 +227,7 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+    WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
     """,
     tags=("dedup", "llm"),
 )
@@ -301,7 +301,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= {threshold}
+    WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= {threshold}
     """
 
 
@@ -1016,7 +1016,7 @@ def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM common
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+      WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
@@ -1065,8 +1065,11 @@ _PII_INJECT_SQL = (
     " ELSE '' END"
 )
 
-_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_DIGITS_SQL = r"[0-9]{7,}"
+# The oracle embeds the SAME regex constants the Spark side uses
+# (functions/text.py) — RE2-simple on purpose, valid in both dialects —
+# so the two engines cannot drift apart silently.
+_EMAIL_SQL = T.EMAIL_RE
+_DIGITS_SQL = T.LONG_DIGITS_RE
 
 
 @query(

@@ -10,9 +10,11 @@ stage has real work.
 
 ``cc_extract_image_wat`` drives the actual extraction operator
 (operators/extraction.py) over WAT-shaped records derived from the
-documents fixture — not SQL-expressible (urljoin UDF), so rows-only
-checked; its value parity is covered byte-for-byte by
-tests/test_extraction.py.
+documents fixture — including the urljoin UDF, whose fixture inputs
+resolve through deterministic RFC-3986 cases the DuckDB oracle replays,
+so the query is fully value-checked; the UDF's general-case parity is
+additionally covered byte-for-byte by tests/test_extraction.py and
+fuzzing in tests/test_properties.py.
 """
 
 from __future__ import annotations

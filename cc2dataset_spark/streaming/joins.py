@@ -24,7 +24,7 @@ def followup_events(
 ) -> DataFrame:
     """Pairs (first event, follow-up event by the same user within
     ``gap``): user_id, first_id, first_ts, next_id, next_type,
-    gap_seconds. Strict ordering (next_ts > first_ts) keeps the pair
+    gap_micros. Strict ordering (next_ts > first_ts) keeps the pair
     set asymmetric and self-pairs out.
 
     On streams, both sides are watermarked and the interval condition

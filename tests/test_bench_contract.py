@@ -38,5 +38,15 @@ def test_bench_emits_contract_json():
     # value == total wall; folding preserves the sum up to per-query
     # centisecond rounding.
     assert abs(d["value"] - sum(d["queries"].values())) <= 0.005 * d["n_queries"] + 0.01
+    # BENCH_FULL.json (rewritten by the run above) must carry the whole
+    # unfolded catalog: exactly the registered queries minus the named
+    # exclusions — a query added to the catalog but missing here means
+    # bench.py silently stopped covering it.
+    sys.path.insert(0, REPO)
+    import bench as bench_mod
+    from cc2dataset_spark.plans.catalog import queries
+
     full = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
     assert full["n_queries"] == len(full["queries"]) == d["n_queries"]
+    expected = set(queries()) - bench_mod.EXCLUDE
+    assert set(full["queries"]) == expected
