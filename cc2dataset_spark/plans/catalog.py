@@ -99,6 +99,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_simhash_embeddings",
     "dedup_cluster_survivors",
+    # new in r5: the end-to-end LSH dedup decision (took the
+    # r1+r4-green join_range_shipments slot)
+    "dedup_cluster_survivors_lsh",
     # LLM-ops: similarity search (ivf/simhash oracle-backed since r5)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -129,7 +132,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets_geo",
     "q3_shipping_priority",
     "q4_order_priority_exists",
-    "join_range_shipments",
     "window_topk_orders_per_cust",
     "window_range_frame_1h",
     "window_percent_cume",

@@ -242,13 +242,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
-    """DuckDB replay of the full MinHash+LSH pipeline: same shingles,
-    same md5_number_lower shingle/band hashes (operators/neardup.py uses
-    the Spark twin of DuckDB's builtin), same permutation constants
-    inlined as literals, same Jaccard verification. Banding is an
-    approximation of Jaccard — but a deterministic one, so the oracle
-    reproduces it exactly rather than settling for a rows-only check."""
+def _minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """The CTE chain replaying MinHash+LSH in DuckDB, ending in an
+    ``lsh_pairs(id_a, id_b, jaccard)`` CTE: same shingles, same
+    md5_number_lower shingle hashes (operators/neardup.py uses the
+    Spark twin of DuckDB's builtin), same permutation constants inlined
+    as literals, same Jaccard verification. Reused by the pair query
+    and by the end-to-end clustering query."""
     p = ND._MERSENNE_P
     width = num_hashes // bands
     sig_cols = ",\n             ".join(
@@ -263,8 +263,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
         )
         for b in range(bands)
     )
-    return rf"""
-    WITH toks AS (
+    return rf"""toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
       FROM documents
@@ -295,14 +294,22 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
       JOIN sh sa ON sa.doc_id = c.id_a
       JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
       GROUP BY 1, 2
+    ), lsh_pairs AS (
+      SELECT id_a, id_b,
+             round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= {threshold}
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return (
+        "WITH "
+        + _minhash_ctes(num_hashes, bands, threshold)
+        + "\n    SELECT id_a, id_b, jaccard FROM lsh_pairs"
     )
-    SELECT id_a, id_b,
-           round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= {threshold}
-    """
 
 
 @query("dedup_minhash_neardup", oracle=_minhash_oracle(), tags=("dedup", "llm", "lsh"))
@@ -1048,6 +1055,45 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
+    return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")
+
+
+@query(
+    "dedup_cluster_survivors_lsh",
+    oracle="WITH RECURSIVE "
+    + _minhash_ctes()
+    + r""", edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION ALL
+      SELECT id_b, id_a FROM lsh_pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(comp.component, d.doc_id) AS component_id,
+           d.doc_id = COALESCE(comp.component, d.doc_id) AS is_survivor
+    FROM documents d
+    LEFT JOIN comp ON comp.id = d.doc_id
+    """,
+    tags=("dedup", "llm", "graph", "lsh"),
+)
+def dedup_cluster_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup decision END-TO-END on its production path:
+    MinHash+LSH pairs (subquadratic, no all-pairs join anywhere) ->
+    connected components -> deterministic min-id survivor. Every stage
+    is cross-engine deterministic (md5-based signatures, shared
+    permutation literals), so the oracle replays LSH candidate
+    generation, Jaccard verification, AND the transitive closure in one
+    recursive query — the exact-Jaccard variant above remains as the
+    ground-truth twin."""
+    from cc2dataset_spark.operators.components import cluster_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ND.minhash_neardup_pairs(docs, threshold=0.5)
     return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")
 
 
