@@ -52,3 +52,51 @@ def test_md5_number_lower_matches_duckdb(spark, strings):
 def test_md5_mod_rejects_wide_modulus():
     with pytest.raises(ValueError):
         md5_mod(F.lit("x"), 1 << 31)
+
+
+# --- regex parity (curate_pii_scrub rests on Java-regex == RE2 for the
+# deliberately-simple PII patterns) ---
+
+_PII_FRAGMENTS = st.sampled_from(
+    [
+        "plain words here",
+        "user.name+tag@sub.example.co",
+        "a@b.io",
+        "not@an@email",
+        "@nodomain",
+        "12345678901",
+        "1234567",
+        "123456",
+        "tel: (555) 1234567!",
+        "mixed 9998887776 and x@y.zz end",
+        "ünïcode ☃ text",
+        "trailing dot a@b.com.",
+    ]
+)
+
+
+@given(st.lists(_PII_FRAGMENTS, min_size=1, max_size=6))
+@settings(max_examples=5, deadline=None)
+def test_pii_regex_parity_with_duckdb(spark, fragments):
+    from cc2dataset_spark.functions.text import (
+        EMAIL_RE,
+        LONG_DIGITS_RE,
+        pattern_count,
+        pii_redact,
+    )
+
+    s = " ".join(fragments)
+    df = spark.createDataFrame([(s,)], ["s"])
+    row = df.select(
+        pattern_count("s", EMAIL_RE).alias("ne"),
+        pattern_count("s", LONG_DIGITS_RE).alias("nd"),
+        pii_redact("s").alias("red"),
+    ).first()
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT len(regexp_extract_all(?, ?)),"
+        " len(regexp_extract_all(?, ?)),"
+        " regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'), ?, '<NUM>', 'g')",
+        [s, EMAIL_RE, s, LONG_DIGITS_RE, s, EMAIL_RE, LONG_DIGITS_RE],
+    ).fetchone()
+    assert (row.ne, row.nd, row.red) == want, (s, (row.ne, row.nd, row.red), want)
