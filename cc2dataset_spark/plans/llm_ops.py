@@ -1,7 +1,8 @@
 """LLM-data-pipeline queries (north-star ops): text analysis, dedup
-family, similarity search, multimodal plumbing — each oracle-checked
-where SQL-expressible, rows-only otherwise (LSH/ANN approximations and
-binary payloads).
+family, similarity search, multimodal plumbing — ALL oracle-checked as
+of round 5: the LSH/ANN family via cross-engine md5 hashing + shared
+constants (functions/hashes.py), the multimodal stub chain via
+byte-level SQL replay of the deterministic fake decode.
 
 Float discipline: cosine/jaccard are computed with the same sequential
 double folds in both engines (verified bit-exact), and only rounded
@@ -730,10 +731,31 @@ def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stub", oracle=None, tags=("multimodal", "llm"))
+@query(
+    "multimodal_decode_stub",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                             ELSE 'webp' END AS format,
+             octet_length(encode(text)) AS h
+      FROM documents
+    )
+    SELECT doc_id, format, h AS n_bytes,
+           CAST(64 + h % 512 AS INT) AS width,
+           CAST(64 + (h * 7) % 512 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
+    FROM p
+    """,
+    tags=("multimodal", "llm"),
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas media decode (stubbed codec, production-shaped Arrow
-    batching and schema)."""
+    batching and schema). Oracle-backed: the stub's fake dimensions are
+    deterministic byte-length arithmetic the SQL replays — the REAL
+    codec path stays env-gated (operators/multimodal.py decode_stub
+    raises without a payload), but the Spark-side plumbing this query
+    exists to exercise is fully value-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.decode_media(MM.attach_binary_payload(docs))
 
@@ -826,13 +848,43 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_features", oracle=None, tags=("multimodal", "llm"))
+@query(
+    "multimodal_frame_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, substr(hex(encode(text)), 1, 32) AS hx
+      FROM documents WHERE doc_id < 200
+    ), b AS (
+      SELECT doc_id, UNNEST(range(1, len(hx) // 2 + 1)) AS i, hx FROM p
+    ), v AS (
+      SELECT doc_id,
+             ((strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+              + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) % 8 AS bucket
+      FROM b
+    ), hist AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM v GROUP BY 1, 2
+    ), n AS (
+      SELECT doc_id, SUM(c) AS total,
+             sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+      FROM hist GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(1 AS BIGINT) AS n_sampled_frames,
+           round(COALESCE(CAST(total AS DOUBLE) / nrm, 0.0), 6)
+             AS mean_feature_sum
+    FROM p LEFT JOIN n USING (doc_id)
+    """,
+    tags=("multimodal", "llm"),
+)
 def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal chain: attach binary payload -> decode (stub) ->
     sample frames (1->N mapInPandas) -> per-frame feature vectors ->
-    per-doc frame/feature stats. Rows-only (binary payloads aren't
-    SQL-comparable); determinism and batch-shape contracts are pinned
-    in tests/test_llm_ops.py."""
+    per-doc frame/feature stats. Oracle-backed since r5: the stub
+    decode makes every stage a deterministic function of payload bytes,
+    which the SQL replays via hex-string byte extraction (with the
+    fixture formats, each doc samples exactly one 16-byte frame whose
+    byte-histogram feature sum is total/||hist||). Batch-shape
+    contracts are additionally pinned in tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     wrapped = MM.attach_binary_payload(docs)
     decoded = MM.decode_media(wrapped)
