@@ -109,3 +109,37 @@ def test_ivf_plan_never_shuffles_corpus(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(corpus_id" not in plan, plan
     assert "hashpartitioning(list_id" not in plan, plan
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tpch_additions_plan_shapes(spark, sf_dir):
+    """The plan contracts that make q6/q10/q14 100 TB-safe: q6 pushes
+    every predicate to the parquet scan and reads only the 4 needed
+    columns; q10's top-20 plans as TakeOrderedAndProject (no global
+    sort) with nation broadcast; q14 broadcasts the part dimension
+    (the filtered fact side never shuffles for the join)."""
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    p6 = _formatted_plan(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p6 or "GreaterThanOrEqual(l_shipdate" in p6, p6
+    schema = p6.split("ReadSchema:")[1].splitlines()[0]
+    assert set(
+        c.split(":")[0]
+        for c in schema.strip().strip("struct<>").split(",")
+    ) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, schema
+
+    p10 = _formatted_plan(QUERIES["q10_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p10, p10
+    assert "BroadcastHashJoin" in p10, p10
+    assert "Sort" not in p10.split("TakeOrderedAndProject")[0], p10
+
+    p14 = _formatted_plan(QUERIES["q14_promo_effect"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p14, p14
+    assert "SortMergeJoin" not in p14, p14
