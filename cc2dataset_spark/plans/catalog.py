@@ -107,7 +107,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_simhash_topk",
     "knn_label_vote",
-    # LLM-ops: multimodal (+ decode stub rotated in r5, rows-only)
+    # LLM-ops: multimodal (stub chain fully oracle-backed late in r5 —
+    # the deterministic fake decode is byte-arithmetic SQL can replay)
     "multimodal_binary_stats",
     "multimodal_frame_features",
     "multimodal_decode_stub",

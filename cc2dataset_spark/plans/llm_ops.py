@@ -863,15 +863,26 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b
     ), hist AS (
       SELECT doc_id, bucket, COUNT(*) AS c FROM v GROUP BY 1, 2
-    ), n AS (
-      SELECT doc_id, SUM(c) AS total,
-             sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+    ), nrm AS (
+      SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
       FROM hist GROUP BY doc_id
+    ), n AS (
+      -- SEQUENTIAL fold of the per-bucket quotients in bucket order —
+      -- the same IEEE summation Spark's F.aggregate performs over the
+      -- normalized feature array (zero buckets add exactly 0.0, so
+      -- skipping them preserves the fold bit-for-bit); SUM(c)/nrm in
+      -- one division would differ by ULPs and violate the module's
+      -- float discipline
+      SELECT h.doc_id,
+             list_reduce(
+               list(CAST(h.c AS DOUBLE) / nrm.nrm ORDER BY h.bucket),
+               (a, b) -> a + b) AS fsum
+      FROM hist h JOIN nrm ON nrm.doc_id = h.doc_id
+      GROUP BY h.doc_id
     )
     SELECT p.doc_id,
            CAST(1 AS BIGINT) AS n_sampled_frames,
-           round(COALESCE(CAST(total AS DOUBLE) / nrm, 0.0), 6)
-             AS mean_feature_sum
+           round(COALESCE(fsum, 0.0), 6) AS mean_feature_sum
     FROM p LEFT JOIN n USING (doc_id)
     """,
     tags=("multimodal", "llm"),
@@ -1048,6 +1059,31 @@ def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components_closure_sql(pairs_cte: str) -> str:
+    """Transitive-closure + min-survivor tail shared by both
+    cluster-survivor oracles: symmetrize ``pairs_cte(id_a, id_b)``,
+    walk reachability recursively, label each node with its MIN
+    reachable id, and emit every document (singletons survive as their
+    own component)."""
+    return f""", edges AS (
+      SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
+      UNION ALL
+      SELECT id_b, id_a FROM {pairs_cte}
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ), comp AS (
+      SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(comp.component, d.doc_id) AS component_id,
+           d.doc_id = COALESCE(comp.component, d.doc_id) AS is_survivor
+    FROM documents d
+    LEFT JOIN comp ON comp.id = d.doc_id
+    """
+
+
 @query(
     "dedup_cluster_survivors",
     oracle=r"""
@@ -1076,23 +1112,8 @@ def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION ALL
-      SELECT id_b, id_a FROM pairs
-    ), reach(id, r) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-    ), comp AS (
-      SELECT id, MIN(r) AS component FROM reach GROUP BY id
-    )
-    SELECT d.doc_id,
-           COALESCE(comp.component, d.doc_id) AS component_id,
-           d.doc_id = COALESCE(comp.component, d.doc_id) AS is_survivor
-    FROM documents d
-    LEFT JOIN comp ON comp.id = d.doc_id
-    """,
+    )"""
+    + _components_closure_sql("pairs"),
     tags=("dedup", "llm", "graph"),
 )
 def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,23 +1135,7 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_survivors_lsh",
     oracle="WITH RECURSIVE "
     + _minhash_ctes()
-    + r""", edges AS (
-      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
-      UNION ALL
-      SELECT id_b, id_a FROM lsh_pairs
-    ), reach(id, r) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-    ), comp AS (
-      SELECT id, MIN(r) AS component FROM reach GROUP BY id
-    )
-    SELECT d.doc_id,
-           COALESCE(comp.component, d.doc_id) AS component_id,
-           d.doc_id = COALESCE(comp.component, d.doc_id) AS is_survivor
-    FROM documents d
-    LEFT JOIN comp ON comp.id = d.doc_id
-    """,
+    + _components_closure_sql("lsh_pairs"),
     tags=("dedup", "llm", "graph", "lsh"),
 )
 def dedup_cluster_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

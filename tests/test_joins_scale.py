@@ -15,6 +15,13 @@ from cc2dataset_spark.operators.joins import (
 from cc2dataset_spark.sources.tables import load_table
 
 
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, sf_dir, "orders").select(
@@ -39,10 +46,7 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = bucketed_join(spark, "li_b", "o_b", "l_orderkey")
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            j.explain("formatted")
-        plan = buf.getvalue()
+        plan = _formatted_plan(j)
         assert "Exchange" not in plan, plan
         assert j.count() == li.join(o, "l_orderkey").count()
     finally:
@@ -102,20 +106,10 @@ def test_ivf_plan_never_shuffles_corpus(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
     df = SIM.ivf_topk(q, emb, k=3)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    plan = buf.getvalue()
+    plan = _formatted_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(corpus_id" not in plan, plan
     assert "hashpartitioning(list_id" not in plan, plan
-
-
-def _formatted_plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def test_tpch_additions_plan_shapes(spark, sf_dir):
@@ -129,11 +123,13 @@ def test_tpch_additions_plan_shapes(spark, sf_dir):
     _load_all()
     p6 = _formatted_plan(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in p6 or "GreaterThanOrEqual(l_shipdate" in p6, p6
-    schema = p6.split("ReadSchema:")[1].splitlines()[0]
-    assert set(
-        c.split(":")[0]
-        for c in schema.strip().strip("struct<>").split(",")
-    ) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, schema
+    schema = p6.split("ReadSchema:")[1].splitlines()[0].strip()
+    # each top-level column contributes exactly one "name:" marker
+    # (type parameters like decimal(15,2) carry no colon), so this
+    # holds for any scalar column types the fixture may use
+    expected = {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+    assert all(f"{c}:" in schema for c in expected), schema
+    assert schema.count(":") == len(expected), schema
 
     p10 = _formatted_plan(QUERIES["q10_returned_items"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in p10, p10
