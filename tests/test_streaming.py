@@ -80,3 +80,38 @@ def test_streaming_dedup_batch_degradation(spark, sf_dir):
     out = streaming_dedup(events, keys=["user_id"])
     assert not out.isStreaming
     assert out.count() == events.select("user_id").distinct().count()
+
+
+def test_streaming_pii_scrub_equals_batch(spark, sf_dir):
+    """Stateless curation ops are stream-reusable verbatim: the PII
+    count/redact projection over a file-source document stream must
+    produce exactly the batch answer (no watermark needed — no state)."""
+    from cc2dataset_spark.functions.text import (
+        EMAIL_RE,
+        LONG_DIGITS_RE,
+        pattern_count,
+        pii_redact,
+    )
+
+    def scrub(df):
+        return df.select(
+            "doc_id",
+            pattern_count("text", EMAIL_RE).alias("n_emails"),
+            pattern_count("text", LONG_DIGITS_RE).alias("n_digit_runs"),
+            F.md5(pii_redact("text")).alias("redacted_md5"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {tuple(r) for r in scrub(docs).collect()}
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = scrub(stream)
+    assert out.isStreaming
+    _run_to_memory(out, "t_pii", "append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_pii").collect()}
+    assert got == batch
