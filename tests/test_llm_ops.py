@@ -299,3 +299,70 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     for doc_id, n in got.items():
         assert doc_id % 7 == 0
         assert n == 1 + doc_id % 5, (doc_id, n)
+
+
+def test_twophase_components_match_union_find(spark):
+    """Large-star/small-star must agree with union-find on random
+    graphs AND on the long-path shape that defeats bounded-round
+    propagation."""
+    import random
+
+    from cc2dataset_spark.operators.components import (
+        connected_components_twophase,
+    )
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(7)
+    cases = [
+        [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(50)],
+        [(i, i + 1) for i in range(64)],  # path: diameter 64
+        [(0, i) for i in range(1, 20)]
+        + [(100 + i, 101 + i) for i in range(10)],
+    ]
+    for edges in cases:
+        want = union_find(edges)
+        non_self = {
+            k
+            for a, b in edges
+            if a != b
+            for k in (a, b)
+        }
+        want = {k: v for k, v in want.items() if k in non_self}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.id: r.component
+            for r in connected_components_twophase(df).collect()
+        }
+        assert got == want
+
+
+def test_propagation_raises_instead_of_mislabeling_long_paths(spark):
+    """A component with diameter > max_iter must fail loudly — bounded
+    propagation previously returned silently wrong labels there."""
+    import pytest as _pytest
+
+    from cc2dataset_spark.operators.components import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=10)
+    # and the correct escape hatches both work
+    ok = connected_components(path, max_iter=70)
+    assert {r.component for r in ok.collect()} == {0}
