@@ -1154,6 +1154,38 @@ def dedup_cluster_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")
 
 
+@query(
+    "dedup_cluster_twophase",
+    oracle="WITH RECURSIVE "
+    + _minhash_ctes()
+    + _components_closure_sql("lsh_pairs"),
+    tags=("dedup", "llm", "graph", "lsh"),
+)
+def dedup_cluster_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup decision as dedup_cluster_survivors_lsh, computed
+    with the large-star/small-star contraction instead of min-label
+    propagation — the variant whose round count is O(log^2 n) in
+    component size rather than O(diameter). Identical oracle: the
+    component labeling is algorithm-independent, so the driver row
+    proves the two implementations agree on real LSH edges."""
+    from cc2dataset_spark.operators.components import (
+        connected_components_twophase,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ND.minhash_neardup_pairs(docs, threshold=0.5)
+    comp = connected_components_twophase(pairs.select("id_a", "id_b"))
+    return (
+        docs.select(F.col("doc_id"))
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce("component", docs["doc_id"]).alias("component_id"),
+        )
+        .withColumn("is_survivor", F.col("doc_id") == F.col("component_id"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Curation: PII scrubbing + benchmark decontamination
 # --------------------------------------------------------------------------
