@@ -367,3 +367,97 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "agg", "tpch", "disjunction"),
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Catalyst splits the disjunction: the single-side conjuncts common
+    to every branch (none here) push to the scans, the cross-side
+    residue evaluates post-join — and the part side still broadcasts,
+    so the disjunction never forces a shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (
+        lambda brand, max_size, qlo, qhi: (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, max_size)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        j.where(
+            branch("Brand#12", 15, 1, 11)
+            | branch("Brand#23", 25, 10, 20)
+            | branch("Brand#34", 35, 20, 30)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+    WITH threshold AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("agg", "subquery", "anti", "tpch"),
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-global-average balances with no RECENT
+    orders — a scalar aggregate subquery (broadcast as a 1-row literal
+    join by Catalyst) feeding a left-anti join, then a tiny-domain
+    group-by. Dormancy is "no order since 1999" because the fixture has
+    no fully order-less customers, which would make the classic form a
+    0-row (evidence-free) check. The threshold divides an exact decimal
+    sum by an exact count, so the comparison boundary is bit-identical
+    across engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg((dsum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal"))
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
