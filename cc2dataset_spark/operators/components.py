@@ -73,6 +73,7 @@ def connected_components(
     # optimizer/codegen time dominates the actual joins.
     labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
 
+    changed = -1  # -1 = loop never ran (max_iter <= 0)
     for _ in range(max_iter):
         nbr_min = (
             both.join(labels, both.src == labels.id)
@@ -117,12 +118,16 @@ def cluster_survivors(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    components_fn=None,
 ) -> DataFrame:
     """Every row of ``universe`` labeled with its near-dup component
     (singletons form their own) and the deterministic survivor flag
     (component representative = min id). This is the complete dedup
-    decision: keep rows where is_survivor."""
-    comp = connected_components(edges, id_a, id_b)
+    decision: keep rows where is_survivor. ``components_fn`` swaps the
+    clustering algorithm (default min-label propagation; pass
+    :func:`connected_components_twophase` for long-path graphs) —
+    the labeling contract is identical."""
+    comp = (components_fn or connected_components)(edges, id_a, id_b)
     return (
         universe.select(F.col(id_col))
         .join(comp, universe[id_col] == comp["id"], "left")
@@ -147,16 +152,19 @@ def connected_components_twophase(
 
     Use this variant when components can be long paths (link graphs,
     follow chains); for dense near-dup clusters (diameter 2-3) plain
-    propagation does fewer shuffles per round and wins. Same output
-    contract as :func:`connected_components`: (id, component) with
-    component == min reachable id.
+    propagation does fewer shuffles per round and wins. Output contract
+    matches :func:`connected_components` — (id, component) with
+    component == min reachable id — for every node incident to a real
+    (non-self-loop) edge; nodes appearing ONLY in self-loop edges are
+    dropped here, so route universe labeling through
+    :func:`cluster_survivors`, which coalesces absent nodes to their
+    own id. Raises on non-convergence like the propagation variant.
 
     Each phase is one groupBy (neighborhood min) + one join — the same
     keyed-shuffle shape as propagation; the edge set it rewrites stays
     bounded by the input size (stars only ever re-point edges at
     component minima).
     """
-    from pyspark.storagelevel import StorageLevel
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.select(F.col("a"), F.col("b")).union(
@@ -187,8 +195,13 @@ def connected_components_twophase(
         .distinct()
         .localCheckpoint()
     )
+    changed = -1  # -1 = loop never ran (max_iter <= 0)
     for _ in range(max_iter):
-        after_large = _star(_sym(cur), large=True)
+        # checkpoint between the two phases as well: _sym references
+        # its input twice and _star another twice, so an unmaterialized
+        # large-star output would recompute its shuffle ~4x inside the
+        # small-star pass
+        after_large = _star(_sym(cur), large=True).localCheckpoint()
         after_small = _star(_sym(after_large), large=False).localCheckpoint()
         # converged when the (set-valued) edge relation stopped changing
         changed = (
@@ -196,11 +209,13 @@ def connected_components_twophase(
         )
         cur = after_small
         if changed == 0:
-            break
-    # at convergence every edge points a node at its component root
-    labels = _sym(cur).groupBy(F.col("a").alias("id")).agg(
-        F.least(F.min("b"), F.first("a")).alias("component")
-    )
-    return labels.select(
-        "id", F.least(F.col("id"), F.col("component")).alias("component")
+            # at convergence every edge points a node at its component
+            # root: label = min(neighborhood ∪ self)
+            return _sym(cur).groupBy(F.col("a").alias("id")).agg(
+                F.least(F.min("b"), F.first("a")).alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components_twophase did not converge in {max_iter} "
+        f"rounds ({changed} edge changes in the last round); raise "
+        "max_iter — the alternating contraction needs O(log^2 n) rounds."
     )

@@ -1169,20 +1169,17 @@ def dedup_cluster_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     component labeling is algorithm-independent, so the driver row
     proves the two implementations agree on real LSH edges."""
     from cc2dataset_spark.operators.components import (
+        cluster_survivors,
         connected_components_twophase,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ND.minhash_neardup_pairs(docs, threshold=0.5)
-    comp = connected_components_twophase(pairs.select("id_a", "id_b"))
-    return (
-        docs.select(F.col("doc_id"))
-        .join(comp, docs["doc_id"] == comp["id"], "left")
-        .select(
-            docs["doc_id"],
-            F.coalesce("component", docs["doc_id"]).alias("component_id"),
-        )
-        .withColumn("is_survivor", F.col("doc_id") == F.col("component_id"))
+    return cluster_survivors(
+        docs,
+        pairs.select("id_a", "id_b"),
+        "doc_id",
+        components_fn=connected_components_twophase,
     )
 
 

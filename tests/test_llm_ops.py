@@ -366,3 +366,19 @@ def test_propagation_raises_instead_of_mislabeling_long_paths(spark):
     # and the correct escape hatches both work
     ok = connected_components(path, max_iter=70)
     assert {r.component for r in ok.collect()} == {0}
+
+
+def test_twophase_raises_instead_of_partial_contraction(spark):
+    """Exhausting the round budget mid-contraction must fail loudly,
+    mirroring the propagation variant's contract."""
+    import pytest as _pytest
+
+    from cc2dataset_spark.operators.components import (
+        connected_components_twophase,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_twophase(path, max_iter=1)
