@@ -76,7 +76,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cc_extract_image_wat",
     # LLM-ops: text analysis / curation
     "text_token_stats",
-    "text_quality_scores",
     "text_lang_id",
     "curate_quality_filter",
     "top_tokens_per_lang",
@@ -100,8 +99,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_embeddings",
     "dedup_cluster_survivors",
     # new in r5: the end-to-end LSH dedup decision (took the
-    # r1+r4-green join_range_shipments slot)
+    # r1+r4-green join_range_shipments slot) + the two-phase
+    # contraction twin (took the r1+r4-green udaf_user_trend slot;
+    # agg_regr_trend keeps the trend-agg family in-window)
     "dedup_cluster_survivors_lsh",
+    "dedup_cluster_twophase",
     # LLM-ops: similarity search (ivf/simhash oracle-backed since r5)
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -125,19 +127,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof_union_last_order",
     "join_asof_last_order",
     # new in r5: TPC-H widening (pushdown probe, fact-fact top-k,
-    # broadcast-dim ratio)
+    # broadcast-dim ratio, OR-of-ANDs join, scalar-threshold + anti —
+    # the last two took the r1+r4-green q3_shipping_priority and
+    # text_quality_scores slots)
     "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_effect",
+    "q19_discounted_revenue",
+    "q22_dormant_rich_customers",
     # one representative per remaining §2 family
     "grouping_sets_geo",
-    "q3_shipping_priority",
     "q4_order_priority_exists",
     "window_topk_orders_per_cust",
     "window_range_frame_1h",
     "window_percent_cume",
     "setop_multiset_suppliers",
-    "udaf_user_trend",
 )
 
 
