@@ -199,6 +199,7 @@ def _load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
     )
 
     _LOADED = True
