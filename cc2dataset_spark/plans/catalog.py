@@ -123,9 +123,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     # new in r5: JVM regr_slope twin of the pandas UDAF
     "agg_regr_trend",
-    # as-of joins: linear scale path + candidate+max_by twin
+    # as-of joins: linear scale path (the candidate+max_by twin
+    # join_asof_last_order was green in r1+r4; rotated out late in r5
+    # for q8_market_share)
     "join_asof_union_last_order",
-    "join_asof_last_order",
+    "q8_market_share",
     # new in r5: TPC-H widening (pushdown probe, fact-fact top-k,
     # broadcast-dim ratio, OR-of-ANDs join, scalar-threshold + anti —
     # the last two took the r1+r4-green q3_shipping_priority and
@@ -135,10 +137,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q14_promo_effect",
     "q19_discounted_revenue",
     "q22_dormant_rich_customers",
-    # one representative per remaining §2 family
-    "grouping_sets_geo",
+    # one representative per remaining §2 family (late-r5 rotation:
+    # grouping_sets_geo and window_topk_orders_per_cust, both green in
+    # r1 AND r4, ceded their slots to the never-driver-checked
+    # q17_small_quantity_revenue and q21_waiting_suppliers)
+    "q17_small_quantity_revenue",
     "q4_order_priority_exists",
-    "window_topk_orders_per_cust",
+    "q21_waiting_suppliers",
     "window_range_frame_1h",
     "window_percent_cume",
     "setop_multiset_suppliers",
@@ -196,6 +201,7 @@ def _load_all() -> None:
     except ImportError:
         pass
     from cc2dataset_spark.plans import (  # noqa: F401
+        curation,
         relational,
         relational2,
         relational3,
