@@ -1,0 +1,230 @@
+"""Corpus-level curation operators, part 2 (north-star extension; no
+reference implementation — the reference stops at URL-level dedup,
+/root/reference/cc2dataset/main.py:256): TF-IDF salience, intra-document
+repetition signals (the Gopher/MassiveText quality-filter family), and
+deterministic language-mix rebalancing (static data-mixing weights).
+
+All three are pure DataFrame plans over the ``documents`` table:
+explode -> keyed aggregate -> (broadcast) join back, with every
+membership- or ordering-deciding number either integer-exact or rounded
+to 6 decimals after identical double arithmetic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.functions import text as T
+from cc2dataset_spark.functions.hashes import md5_mod
+from cc2dataset_spark.plans.catalog import query
+from cc2dataset_spark.sources.tables import load_table
+
+_DUCK_TOKENS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * round(ln((n.n_docs + 1.0) / (df.df_docs + 1.0)) + 1.0,
+                                 6), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term, n
+    )
+    SELECT doc_id, term, tf, tfidf, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("text", "llm", "curation", "tfidf"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Plan: one explode pass, a
+    (doc, term) aggregate, a term-keyed document-frequency aggregate
+    that broadcasts back onto it (vocabulary << corpus at any scale),
+    and a per-doc WindowGroupLimit for the top-k — no global sort.
+    The idf is rounded to 6 decimals BEFORE the tf multiply so libm
+    ulp differences between the JVM and DuckDB cannot flip the
+    ranking; ties break on the term string."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_docs = tf.groupBy("term").agg(F.count("*").alias("df_docs")).withColumnRenamed(
+        "term", "df_term"
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + 1.0) / (F.col("df_docs") + 1.0)) + 1.0, 6
+    )
+    scored = (
+        tf.join(F.broadcast(df_docs), tf.term == F.col("df_term"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )
+
+
+@query(
+    "curate_repetition_flags",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS n FROM tok GROUP BY doc_id, term
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_unique,
+             CAST(MAX(n) AS BIGINT) AS top_count
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_unique,
+           round(1.0 - CAST(n_unique AS DOUBLE) / n_tokens, 6) AS dup_frac,
+           round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_share,
+           (CAST(top_count AS DOUBLE) / n_tokens > 0.1) AS flagged
+    FROM per_doc
+    """,
+    tags=("text", "llm", "curation", "quality"),
+)
+def curate_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-family quality
+    rule: excessive duplicate tokens / one dominant token => likely
+    boilerplate or spam). One explode + one (doc, term) aggregate +
+    one doc aggregate — the flag threshold compares a ratio of exact
+    integers, so it is engine-stable without rounding tricks."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+        F.max("n").alias("top_count"),
+    )
+    top_share = F.col("top_count").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.round(
+            1.0 - F.col("n_unique").cast("double") / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
+        F.round(top_share, 6).alias("top_share"),
+        (top_share > 0.1).alias("flagged"),
+    )
+
+
+# Target language mix (static data-mixing weights). en is deliberately
+# under target and zh over, so both the capped (rate=1) and subsampled
+# branches execute on the fixture.
+_MIX_WEIGHTS = {"en": 0.30, "de": 0.15, "fr": 0.10, "es": 0.15, "zh": 0.30}
+_MIX_MOD = 1_000_000
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE lang {arms} ELSE 0.0 END"
+
+
+@query(
+    "curate_mix_languages",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), t AS (
+      SELECT COUNT(*) AS n_total FROM documents
+    ), r AS (
+      SELECT lang, n_docs,
+             CAST(least(1.0, {_mix_case_sql()} * n_total / n_docs)
+                  * {_MIX_MOD} AS BIGINT) AS thresh
+      FROM c, t
+    )
+    SELECT d.lang,
+           r.n_docs,
+           CAST(r.thresh AS DOUBLE) / {_MIX_MOD} AS sample_rate,
+           SUM(CASE WHEN md5_number_lower('mix:' || CAST(d.doc_id AS VARCHAR))
+                         % {_MIX_MOD} < r.thresh
+                    THEN 1 ELSE 0 END) AS n_sampled
+    FROM documents d JOIN r ON d.lang = r.lang
+    GROUP BY d.lang, r.n_docs, r.thresh
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def curate_mix_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-mix rebalancing: given target corpus
+    weights, subsample each over-represented language with a
+    content-hash Bernoulli gate (md5 of the doc id — reproducible
+    across runs, engines, and partitionings; no RNG state). Plan: a
+    tiny per-lang aggregate + 1-row total broadcast back onto the
+    corpus, one map-side hash comparison per row, one final per-lang
+    aggregate — the corpus itself is never shuffled wide at scale.
+    The integer threshold ``floor(rate * 1e6)`` is the shared
+    decision boundary, so both engines cut the hash space
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("lang").alias("r_lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    weight = F.element_at(
+        F.create_map(
+            *[x for k, v in sorted(_MIX_WEIGHTS.items()) for x in (F.lit(k), F.lit(v))]
+        ),
+        F.col("r_lang"),
+    )
+    weight = F.coalesce(weight, F.lit(0.0))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "r_lang",
+        "n_docs",
+        (
+            F.least(F.lit(1.0), weight * F.col("n_total") / F.col("n_docs"))
+            * _MIX_MOD
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    accepted = (
+        md5_mod(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), _MIX_MOD)
+        < F.col("thresh")
+    )
+    return (
+        docs.join(F.broadcast(rates), docs.lang == F.col("r_lang"))
+        .groupBy("lang", "n_docs", "thresh")
+        .agg(F.sum(F.when(accepted, 1).otherwise(0)).alias("n_sampled"))
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("thresh").cast("double") / _MIX_MOD).alias("sample_rate"),
+            "n_sampled",
+        )
+    )
