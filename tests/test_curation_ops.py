@@ -1,0 +1,99 @@
+"""Crafted-input unit tests for the late-r5 curation operators
+(plans/curation.py) — edge cases the fixture oracle run can't isolate:
+rank determinism under idf rounding, integer-exact repetition
+thresholds, and the hash-gate invariants of language-mix rebalancing.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.functions.hashes import md5_mod
+from cc2dataset_spark.plans.curation import (
+    _MIX_MOD,
+    _MIX_WEIGHTS,
+    curate_mix_languages,
+    curate_repetition_flags,
+    text_tfidf_topterms,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def _with_docs(monkeypatch, df):
+    """Route plans.curation's load_table at our crafted frame."""
+    import cc2dataset_spark.plans.curation as cur
+
+    monkeypatch.setattr(cur, "load_table", lambda spark, sf_dir, name: df)
+
+
+def test_tfidf_rare_term_outranks_ubiquitous(spark, monkeypatch):
+    rows = [
+        (1, "alpha alpha alpha common", "en", "s", 0),
+        (2, "common beta", "en", "s", 0),
+        (3, "common gamma", "en", "s", 0),
+        (4, "common delta", "en", "s", 0),
+    ]
+    _with_docs(monkeypatch, _docs(spark, rows))
+    out = text_tfidf_topterms(spark, "unused")
+    top = {r.doc_id: r.term for r in out.where("rnk = 1").collect()}
+    # 'common' appears in every doc -> idf floor; each doc's distinctive
+    # term must win rank 1
+    assert top == {1: "alpha", 2: "beta", 3: "gamma", 4: "delta"}
+    # exactly min(3, n_distinct_terms) rows per doc
+    counts = {r.doc_id: r.n for r in out.groupBy("doc_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_repetition_flags_exact_boundaries(spark, monkeypatch):
+    rows = [
+        (1, "x x x x x x x x x y", "en", "s", 0),  # top_share 0.9 -> flagged
+        (2, "a b c d e f g h i j", "en", "s", 0),  # all unique -> clean
+        (3, "", "en", "s", 0),  # no tokens -> dropped (no explode rows)
+    ]
+    _with_docs(monkeypatch, _docs(spark, rows))
+    got = {r.doc_id: r for r in curate_repetition_flags(spark, "unused").collect()}
+    assert set(got) == {1, 2}
+    assert got[1].flagged and got[1].top_share == 0.9 and got[1].dup_frac == 0.8
+    assert not got[2].flagged and got[2].dup_frac == 0.0
+    assert got[2].top_share == pytest.approx(0.1)
+    # 0.1 is NOT > 0.1: the all-unique 10-token doc sits exactly on the
+    # boundary and must stay clean
+
+
+def test_mix_languages_rates_and_caps(spark, monkeypatch):
+    # 8 en docs vs target weight 0.30 of 10 -> rate 3/8; 2 zh docs vs
+    # 0.30 of 10 -> rate capped at 1.0 (all kept)
+    rows = [(i, "t", "en", "s", 0) for i in range(8)] + [
+        (100, "t", "zh", "s", 0),
+        (101, "t", "zh", "s", 0),
+    ]
+    _with_docs(monkeypatch, _docs(spark, rows))
+    got = {r.lang: r for r in curate_mix_languages(spark, "unused").collect()}
+    assert got["zh"].sample_rate == 1.0 and got["zh"].n_sampled == 2
+    expected_rate = int(min(1.0, _MIX_WEIGHTS["en"] * 10 / 8) * _MIX_MOD) / _MIX_MOD
+    assert got["en"].sample_rate == expected_rate
+    # the gate is a per-doc md5 threshold: replay it manually
+    thresh = int(min(1.0, _MIX_WEIGHTS["en"] * 10 / 8) * _MIX_MOD)
+    manual = (
+        _docs(spark, rows)
+        .where(F.col("lang") == "en")
+        .where(
+            md5_mod(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), _MIX_MOD)
+            < F.lit(thresh)
+        )
+        .count()
+    )
+    assert got["en"].n_sampled == manual
+
+
+def test_mix_languages_is_rerun_deterministic(spark, monkeypatch):
+    rows = [(i, "t", "en", "s", 0) for i in range(50)]
+    _with_docs(monkeypatch, _docs(spark, rows))
+    a = sorted(map(tuple, curate_mix_languages(spark, "unused").collect()))
+    b = sorted(map(tuple, curate_mix_languages(spark, "unused").collect()))
+    assert a == b
