@@ -139,3 +139,53 @@ def test_tpch_additions_plan_shapes(spark, sf_dir):
     p14 = _formatted_plan(QUERIES["q14_promo_effect"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p14, p14
     assert "SortMergeJoin" not in p14, p14
+
+
+def test_late_r5_tpch_plan_shapes(spark, sf_dir):
+    """Plan contracts for the late-r5 TPC-H widening: every dimension
+    join broadcasts (no SortMergeJoin anywhere in the star queries),
+    selective predicates reach the scans, and both top-k queries plan
+    as TakeOrderedAndProject rather than a global sort."""
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+
+    p8 = _formatted_plan(QUERIES["q8_market_share"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in p8, p8
+    assert "EqualTo(p_type,STANDARD)" in p8, p8
+
+    p16 = _formatted_plan(QUERIES["q16_supplier_part_counts"].fn(spark, sf_dir))
+    # the NOT-IN blacklist must be a broadcast ANTI join, and the
+    # IN-list size predicate must push to the part scan
+    assert "LeftAnti" in p16 and "BroadcastHashJoin" in p16, p16
+    assert "In(p_size, [" in p16, p16  # IN-list pushed (order lexicographic)
+
+    p17 = _formatted_plan(
+        QUERIES["q17_small_quantity_revenue"].fn(spark, sf_dir)
+    )
+    # brand restriction rides a broadcast semi-join; the per-part
+    # average and the rejoin share the l_partkey shuffle key
+    assert "LeftSemi" in p17 and "BroadcastHashJoin" in p17, p17
+
+    p21 = _formatted_plan(QUERIES["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p21, p21
+    assert "SortMergeJoin" not in p21, p21
+
+
+def test_curation_ops_plan_shapes(spark, sf_dir):
+    """Scale contracts for plans/curation.py: the TF-IDF top-k is a
+    WindowGroupLimit (per-group early pruning, no global sort); the
+    mix sampler never shuffles the corpus — its only exchanges are the
+    tiny per-lang aggregate and broadcasts back onto a map-side gate."""
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+
+    ptf = _formatted_plan(QUERIES["text_tfidf_topterms"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in ptf, ptf
+    assert "BroadcastHashJoin" in ptf, ptf
+
+    pmix = _formatted_plan(QUERIES["curate_mix_languages"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in pmix, pmix
+    # corpus rows are gated map-side: no repartitioning keyed on doc_id
+    assert "hashpartitioning(doc_id" not in pmix, pmix
