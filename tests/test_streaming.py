@@ -115,3 +115,58 @@ def test_streaming_pii_scrub_equals_batch(spark, sf_dir):
     _run_to_memory(out, "t_pii", "append")
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_pii").collect()}
     assert got == batch
+
+
+def test_streaming_mix_gate_equals_batch(spark, sf_dir):
+    """Continuous curation: a static language-mix policy (per-lang
+    hash thresholds computed once on the reference corpus) gates a
+    document STREAM via a stream-static broadcast join + map-side md5
+    comparison — the deterministic-sampling twin of the batch
+    curate_mix_languages decision. The set of accepted doc_ids must be
+    identical to applying the same gate in batch (no RNG, no state)."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+    from cc2dataset_spark.plans.curation import _MIX_MOD, _MIX_WEIGHTS
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.col("lang").alias("r_lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+    n_total = docs.count()
+    weight = F.create_map(
+        *[x for k, v in sorted(_MIX_WEIGHTS.items()) for x in (F.lit(k), F.lit(v))]
+    )[F.col("r_lang")]
+    rates = counts.select(
+        "r_lang",
+        (
+            F.least(F.lit(1.0), F.coalesce(weight, F.lit(0.0)) * n_total / F.col("n_docs"))
+            * _MIX_MOD
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+
+    def gate(df):
+        return (
+            df.join(F.broadcast(rates), df.lang == F.col("r_lang"))
+            .where(
+                md5_mod(
+                    F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), _MIX_MOD
+                )
+                < F.col("thresh")
+            )
+            .select("doc_id", "lang")
+        )
+
+    batch = {tuple(r) for r in gate(docs).collect()}
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = gate(stream)
+    assert out.isStreaming
+    _run_to_memory(out, "t_mixgate", "append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_mixgate").collect()}
+    assert got == batch and len(got) > 0
