@@ -287,3 +287,65 @@ def knn_label_vote(
         ),
         F.max("votes").alias("top_votes"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_lists: int = 16,
+    n_assign: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, find near-duplicate
+    pairs ONLY within each cluster, then keep one survivor per
+    connected component. The clustering bounds the quadratic pair
+    search to ~ (n_assign*corpus/n_lists)^2 per list instead of
+    corpus^2 — the reason the recipe scales where all-pairs cosine
+    (operators/neardup.embedding_cosine_pairs) cannot.
+
+    ``n_assign > 1`` soft-assigns each vector to its top-n_assign
+    lists (overlapping clusters), trading candidate volume for recall
+    of near-dup pairs that straddle a cluster boundary; the candidate
+    reduction factor vs all-pairs is ~ n_assign^2 / n_lists, so size
+    n_lists >> n_assign^2 at scale (SemDeDup used ~100k hard clusters
+    for LAION; the fixture query uses 8x3 because its planted
+    near-dups sit at cosine ~0.35-0.5, far looser than real semantic
+    duplicates, and spread across any small clustering).
+
+    Scale shape: centroids are the deterministic md5-hash seed sample
+    (driver-side, n_lists x dim — an index fit); list assignment is a
+    narrow Arrow-batched top-m (corpus never shuffles for it); the
+    within-list pair join shuffles keyed on list_id once; survivors
+    come from operators/components.cluster_survivors (keyed-join
+    label propagation). Fully deterministic: hash-sampled centroids,
+    stable lowest-list tie-break, cosine rounded to 6 before the
+    threshold, min-id survivor.
+    """
+    from cc2dataset_spark.operators.components import cluster_survivors
+
+    v = corpus.select(
+        F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
+    )
+    c = _seed_centroids(v, n_lists)
+    assigned = v.select(
+        "cid",
+        "cv",
+        F.explode(_top_lists_udf(c, n_assign)(F.col("cv"))).alias("list_id"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.cid") < F.col("b.cid")),
+        )
+        .where(
+            F.round(cosine_similarity(F.col("a.cv"), F.col("b.cv")), 6)
+            >= threshold
+        )
+        .select(F.col("a.cid").alias("id_a"), F.col("b.cid").alias("id_b"))
+        .distinct()
+    )
+    return cluster_survivors(corpus, pairs, id_col)

@@ -119,7 +119,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sliding_10m_5m",
     "events_session_30m",
     "events_followup_pairs_10m",
-    "array_ops_embeddings",
+    # late-r5 rotation: SemDeDup (embedding-cluster dedup) takes the
+    # slot of array_ops_embeddings, green in both r2 and r4
+    "dedup_semantic_clusters",
     "agg_approx_distinct",
     # new in r5: JVM regr_slope twin of the pandas UDAF
     "agg_regr_trend",

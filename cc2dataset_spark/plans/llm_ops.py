@@ -1059,12 +1059,14 @@ def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_closure_sql(pairs_cte: str) -> str:
-    """Transitive-closure + min-survivor tail shared by both
+def _components_closure_sql(
+    pairs_cte: str, universe: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """Transitive-closure + min-survivor tail shared by the
     cluster-survivor oracles: symmetrize ``pairs_cte(id_a, id_b)``,
     walk reachability recursively, label each node with its MIN
-    reachable id, and emit every document (singletons survive as their
-    own component)."""
+    reachable id, and emit every row of ``universe`` (singletons
+    survive as their own component)."""
     return f""", edges AS (
       SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
       UNION ALL
@@ -1076,11 +1078,11 @@ def _components_closure_sql(pairs_cte: str) -> str:
     ), comp AS (
       SELECT id, MIN(r) AS component FROM reach GROUP BY id
     )
-    SELECT d.doc_id,
-           COALESCE(comp.component, d.doc_id) AS component_id,
-           d.doc_id = COALESCE(comp.component, d.doc_id) AS is_survivor
-    FROM documents d
-    LEFT JOIN comp ON comp.id = d.doc_id
+    SELECT d.{id_col},
+           COALESCE(comp.component, d.{id_col}) AS component_id,
+           d.{id_col} = COALESCE(comp.component, d.{id_col}) AS is_survivor
+    FROM {universe} d
+    LEFT JOIN comp ON comp.id = d.{id_col}
     """
 
 
@@ -1181,6 +1183,67 @@ def dedup_cluster_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         components_fn=connected_components_twophase,
     )
+
+
+def _semdedup_oracle(
+    threshold: float = 0.35, n_lists: int = 8, n_assign: int = 3
+) -> str:
+    """DuckDB replay of the full SemDeDup chain: the md5-hash centroid
+    seed and top-n_assign list assignment are verbatim from _ivf_oracle
+    (assignment boundaries sit >= 3e-5 above the runner-up on the
+    fixture, so cross-engine float noise cannot flip them), the
+    within-list pair threshold compares round-6 cosines (DISTINCT
+    because a pair can co-occur in several shared lists), and the
+    closure tail labels the embeddings universe."""
+    a_cos = _COS.format(a="e.embedding", b="ct.embedding")
+    p_cos = _COS.format(a="a.cv", b="b.cv")
+    return (
+        f"""
+    WITH RECURSIVE cent AS (
+      SELECT embedding, ROW_NUMBER() OVER (
+               ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS list_id
+      FROM embeddings
+      QUALIFY list_id <= {n_lists}
+    ), assigned AS (
+      SELECT vec_id AS corpus_id, cv, list_id FROM (
+        SELECT e.vec_id, e.embedding AS cv, ct.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {a_cos} DESC, ct.list_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent ct
+      ) WHERE rn <= {n_assign}
+    ), pairs AS (
+      SELECT DISTINCT a.corpus_id AS id_a, b.corpus_id AS id_b
+      FROM assigned a
+      JOIN assigned b ON a.list_id = b.list_id AND a.corpus_id < b.corpus_id
+      WHERE round({p_cos}, 6) >= {threshold}
+    )"""
+        + _components_closure_sql("pairs", universe="embeddings", id_col="vec_id")
+    )
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "llm", "vector", "graph"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space clustering bounds
+    the quadratic cosine pair search to within-cluster candidates, then
+    connected components + min-id survivor make the dedup decision.
+    The cluster-scale path of the embedding dedup family: all-pairs
+    cosine (dedup_embedding_cosine) is the exact oracle twin, SimHash
+    (dedup_simhash_embeddings) the signature-bucket alternative; this
+    variant is the one that matches the published recipe for
+    billion-document corpora. Same threshold (0.35) as the exact twin,
+    so the within-cluster pair set is a strict subset of the exact
+    pair set; the 8x3 soft assignment recovers >=90% of the exact
+    non-survivors on the fixture (both asserted in
+    tests/test_llm_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, threshold=0.35, n_lists=8, n_assign=3)
 
 
 # --------------------------------------------------------------------------

@@ -382,3 +382,27 @@ def test_twophase_raises_instead_of_partial_contraction(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components_twophase(path, max_iter=1)
+
+
+def test_semantic_dedup_drops_subset_of_exact_components(emb):
+    """SemDeDup restricts pair search to within-cluster candidates, so
+    (a) its non-survivors must be a subset of the exact all-pairs
+    cosine clustering's non-survivors at the same threshold, and (b) it
+    must still drop a substantial fraction of them on the fixture
+    (planted near-dups are embedding-close, hence usually co-clustered)."""
+    from cc2dataset_spark.operators.components import cluster_survivors
+
+    exact_pairs = ND.embedding_neardup_pairs(emb, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    exact = cluster_survivors(emb, exact_pairs, "vec_id")
+    exact_dropped = {
+        r.vec_id for r in exact.where(~F.col("is_survivor")).collect()
+    }
+    sem = SIM.semantic_dedup(emb, threshold=0.35, n_lists=8, n_assign=3)
+    sem_dropped = {r.vec_id for r in sem.where(~F.col("is_survivor")).collect()}
+    assert sem_dropped, "fixture should contain semantic near-dups"
+    assert sem_dropped <= exact_dropped
+    assert len(sem_dropped) >= 0.9 * len(exact_dropped), (
+        f"semantic dedup recall too low: {len(sem_dropped)}/{len(exact_dropped)}"
+    )
