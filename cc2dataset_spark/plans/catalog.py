@@ -204,6 +204,7 @@ def _load_all() -> None:
         pass
     from cc2dataset_spark.plans import (  # noqa: F401
         curation,
+        events_analytics,
         relational,
         relational2,
         relational3,
