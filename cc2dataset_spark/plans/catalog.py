@@ -122,7 +122,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # late-r5 rotation: SemDeDup (embedding-cluster dedup) takes the
     # slot of array_ops_embeddings, green in both r2 and r4
     "dedup_semantic_clusters",
-    "agg_approx_distinct",
+    # late-r5 rotation: the end-to-end curation recipe takes the slot
+    # of agg_approx_distinct, green in both r2 and r4
+    "curate_full_recipe",
     # new in r5: JVM regr_slope twin of the pandas UDAF
     "agg_regr_trend",
     # as-of joins: linear scale path (the candidate+max_by twin

@@ -243,13 +243,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
 
 
-def _minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_ctes(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    source: str = "documents",
+) -> str:
     """The CTE chain replaying MinHash+LSH in DuckDB, ending in an
     ``lsh_pairs(id_a, id_b, jaccard)`` CTE: same shingles, same
     md5_number_lower shingle hashes (operators/neardup.py uses the
     Spark twin of DuckDB's builtin), same permutation constants inlined
-    as literals, same Jaccard verification. Reused by the pair query
-    and by the end-to-end clustering query."""
+    as literals, same Jaccard verification. Reused by the pair query,
+    the end-to-end clustering query, and (with ``source`` pointing at a
+    pre-filtered CTE) the full curation recipe."""
     p = ND._MERSENNE_P
     width = num_hashes // bands
     sig_cols = ",\n             ".join(
@@ -267,7 +273,7 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) 
     return rf"""toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-      FROM documents
+      FROM {source}
     ), sh AS (
       SELECT doc_id,
              UNNEST(list_distinct(list_transform(
@@ -1059,14 +1065,10 @@ def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_closure_sql(
-    pairs_cte: str, universe: str = "documents", id_col: str = "doc_id"
-) -> str:
-    """Transitive-closure + min-survivor tail shared by the
-    cluster-survivor oracles: symmetrize ``pairs_cte(id_a, id_b)``,
-    walk reachability recursively, label each node with its MIN
-    reachable id, and emit every row of ``universe`` (singletons
-    survive as their own component)."""
+def _components_ctes(pairs_cte: str) -> str:
+    """The transitive-closure CTE chain (edges -> reach -> comp) over
+    ``pairs_cte(id_a, id_b)``; callers compose their own final SELECT
+    against ``comp(id, component)``. Requires WITH RECURSIVE."""
     return f""", edges AS (
       SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
       UNION ALL
@@ -1077,7 +1079,18 @@ def _components_closure_sql(
       SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
     ), comp AS (
       SELECT id, MIN(r) AS component FROM reach GROUP BY id
-    )
+    )"""
+
+
+def _components_closure_sql(
+    pairs_cte: str, universe: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """Transitive-closure + min-survivor tail shared by the
+    cluster-survivor oracles: symmetrize ``pairs_cte(id_a, id_b)``,
+    walk reachability recursively, label each node with its MIN
+    reachable id, and emit every row of ``universe`` (singletons
+    survive as their own component)."""
+    return f"""{_components_ctes(pairs_cte)}
     SELECT d.{id_col},
            COALESCE(comp.component, d.{id_col}) AS component_id,
            d.{id_col} = COALESCE(comp.component, d.{id_col}) AS is_survivor
@@ -1431,4 +1444,86 @@ def curate_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 95, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+_RECIPE_KEPT_CTE = r"""kept AS (
+      SELECT doc_id, text, lang, n_chars FROM (
+        SELECT doc_id, text, lang, n_chars,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS toks,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]',
+                                                    '', 'g'))
+                              AS DOUBLE) / length(text)
+                    ELSE 0.0 END AS pr
+        FROM documents)
+      WHERE len(toks) BETWEEN 20 AND 1000
+        AND pr < 0.1
+        AND lang IN ('en', 'es', 'fr', 'de')
+    )"""
+
+
+@query(
+    "curate_full_recipe",
+    oracle="WITH RECURSIVE "
+    + _RECIPE_KEPT_CTE
+    + ", "
+    + _minhash_ctes(source="kept")
+    + _components_ctes("lsh_pairs")
+    + """
+    SELECT k.lang,
+           CASE WHEN k.bucket < 90 THEN 'train'
+                WHEN k.bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(k.n_chars AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_chars
+    FROM (SELECT kept.*,
+                 CAST(md5_number_lower('split:' || CAST(doc_id AS VARCHAR))
+                      % 100 AS BIGINT) AS bucket
+          FROM kept) k
+    LEFT JOIN comp ON comp.id = k.doc_id
+    WHERE COALESCE(comp.component, k.doc_id) = k.doc_id
+    GROUP BY k.lang, split
+    """,
+    tags=("llm", "curation", "dedup", "composite"),
+)
+def curate_full_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production curation recipe, end-to-end in one plan:
+    C4-style quality filter -> MinHash-LSH near-dup clustering with
+    min-id survivors (on the FILTERED corpus) -> deterministic salted
+    train/val/test split -> per-(lang, split) volume accounting. Every
+    stage is the already-proven component query's exact logic (same
+    expressions, thresholds, and hash constants), composed — and the
+    oracle replays the entire chain, quality predicate through
+    recursive closure through split bucketing, in one DuckDB statement.
+    Scale shape is the union of the parts: pushable scan predicates,
+    the banded-LSH equi-join, O(diameter) keyed label propagation, a
+    map-side hash split, and a tiny final roll-up."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+    from cc2dataset_spark.operators.components import cluster_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(
+        T.token_count("text").between(20, 1000)
+        & (T.punct_ratio("text") < 0.1)
+        & F.col("lang").isin("en", "es", "fr", "de")
+    )
+    pairs = ND.minhash_neardup_pairs(kept, threshold=0.5)
+    labeled = cluster_survivors(kept, pairs.select("id_a", "id_b"), "doc_id")
+    survivors = kept.join(
+        labeled.where("is_survivor").select("doc_id"), "doc_id", "left_semi"
+    )
+    bucket = md5_mod(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return survivors.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_chars"),
     )
