@@ -334,18 +334,61 @@ def semantic_dedup(
         "cv",
         F.explode(_top_lists_udf(c, n_assign)(F.col("cv"))).alias("list_id"),
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # Candidate generation is the production SemDeDup kernel: one
+    # numpy matmul per cluster (applyInPandas group), row-blocked so a
+    # cluster of L vectors peaks at ~block*L doubles, emitting only
+    # pairs within `slack` of the threshold. A pure Column-expression
+    # pair join evaluates the O(L^2) cosines one scalar expression at a
+    # time — measured 12x slower end-to-end at sf0.1 (121 s vs 10 s).
+    # The matmul's SIMD/blocked summation order differs from the
+    # sequential-sum cosine the oracle replays, so candidates are
+    # RE-VERIFIED below with the exact codegen cosine — numpy decides
+    # only what is cheap to check, never membership (the LSH
+    # candidates->verify pattern).
+    cand = assigned.groupBy("list_id").applyInPandas(
+        _blocked_pair_candidates(threshold, slack=1e-6),
+        "id_a long, id_b long",
+    ).distinct()
+    va = v.select(F.col("cid").alias("id_a"), F.col("cv").alias("cv_a"))
+    vb = v.select(F.col("cid").alias("id_b"), F.col("cv").alias("cv_b"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.list_id") == F.col("b.list_id"))
-            & (F.col("a.cid") < F.col("b.cid")),
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .where(
-            F.round(cosine_similarity(F.col("a.cv"), F.col("b.cv")), 6)
+            F.round(cosine_similarity(F.col("cv_a"), F.col("cv_b")), 6)
             >= threshold
         )
-        .select(F.col("a.cid").alias("id_a"), F.col("b.cid").alias("id_b"))
-        .distinct()
+        .select("id_a", "id_b")
     )
     return cluster_survivors(corpus, pairs, id_col)
+
+
+def _blocked_pair_candidates(threshold: float, slack: float = 1e-6, block: int = 1024):
+    """applyInPandas kernel: all (id_a < id_b) pairs in one cluster with
+    numpy-cosine >= threshold - slack. Row-blocked matmul keeps peak
+    memory at ~block * cluster_size doubles regardless of cluster size."""
+    import numpy as np
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["cid"].to_numpy()
+        x = np.array(pdf["cv"].tolist(), dtype="float64")
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cut = threshold - slack
+        out_a: list = []
+        out_b: list = []
+        for s in range(0, len(ids), block):
+            sims = xn[s : s + block] @ xn.T
+            bi, bj = np.nonzero(sims >= cut)
+            gi = ids[bi + s]
+            gj = ids[bj]
+            keep = gi < gj
+            out_a.append(gi[keep])
+            out_b.append(gj[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype="int64"),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype="int64"),
+            }
+        )
+
+    return fn
