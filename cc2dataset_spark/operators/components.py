@@ -203,9 +203,16 @@ def connected_components_twophase(
         # small-star pass
         after_large = _star(_sym(cur), large=True).localCheckpoint()
         after_small = _star(_sym(after_large), large=False).localCheckpoint()
-        # converged when the (set-valued) edge relation stopped changing
+        # converged when the (set-valued) edge relation stopped
+        # changing. Both sides are distinct sets, so the symmetric
+        # difference is one full-outer join on the edge key — a single
+        # keyed shuffle, where the previous two exceptAll passes
+        # shuffled both sides twice.
         changed = (
-            after_small.exceptAll(cur).count() + cur.exceptAll(after_small).count()
+            after_small.withColumn("_l", F.lit(1))
+            .join(cur.withColumn("_r", F.lit(1)), ["a", "b"], "full_outer")
+            .where(F.col("_l").isNull() | F.col("_r").isNull())
+            .count()
         )
         cur = after_small
         if changed == 0:
