@@ -228,3 +228,67 @@ def curate_mix_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled",
         )
     )
+
+
+_LOG2E = 1.4426950408889634  # 1/ln(2), shared literal on both engines
+
+
+@query(
+    "text_char_entropy",
+    oracle=rf"""
+    WITH ch AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ''),
+                                        x -> x <> '')) AS c
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c
+    ), terms AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (PARTITION BY doc_id) AS total,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
+      FROM counts
+    )
+    SELECT doc_id,
+           CAST(MAX(total) AS BIGINT) AS n_chars_counted,
+           CAST(MAX(n_distinct) AS BIGINT) AS n_distinct_chars,
+           round(CAST(SUM(CAST(
+             round(-(n / total) * round(ln(n / total), 9) * {_LOG2E}, 12)
+             AS DECIMAL(38,18))) AS DOUBLE), 6) AS entropy_bits
+    FROM terms
+    GROUP BY doc_id
+    """,
+    tags=("text", "llm", "curation", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits) — the
+    gibberish/boilerplate detector of the C4/Gopher filter family
+    (natural prose sits near 4 bits; runs of one character near 0).
+    One char explode + one (doc, char) aggregate + one doc aggregate.
+    Cross-engine determinism: each entropy term rounds its ln() to 9
+    decimals (libm ulps die there), the term to 12, and the terms sum
+    in DECIMAL(38,18) so accumulation order cannot matter; the final
+    value rounds to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), ""), lambda x: x != "")
+        ).alias("c"),
+    )
+    counts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    p = F.col("n") / F.col("total")
+    term = F.round(-p * F.round(F.log(p), 9) * F.lit(_LOG2E), 12)
+    return (
+        counts.withColumn("total", F.sum("n").over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "n_distinct", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("total").cast("bigint").alias("n_chars_counted"),
+            F.max("n_distinct").cast("bigint").alias("n_distinct_chars"),
+            F.round(
+                F.sum(term.cast("decimal(38,18)")).cast("double"), 6
+            ).alias("entropy_bits"),
+        )
+    )
