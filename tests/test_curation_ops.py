@@ -97,3 +97,58 @@ def test_mix_languages_is_rerun_deterministic(spark, monkeypatch):
     a = sorted(map(tuple, curate_mix_languages(spark, "unused").collect()))
     b = sorted(map(tuple, curate_mix_languages(spark, "unused").collect()))
     assert a == b
+
+
+def test_funnel_ordering_is_strict(spark, monkeypatch):
+    """A user who purchased BEFORE clicking (or clicked before viewing)
+    must not count as converted — the funnel is strictly ordered."""
+    import cc2dataset_spark.plans.events_analytics as EA
+
+    rows = [
+        # user 1: proper order view < click < purchase
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "purchase", 0.0, "{}"),
+        # user 2: purchase precedes click -> stops at view+click
+        (4, "2024-01-01 10:00:00", 2, "view", 0.0, "{}"),
+        (5, "2024-01-01 10:00:30", 2, "purchase", 0.0, "{}"),
+        (6, "2024-01-01 10:01:00", 2, "click", 0.0, "{}"),
+        # user 3: click before any view -> stops at view
+        (7, "2024-01-01 10:01:00", 3, "click", 0.0, "{}"),
+        (8, "2024-01-01 10:02:00", 3, "view", 0.0, "{}"),
+        # user 4: never viewed -> not in the funnel at all
+        (9, "2024-01-01 10:00:00", 4, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(EA, "load_table", lambda spark, sf_dir, name: df)
+    got = EA.events_funnel_conversion(spark, "unused").collect()[0]
+    assert (got.n_view, got.n_view_click, got.n_full_funnel) == (3, 2, 1)
+
+
+def test_retention_cohort_offsets(spark, monkeypatch):
+    """A user first active in week 0 and again two weeks later yields
+    offsets 0 and 2 for their cohort; a week-1 joiner starts a new
+    cohort at offset 0."""
+    import cc2dataset_spark.plans.events_analytics as EA
+
+    rows = [
+        # 2024-01-01 is a Monday
+        (1, "2024-01-02 10:00:00", 1, "view", 0.0, "{}"),   # cohort wk0
+        (2, "2024-01-16 10:00:00", 1, "view", 0.0, "{}"),   # wk2 -> offset 2
+        (3, "2024-01-10 10:00:00", 2, "view", 0.0, "{}"),   # cohort wk1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(EA, "load_table", lambda spark, sf_dir, name: df)
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_active
+        for r in EA.events_retention_cohorts(spark, "unused").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }

@@ -406,3 +406,25 @@ def test_semantic_dedup_drops_subset_of_exact_components(emb):
     assert len(sem_dropped) >= 0.9 * len(exact_dropped), (
         f"semantic dedup recall too low: {len(sem_dropped)}/{len(exact_dropped)}"
     )
+
+
+def test_semantic_dedup_single_cluster_equals_exact(emb):
+    """With n_lists=1 every vector shares the one cluster, so SemDeDup
+    degenerates to the exact all-pairs clustering — the candidates->
+    verify kernel must reproduce it row-for-row."""
+    from cc2dataset_spark.operators.components import cluster_survivors
+
+    exact_pairs = ND.embedding_neardup_pairs(emb, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    exact = {
+        tuple(r)
+        for r in cluster_survivors(emb, exact_pairs, "vec_id").collect()
+    }
+    sem = {
+        tuple(r)
+        for r in SIM.semantic_dedup(
+            emb, threshold=0.35, n_lists=1, n_assign=1
+        ).collect()
+    }
+    assert sem == exact
