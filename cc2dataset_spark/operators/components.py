@@ -39,16 +39,29 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``;
-    component == min node id reachable. Driver-coordinated loop with
-    one action per round (standard for iterative graph algorithms on
-    Spark); intermediate labels are persisted and the loop breaks on
-    convergence. Exhausting ``max_iter`` without converging RAISES
-    (labels only travel one hop per round, so a component with diameter
-    > max_iter would otherwise return silently-wrong labels — measured:
+    component == min node id reachable.
+
+    Adaptive execution, same argument as broadcast-join selection: the
+    near-dup EDGE set is normally orders of magnitude smaller than the
+    corpus (only threshold-verified duplicate candidates appear), so
+    when it fits comfortably on the driver (<= ``driver_threshold``
+    edges, known exactly because the persisted edge set must be counted
+    anyway) the components come from a driver-side union-find — one
+    collect instead of O(diameter) join+checkpoint+count rounds
+    (measured ~3 s of fixed per-round cost on a 256-edge graph at
+    local[32]). Larger graphs take the distributed min-label
+    propagation loop with one action per round. Both paths produce the
+    identical (id, component=min reachable id) labeling.
+
+    The distributed loop RAISES if ``max_iter`` rounds don't converge
+    (labels travel one hop per round, so a component with diameter >
+    max_iter would otherwise return silently-wrong labels — measured:
     44 of 65 nodes mislabeled on a 64-edge path at the default budget);
-    use :func:`connected_components_twophase` for long-path graphs.
+    use :func:`connected_components_twophase` for long-path graphs at
+    scale.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -67,6 +80,8 @@ def connected_components(
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if both.count() <= 2 * driver_threshold:  # both is the 2x symmetrization
+        return _driver_union_find(both)
     nodes = both.select(F.col("src").alias("id")).distinct()
     # localCheckpoint (not just persist): each round's labels must
     # TRUNCATE lineage, or the logical plan doubles per round and
@@ -110,6 +125,37 @@ def connected_components(
         "with diameter > max_iter. Raise max_iter or use "
         "connected_components_twophase (O(log^2 n) rounds)."
     )
+
+
+def _driver_union_find(both: DataFrame) -> DataFrame:
+    """Union-find over a collected (src, dst) edge list; returns the
+    same (id, component=min reachable id) frame as the distributed
+    loop. Path-halving find + min-root union keeps it near-linear; the
+    caller guarantees the edge count fits on the driver."""
+    rows = both.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        # path-halve from x too
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row.src), find(row.dst)
+        if ra != rb:
+            # min id becomes the root, so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = [(n, find(n)) for n in parent]
+    schema = both.select(
+        F.col("src").alias("id"), F.col("src").alias("component")
+    ).schema
+    return both.sparkSession.createDataFrame(labels, schema)
 
 
 def cluster_survivors(

@@ -361,11 +361,16 @@ def test_propagation_raises_instead_of_mislabeling_long_paths(spark):
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
+    # driver_threshold=0 forces the distributed propagation loop (the
+    # adaptive default would solve this tiny graph on the driver)
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path, max_iter=10)
-    # and the correct escape hatches both work
-    ok = connected_components(path, max_iter=70)
+        connected_components(path, max_iter=10, driver_threshold=0)
+    # the escape hatches all work: a big-enough budget...
+    ok = connected_components(path, max_iter=70, driver_threshold=0)
     assert {r.component for r in ok.collect()} == {0}
+    # ...and the adaptive driver path, which has no diameter limit
+    ok2 = connected_components(path, max_iter=10)
+    assert {r.component for r in ok2.collect()} == {0}
 
 
 def test_twophase_raises_instead_of_partial_contraction(spark):
