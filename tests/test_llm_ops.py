@@ -433,3 +433,33 @@ def test_semantic_dedup_single_cluster_equals_exact(emb):
         ).collect()
     }
     assert sem == exact
+
+
+def test_adaptive_and_distributed_components_agree(spark):
+    """The driver union-find branch and the forced distributed
+    propagation branch must produce identical labelings on an
+    arbitrary mixed graph (cliques + chains + singletons-by-self-loop
+    absence)."""
+    import random
+
+    from cc2dataset_spark.operators.components import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    base = 0
+    for size in [2, 3, 5, 8, 1, 4]:
+        nodes = list(range(base, base + size))
+        # random spanning chain + a few extra random edges
+        for i in range(1, size):
+            edges.append((nodes[i - 1], nodes[i]))
+        for _ in range(size // 2):
+            edges.append((rng.choice(nodes), rng.choice(nodes)))
+        base += size + 3  # gap so components stay distinct
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {tuple(r) for r in connected_components(df).collect()}
+    slow = {
+        tuple(r)
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == slow and fast
