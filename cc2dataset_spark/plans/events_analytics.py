@@ -39,36 +39,45 @@ from cc2dataset_spark.sources.tables import load_table
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: users who viewed, then clicked AFTER their first
-    view, then purchased AFTER that first qualifying click. Each stage
-    is a per-user MIN aggregate gated on the previous stage's
-    timestamp — three user-keyed aggregations whose joins all reuse the
-    same user_id hash partitioning (one logical shuffle key
-    end-to-end), then three scalar counts. Strictly-ordered semantics
-    (ts comparisons on exact timestamps), no sessionization needed."""
-    e = load_table(spark, sf_dir, "events")
-    v = (
-        e.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    view, then purchased AFTER that first qualifying click. The whole
+    query is ONE user_id shuffle: each stage's timestamp is a windowed
+    conditional MIN over the same partitioning (Catalyst chains the
+    three Window nodes over a single exchange+sort), then a per-user
+    reduce and one global count row. The staged-aggregate-and-join
+    formulation (the oracle's CTE shape) measured 26 exchanges at
+    sf0.1; this plan has 4. Strictly-ordered semantics (ts comparisons
+    on exact timestamps), no sessionization needed."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    c = (
-        e.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    s1 = e.withColumn("t_view", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(is_("click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+        ).over(w),
     )
-    p = (
-        e.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                is_("purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+            )
+        ).over(w),
     )
-    return (
-        v.agg(F.count("*").alias("n_view"))
-        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
-        .crossJoin(p.agg(F.count("*").alias("n_full_funnel")))
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_full_funnel"),
     )
 
 
