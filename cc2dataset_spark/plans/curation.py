@@ -51,34 +51,32 @@ _DUCK_TOKENS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> 
     tags=("text", "llm", "curation", "tfidf"),
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document. Plan: one explode pass, a
-    (doc, term) aggregate, a term-keyed document-frequency aggregate
-    that broadcasts back onto it (vocabulary << corpus at any scale),
-    and a per-doc WindowGroupLimit for the top-k — no global sort.
-    The idf is rounded to 6 decimals BEFORE the tf multiply so libm
-    ulp differences between the JVM and DuckDB cannot flip the
-    ranking; ties break on the term string."""
+    """Top-3 TF-IDF terms per document. Plan: ONE explode pass, a
+    (doc, term) aggregate, the document frequency as a COUNT window
+    over the same tf frame partitioned by term (an agg-and-join-back
+    formulation re-tokenized the whole corpus for the df side —
+    Catalyst's exchange reuse does not fire across the differing
+    subtrees; this plan shuffles the corpus-sized stream three times
+    keyed (doc,term) -> term -> doc and tokenizes once), a 1-row
+    broadcast for the corpus count, and a per-doc WindowGroupLimit for
+    the top-k — no global sort. The idf is rounded to 6 decimals
+    BEFORE the tf multiply so libm ulp differences between the JVM and
+    DuckDB cannot flip the ranking; ties break on the term string."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_docs = tf.groupBy("term").agg(F.count("*").alias("df_docs")).withColumnRenamed(
-        "term", "df_term"
-    )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_docs = F.count("*").over(Window.partitionBy("term"))
     idf = F.round(
-        F.log((F.col("n_docs") + 1.0) / (F.col("df_docs") + 1.0)) + 1.0, 6
+        F.log((F.col("n_docs") + 1.0) / (df_docs + 1.0)) + 1.0, 6
     )
-    scored = (
-        tf.join(F.broadcast(df_docs), tf.term == F.col("df_term"))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            F.round(F.col("tf") * idf, 6).alias("tfidf"),
-        )
+    scored = tf.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()

@@ -183,7 +183,11 @@ def test_curation_ops_plan_shapes(spark, sf_dir):
 
     ptf = _formatted_plan(QUERIES["text_tfidf_topterms"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in ptf, ptf
-    assert "BroadcastHashJoin" in ptf, ptf
+    # document frequency is a window over the SAME tf frame: the corpus
+    # must be tokenized exactly once (one Generate/explode node) and
+    # there is no term-keyed join at all
+    assert ptf.count("Generate (") == 1, ptf
+    assert "SortMergeJoin" not in ptf and "BroadcastHashJoin" not in ptf, ptf
 
     pmix = _formatted_plan(QUERIES["curate_mix_languages"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in pmix, pmix
