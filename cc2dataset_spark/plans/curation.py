@@ -193,7 +193,6 @@ def curate_mix_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = docs.groupBy(F.col("lang").alias("r_lang")).agg(
         F.count("*").alias("n_docs")
     )
-    total = docs.agg(F.count("*").alias("n_total"))
     weight = F.element_at(
         F.create_map(
             *[x for k, v in sorted(_MIX_WEIGHTS.items()) for x in (F.lit(k), F.lit(v))]
@@ -201,7 +200,13 @@ def curate_mix_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_lang"),
     )
     weight = F.coalesce(weight, F.lit(0.0))
-    rates = counts.crossJoin(F.broadcast(total)).select(
+    # the corpus total is the sum of the per-lang counts — an empty
+    # window over the lang-cardinality frame, so the corpus itself is
+    # scanned once for the rates (a separate docs.agg() was a second
+    # full scan)
+    rates = counts.withColumn(
+        "n_total", F.sum("n_docs").over(Window.partitionBy())
+    ).select(
         "r_lang",
         "n_docs",
         (
