@@ -30,12 +30,17 @@ def asof_join_union(
     right_values: list[str],
     right_tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts`` <= ``left_ts`` for the same key (backward as-of).
+    """For each left row, attach the matching right row for the same
+    key: with ``direction='backward'`` (default) the greatest
+    ``right_ts`` <= ``left_ts``; with ``direction='forward'`` the
+    smallest ``right_ts`` >= ``left_ts`` (pandas merge_asof parity;
+    both directions include exact-timestamp matches).
 
-    Ties on right_ts resolve to the greatest ``right_tiebreak``, which
-    is REQUIRED: an implicit fallback (e.g. monotonically_increasing_id)
+    Ties on right_ts resolve via ``right_tiebreak`` — greatest for
+    backward, smallest for forward (the mirror image) — which is
+    REQUIRED: an implicit fallback (e.g. monotonically_increasing_id)
     varies with partitioning, so the same input could match different
     right rows run-to-run — breaking the engine's determinism contract.
     ``how='left'`` keeps unmatched left rows with null right values.
@@ -46,11 +51,18 @@ def asof_join_union(
             "deterministic (pass a unique right-side column, or derive "
             "one, e.g. xxhash64 over the carried value columns)"
         )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
+    # ordering position at equal ts: backward scans preceding->current
+    # with last(), so right rows must sort BEFORE left; forward scans
+    # current->following with first(), so right rows must sort AFTER
     lcols = left.columns
     l = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts
+        F.lit(1).alias("_side"),
+        F.lit(1 if backward else 0).alias("_ord"),
         F.lit(None).cast("long").alias("_tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
@@ -60,20 +72,32 @@ def asof_join_union(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
+        F.lit(0 if backward else 1).alias("_ord"),
         tb.alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_rv_{c}") for c in right_values],
     )
     u = l.unionByName(r)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side", "_tb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # backward: right ties sort _tb ASC and last() takes the greatest;
+    # forward: _tb ASC and first() takes the smallest
+    if backward:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_ord", "_tb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_ord", "_tb")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
     carried = u.select(
         "*",
         *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            pick(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
             for c in right_values
         ],
     ).where(F.col("_side") == 1)

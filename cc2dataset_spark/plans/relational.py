@@ -502,6 +502,55 @@ def join_asof_union_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward_next_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate ASC, o.o_orderkey ASC
+             ) AS rn
+      FROM events e
+      JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey AS next_orderkey,
+           o_orderdate AS next_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof", "forward"),
+)
+def join_asof_forward_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of (pandas merge_asof direction='forward' parity):
+    for each event, the user's NEXT order at or after the event time.
+    Same linear union+window machinery as the backward form — one
+    shuffle on the key, first(ignorenulls) over the following frame —
+    with the mirror-image tie rule (smallest o_orderkey)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    out = asof_join_union(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_orderdate"],
+        right_tiebreak="o_orderkey",
+        how="inner",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_orderdate").alias("next_orderdate"),
+    )
+
+
+@query(
     "subquery_in_negative_balance",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

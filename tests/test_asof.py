@@ -76,3 +76,54 @@ def test_stream_static_enrichment(spark, sf_dir):
         load_table(spark, sf_dir, "events").join(cust, "user_id").count()
     )
     assert got == want
+
+
+def test_asof_forward_exact_match_and_ties(spark):
+    """Forward as-of includes exact-timestamp matches and resolves
+    right-side ties to the SMALLEST tiebreak (mirror of backward's
+    greatest); rows with no following right row drop under how='inner'
+    and survive as nulls under how='left'."""
+    from cc2dataset_spark.operators.asof import asof_join_union
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 25), (3, "k", 99)],
+        "lid int, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 100), ("k", 30, 201), ("k", 30, 200), ("k", 5, 900)],
+        "k string, rts long, val int",
+    )
+    out = {
+        (r.lid, r.val)
+        for r in asof_join_union(
+            left, right, "k", "k", "ts", "rts",
+            right_values=["val"], right_tiebreak="val",
+            direction="forward",
+        ).collect()
+    }
+    # lid 1: exact match at ts=10 -> val 100 (not the later 200)
+    # lid 2: next is rts=30, tie -> smallest val 200
+    # lid 3: nothing at/after 99 -> dropped (inner)
+    assert out == {(1, 100), (2, 200)}
+    outer = {
+        (r.lid, r.val)
+        for r in asof_join_union(
+            left, right, "k", "k", "ts", "rts",
+            right_values=["val"], right_tiebreak="val",
+            direction="forward", how="left",
+        ).collect()
+    }
+    assert outer == {(1, 100), (2, 200), (3, None)}
+
+
+def test_asof_direction_validation(spark):
+    import pytest as _pytest
+
+    from cc2dataset_spark.operators.asof import asof_join_union
+
+    df = spark.createDataFrame([(1, "k", 1)], "lid int, k string, ts long")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join_union(
+            df, df, "k", "k", "ts", "ts",
+            right_values=["lid"], right_tiebreak="lid", direction="nearest",
+        )
