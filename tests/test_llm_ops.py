@@ -463,3 +463,14 @@ def test_adaptive_and_distributed_components_agree(spark):
         for r in connected_components(df, driver_threshold=0).collect()
     }
     assert fast == slow and fast
+
+
+def test_cluster_survivors_empty_edges_all_survive(spark):
+    """No near-dup pairs => every universe row is its own surviving
+    component (exercises the union-find branch's empty-collect path)."""
+    from cc2dataset_spark.operators.components import cluster_survivors
+
+    uni = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    got = sorted(map(tuple, cluster_survivors(uni, edges, "doc_id").collect()))
+    assert got == [(1, 1, True), (2, 2, True), (3, 3, True)]
