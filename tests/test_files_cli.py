@@ -101,3 +101,38 @@ def test_cli_pipeline_source_flag(spark, tmp_path, monkeypatch):
     written = spark.read.parquet(*_glob.glob(str(tmp_path / "out" / "*")))
     want = {t[0] for t in oracle_extract(FIXTURE_RECORDS, "image")}
     assert {r.uid for r in written.select("uid").collect()} == want
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from cc2dataset_spark.sources.files import read_orc, write_orc
+    from cc2dataset_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_orc")
+    write_orc(nation, p)
+    back = read_orc(spark, p)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in nation.collect()
+    }
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune at planning time:
+    the scan's PartitionFilters carry the predicate and the other
+    partitions' files are never read (PartitionCount: 1)."""
+    import contextlib
+    import io
+
+    from cc2dataset_spark.sources.files import write_partitioned_parquet
+    from cc2dataset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = str(tmp_path / "docs_by_lang")
+    write_partitioned_parquet(docs, p, ["lang"])
+    scan = spark.read.parquet(p).where("lang = 'en'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].splitlines()[0]
+    assert scan.count() == docs.where("lang = 'en'").count()
