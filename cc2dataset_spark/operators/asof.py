@@ -51,56 +51,107 @@ def asof_join_union(
             "deterministic (pass a unique right-side column, or derive "
             "one, e.g. xxhash64 over the carried value columns)"
         )
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     backward = direction == "backward"
-    # ordering position at equal ts: backward scans preceding->current
-    # with last(), so right rows must sort BEFORE left; forward scans
-    # current->following with first(), so right rows must sort AFTER
+    nearest = direction == "nearest"
+    # nearest needs the matched right_ts of both candidates to compare
+    # distances, so it is carried as an internal extra value column
+    rv = list(right_values) + (["__matchts"] if nearest else [])
+    rv_src = {c: F.col(c) for c in right_values}
+    rv_type = {c: right.schema[c].dataType for c in right_values}
+    if nearest:
+        rv_src["__matchts"] = F.col(right_ts)
+        rv_type["__matchts"] = right.schema[right_ts].dataType
+    # ordering position at equal ts: backward (and nearest, whose
+    # backward leg absorbs exact matches at distance 0) scans
+    # preceding->current with last(), so right rows must sort BEFORE
+    # left; pure forward scans current->following with first(), so
+    # right rows must sort AFTER
     lcols = left.columns
     l = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(1 if backward else 0).alias("_ord"),
+        F.lit(0 if direction == "forward" else 1).alias("_ord"),
         F.lit(None).cast("long").alias("_tb"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
+        *[F.lit(None).cast(rv_type[c]).alias(f"_rv_{c}") for c in rv],
     )
     tb = F.col(right_tiebreak).cast("long")
     r = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(0 if backward else 1).alias("_ord"),
+        F.lit(1 if direction == "forward" else 0).alias("_ord"),
         tb.alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+        *[rv_src[c].alias(f"_rv_{c}") for c in rv],
     )
     u = l.unionByName(r)
+    order = ["_ts", "_ord", "_tb"]
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     # backward: right ties sort _tb ASC and last() takes the greatest;
     # forward: _tb ASC and first() takes the smallest
     if backward:
-        w = (
-            Window.partitionBy("_k")
-            .orderBy("_ts", "_ord", "_tb")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carried = u.select(
+            "*",
+            *[
+                F.last(f"_rv_{c}", ignorenulls=True).over(wb).alias(f"_asof_{c}")
+                for c in right_values
+            ],
         )
-        pick = F.last
+    elif direction == "forward":
+        carried = u.select(
+            "*",
+            *[
+                F.first(f"_rv_{c}", ignorenulls=True).over(wf).alias(f"_asof_{c}")
+                for c in right_values
+            ],
+        )
     else:
-        w = (
-            Window.partitionBy("_k")
-            .orderBy("_ts", "_ord", "_tb")
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        # nearest: both legs over ONE exchange+sort (same partitioning
+        # and ordering, only the frames differ), then a per-row choice.
+        # The backward leg includes exact-ts matches (distance 0, which
+        # always wins), so the forward leg only needs strictly-later
+        # rows; equidistant candidates resolve BACKWARD (documented).
+        both = u.select(
+            "*",
+            *[
+                F.last(f"_rv_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
+                for c in rv
+            ],
+            *[
+                F.first(f"_rv_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+                for c in rv
+            ],
         )
-        pick = F.first
-    carried = u.select(
-        "*",
-        *[
-            pick(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_values
-        ],
-    ).where(F.col("_side") == 1)
+        b_ts, f_ts = F.col("_b___matchts"), F.col("_f___matchts")
+        use_b = b_ts.isNotNull() & (
+            f_ts.isNull()
+            | ((F.col("_ts") - b_ts) <= (f_ts - F.col("_ts")))
+        )
+        carried = both.select(
+            "*",
+            *[
+                F.when(use_b, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_f_{c}"))
+                .alias(f"_asof_{c}")
+                for c in right_values
+            ],
+        )
+    carried = carried.where(F.col("_side") == 1)
     out = carried.select(
         *lcols, *[F.col(f"_asof_{c}").alias(c) for c in right_values]
     )

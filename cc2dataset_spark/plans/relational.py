@@ -551,6 +551,73 @@ def join_asof_forward_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest_order",
+    oracle="""
+    WITH b AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.event_id
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+      ) = 1
+    ), f AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.event_id
+        ORDER BY o.o_orderdate ASC, o.o_orderkey ASC
+      ) = 1
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN b.o_orderdate IS NOT NULL
+                     AND (f.o_orderdate IS NULL
+                          OR e.ts - b.o_orderdate <= f.o_orderdate - e.ts)
+                THEN b.o_orderkey ELSE f.o_orderkey END AS near_orderkey,
+           CASE WHEN b.o_orderdate IS NOT NULL
+                     AND (f.o_orderdate IS NULL
+                          OR e.ts - b.o_orderdate <= f.o_orderdate - e.ts)
+                THEN b.o_orderdate ELSE f.o_orderdate END AS near_orderdate
+    FROM events e
+    LEFT JOIN b ON b.event_id = e.event_id
+    LEFT JOIN f ON f.event_id = e.event_id
+    WHERE b.o_orderdate IS NOT NULL OR f.o_orderdate IS NOT NULL
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (pandas merge_asof direction='nearest' parity):
+    for each event, the user's closest order in time — exact matches
+    win at distance zero and equidistant candidates resolve BACKWARD.
+    Both candidate legs ride one exchange+sort (same partitioning and
+    ordering, different frames), then a per-row interval comparison
+    picks the closer side."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    out = asof_join_union(
+        e,
+        o,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_values=["o_orderkey", "o_orderdate"],
+        right_tiebreak="o_orderkey",
+        how="inner",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("near_orderkey"),
+        F.col("o_orderdate").alias("near_orderdate"),
+    )
+
+
+@query(
     "subquery_in_negative_balance",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice

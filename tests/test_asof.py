@@ -125,5 +125,35 @@ def test_asof_direction_validation(spark):
     with _pytest.raises(ValueError, match="direction"):
         asof_join_union(
             df, df, "k", "k", "ts", "ts",
-            right_values=["lid"], right_tiebreak="lid", direction="nearest",
+            right_values=["lid"], right_tiebreak="lid", direction="sideways",
         )
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """Nearest as-of: exact matches win at distance 0, equidistant
+    candidates resolve backward, and one-sided cases fall through to
+    whichever side exists."""
+    from cc2dataset_spark.operators.asof import asof_join_union
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 20), (3, "k", 26), (4, "k", 1), (5, "k", 99)],
+        "lid int, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 100), ("k", 15, 150), ("k", 25, 250), ("k", 30, 300)],
+        "k string, rts long, val int",
+    )
+    out = {
+        (r.lid, r.val)
+        for r in asof_join_union(
+            left, right, "k", "k", "ts", "rts",
+            right_values=["val"], right_tiebreak="val",
+            direction="nearest", how="left",
+        ).collect()
+    }
+    # lid 1: exact at 10 -> 100
+    # lid 2: dist 5 both sides (15 vs 25) -> backward -> 150
+    # lid 3: 25 (d=1) vs 30 (d=4) -> 250
+    # lid 4: nothing before -> forward 100
+    # lid 5: nothing after -> backward 300
+    assert out == {(1, 100), (2, 150), (3, 250), (4, 100), (5, 300)}
