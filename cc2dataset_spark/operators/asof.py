@@ -31,12 +31,15 @@ def asof_join_union(
     right_tiebreak: str | None = None,
     how: str = "inner",
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For each left row, attach the matching right row for the same
     key: with ``direction='backward'`` (default) the greatest
     ``right_ts`` <= ``left_ts``; with ``direction='forward'`` the
-    smallest ``right_ts`` >= ``left_ts`` (pandas merge_asof parity;
-    both directions include exact-timestamp matches).
+    smallest ``right_ts`` >= ``left_ts``; with ``direction='nearest'``
+    whichever of the two is closer in time (pandas merge_asof parity).
+    ``allow_exact_matches=False`` makes every comparison strict
+    (< / >), exactly as in pandas.
 
     Ties on right_ts resolve via ``right_tiebreak`` — greatest for
     backward, smallest for forward (the mirror image) — which is
@@ -57,6 +60,7 @@ def asof_join_union(
         )
     backward = direction == "backward"
     nearest = direction == "nearest"
+    strict = not allow_exact_matches
     # nearest needs the matched right_ts of both candidates to compare
     # distances, so it is carried as an internal extra value column
     rv = list(right_values) + (["__matchts"] if nearest else [])
@@ -65,17 +69,23 @@ def asof_join_union(
     if nearest:
         rv_src["__matchts"] = F.col(right_ts)
         rv_type["__matchts"] = right.schema[right_ts].dataType
-    # ordering position at equal ts: backward (and nearest, whose
-    # backward leg absorbs exact matches at distance 0) scans
-    # preceding->current with last(), so right rows must sort BEFORE
-    # left; pure forward scans current->following with first(), so
-    # right rows must sort AFTER
+    # Position at equal ts decides whether exact matches land inside a
+    # leg's frame. Backward leg (preceding->current, last): inclusive
+    # wants right BEFORE left (_ob: right 0, left 1), strict wants
+    # right AFTER left so equal-ts rows fall outside the frame.
+    # Forward leg (current->following, first): the mirror image.
+    # The two legs therefore carry their own ordering columns; same
+    # key partitioning, so nearest pays one exchange and (at most) two
+    # sorts.
+    lb_ord, rb_ord = (0, 1) if strict else (1, 0)
+    lf_ord, rf_ord = (1, 0) if strict else (0, 1)
     lcols = left.columns
     l = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(0 if direction == "forward" else 1).alias("_ord"),
+        F.lit(lb_ord).alias("_ob"),
+        F.lit(lf_ord).alias("_of"),
         F.lit(None).cast("long").alias("_tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(rv_type[c]).alias(f"_rv_{c}") for c in rv],
@@ -85,21 +95,21 @@ def asof_join_union(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(1 if direction == "forward" else 0).alias("_ord"),
+        F.lit(rb_ord).alias("_ob"),
+        F.lit(rf_ord).alias("_of"),
         tb.alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[rv_src[c].alias(f"_rv_{c}") for c in rv],
     )
     u = l.unionByName(r)
-    order = ["_ts", "_ord", "_tb"]
     wb = (
         Window.partitionBy("_k")
-        .orderBy(*order)
+        .orderBy("_ts", "_ob", "_tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy("_k")
-        .orderBy(*order)
+        .orderBy("_ts", "_of", "_tb")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     # backward: right ties sort _tb ASC and last() takes the greatest;
@@ -121,11 +131,10 @@ def asof_join_union(
             ],
         )
     else:
-        # nearest: both legs over ONE exchange+sort (same partitioning
-        # and ordering, only the frames differ), then a per-row choice.
-        # The backward leg includes exact-ts matches (distance 0, which
-        # always wins), so the forward leg only needs strictly-later
-        # rows; equidistant candidates resolve BACKWARD (documented).
+        # nearest: both legs over ONE exchange (two sorts at most),
+        # then a per-row choice. In the inclusive form the backward leg
+        # absorbs exact-ts matches (distance 0, which always wins);
+        # equidistant candidates resolve BACKWARD (documented).
         both = u.select(
             "*",
             *[

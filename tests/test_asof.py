@@ -157,3 +157,35 @@ def test_asof_nearest_picks_closer_side(spark):
     # lid 4: nothing before -> forward 100
     # lid 5: nothing after -> backward 300
     assert out == {(1, 100), (2, 150), (3, 250), (4, 100), (5, 300)}
+
+
+def test_asof_strict_excludes_exact_matches(spark):
+    """allow_exact_matches=False makes every comparison strict, in all
+    three directions (pandas parity)."""
+    from cc2dataset_spark.operators.asof import asof_join_union
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 30)], "lid int, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 100), ("k", 20, 200), ("k", 30, 300), ("k", 40, 400)],
+        "k string, rts long, val int",
+    )
+
+    def run(direction):
+        return {
+            (r.lid, r.val)
+            for r in asof_join_union(
+                left, right, "k", "k", "ts", "rts",
+                right_values=["val"], right_tiebreak="val",
+                direction=direction, allow_exact_matches=False, how="left",
+            ).collect()
+        }
+
+    # backward strict: lid1 has nothing < 10 -> null; lid2 -> 20
+    assert run("backward") == {(1, None), (2, 200)}
+    # forward strict: lid1 -> 20 (not the exact 10); lid2 -> 40
+    assert run("forward") == {(1, 200), (2, 400)}
+    # nearest strict: lid1 -> 20 (exact 10 excluded, only forward);
+    # lid2: 20 (d=10) vs 40 (d=10) equidistant -> backward
+    assert run("nearest") == {(1, 200), (2, 200)}
