@@ -32,6 +32,7 @@ def asof_join_union(
     how: str = "inner",
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the matching right row for the same
     key: with ``direction='backward'`` (default) the greatest
@@ -39,7 +40,10 @@ def asof_join_union(
     smallest ``right_ts`` >= ``left_ts``; with ``direction='nearest'``
     whichever of the two is closer in time (pandas merge_asof parity).
     ``allow_exact_matches=False`` makes every comparison strict
-    (< / >), exactly as in pandas.
+    (< / >), exactly as in pandas. ``tolerance`` (a Column — e.g.
+    ``F.expr("INTERVAL 7 DAYS")`` for timestamps or ``F.lit(5)`` for
+    numeric time axes) rejects matches farther than that from the left
+    timestamp, again as in pandas.
 
     Ties on right_ts resolve via ``right_tiebreak`` — greatest for
     backward, smallest for forward (the mirror image) — which is
@@ -63,10 +67,11 @@ def asof_join_union(
     strict = not allow_exact_matches
     # nearest needs the matched right_ts of both candidates to compare
     # distances, so it is carried as an internal extra value column
-    rv = list(right_values) + (["__matchts"] if nearest else [])
+    carry_ts = nearest or tolerance is not None
+    rv = list(right_values) + (["__matchts"] if carry_ts else [])
     rv_src = {c: F.col(c) for c in right_values}
     rv_type = {c: right.schema[c].dataType for c in right_values}
-    if nearest:
+    if carry_ts:
         rv_src["__matchts"] = F.col(right_ts)
         rv_type["__matchts"] = right.schema[right_ts].dataType
     # Position at equal ts decides whether exact matches land inside a
@@ -119,7 +124,7 @@ def asof_join_union(
             "*",
             *[
                 F.last(f"_rv_{c}", ignorenulls=True).over(wb).alias(f"_asof_{c}")
-                for c in right_values
+                for c in rv
             ],
         )
     elif direction == "forward":
@@ -127,7 +132,7 @@ def asof_join_union(
             "*",
             *[
                 F.first(f"_rv_{c}", ignorenulls=True).over(wf).alias(f"_asof_{c}")
-                for c in right_values
+                for c in rv
             ],
         )
     else:
@@ -157,10 +162,23 @@ def asof_join_union(
                 F.when(use_b, F.col(f"_b_{c}"))
                 .otherwise(F.col(f"_f_{c}"))
                 .alias(f"_asof_{c}")
-                for c in right_values
+                for c in rv
             ],
         )
     carried = carried.where(F.col("_side") == 1)
+    if tolerance is not None:
+        m = F.col("_asof___matchts")
+        dist = F.when(m >= F.col("_ts"), m - F.col("_ts")).otherwise(
+            F.col("_ts") - m
+        )
+        within = m.isNotNull() & (dist <= tolerance)
+        carried = carried.select(
+            *[c for c in carried.columns if not c.startswith("_asof_")],
+            *[
+                F.when(within, F.col(f"_asof_{c}")).alias(f"_asof_{c}")
+                for c in right_values
+            ],
+        )
     out = carried.select(
         *lcols, *[F.col(f"_asof_{c}").alias(c) for c in right_values]
     )

@@ -189,3 +189,35 @@ def test_asof_strict_excludes_exact_matches(spark):
     # nearest strict: lid1 -> 20 (exact 10 excluded, only forward);
     # lid2: 20 (d=10) vs 40 (d=10) equidistant -> backward
     assert run("nearest") == {(1, 200), (2, 200)}
+
+
+def test_asof_tolerance_rejects_distant_matches(spark):
+    """pandas-parity tolerance: a candidate farther than the bound from
+    the left timestamp is rejected (nulled under how='left')."""
+    from cc2dataset_spark.operators.asof import asof_join_union
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 50)], "lid int, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 8, 80), ("k", 30, 300)], "k string, rts long, val int"
+    )
+    out = {
+        (r.lid, r.val)
+        for r in asof_join_union(
+            left, right, "k", "k", "ts", "rts",
+            right_values=["val"], right_tiebreak="val",
+            direction="backward", how="left", tolerance=F.lit(5),
+        ).collect()
+    }
+    # lid1: 8 is within 5 of 10 -> 80; lid2: last is 30, 20 away -> null
+    assert out == {(1, 80), (2, None)}
+    near = {
+        (r.lid, r.val)
+        for r in asof_join_union(
+            left, right, "k", "k", "ts", "rts",
+            right_values=["val"], right_tiebreak="val",
+            direction="nearest", how="inner", tolerance=F.lit(5),
+        ).collect()
+    }
+    assert near == {(1, 80)}
