@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 RUNNING_TOTALS_SCHEMA = StructType(
@@ -75,3 +76,73 @@ def foreach_batch_writer(path: str, fmt: str = "parquet"):
         )
 
     return write
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("t_view", TimestampType()),
+        StructField("t_click", TimestampType()),
+        StructField("t_purchase", TimestampType()),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t_view", TimestampType()),
+        StructField("t_click", TimestampType()),
+        StructField("t_purchase", TimestampType()),
+    ]
+)
+
+
+def funnel_user_stages(events: DataFrame) -> DataFrame:
+    """Stateful streaming funnel: per user, the timestamps of the first
+    view, the first click AFTER that view, and the first purchase AFTER
+    that click — the streaming twin of the batch
+    ``events_funnel_conversion`` stage logic, maintained incrementally
+    in a 3-timestamp state tuple per user (bounded by user cardinality).
+
+    The greedy state machine is exact when events arrive in event-time
+    order across micro-batches (within a batch they are sorted here);
+    for out-of-order sources put a watermarked sort in front, as with
+    any order-sensitive stateful operator. State persists in the
+    checkpoint, so a restarted query continues the funnel where it
+    stopped (tested across two runs in
+    tests/test_stateful_streaming.py).
+    """
+
+    def update(key, pdfs, state):
+        import pandas as pd  # self-contained closure
+
+        tv, tc, tp = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        for ts, etype in zip(rows["ts"], rows["event_type"]):
+            if etype == "view" and tv is None:
+                tv = ts
+            elif etype == "click" and tv is not None and tc is None and ts > tv:
+                tc = ts
+            elif (
+                etype == "purchase"
+                and tc is not None
+                and tp is None
+                and ts > tc
+            ):
+                tp = ts
+        state.update((tv, tc, tp))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "t_view": [tv],
+                "t_click": [tc],
+                "t_purchase": [tp],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

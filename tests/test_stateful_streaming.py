@@ -56,3 +56,88 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     assert batches
     total = spark.read.parquet(*batches).count()
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_stateful_funnel_state_survives_restart(spark, sf_dir, tmp_path):
+    """The streaming funnel must (a) converge to the batch funnel
+    stages when fed the whole fixture, and (b) carry its per-user state
+    across a query RESTART: feeding the early half, stopping, then
+    feeding the late half from the same checkpoint must produce the
+    same final stages as one pass. (Memory sinks cannot recover from a
+    checkpoint, so the restartable foreachBatch parquet sink collects
+    the output; the latest batch_id per user is the final state.)"""
+    from pyspark.sql import Window
+
+    from cc2dataset_spark.streaming.stateful import (
+        foreach_batch_writer,
+        funnel_user_stages,
+    )
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    s = (
+        events.withColumn("t_view", F.min(F.when(is_("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(is_("click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    is_("purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    expected = {
+        (r.user_id, r.t_view, r.t_click, r.t_purchase)
+        for r in s.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+        .collect()
+    }
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    half1 = events.where(F.col("ts") <= cut)
+    half2 = events.where(F.col("ts") > cut)
+    schema = events.schema
+
+    def run_from_checkpoint():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            funnel_user_stages(stream)
+            .writeStream.foreachBatch(foreach_batch_writer(out_dir))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half1.coalesce(1).write.mode("append").parquet(src_dir)
+    run_from_checkpoint()
+    half2.coalesce(1).write.mode("append").parquet(src_dir)
+    run_from_checkpoint()
+
+    out = spark.read.parquet(out_dir)  # batch_id partition column
+    latest = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    final = {
+        (r.user_id, r.t_view, r.t_click, r.t_purchase)
+        for r in out.withColumn("rn", F.row_number().over(latest))
+        .where("rn = 1")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .collect()
+    }
+    assert final == expected
