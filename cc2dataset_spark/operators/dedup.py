@@ -38,6 +38,43 @@ def dedup_exact(
     return picked.select(*keys, *[F.col(f"_row.{c}").alias(c) for c in others])
 
 
+def dedup_incremental(
+    batch: DataFrame,
+    index_fingerprints: DataFrame,
+    fingerprint: Column,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental ingest dedup: from a new ``batch``, keep only rows
+    whose content fingerprint is (a) absent from the historical
+    ``index_fingerprints`` store and (b) the min-id first occurrence
+    within the batch itself. This is the production shape for daily
+    Common-Crawl-snapshot ingestion against an ever-growing corpus:
+    the corpus is never re-deduped, only its fingerprint column is
+    consulted.
+
+    Plan: one left-anti join on the fingerprint (Spark plans it as a
+    hash join shuffled on fp — at scale, store the index bucketed by
+    fingerprint so only the small batch side shuffles) followed by a
+    min-window within the surviving fingerprint groups. Both steps key
+    on a uniformly-distributed hash, so skew-free by construction.
+
+    ``index_fingerprints`` must expose a column named ``fp_col``;
+    duplicates in it are harmless (anti-join semantics).
+    """
+    from pyspark.sql import Window
+
+    fresh = batch.withColumn(fp_col, fingerprint).join(
+        index_fingerprints.select(fp_col), fp_col, "left_anti"
+    )
+    w = Window.partitionBy(fp_col)
+    return (
+        fresh.withColumn("_min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+
+
 def dedup_by_fingerprint(
     df: DataFrame, fingerprint: Column, id_col: str = "doc_id"
 ) -> DataFrame:

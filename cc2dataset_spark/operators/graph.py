@@ -1,0 +1,86 @@
+"""Graph analytics over fact-derived edge lists (scale extension; the
+reference has no graph surface — its only graph-shaped step is exact
+uid dedup, main.py:256. In a CC-scale corpus pipeline the canonical
+use is domain ranking: CCNet/RefinedWeb-style source-quality priors
+computed from the link graph, which this module expresses over any
+(src, dst, weight) DataFrame).
+
+PageRank is implemented as classic weighted power iteration, kept
+entirely in DataFrame algebra:
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{(u,v) in E} rank_t(u) * p(u,v)
+
+with p(u,v) = w(u,v) / outweight(u). Dangling-node mass (nodes with no
+out-edges) is NOT redistributed — the simpler absorbing variant, chosen
+because it is expressible identically in one SQL statement per
+iteration, so the DuckDB correctness oracle can replay every round
+bit-for-close (sums of <= in-degree doubles; only 6-dp-rounded ranks
+are emitted). Document the variant, don't hide it.
+
+Scale shape: the expensive part of a real domain-rank job is building
+the AGGREGATED edge list from the fact data (a fact-fact join + one
+(src, dst) groupBy — exactly the shape Catalyst already optimizes);
+the iteration then runs over edges ~ |domains|^2-bounded rows, orders
+of magnitude smaller than the corpus. Each round is one keyed join +
+one groupBy on the small graph; AQE broadcasts the rank side when it
+fits. Rounds are O(iters) with NO lineage blowup concern at the
+default 3 iterations (plan depth grows linearly; localCheckpoint would
+cost more than it saves on a small aggregated graph — contrast
+operators/components.py where the loop is unbounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """(id, rank) for every node in ``edges`` after ``iters`` rounds of
+    weighted power iteration starting from the uniform vector.
+
+    ``edges`` must already be aggregated (one row per (src, dst));
+    duplicate edges would double-count weight. Out-edge normalization
+    uses a window sum partitioned by src — one shuffle, no join, and
+    integer-valued weights stay exact under any summation order (every
+    partial sum < 2^53), so both engines derive identical transition
+    probabilities.
+
+    ``n = nodes.count()`` is a driver-side scalar action (graph
+    cardinality, same class as the IVF centroid seed in
+    operators/similarity.py) — the node SET never leaves the cluster.
+    """
+    p = (F.col(weight).cast("double") / F.sum(F.col(weight).cast("double")).over(
+        Window.partitionBy(src)
+    )).alias("_p")
+    norm = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"), p)
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            norm.join(ranks, norm._src == ranks.id)
+            .groupBy(F.col("_dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_in"))
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

@@ -90,9 +90,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curate_pii_scrub",
     "curate_decontaminate",
     "curate_train_val_split",
-    # LLM-ops: dedup family (minhash/simhash oracle-backed since r5)
+    # LLM-ops: dedup family (minhash/simhash oracle-backed since r5;
+    # dedup_incremental_index is new in r5 — the incremental-ingest
+    # anti-join shape — and takes the slot of
+    # dedup_fingerprint_documents, green in r1 AND r4 and sharing the
+    # exact same fingerprint normalization)
     "dedup_exact_min_survivor",
-    "dedup_fingerprint_documents",
+    "dedup_incremental_index",
     "dedup_ngram_jaccard",
     "dedup_minhash_neardup",
     "dedup_embedding_cosine",
@@ -114,8 +118,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_binary_stats",
     "multimodal_frame_features",
     "multimodal_decode_stub",
-    # streaming surface (batch-checkable twins)
-    "events_tumbling_10m",
+    # streaming surface (batch-checkable twins; events_tumbling_10m —
+    # green r1, r2, AND r4 — ceded its slot to the new-in-r5
+    # graph_pagerank_trade so the graph-analytics family debuts with a
+    # driver row; sliding/session/followup keep the family in-window)
+    "graph_pagerank_trade",
     "events_sliding_10m_5m",
     "events_session_30m",
     "events_followup_pairs_10m",
@@ -207,6 +214,7 @@ def _load_all() -> None:
     from cc2dataset_spark.plans import (  # noqa: F401
         curation,
         events_analytics,
+        graph_ops,
         relational,
         relational2,
         relational3,

@@ -201,6 +201,54 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_index",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fingerprint,
+             md5_number_lower('ix:' || CAST(doc_id AS VARCHAR)) % 100 AS b
+      FROM documents
+    ),
+    ix AS (SELECT DISTINCT fingerprint FROM base WHERE b < 80),
+    batch AS (SELECT doc_id, source, fingerprint FROM base WHERE b >= 80),
+    fresh AS (
+      SELECT * FROM batch
+      WHERE NOT EXISTS (SELECT 1 FROM ix WHERE ix.fingerprint = batch.fingerprint)
+    )
+    SELECT doc_id, fingerprint, source FROM (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS m FROM fresh
+    ) WHERE doc_id = m
+    """,
+    tags=("dedup", "llm", "incremental"),
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup against a historical fingerprint index
+    (operators/dedup.py:dedup_incremental). The testdata has no
+    snapshot column, so the corpus is split deterministically by an
+    id-hash: ~80% plays the already-ingested index (only its DISTINCT
+    fingerprints are consulted, exactly what a production store would
+    persist), ~20% plays the incoming batch. Survivors = batch docs
+    whose normalized-text fingerprint is new to the index AND min-id
+    within the batch. Same normalization as dedup_fingerprint_documents
+    so the two agree on what "identical content" means."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+    from cc2dataset_spark.operators.dedup import dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    b = md5_mod(F.concat(F.lit("ix:"), F.col("doc_id").cast("string")), 100)
+    base = docs.select("doc_id", "source", "text", b.alias("b"))
+    index_fps = (
+        base.where(F.col("b") < 80).select(fp.alias("fingerprint")).distinct()
+    )
+    batch = base.where(F.col("b") >= 80).select("doc_id", "source", "text")
+    return dedup_incremental(batch, index_fps, fp).select(
+        "doc_id", "fingerprint", "source"
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=r"""
     WITH sh_all AS (
