@@ -56,7 +56,18 @@ def pagerank(
     ``n = nodes.count()`` is a driver-side scalar action (graph
     cardinality, same class as the IVF centroid seed in
     operators/similarity.py) — the node SET never leaves the cluster.
+
+    The aggregated edge list is persisted before iterating: its
+    lineage is typically the corpus-scale fact join, and ``norm``,
+    ``nodes``, and every iteration's contribution join all reference
+    it — without the persist the physical plan replicates the whole
+    edge-build subtree ~(2*iters+2)x (observed in .explain on the
+    registered trade query). The cached frame itself is small by the
+    aggregation contract.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     p = (F.col(weight).cast("double") / F.sum(F.col(weight).cast("double")).over(
         Window.partitionBy(src)
     )).alias("_p")
