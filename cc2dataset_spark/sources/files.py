@@ -67,3 +67,99 @@ def write_partitioned_parquet(
     df.write.mode("overwrite").partitionBy(*partition_by).options(**options).parquet(
         path
     )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, path_glob: str | None = None
+) -> DataFrame:
+    """Raw media ingestion via Spark's built-in ``binaryFile`` source:
+    (path, modificationTime, length, content binary). This is the
+    entry point of the multimodal column model
+    (operators/multimodal.py) — images/audio/video come in as opaque
+    bytes plus typed metadata, and every downstream decode/resize/
+    feature step is an Arrow-batched mapInPandas over ``content``.
+
+    Scale notes: one task per file by default — fine for media blobs
+    (MBs each); for millions of tiny files prefer an upstream
+    tar/parquet packing step, since file listing itself becomes the
+    bottleneck. ``pathGlobFilter`` prunes extensions at listing time,
+    before any bytes are read."""
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str],
+    n_files: int,
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Range-partitioned, sorted-within-file parquet layout for
+    data-skipping: rows are range-repartitioned on ``sort_by`` into
+    ``n_files`` non-overlapping key ranges and sorted within each, so
+    every file's parquet min/max statistics are DISJOINT on the sort
+    key. A later scan with a sort-key predicate then skips whole files
+    (footer stats) and whole row groups — the poor-man's clustered
+    index, no table format required. The range exchange samples the
+    key distribution, so skewed keys still split evenly.
+
+    Use for the final corpus write when downstream readers filter on a
+    known column (date, domain, quality score). Not worth it for
+    columns nobody filters on — the range shuffle is a full extra
+    exchange over the sink data."""
+    out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files. Streaming sinks
+    and per-part pipeline outputs (pipeline.py) accrete thousands of
+    small files whose per-file open/footer cost eventually dominates
+    scan time; compaction restores ~target-sized files. Returns the
+    output file count.
+
+    Uses coalesce (narrow — no shuffle: output files concatenate
+    existing partitions) sized from the SOURCE byte size, the same
+    heuristic as pipeline.output_file_count. Run it per partition
+    directory at scale so one compaction never rewrites the whole
+    table."""
+    import math
+
+    from pyspark.sql.functions import input_file_name
+
+    df = spark.read.parquet(src_path)
+    files = [
+        r.f for r in df.select(input_file_name().alias("f")).distinct().collect()
+    ]
+    fs_bytes = _local_total_bytes(files)
+    n = max(1, math.ceil(fs_bytes / target_file_bytes))
+    df.coalesce(n).write.mode("overwrite").parquet(dst_path)
+    return n
+
+
+def _local_total_bytes(file_uris: list[str]) -> int:
+    """Total size of the source files (local paths / file: URIs; at
+    scale swap in the Hadoop FileSystem listing — the heuristic is the
+    same)."""
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for uri in file_uris:
+        p = urlparse(uri).path if "://" in uri else uri
+        if os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
