@@ -4,7 +4,10 @@ from cc2dataset_spark.streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
-from cc2dataset_spark.streaming.dedup import streaming_dedup
+from cc2dataset_spark.streaming.dedup import (
+    streaming_dedup,
+    streaming_dedup_against_index,
+)
 from cc2dataset_spark.streaming.joins import followup_events
 
 __all__ = [
@@ -13,5 +16,6 @@ __all__ = [
     "sliding_counts",
     "tumbling_counts",
     "streaming_dedup",
+    "streaming_dedup_against_index",
     "followup_events",
 ]

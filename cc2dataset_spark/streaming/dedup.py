@@ -10,7 +10,33 @@ survives an unbounded 100 TB/day stream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup_against_index(
+    stream: DataFrame,
+    index_fingerprints: DataFrame,
+    fingerprint: Column,
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Streaming twin of operators/dedup.dedup_incremental: continuous
+    ingestion deduped against the historical fingerprint store. The
+    static index joins stream-side as a broadcast LEFT ANTI (each
+    micro-batch probes the index without shuffling it), then
+    dropDuplicates on the fingerprint removes within-stream repeats
+    (first-seen survivor — streams have no global min-id).
+
+    State: the anti-join is stateless; the dropDuplicates state grows
+    with distinct NEW fingerprints. Production bounds it by either
+    periodically folding accepted fingerprints back into the static
+    index and restarting, or using dropDuplicatesWithinWatermark when
+    rows carry event time (streaming_dedup below).
+    """
+    fresh = stream.withColumn(fp_col, fingerprint).join(
+        F.broadcast(index_fingerprints.select(fp_col)), fp_col, "left_anti"
+    )
+    return fresh.dropDuplicates([fp_col])
 
 
 def streaming_dedup(

@@ -170,3 +170,44 @@ def test_streaming_mix_gate_equals_batch(spark, sf_dir):
     _run_to_memory(out, "t_mixgate", "append")
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_mixgate").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
+    """Continuous-ingestion dedup: the document STREAM anti-joined
+    against the static historical fingerprint index must accept
+    exactly the fingerprint set the batch dedup_incremental_index
+    query accepts (survivor IDs may differ — streams keep first-seen,
+    batch keeps min-id — so the comparison is on fingerprints, which
+    both paths dedup identically)."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+    from cc2dataset_spark.plans.catalog import queries
+    from cc2dataset_spark.streaming import streaming_dedup_against_index
+
+    batch_fps = {
+        r.fingerprint
+        for r in queries()["dedup_incremental_index"](spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    b = md5_mod(F.concat(F.lit("ix:"), F.col("doc_id").cast("string")), 100)
+    index_fps = (
+        docs.where(b < 80).select(fp.alias("fingerprint")).distinct()
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(b >= 80)
+    )
+    out = streaming_dedup_against_index(stream, index_fps, fp).select(
+        "doc_id", "fingerprint"
+    )
+    assert out.isStreaming
+    _run_to_memory(out, "t_incdedup", "append")
+    got = {
+        r.fingerprint for r in spark.sql("SELECT * FROM t_incdedup").collect()
+    }
+    assert got == batch_fps and len(got) > 0
