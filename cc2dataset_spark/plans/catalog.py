@@ -74,8 +74,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # reference-parity core (layer A)
     "cc_extract_dedup_links",
     "cc_extract_image_wat",
-    # LLM-ops: text analysis / curation
-    "text_token_stats",
+    # LLM-ops: text analysis / curation (text_token_stats — green in
+    # r1 AND r4 — ceded its slot to the new-in-r5
+    # text_unigram_perplexity so the LM-quality-prior op debuts with a
+    # driver row; the text family keeps 4 other slots)
+    "text_unigram_perplexity",
     "text_lang_id",
     "curate_quality_filter",
     "top_tokens_per_lang",

@@ -295,3 +295,77 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_bits"),
         )
     )
+
+
+@query(
+    "text_unigram_perplexity",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
+      FROM documents
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tok
+    ), s AS (
+      SELECT doc_id,
+             round(-ln(CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE)
+                       / tot.n_total), 6) AS srp
+      FROM tok, tot
+    ), per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             round(CAST(SUM(CAST(srp AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_nll
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, mean_nll,
+           round(exp(mean_nll), 6) AS ppl
+    FROM per_doc
+    """,
+    tags=("text", "llm", "curation", "quality"),
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality prior, with the LM built
+    from the corpus itself: per-document mean token surprisal
+    -ln p(token) under the corpus unigram distribution, and its exp
+    (perplexity). Rare-token-stuffed or boilerplate documents score
+    far from the corpus mode, which is exactly the CCNet head/middle/
+    tail quality split signal (there from a KenLM 5-gram; the unigram
+    model keeps it closed-form and SQL-replayable).
+
+    Plan: tokenize + explode ONCE; the unigram count comes from a
+    COUNT window partitioned by term over the token stream (one
+    term-keyed shuffle — vocabulary-sized state, NO broadcast of a
+    vocab table, which at 100 TB would not fit); the corpus token
+    total is a 1-row broadcast (its recompute of the tokenize map is
+    a second scan but no second shuffle); then one doc-keyed
+    aggregate. Cross-engine float discipline (same as
+    text_char_entropy): each surprisal rounds libm's ln to 6, the
+    per-doc sum accumulates in DECIMAL(38,18) so order cannot matter,
+    the mean rounds to 6, and exp of that already-identical mean
+    re-rounds to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    total = tok.agg(F.count("*").cast("double").alias("n_total"))
+    uc = F.count("*").over(Window.partitionBy("term"))
+    srp = F.round(-F.log(uc.cast("double") / F.col("n_total")), 6)
+    per_doc = (
+        tok.crossJoin(F.broadcast(total))
+        .select("doc_id", srp.alias("srp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("srp").cast("decimal(38,18)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "mean_nll",
+        F.round(F.exp("mean_nll"), 6).alias("ppl"),
+    )
