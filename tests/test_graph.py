@@ -6,6 +6,7 @@ power iteration / by hand)."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.operators.dedup import dedup_incremental
@@ -54,6 +55,32 @@ def test_pagerank_matches_numpy(spark):
 def test_pagerank_empty_graph(spark):
     df = spark.createDataFrame([], "src string, dst string, w double")
     assert pagerank(df).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(0, 7), st.integers(0, 7), st.integers(1, 5)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pagerank_matches_numpy_on_random_graphs(spark, raw):
+    # aggregate duplicate (src, dst) pairs — the operator's contract
+    edges = {}
+    for u, v, w in raw:
+        edges[(str(u), str(v))] = edges.get((str(u), str(v)), 0.0) + w
+    flat = [(u, v, w) for (u, v), w in edges.items()]
+    df = spark.createDataFrame(flat, ["src", "dst", "w"])
+    got = {
+        r.id: r.rank for r in pagerank(df, damping=0.85, iters=3).collect()
+    }
+    want = _numpy_pagerank(flat, 0.85, 3)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-10)
 
 
 def test_dedup_incremental_semantics(spark):
