@@ -127,7 +127,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver row; sliding/session/followup keep the family in-window)
     "graph_pagerank_trade",
     "events_sliding_10m_5m",
-    "events_session_30m",
+    # events_session_30m (green r2 AND r4) ceded its slot to the
+    # new-in-r5 events_sessionize — the per-event lag-flag-cumsum
+    # formulation of the same 30-minute-gap concept, debuting with a
+    # driver row
+    "events_sessionize",
     "events_followup_pairs_10m",
     # late-r5 rotation: SemDeDup (embedding-cluster dedup) takes the
     # slot of array_ops_embeddings, green in both r2 and r4

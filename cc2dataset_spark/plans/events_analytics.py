@@ -7,7 +7,7 @@ small broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.plans.catalog import query
@@ -126,4 +126,69 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end,
+           CAST(date_sub('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_secs
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("events", "session", "window", "agg"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (30-minute inactivity gap), rolled
+    up to one row per (user, session): the classic lag-flag-cumsum
+    sessionization, the per-EVENT complement of the session_window
+    aggregate in streaming/windows.py (which yields windows, not
+    stable per-session ordinals).
+
+    Plan: ONE user_id-keyed shuffle + ONE sort carry both window
+    passes (the flag-sum Window consumes the lag Window's output, so
+    they stack as two Window nodes over the same exchange+sort — no
+    re-shuffle, .explain-verified) and the final (user, session)
+    aggregate partial-aggregates map-side on the same partitioning. The
+    gap test compares full-precision timestamps (no epoch truncation),
+    so a 1799.999s gap stays in-session in both engines; the session
+    duration counts COMPLETE seconds (timestampdiff / DuckDB
+    date_sub), never epoch casts, so it is independent of the
+    process/session timezone."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.select(
+        "user_id", "ts", F.sum(new_s).over(run).alias("session_seq")
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.expr("timestampdiff(SECOND, min(ts), max(ts))").alias(
+            "duration_secs"
+        ),
     )
