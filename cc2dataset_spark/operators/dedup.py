@@ -75,6 +75,29 @@ def dedup_incremental(
     )
 
 
+def upsert_by_key(
+    base: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Keyed upsert without a table format: rows from ``updates`` win,
+    ``base`` rows survive only where no update shares their key —
+    MERGE INTO semantics as one anti-join + union. Closes the
+    incremental-ingest loop: after dedup_incremental accepts a batch,
+    upsert its fingerprints into the historical index and rewrite
+    (at scale: per partition directory, paired with compact_parquet).
+
+    ``updates`` must already be unique per key (dedup it first if
+    not); plan is one key-shuffled anti-join — with the base stored
+    bucketed by key, only the small update side shuffles.
+    """
+    if base.columns != updates.columns:
+        raise ValueError(
+            f"upsert_by_key schemas differ: {base.columns} vs {updates.columns}"
+        )
+    return base.join(updates.select(*keys), keys, "left_anti").unionByName(
+        updates
+    )
+
+
 def dedup_by_fingerprint(
     df: DataFrame, fingerprint: Column, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -83,6 +83,49 @@ def test_pagerank_matches_numpy_on_random_graphs(spark, raw):
         assert got[k] == pytest.approx(want[k], abs=1e-10)
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    batch=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from("abcdefgh")),
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    index=st.lists(st.sampled_from("abcdefgh"), max_size=6),
+)
+def test_dedup_incremental_matches_python_model(spark, batch, index):
+    """Random batches/indexes vs a direct Python model of the
+    contract: survivors = min-id per content among batch rows whose
+    content is not indexed."""
+    expected = {}
+    for doc_id, text in batch:
+        if text in set(index):
+            continue
+        if text not in expected or doc_id < expected[text]:
+            expected[text] = doc_id
+    bdf = spark.createDataFrame(
+        batch or [(None, None)], "doc_id long, text string"
+    ).where(F.col("doc_id").isNotNull())
+    idf = spark.createDataFrame(
+        [(t,) for t in index] or [(None,)], "fingerprint string"
+    ).where(F.col("fingerprint").isNotNull())
+    out = dedup_incremental(bdf, idf, F.col("text"))
+    got = {r.fingerprint: r.doc_id for r in out.collect()}
+    assert got == expected
+
+
+def test_upsert_by_key(spark):
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], ["k", "v"]
+    )
+    updates = spark.createDataFrame([("b", 20), ("d", 40)], ["k", "v"])
+    from cc2dataset_spark.operators.dedup import upsert_by_key
+
+    got = {(r.k, r.v) for r in upsert_by_key(base, updates, ["k"]).collect()}
+    assert got == {("a", 1), ("b", 20), ("c", 3), ("d", 40)}
+    with pytest.raises(ValueError):
+        upsert_by_key(base, updates.select("v", "k"), ["k"])
+
+
 def test_dedup_incremental_semantics(spark):
     batch = spark.createDataFrame(
         [
