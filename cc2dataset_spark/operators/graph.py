@@ -11,11 +11,13 @@ entirely in DataFrame algebra:
     rank_{t+1}(v) = (1-d)/N + d * sum_{(u,v) in E} rank_t(u) * p(u,v)
 
 with p(u,v) = w(u,v) / outweight(u). Dangling-node mass (nodes with no
-out-edges) is NOT redistributed — the simpler absorbing variant, chosen
-because it is expressible identically in one SQL statement per
-iteration, so the DuckDB correctness oracle can replay every round
-bit-for-close (sums of <= in-degree doubles; only 6-dp-rounded ranks
-are emitted). Document the variant, don't hide it.
+out-edges) is absorbed by default — the variant expressible
+identically in one SQL statement per iteration, so the DuckDB
+correctness oracle can replay every round bit-for-close (sums of
+<= in-degree doubles; only 6-dp-rounded ranks are emitted).
+``redistribute_dangling=True`` gives the classic sum-preserving
+variant (dangling mass spreads uniformly each round, as a 1-row
+broadcast aggregate — NumPy-verified in tests/test_graph.py).
 
 Scale shape: the expensive part of a real domain-rank job is building
 the AGGREGATED edge list from the fact data (a fact-fact join + one
@@ -42,6 +44,7 @@ def pagerank(
     weight: str = "w",
     damping: float = 0.85,
     iters: int = 3,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """(id, rank) for every node in ``edges`` after ``iters`` rounds of
     weighted power iteration starting from the uniform vector.
@@ -81,17 +84,37 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    srcs = edges.select(F.col(src).alias("id")).distinct()
     for _ in range(iters):
         contribs = (
             norm.join(ranks, norm._src == ranks.id)
             .groupBy(F.col("_dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_in"))
         )
-        ranks = nodes.join(contribs, "id", "left").select(
-            "id",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
-            ).alias("rank"),
-        )
+        inflow = F.coalesce("_in", F.lit(0.0))
+        if redistribute_dangling:
+            # classic variant: mass parked on no-out-edge nodes spreads
+            # uniformly, keeping sum(rank) == 1. The dangling total is a
+            # 1-row aggregate broadcast back — no driver action.
+            dang = ranks.join(srcs, "id", "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+            )
+            ranks = (
+                nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "id",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * (inflow + F.col("_dang") / n)
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = nodes.join(contribs, "id", "left").select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n) + F.lit(damping) * inflow
+                ).alias("rank"),
+            )
     return ranks

@@ -13,7 +13,7 @@ from cc2dataset_spark.operators.dedup import dedup_incremental
 from cc2dataset_spark.operators.graph import pagerank
 
 
-def _numpy_pagerank(edges, damping, iters):
+def _numpy_pagerank(edges, damping, iters, redistribute=False):
     nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
     idx = {n: i for i, n in enumerate(nodes)}
     n = len(nodes)
@@ -21,11 +21,13 @@ def _numpy_pagerank(edges, damping, iters):
     for u, v, w in edges:
         P[idx[u], idx[v]] = w
     out = P.sum(axis=1, keepdims=True)
+    dangling = (out.ravel() == 0.0)
     with np.errstate(invalid="ignore", divide="ignore"):
         P = np.where(out > 0, P / out, 0.0)
     r = np.full(n, 1.0 / n)
     for _ in range(iters):
-        r = (1.0 - damping) / n + damping * (P.T @ r)
+        spread = r[dangling].sum() / n if redistribute else 0.0
+        r = (1.0 - damping) / n + damping * (P.T @ r + spread)
     return dict(zip(nodes, r))
 
 
@@ -50,6 +52,23 @@ def test_pagerank_matches_numpy(spark):
         assert got[k] == pytest.approx(want[k], abs=1e-12)
     # a has no in-edges: exactly the teleport share each round
     assert got["a"] == pytest.approx(0.15 / 4, abs=1e-12)
+
+
+def test_pagerank_redistributed_preserves_mass(spark):
+    # d has no out-edges; with redistribution the rank vector stays a
+    # probability distribution (sum == 1) and matches NumPy.
+    edges = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 1.0)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {
+        r.id: r.rank
+        for r in pagerank(
+            df, damping=0.85, iters=5, redistribute_dangling=True
+        ).collect()
+    }
+    want = _numpy_pagerank(edges, 0.85, 5, redistribute=True)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
 
 
 def test_pagerank_empty_graph(spark):

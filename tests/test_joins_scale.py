@@ -55,6 +55,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS o_b")
 
 
+def test_incremental_dedup_bucketed_index_shuffles_only_batch(spark, sf_dir):
+    """The dedup_incremental docstring claims that with the historical
+    fingerprint index stored bucketed, only the small new batch
+    shuffles. Prove it: the anti-join plan has exactly ONE Exchange
+    (the batch side), the index comes in through a bucketed scan, and
+    the downstream min-window reuses the join's fingerprint
+    partitioning (ClusteredDistribution is count-agnostic) instead of
+    re-exchanging."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+    from cc2dataset_spark.operators.dedup import dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    b = md5_mod(F.concat(F.lit("ix:"), F.col("doc_id").cast("string")), 100)
+    index = docs.where(b < 80).select(fp.alias("fingerprint")).distinct()
+    write_bucketed(index, "fp_index_b", "fingerprint", num_buckets=8)
+    batch = docs.where(b >= 80).select("doc_id", "source", "text")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup_incremental(batch, spark.table("fp_index_b"), fp)
+        plan = _formatted_plan(out)
+        assert plan.count("Exchange (") == 1, plan
+        assert "Bucketed: true" in plan, plan
+        assert "LeftAnti" in plan, plan
+        # and the result equals the unbucketed path
+        want = dedup_incremental(batch, index, fp)
+        assert {tuple(r) for r in out.collect()} == {
+            tuple(r) for r in want.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS fp_index_b")
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 20)
