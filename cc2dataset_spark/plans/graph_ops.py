@@ -108,3 +108,87 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("nation"), F.round("rank", 6).alias("pagerank")
     )
+
+
+def _pagerank_parts_oracle() -> str:
+    """Unrolled sum-preserving power iteration over the supplier ->
+    part supply graph. Parts never have out-edges, so every round a
+    real dangling mass (most of the vector) respreads uniformly —
+    the variant actually changes the answer here, unlike the trade
+    graph where every nation has out-edges."""
+    ctes = [
+        """edges AS (
+      SELECT l_suppkey AS src, l_partkey AS dst,
+             CAST(SUM(l_quantity) AS DOUBLE) AS w
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    )""",
+        """norm AS (
+      SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS p FROM edges
+    )""",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "srcs AS (SELECT DISTINCT src AS id FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""dang{i} AS (
+      SELECT COALESCE(SUM(rank), 0.0) AS m FROM r{i - 1}
+      WHERE id NOT IN (SELECT id FROM srcs)
+    )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+      SELECT nodes.id,
+             (1.0 - {_PR_DAMPING}) / nn.n
+             + {_PR_DAMPING} * (COALESCE(SUM(r{i - 1}.rank * norm.p), 0.0)
+                                + dang{i}.m / nn.n) AS rank
+      FROM nodes CROSS JOIN nn CROSS JOIN dang{i}
+      LEFT JOIN norm ON norm.dst = nodes.id
+      LEFT JOIN r{i - 1} ON r{i - 1}.id = norm.src
+      GROUP BY nodes.id, nn.n, dang{i}.m
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id, round(rank, 6) AS pagerank FROM r{_PR_ITERS}
+    ORDER BY pagerank DESC, id LIMIT 100"""
+    )
+
+
+@query(
+    "graph_pagerank_parts",
+    oracle=_pagerank_parts_oracle(),
+    tags=("graph", "pagerank", "llm"),
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum-preserving PageRank (redistribute_dangling=True) over the
+    supplier -> part supply graph: parts are pure sinks, so ~all mass
+    parks on dangling nodes each round and the uniform respread is
+    load-bearing — the variant test the trade graph cannot provide.
+    Top-100 by rank (TakeOrderedAndProject; |nodes| ~ |parts| here, so
+    the full vector is large and the consumer wants the head).
+
+    Scale: the graph is |supplier x part co-occurrence|-sized — far
+    larger than the trade graph but still the aggregated-fact scale,
+    with the same persisted-once build; the per-round dangling total
+    is a 1-row broadcast, never a driver action."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    edges = li.groupBy(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).agg(F.sum("l_quantity").cast("double").alias("w"))
+    ranks = pagerank(
+        edges,
+        damping=_PR_DAMPING,
+        iters=_PR_ITERS,
+        redistribute_dangling=True,
+    )
+    return (
+        ranks.select("id", F.round("rank", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "id")
+        .limit(100)
+    )

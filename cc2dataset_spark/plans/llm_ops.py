@@ -1575,3 +1575,54 @@ def curate_full_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_chars"),
     )
+
+
+@query(
+    "dedup_index_upsert",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fingerprint,
+             md5_number_lower('ix:' || CAST(doc_id AS VARCHAR)) % 100 AS b
+      FROM documents
+    ),
+    ix AS (SELECT DISTINCT fingerprint FROM base WHERE b < 80),
+    batch AS (SELECT doc_id, fingerprint FROM base WHERE b >= 80),
+    fresh AS (
+      SELECT DISTINCT fingerprint FROM batch
+      WHERE NOT EXISTS (SELECT 1 FROM ix WHERE ix.fingerprint = batch.fingerprint)
+    ),
+    merged AS (SELECT fingerprint FROM ix UNION ALL SELECT fingerprint FROM fresh)
+    SELECT substr(fingerprint, 1, 1) AS bucket, COUNT(*) AS n_fps
+    FROM merged GROUP BY 1
+    """,
+    tags=("dedup", "llm", "incremental"),
+)
+def dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance half of the incremental cycle: fold the
+    accepted batch fingerprints back into the historical index with
+    operators/dedup.upsert_by_key (MERGE semantics — here inserts
+    only, since accepted fingerprints are by construction absent from
+    the index; the oracle replays that equivalence as anti-join +
+    UNION ALL) and account the result per leading-hex bucket — the
+    per-partition-directory sizing a production store would use to
+    schedule compaction."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+    from cc2dataset_spark.operators.dedup import upsert_by_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    b = md5_mod(F.concat(F.lit("ix:"), F.col("doc_id").cast("string")), 100)
+    base = docs.select("doc_id", fp.alias("fingerprint"), b.alias("b"))
+    ix = base.where(F.col("b") < 80).select("fingerprint").distinct()
+    accepted = (
+        base.where(F.col("b") >= 80)
+        .join(ix, "fingerprint", "left_anti")
+        .select("fingerprint")
+        .distinct()
+    )
+    merged = upsert_by_key(ix, accepted, ["fingerprint"])
+    return merged.groupBy(
+        F.substring("fingerprint", 1, 1).alias("bucket")
+    ).agg(F.count("*").alias("n_fps"))
