@@ -45,6 +45,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 3,
     redistribute_dangling: bool = False,
+    big_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """(id, rank) for every node in ``edges`` after ``iters`` rounds of
     weighted power iteration starting from the uniform vector.
@@ -71,6 +72,7 @@ def pagerank(
     from pyspark.storagelevel import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    m = edges.count()
     p = (F.col(weight).cast("double") / F.sum(F.col(weight).cast("double")).over(
         Window.partitionBy(src)
     )).alias("_p")
@@ -80,14 +82,58 @@ def pagerank(
         .union(edges.select(F.col(dst).alias("id")))
         .distinct()
     )
+    # Loop discipline for non-tiny graphs (components.py-style):
+    # - joins pinned to shuffle-hash. Left to AQE, each round
+    #   re-BROADCASTS the edge and rank frames; broadcasts are
+    #   driver-built and only lazily GC'd, so iters x O(|E|) copies
+    #   accumulate on the driver — measured: the ~80k-edge
+    #   supplier->part graph OOMs a default-heap driver at sf0.1.
+    # - loop frames repartitioned to a count sized to the graph, not
+    #   to the corpus-sized session default (a 21k-row vector split 64
+    #   ways is pure scheduling overhead — measured 21 s -> ~4 s).
+    # - each round's rank vector persisted + materialized, previous
+    #   round dropped: in the redistribution variant ranks feed BOTH
+    #   the contribution join and the dangling aggregate, so an
+    #   unpersisted chain re-evaluates round i-1 twice per round —
+    #   2^iters subtree blowup.
+    # The threshold is in EDGE rows (|nodes| <= 2|edges|, so one test
+    # covers both); the hazard it guards is broadcast BYTES on the
+    # driver, so it is deliberately generous — a 200k-row edge frame
+    # is ~10 MB broadcast-built, still cheap, while the loop
+    # discipline costs ~2 s of fixed per-round stage overhead on
+    # local[32] that a tiny graph shouldn't pay.
+    big = m > big_graph_threshold
+    # The per-round persist is also load-bearing for SMALL graphs when
+    # redistributing: ranks feeds both the contribution join and the
+    # dangling aggregate, and an unpersisted dual-referenced chain
+    # re-evaluates every earlier round twice per round (2^iters
+    # stages — measured 15 s vs 3 s on the 25k-edge brand graph).
+    persist_rounds = big or redistribute_dangling
+    # norm and nodes are referenced every round; persist them in all
+    # modes so a round costs its own joins, not a re-derivation of the
+    # window/distinct chains (each a shuffle) from the edge cache.
+    if big:
+        sp = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        parts = max(8, min(sp, m // 50_000 + 1))
+        norm = norm.repartition(parts, "_src")
+        nodes = nodes.repartition(parts, "id")
+    norm = norm.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+
+    def _h(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if big else df
+
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     srcs = edges.select(F.col(src).alias("id")).distinct()
+    if redistribute_dangling:
+        srcs = srcs.persist(StorageLevel.MEMORY_AND_DISK)
+    prev: DataFrame | None = None
     for _ in range(iters):
         contribs = (
-            norm.join(ranks, norm._src == ranks.id)
+            norm.join(_h(ranks), norm._src == ranks.id)
             .groupBy(F.col("_dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_in"))
         )
@@ -96,11 +142,11 @@ def pagerank(
             # classic variant: mass parked on no-out-edge nodes spreads
             # uniformly, keeping sum(rank) == 1. The dangling total is a
             # 1-row aggregate broadcast back — no driver action.
-            dang = ranks.join(srcs, "id", "left_anti").agg(
+            dang = ranks.join(_h(srcs), "id", "left_anti").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
             )
-            ranks = (
-                nodes.join(contribs, "id", "left")
+            ranks_next = (
+                nodes.join(_h(contribs), "id", "left")
                 .crossJoin(F.broadcast(dang))
                 .select(
                     "id",
@@ -111,10 +157,17 @@ def pagerank(
                 )
             )
         else:
-            ranks = nodes.join(contribs, "id", "left").select(
+            ranks_next = nodes.join(_h(contribs), "id", "left").select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n) + F.lit(damping) * inflow
                 ).alias("rank"),
             )
+        if persist_rounds:
+            ranks_next = ranks_next.persist(StorageLevel.MEMORY_AND_DISK)
+            ranks_next.count()
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks_next
+        ranks = ranks_next
     return ranks

@@ -160,3 +160,39 @@ def test_dedup_incremental_semantics(spark):
     ).select(F.md5("raw").alias("fingerprint"))
     out = dedup_incremental(batch, index, F.md5("text"))
     assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+
+
+def test_pagerank_big_graph_path(spark, sf_dir):
+    """The supplier -> part graph at sf0.01 (~59k edges) crosses the
+    big-graph threshold, exercising the shuffle-hash / graph-sized
+    partitioning / per-round-persist loop. The math is pinned by the
+    small-graph NumPy tests; here we assert the physical path keeps
+    the invariants: full node coverage, a probability-distribution
+    rank vector (redistribution), and run-to-run determinism."""
+    from cc2dataset_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    edges = li.groupBy(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).agg(F.sum("l_quantity").cast("double").alias("w"))
+    assert edges.count() > 10_000
+    # force the big path (default threshold is 200k rows — sized to
+    # broadcast bytes, not to this fixture)
+    r = pagerank(
+        edges, iters=2, redistribute_dangling=True, big_graph_threshold=10_000
+    )
+    rows = {x.id: x.rank for x in r.collect()}
+    n_nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_nodes
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+    again = {x.id: x.rank for x in pagerank(
+        edges, iters=2, redistribute_dangling=True, big_graph_threshold=10_000
+    ).collect()}
+    assert again == rows
