@@ -211,3 +211,48 @@ def test_streaming_incremental_dedup_equals_batch(spark, sf_dir):
         r.fingerprint for r in spark.sql("SELECT * FROM t_incdedup").collect()
     }
     assert got == batch_fps and len(got) > 0
+
+
+def test_streaming_decontaminate_equals_batch(spark, sf_dir):
+    """Continuous-ingestion decontamination: the benchmark shingle set
+    is static and broadcast, so ngram_decontaminate composes with a
+    document stream unchanged (stateless map + broadcast semi-probe +
+    per-doc agg). The flagged (doc_id, n_hit_shingles) set must equal
+    the batch curate_decontaminate result on the same injected
+    overlap."""
+    from cc2dataset_spark.operators.contamination import ngram_decontaminate
+    from cc2dataset_spark.plans.catalog import queries
+    from cc2dataset_spark.plans.llm_ops import _EVAL_SENTENCE
+
+    batch = {
+        tuple(r)
+        for r in queries()["curate_decontaminate"](spark, sf_dir).collect()
+    }
+
+    words = F.split(F.lit(_EVAL_SENTENCE), " ")
+    appendix = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.slice(
+                    words, F.lit(1), (F.lit(8) + F.col("doc_id") % 5).cast("int")
+                ),
+                " ",
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    benchmark = spark.range(1).select(F.lit(_EVAL_SENTENCE).alias("text"))
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", F.concat("text", appendix).alias("text"))
+    )
+    out = ngram_decontaminate(stream, benchmark, shingle_words=8)
+    assert out.isStreaming
+    _run_to_memory(out, "t_decont", "complete")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_decont").collect()}
+    assert got == batch and len(got) > 0
