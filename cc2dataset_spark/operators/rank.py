@@ -1,0 +1,80 @@
+"""Scalable global ranking (scale extension; no reference twin).
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY is the
+classic Spark scale trap: the unpartitioned window moves the ENTIRE
+dataset through one task. This module implements the standard
+two-pass alternative — range-repartition on the order key, count rows
+per range, broadcast the prefix-sum offsets back, and add a
+within-partition row_number — so a total global rank costs one range
+exchange plus a partition-count-sized driver aggregate, and every
+partition ranks independently.
+
+Used by the quality-tiering query (plans/curation.py): CCNet-style
+head/middle/tail splits are defined by PER-CORPUS rank terciles, and
+rank-based tiering is integer-exact across engines where
+percentile-threshold tiering would hinge on float interpolation ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column | str],
+    rank_col: str = "global_rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based dense global row number under a TOTAL order.
+
+    ``order_by`` must be a total order (include a unique tiebreak
+    column) — with ties the range partitioner may split equal keys
+    arbitrarily and the result would not be reproducible.
+
+    Plan: range exchange on the order key (the sampler handles skew),
+    a per-partition count collected to the driver (bounded by the
+    partition count, same class as the IVF centroid seed), and one
+    within-partition sort+row_number with the partition's prefix-sum
+    offset added. No stage ever holds more than one partition's rows.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if num_partitions is None:
+        ranged = df.repartitionByRange(*cols)
+    else:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    from pyspark.storagelevel import StorageLevel
+
+    # The persist is CORRECTNESS-critical, not a cache optimization:
+    # the range partitioner SAMPLES its boundaries per execution, so
+    # without pinning, the counts job and the final ranking job could
+    # draw different boundaries and the prefix-sum offsets would be
+    # attributed to the wrong partitions.
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = dict(
+        ranged.groupBy("_pid").count().select("_pid", "count").collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.element_at(
+        F.create_map(
+            *[
+                x
+                for pid in sorted(offsets)
+                for x in (F.lit(pid), F.lit(offsets[pid]))
+            ]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn(
+            rank_col, (offset_col + F.row_number().over(w)).cast("bigint")
+        )
+        .drop("_pid")
+    )

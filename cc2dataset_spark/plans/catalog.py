@@ -80,7 +80,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver row; the text family keeps 4 other slots)
     "text_unigram_perplexity",
     "text_lang_id",
-    "curate_quality_filter",
+    # curate_quality_filter (green r1, r2, AND r4) ceded its slot to
+    # the new-in-r5 curate_quality_tiers — the rank-based CCNet
+    # head/middle/tail split over the scalable global-rank operator —
+    # so the op debuts with a driver row; the curation family keeps
+    # 6 other slots
+    "curate_quality_tiers",
     "top_tokens_per_lang",
     "text_tokenize_udtf",
     # rotated in r5: never driver-checked before

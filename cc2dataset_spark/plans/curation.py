@@ -297,10 +297,9 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_unigram_perplexity",
-    oracle=rf"""
-    WITH tok AS (
+# Shared between text_unigram_perplexity and curate_quality_tiers:
+# produces per_doc(doc_id, n_tokens, mean_nll) from documents.
+_NLL_CTES = rf"""tok AS (
       SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
       FROM documents
     ), tot AS (
@@ -316,7 +315,36 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(CAST(SUM(CAST(srp AS DECIMAL(38,18))) AS DOUBLE)
                    / COUNT(*), 6) AS mean_nll
       FROM s GROUP BY doc_id
+    )"""
+
+
+def _per_doc_nll(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_nll) — the Spark twin of _NLL_CTES."""
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
     )
+    total = tok.agg(F.count("*").cast("double").alias("n_total"))
+    uc = F.count("*").over(Window.partitionBy("term"))
+    srp = F.round(-F.log(uc.cast("double") / F.col("n_total")), 6)
+    return (
+        tok.crossJoin(F.broadcast(total))
+        .select("doc_id", srp.alias("srp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("srp").cast("decimal(38,18)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+@query(
+    "text_unigram_perplexity",
+    oracle=f"""
+    WITH {_NLL_CTES}
     SELECT doc_id, n_tokens, mean_nll,
            round(exp(mean_nll), 6) AS ppl
     FROM per_doc
@@ -344,28 +372,64 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean rounds to 6, and exp of that already-identical mean
     re-rounds to 6."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
-    )
-    total = tok.agg(F.count("*").cast("double").alias("n_total"))
-    uc = F.count("*").over(Window.partitionBy("term"))
-    srp = F.round(-F.log(uc.cast("double") / F.col("n_total")), 6)
-    per_doc = (
-        tok.crossJoin(F.broadcast(total))
-        .select("doc_id", srp.alias("srp"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("srp").cast("decimal(38,18)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("mean_nll"),
-        )
-    )
-    return per_doc.select(
+    return _per_doc_nll(docs).select(
         "doc_id",
         "n_tokens",
         "mean_nll",
         F.round(F.exp("mean_nll"), 6).alias("ppl"),
     )
+
+
+@query(
+    "curate_quality_tiers",
+    oracle=f"""
+    WITH {_NLL_CTES},
+    n AS (SELECT COUNT(*) AS n_docs FROM per_doc),
+    ranked AS (
+      SELECT doc_id, mean_nll,
+             ROW_NUMBER() OVER (ORDER BY mean_nll, doc_id) AS rn
+      FROM per_doc
+    )
+    SELECT doc_id, mean_nll, rn AS quality_rank,
+           CASE ((rn - 1) * 3) // n.n_docs
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS tier
+    FROM ranked, n
+    """,
+    tags=("llm", "curation", "quality", "rank"),
+)
+def curate_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split, rank-based: documents
+    ordered by unigram mean surprisal (best = lowest = head) and cut
+    into integer terciles of the GLOBAL rank. Rank-based tiering is
+    integer-exact across engines; percentile-threshold tiering would
+    hinge on float interpolation ulps at the cut points.
+
+    The global rank comes from operators/rank.py global_row_number —
+    range-repartition + prefix-sum offsets — NOT from an
+    unpartitioned ROW_NUMBER window, which would drag the whole
+    corpus through one task (the DuckDB oracle can afford the naive
+    form; the Spark plan cannot at 100 TB). Tercile assignment is
+    ((rn-1)*3) DIV n — pure integer arithmetic."""
+    from cc2dataset_spark.operators.rank import global_row_number
+
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    # persisted because the range partitioner's boundary-sampling pass
+    # is a full extra evaluation of the surprisal chain otherwise
+    per_doc = (
+        _per_doc_nll(docs)
+        .select("doc_id", "mean_nll")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranked = global_row_number(
+        per_doc, ["mean_nll", "doc_id"], rank_col="quality_rank"
+    )
+    n = docs.count()
+    tier = (
+        F.when(F.expr(f"((quality_rank - 1) * 3) DIV {n}") == 0, "head")
+        .when(F.expr(f"((quality_rank - 1) * 3) DIV {n}") == 1, "middle")
+        .otherwise("tail")
+    )
+    return ranked.select("doc_id", "mean_nll", "quality_rank", tier.alias("tier"))

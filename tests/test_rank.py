@@ -1,0 +1,67 @@
+"""global_row_number: the two-pass range-partitioned global rank must
+equal the single-partition window it replaces, across partition counts
+and under skew."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.operators.rank import global_row_number
+
+
+def _reference(rows):
+    # total order: (value, id)
+    return {
+        rid: i + 1
+        for i, (v, rid) in enumerate(
+            sorted((v, rid) for rid, v in rows)
+        )
+    }
+
+
+def test_matches_unpartitioned_window(spark, sf_dir):
+    from cc2dataset_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    got = global_row_number(
+        o, ["o_totalprice", "o_orderkey"], num_partitions=7
+    )
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = o.withColumn("global_rn", F.row_number().over(w).cast("bigint"))
+    assert {(r.o_orderkey, r.global_rn) for r in got.collect()} == {
+        (r.o_orderkey, r.global_rn) for r in want.collect()
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    parts=st.integers(1, 9),
+)
+def test_matches_python_reference(spark, rows, parts):
+    df = spark.createDataFrame(rows, ["rid", "v"])
+    got = {
+        r.rid: r.global_rn
+        for r in global_row_number(
+            df, ["v", "rid"], num_partitions=parts
+        ).collect()
+    }
+    assert got == _reference(rows)
+
+
+def test_skewed_keys_stay_correct(spark):
+    # 90% identical sort keys; the unique tiebreak keeps the order total
+    rows = [(i, 1 if i < 90 else i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["rid", "v"])
+    got = {
+        r.rid: r.global_rn
+        for r in global_row_number(df, ["v", "rid"], num_partitions=5).collect()
+    }
+    assert got == _reference(rows)
+    assert sorted(got.values()) == list(range(1, 101))
