@@ -392,3 +392,153 @@ def _blocked_pair_candidates(threshold: float, slack: float = 1e-6, block: int =
         )
 
     return fn
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS-style ADC top-k
+# --------------------------------------------------------------------------
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """codebook[m][k-1] = the k-th codeword (length dim/n_sub) of
+    subspace m. Codewords are subvector slices of the ``n_codes``
+    corpus vectors with the smallest id-hashes — the same
+    md5_number_lower sample (and the same TakeOrderedAndProject
+    bounded collect) as the IVF centroid seed, so the SQL oracle
+    derives the identical codebook; kmeans refinement is deliberately
+    omitted for cross-engine determinism (same trade as the
+    registered IVF query's kmeans_iters=0)."""
+    sub_len = dim // n_sub
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
+        )
+        .orderBy(md5_number_lower(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_codes)
+        .collect()
+    )
+    return [
+        [
+            [float(x) for x in r.cv[m * sub_len : (m + 1) * sub_len]]
+            for r in rows
+        ]
+        for m in range(n_sub)
+    ]
+
+
+def _pq_rel_dist(sub_col, codeword: list[float]):
+    """||sub - cw||^2 minus the per-row constant ||sub||^2 (irrelevant
+    to any argmin/ranking over codewords for the same row):
+    dot(cw, cw) - 2*dot(sub, cw). The codeword self-dot folds
+    sequentially in Python — bit-identical to DuckDB's
+    list_dot_product — and lands in the plan as a literal."""
+    from cc2dataset_spark.functions.vectors import dot
+
+    dbb = 0.0
+    for x in codeword:
+        dbb = dbb + x * x
+    cw = F.array(*[F.lit(float(x)) for x in codeword])
+    return F.lit(dbb) - F.lit(2.0) * dot(sub_col, cw)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, c0..c{M-1}) — each vector compressed to M small integer
+    codes (1-based, matching the oracle's ROW_NUMBER codeword ids).
+    Pure codegen map pass: the argmin over K codewords is
+    array_min over an array<struct<d,k>> (struct ordering breaks ties
+    on k), no shuffle, no UDF; at 100 TB this is the index-build scan
+    and the stored codes are dim*8/M bytes smaller per row than the
+    raw vectors."""
+    n_sub = len(codebook)
+    sub_len = len(codebook[0][0])
+    emb = as_double_array(vec_col)
+    base = vectors.select(
+        F.col(id_col),
+        *[
+            F.slice(emb, m * sub_len + 1, sub_len).alias(f"_s{m}")
+            for m in range(n_sub)
+        ],
+    )
+    cols = [F.col(id_col)]
+    for m, words in enumerate(codebook):
+        arr = F.array(
+            *[
+                F.struct(
+                    _pq_rel_dist(F.col(f"_s{m}"), cw).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+                for k, cw in enumerate(words, start=1)
+            ]
+        )
+        cols.append(F.array_min(arr)["k"].alias(f"c{m}"))
+    return base.select(*cols)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate nearest neighbors by asymmetric distance (ADC):
+    approx ||q - v||^2 = sum_m ||q_m - codeword(v, m)||^2, computed
+    from v's stored codes only — v's raw vector is never read at query
+    time. Table lookups are element_at into a per-subspace array of
+    the K query-to-codeword distances (codegen; the K*M table is built
+    per query row from broadcast literals). Plan: corpus codes
+    broadcast-joined with the bounded query set, one (query) window
+    top-k — the corpus shuffles once on nothing (scan + map), the
+    ranking state is per-query k rows."""
+    n_sub = len(codebook)
+    sub_len = len(codebook[0][0])
+    codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    joined = codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    from cc2dataset_spark.functions.vectors import dot
+
+    qsub = [F.slice("qv", m * sub_len + 1, sub_len) for m in range(n_sub)]
+    # per-subspace lookup tables + the per-query constant, summed in
+    # fixed left-assoc order so both engines fold identically
+    score = None
+    for m, words in enumerate(codebook):
+        tab = F.array(*[_pq_rel_dist(qsub[m], cw) for cw in words])
+        t = F.element_at(tab, F.col(f"c{m}"))
+        score = t if score is None else score + t
+    qconst = None
+    for m in range(n_sub):
+        d = dot(qsub[m], qsub[m])
+        qconst = d if qconst is None else qconst + d
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (qconst + score).alias("_adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_adc", 6).alias("adc_sqdist"),
+            "rank",
+        )
+    )

@@ -1626,3 +1626,94 @@ def dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy(
         F.substring("fingerprint", 1, 1).alias("bucket")
     ).agg(F.count("*").alias("n_fps"))
+
+
+def _pq_oracle(
+    k: int = 3, n_sub: int = 4, n_codes: int = 16, dim: int = 64, q_max: int = 5
+) -> str:
+    """DuckDB replay of the ENTIRE PQ pipeline — codebook seed (same
+    md5_number_lower sample as operators/similarity.pq_codebook),
+    per-subspace argmin encoding, ADC table-lookup scoring. Every
+    distance is the same left-assoc double fold in both engines
+    (list_dot_product == the Python/zip_with folds), so codes and ADC
+    scores are bit-identical and the ranking needs no float slack."""
+    sub = dim // n_sub
+
+    def sl(expr: str, m: int) -> str:
+        return f"list_slice({expr}, {m * sub + 1}, {(m + 1) * sub})"
+
+    code_ctes = []
+    for m in range(n_sub):
+        d = (
+            f"list_dot_product({sl('s.sv', m)}, {sl('s.sv', m)})"
+            f" - 2 * list_dot_product({sl('e.embedding::DOUBLE[]', m)}, {sl('s.sv', m)})"
+        )
+        code_ctes.append(
+            f"""code{m} AS (
+      SELECT vec_id, k AS c FROM (
+        SELECT e.vec_id, s.k,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d}, s.k)
+                 AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    )"""
+        )
+    qconst = " + ".join(
+        f"list_dot_product({sl('q.qv', m)}, {sl('q.qv', m)})"
+        for m in range(n_sub)
+    )
+    terms = " + ".join(
+        f"(list_dot_product({sl(f's{m}.sv', m)}, {sl(f's{m}.sv', m)})"
+        f" - 2 * list_dot_product({sl('q.qv', m)}, {sl(f's{m}.sv', m)}))"
+        for m in range(n_sub)
+    )
+    code_joins = "\n      ".join(
+        f"JOIN code{m} c{m} ON c{m}.vec_id = c0.vec_id" for m in range(1, n_sub)
+    )
+    seed_joins = "\n      ".join(
+        f"JOIN seeds s{m} ON s{m}.k = c{m}.c" for m in range(n_sub)
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT embedding::DOUBLE[] AS sv, ROW_NUMBER() OVER (
+               ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS k
+      FROM embeddings
+      QUALIFY k <= {n_codes}
+    ),
+    {",".join(code_ctes)},
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {q_max}
+    ),
+    scored AS (
+      SELECT q.query_id, c0.vec_id AS neighbor_id,
+             ({qconst}) + ({terms}) AS adc
+      FROM q CROSS JOIN code0 c0
+      {code_joins}
+      {seed_joins}
+      WHERE c0.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_sqdist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_oracle(), tags=("similarity", "llm", "pq"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS IndexPQ shape): vectors
+    compressed to n_sub=4 one-byte codes against a 16-codeword
+    codebook per subspace; queries rank the corpus by asymmetric
+    distance computed ONLY from the stored codes. The third index
+    family next to IVF (cluster pruning) and SimHash (bucket hashing)
+    — PQ trades recall for an 8x memory compression of the index,
+    which at 100 TB is what lets the index fit at all. Fully
+    oracle-backed: the codebook is the md5-seeded sample, encoding
+    and ADC are bit-identical double folds in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM.pq_codebook(emb)
+    return SIM.pq_topk(emb.where(F.col("vec_id") < 5), emb, cb, k=3)

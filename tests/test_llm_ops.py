@@ -474,3 +474,37 @@ def test_cluster_survivors_empty_edges_all_survive(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     got = sorted(map(tuple, cluster_survivors(uni, edges, "doc_id").collect()))
     assert got == [(1, 1, True), (2, 2, True), (3, 3, True)]
+
+
+def test_pq_topk_recall_floor_and_determinism(spark, sf_dir):
+    """PQ with an untrained md5-sampled codebook (the SQL-replayable
+    registered form) is a coarse quantizer: recall@3 vs exact L2 is
+    honestly LOW on the dense gaussian fixture (~0.13 measured; pinned
+    floor 0.08) — production raises it with trained codebooks, larger
+    K*M, and IVF-PQ re-ranking, none of which change the plan shape
+    proven here. What the registered form guarantees instead is exact
+    cross-engine replayability (oracle) and determinism (asserted)."""
+    import numpy as np
+
+    from cc2dataset_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM.pq_codebook(emb)
+    out = SIM.pq_topk(emb.where(F.col("vec_id") < 20), emb, cb, k=3)
+    rows = out.collect()
+    pq = {}
+    for r in rows:
+        pq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    X = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()], dtype="float64"
+    )
+    hits = tot = 0
+    for qid in range(20):
+        d = ((X - X[qid]) ** 2).sum(axis=1)
+        d[qid] = np.inf
+        exact = set(np.argsort(d, kind="stable")[:3].tolist())
+        hits += len(exact & pq[qid])
+        tot += 3
+    assert hits / tot >= 0.08
+    again = {tuple(r) for r in out.collect()}
+    assert again == {tuple(r) for r in rows}
