@@ -542,3 +542,96 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 3,
+    n_lists: int = 16,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the full FAISS IndexIVFPQ shape: IVF probing prunes
+    the candidate set to n_probes inverted lists, PQ ADC ranks the
+    candidates from their stored codes. The index pass computes list
+    assignment AND the PQ codes in ONE map over the corpus (narrow;
+    the corpus is never shuffled, exactly like ivf_topk), so the
+    serving-side state per vector is one list id + n_sub bytes.
+
+    Both component structures are individually deterministic and
+    SQL-replayable, so the composition is too — see _ivfpq_oracle in
+    plans/llm_ops.py."""
+    n_sub = len(codebook)
+    sub_len = len(codebook[0][0])
+    v = corpus.select(
+        F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
+    )
+    c = _seed_centroids(v, n_lists)
+    emb = as_double_array(vec_col)
+    sub_cols = [
+        F.slice(emb, m * sub_len + 1, sub_len).alias(f"_s{m}")
+        for m in range(n_sub)
+    ]
+    base = corpus.select(F.col(id_col), emb.alias("_cv"), *sub_cols)
+    code_cols = []
+    for m, words in enumerate(codebook):
+        arr = F.array(
+            *[
+                F.struct(
+                    _pq_rel_dist(F.col(f"_s{m}"), cw).alias("d"),
+                    F.lit(kk).alias("k"),
+                )
+                for kk, cw in enumerate(words, start=1)
+            ]
+        )
+        code_cols.append(F.array_min(arr)["k"].alias(f"c{m}"))
+    indexed = base.select(
+        F.col(id_col).alias("corpus_id"),
+        _nearest_list_udf(c)(F.col("_cv")).alias("list_id"),
+        *code_cols,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    probed = q.select(
+        "query_id",
+        "qv",
+        F.explode(_top_lists_udf(c, n_probes)(F.col("qv"))).alias("list_id"),
+    )
+    from cc2dataset_spark.functions.vectors import dot
+
+    qsub = [F.slice("qv", m * sub_len + 1, sub_len) for m in range(n_sub)]
+    score = None
+    for m, words in enumerate(codebook):
+        tab = F.array(*[_pq_rel_dist(qsub[m], cw) for cw in words])
+        t = F.element_at(tab, F.col(f"c{m}"))
+        score = t if score is None else score + t
+    qconst = None
+    for m in range(n_sub):
+        d = dot(qsub[m], qsub[m])
+        qconst = d if qconst is None else qconst + d
+    scored = (
+        indexed.join(F.broadcast(probed), "list_id")
+        .where(F.col("corpus_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("neighbor_id"),
+            (qconst + score).alias("_adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_adc", 6).alias("adc_sqdist"),
+            "rank",
+        )
+    )

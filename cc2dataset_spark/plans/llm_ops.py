@@ -1717,3 +1717,122 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = SIM.pq_codebook(emb)
     return SIM.pq_topk(emb.where(F.col("vec_id") < 5), emb, cb, k=3)
+
+
+def _ivfpq_oracle(
+    k: int = 3,
+    n_lists: int = 16,
+    n_probes: int = 2,
+    n_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    q_max: int = 5,
+) -> str:
+    """DuckDB replay of the composed IVF-PQ pipeline: the IVF third
+    (centroid seed, assignment, probing — same CTEs as _ivf_oracle,
+    argmax margins measured safe) restricts candidates; the PQ third
+    (codebook seed, argmin codes, ADC — same CTEs as _pq_oracle,
+    bit-identical folds) ranks them."""
+    a_cos = _COS.format(a="e.embedding", b="ct.embedding")
+    q_cos = _COS.format(a="q.embedding", b="ct.embedding")
+    sub = dim // n_sub
+
+    def sl(expr: str, m: int) -> str:
+        return f"list_slice({expr}, {m * sub + 1}, {(m + 1) * sub})"
+
+    code_ctes = []
+    for m in range(n_sub):
+        d = (
+            f"list_dot_product({sl('s.sv', m)}, {sl('s.sv', m)})"
+            f" - 2 * list_dot_product({sl('e.embedding::DOUBLE[]', m)}, {sl('s.sv', m)})"
+        )
+        code_ctes.append(
+            f"""code{m} AS (
+      SELECT vec_id, k AS c FROM (
+        SELECT e.vec_id, s.k,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d}, s.k)
+                 AS rn
+        FROM embeddings e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    )"""
+        )
+    qconst = " + ".join(
+        f"list_dot_product({sl('p.qv', m)}, {sl('p.qv', m)})"
+        for m in range(n_sub)
+    )
+    terms = " + ".join(
+        f"(list_dot_product({sl(f's{m}.sv', m)}, {sl(f's{m}.sv', m)})"
+        f" - 2 * list_dot_product({sl('p.qv', m)}, {sl(f's{m}.sv', m)}))"
+        for m in range(n_sub)
+    )
+    code_joins = "\n      ".join(
+        f"JOIN code{m} c{m} ON c{m}.vec_id = a.corpus_id"
+        for m in range(n_sub)
+    )
+    seed_joins = "\n      ".join(
+        f"JOIN seeds s{m} ON s{m}.k = c{m}.c" for m in range(n_sub)
+    )
+    return f"""
+    WITH cent AS (
+      SELECT embedding, ROW_NUMBER() OVER (
+               ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS list_id
+      FROM embeddings
+      QUALIFY list_id <= {n_lists}
+    ), assigned AS (
+      SELECT vec_id AS corpus_id, list_id FROM (
+        SELECT e.vec_id, ct.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {a_cos} DESC, ct.list_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent ct
+      ) WHERE rn = 1
+    ), probed AS (
+      SELECT query_id, qv, list_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qv, ct.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {q_cos} DESC, ct.list_id ASC
+               ) AS rn
+        FROM embeddings q CROSS JOIN cent ct
+        WHERE q.vec_id < {q_max}
+      ) WHERE rn <= {n_probes}
+    ), seeds AS (
+      SELECT embedding::DOUBLE[] AS sv, ROW_NUMBER() OVER (
+               ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS k
+      FROM embeddings
+      QUALIFY k <= {n_codes}
+    ),
+    {",".join(code_ctes)},
+    scored AS (
+      SELECT p.query_id, a.corpus_id AS neighbor_id,
+             ({qconst}) + ({terms}) AS adc
+      FROM probed p
+      JOIN assigned a ON a.list_id = p.list_id AND a.corpus_id <> p.query_id
+      {code_joins}
+      {seed_joins}
+    )
+    SELECT query_id, neighbor_id, round(adc, 6) AS adc_sqdist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_ivfpq_topk", oracle=_ivfpq_oracle(), tags=("similarity", "llm", "ivf", "pq")
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IndexIVFPQ shape): probe 2 of 16 inverted lists,
+    rank the surviving candidates by PQ asymmetric distance from their
+    4 stored byte codes — list assignment and codes computed in one
+    narrow map over the corpus, which is never shuffled. Composes the
+    two individually-replayable index structures, so the whole thing
+    stays oracle-backed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM.pq_codebook(emb)
+    return SIM.ivfpq_topk(emb.where(F.col("vec_id") < 5), emb, cb, k=3)

@@ -508,3 +508,25 @@ def test_pq_topk_recall_floor_and_determinism(spark, sf_dir):
     assert hits / tot >= 0.08
     again = {tuple(r) for r in out.collect()}
     assert again == {tuple(r) for r in rows}
+
+
+def test_ivfpq_scores_agree_with_pq(spark, sf_dir):
+    """IVF-PQ = PQ ranking over an IVF-pruned candidate set: for every
+    returned (query, neighbor), the ADC score must equal the plain PQ
+    score for that pair bit-for-bit (same codes, same tables), and the
+    pruned top-k can only lose candidates, never invent them."""
+    from cc2dataset_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = SIM.pq_codebook(emb)
+    q = emb.where(F.col("vec_id") < 5)
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_sqdist
+        for r in SIM.pq_topk(q, emb, cb, k=100).collect()
+    }
+    pruned = SIM.ivfpq_topk(q, emb, cb, k=3).collect()
+    assert len(pruned) > 0
+    for r in pruned:
+        key = (r.query_id, r.neighbor_id)
+        if key in full:  # pair survived into PQ's top-100 too
+            assert full[key] == r.adc_sqdist
