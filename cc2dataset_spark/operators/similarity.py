@@ -433,19 +433,48 @@ def pq_codebook(
     ]
 
 
-def _pq_rel_dist(sub_col, codeword: list[float]):
-    """||sub - cw||^2 minus the per-row constant ||sub||^2 (irrelevant
-    to any argmin/ranking over codewords for the same row):
-    dot(cw, cw) - 2*dot(sub, cw). The codeword self-dot folds
-    sequentially in Python — bit-identical to DuckDB's
-    list_dot_product — and lands in the plan as a literal."""
-    from cc2dataset_spark.functions.vectors import dot
+def _pq_codes_udf(codebook: list[list[list[float]]]):
+    """Arrow-batched PQ encoder that reproduces the SQL fold
+    BIT-FOR-BIT: distances accumulate sequentially over dimensions
+    (vectorized across rows, scalar loop over the sub_len dims — the
+    same left-assoc IEEE adds as list_dot_product / the query-side
+    zip_with fold), and np.argmin's first-min rule equals the
+    (d, k)-ascending tie-break. The expression formulation (array_min
+    over array<struct>) is semantically identical but its M*K
+    higher-order folds are CodegenFallback — measured ~6 s vs ~1 s for
+    100k x 64-dim at M=4, K=16."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
-    dbb = 0.0
-    for x in codeword:
-        dbb = dbb + x * x
-    cw = F.array(*[F.lit(float(x)) for x in codeword])
-    return F.lit(dbb) - F.lit(2.0) * dot(sub_col, cw)
+    n_sub = len(codebook)
+    sub_len = len(codebook[0][0])
+    cbs = [np.array(words, dtype="float64") for words in codebook]
+    dbb = []
+    for words in codebook:
+        row = []
+        for cw in words:
+            acc = 0.0
+            for x in cw:
+                acc = acc + x * x
+            row.append(acc)
+        dbb.append(row)
+
+    @pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype="float64")
+        out = np.zeros((len(X), n_sub), dtype="int32")
+        for m in range(n_sub):
+            sub = X[:, m * sub_len : (m + 1) * sub_len]
+            D = np.empty((len(X), len(cbs[m])))
+            for kk in range(len(cbs[m])):
+                acc = np.zeros(len(X))
+                for j in range(sub_len):
+                    acc = acc + sub[:, j] * cbs[m][kk, j]
+                D[:, kk] = dbb[m][kk] - 2.0 * acc
+            out[:, m] = D.argmin(axis=1) + 1
+        return pd.Series([row.tolist() for row in out])
+
+    return codes
 
 
 def pq_encode(
@@ -456,34 +485,95 @@ def pq_encode(
 ) -> DataFrame:
     """(id, c0..c{M-1}) — each vector compressed to M small integer
     codes (1-based, matching the oracle's ROW_NUMBER codeword ids).
-    Pure codegen map pass: the argmin over K codewords is
-    array_min over an array<struct<d,k>> (struct ordering breaks ties
-    on k), no shuffle, no UDF; at 100 TB this is the index-build scan
-    and the stored codes are dim*8/M bytes smaller per row than the
-    raw vectors."""
+    One narrow Arrow-batched map pass (_pq_codes_udf — bit-identical
+    to the SQL argmin, see its docstring), no shuffle; at 100 TB this
+    is the index-build scan and the stored codes are dim*8/M bytes
+    smaller per row than the raw vectors."""
+    n_sub = len(codebook)
+    codes = _pq_codes_udf(codebook)
+    base = vectors.select(
+        F.col(id_col), codes(as_double_array(vec_col)).alias("_codes")
+    )
+    return base.select(
+        F.col(id_col),
+        *[F.element_at("_codes", m + 1).alias(f"c{m}") for m in range(n_sub)],
+    )
+
+
+def _pq_tables_udf(codebook: list[list[list[float]]]):
+    """Arrow-batched ADC table builder, exact twin of the SQL folds
+    (same dimension-sequential accumulation as _pq_codes_udf): returns
+    struct<qc:double, tabs:array<array<double>>> where tabs[m][k-1] =
+    dbb[m][k] - 2*dot(q_m, cw[m][k]) and qc = sum_m dot(q_m, q_m).
+    A UDF rather than 64 zip_with/aggregate expressions because the
+    expression form costs seconds of one-off driver plan/codegen time
+    for a query side that is tiny by contract."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     n_sub = len(codebook)
     sub_len = len(codebook[0][0])
-    emb = as_double_array(vec_col)
-    base = vectors.select(
-        F.col(id_col),
-        *[
-            F.slice(emb, m * sub_len + 1, sub_len).alias(f"_s{m}")
-            for m in range(n_sub)
-        ],
+    cbs = [np.array(words, dtype="float64") for words in codebook]
+    dbb = []
+    for words in codebook:
+        row = []
+        for cw in words:
+            acc = 0.0
+            for x in cw:
+                acc = acc + x * x
+            row.append(acc)
+        dbb.append(row)
+
+    @pandas_udf("struct<qc:double, tabs:array<array<double>>>")
+    def tables(v: pd.Series) -> pd.DataFrame:
+        X = np.array(v.tolist(), dtype="float64")
+        qc = np.zeros(len(X))
+        all_tabs = []
+        for m in range(n_sub):
+            sub = X[:, m * sub_len : (m + 1) * sub_len]
+            acc = np.zeros(len(X))
+            for j in range(sub_len):
+                acc = acc + sub[:, j] * sub[:, j]
+            qc = qc + acc
+            T = np.empty((len(X), len(cbs[m])))
+            for kk in range(len(cbs[m])):
+                a = np.zeros(len(X))
+                for j in range(sub_len):
+                    a = a + sub[:, j] * cbs[m][kk, j]
+                T[:, kk] = dbb[m][kk] - 2.0 * a
+            all_tabs.append(T)
+        tabs_col = [
+            [all_tabs[m][i].tolist() for m in range(n_sub)]
+            for i in range(len(X))
+        ]
+        return pd.DataFrame({"qc": qc, "tabs": tabs_col})
+
+    return tables
+
+
+def _pq_query_tables(
+    q: DataFrame,
+    codebook: list[list[list[float]]],
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(query_id, *keep, _qc, _tabs) — per-query ADC lookup tables
+    plus the per-query constant, via _pq_tables_udf."""
+    t = _pq_tables_udf(codebook)
+    return q.select("query_id", *keep, t(F.col("qv")).alias("_qt")).select(
+        "query_id",
+        *keep,
+        F.col("_qt.qc").alias("_qc"),
+        F.col("_qt.tabs").alias("_tabs"),
     )
-    cols = [F.col(id_col)]
-    for m, words in enumerate(codebook):
-        arr = F.array(
-            *[
-                F.struct(
-                    _pq_rel_dist(F.col(f"_s{m}"), cw).alias("d"),
-                    F.lit(k).alias("k"),
-                )
-                for k, cw in enumerate(words, start=1)
-            ]
-        )
-        cols.append(F.array_min(arr)["k"].alias(f"c{m}"))
-    return base.select(*cols)
+
+
+def _pq_code_lookup_sum(n_sub: int):
+    """sum_m element_at(_tabs[m], c{m}) in fixed left-assoc order."""
+    score = None
+    for m in range(n_sub):
+        t = F.element_at(F.element_at("_tabs", m + 1), F.col(f"c{m}"))
+        score = t if score is None else score + t
+    return score
 
 
 def pq_topk(
@@ -498,36 +588,24 @@ def pq_topk(
     approx ||q - v||^2 = sum_m ||q_m - codeword(v, m)||^2, computed
     from v's stored codes only — v's raw vector is never read at query
     time. Table lookups are element_at into a per-subspace array of
-    the K query-to-codeword distances (codegen; the K*M table is built
-    per query row from broadcast literals). Plan: corpus codes
-    broadcast-joined with the bounded query set, one (query) window
-    top-k — the corpus shuffles once on nothing (scan + map), the
-    ranking state is per-query k rows."""
+    the K query-to-codeword distances, materialized as columns of the
+    TINY query side BEFORE the join — evaluated once per query, not
+    once per (query, corpus) pair (the folds are interpreted HOFs;
+    per-pair evaluation measured ~4 s of pure re-fold at sf0.1).
+    Plan: corpus codes broadcast-joined with the bounded query set,
+    one (query) window top-k — the corpus shuffles once on nothing
+    (scan + map), the ranking state is per-query k rows."""
     n_sub = len(codebook)
-    sub_len = len(codebook[0][0])
     codes = pq_encode(corpus, codebook, id_col=id_col, vec_col=vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
-    joined = codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-    from cc2dataset_spark.functions.vectors import dot
-
-    qsub = [F.slice("qv", m * sub_len + 1, sub_len) for m in range(n_sub)]
-    # per-subspace lookup tables + the per-query constant, summed in
-    # fixed left-assoc order so both engines fold identically
-    score = None
-    for m, words in enumerate(codebook):
-        tab = F.array(*[_pq_rel_dist(qsub[m], cw) for cw in words])
-        t = F.element_at(tab, F.col(f"c{m}"))
-        score = t if score is None else score + t
-    qconst = None
-    for m in range(n_sub):
-        d = dot(qsub[m], qsub[m])
-        qconst = d if qconst is None else qconst + d
+    qt = _pq_query_tables(q, codebook)
+    joined = codes.join(F.broadcast(qt), F.col(id_col) != F.col("query_id"))
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        (qconst + score).alias("_adc"),
+        (F.col("_qc") + _pq_code_lookup_sum(n_sub)).alias("_adc"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_adc").asc(), F.col("neighbor_id").asc()
@@ -565,33 +643,21 @@ def ivfpq_topk(
     SQL-replayable, so the composition is too — see _ivfpq_oracle in
     plans/llm_ops.py."""
     n_sub = len(codebook)
-    sub_len = len(codebook[0][0])
     v = corpus.select(
         F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
     )
     c = _seed_centroids(v, n_lists)
     emb = as_double_array(vec_col)
-    sub_cols = [
-        F.slice(emb, m * sub_len + 1, sub_len).alias(f"_s{m}")
-        for m in range(n_sub)
-    ]
-    base = corpus.select(F.col(id_col), emb.alias("_cv"), *sub_cols)
-    code_cols = []
-    for m, words in enumerate(codebook):
-        arr = F.array(
-            *[
-                F.struct(
-                    _pq_rel_dist(F.col(f"_s{m}"), cw).alias("d"),
-                    F.lit(kk).alias("k"),
-                )
-                for kk, cw in enumerate(words, start=1)
-            ]
-        )
-        code_cols.append(F.array_min(arr)["k"].alias(f"c{m}"))
+    codes_udf = _pq_codes_udf(codebook)
+    base = corpus.select(F.col(id_col), emb.alias("_cv"))
     indexed = base.select(
         F.col(id_col).alias("corpus_id"),
         _nearest_list_udf(c)(F.col("_cv")).alias("list_id"),
-        *code_cols,
+        codes_udf(F.col("_cv")).alias("_codes"),
+    ).select(
+        "corpus_id",
+        "list_id",
+        *[F.element_at("_codes", m + 1).alias(f"c{m}") for m in range(n_sub)],
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
@@ -601,25 +667,17 @@ def ivfpq_topk(
         "qv",
         F.explode(_top_lists_udf(c, n_probes)(F.col("qv"))).alias("list_id"),
     )
-    from cc2dataset_spark.functions.vectors import dot
-
-    qsub = [F.slice("qv", m * sub_len + 1, sub_len) for m in range(n_sub)]
-    score = None
-    for m, words in enumerate(codebook):
-        tab = F.array(*[_pq_rel_dist(qsub[m], cw) for cw in words])
-        t = F.element_at(tab, F.col(f"c{m}"))
-        score = t if score is None else score + t
-    qconst = None
-    for m in range(n_sub):
-        d = dot(qsub[m], qsub[m])
-        qconst = d if qconst is None else qconst + d
+    qt = _pq_query_tables(probed, codebook, keep=("list_id",))
     scored = (
-        indexed.join(F.broadcast(probed), "list_id")
+        indexed.join(F.broadcast(qt), "list_id")
         .where(F.col("corpus_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("corpus_id").alias("neighbor_id"),
-            (qconst + score).alias("_adc"),
+            (
+                F.col("_qc")
+                + _pq_code_lookup_sum(n_sub)
+            ).alias("_adc"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
