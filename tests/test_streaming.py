@@ -256,3 +256,53 @@ def test_streaming_decontaminate_equals_batch(spark, sf_dir):
     _run_to_memory(out, "t_decont", "complete")
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_decont").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_streaming_pq_scoring_equals_batch(spark, sf_dir):
+    """Streaming vector search: the PQ index (codebook + corpus codes)
+    is static state, so scoring a STREAM of query vectors against it
+    is a stateless map + broadcast-shaped join — the continuous-serving
+    shape of pq_topk minus the final rank (ranking windows are not
+    streamable; a serving layer ranks per micro-batch or client-side).
+    The streamed (query, neighbor, adc) scores must reproduce the
+    batch top-3 exactly once ranked the same way."""
+    from cc2dataset_spark.operators.similarity import (
+        _pq_code_lookup_sum,
+        _pq_query_tables,
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb)
+    q_batch = emb.where(F.col("vec_id") < 5)
+    batch = {tuple(r) for r in pq_topk(q_batch, emb, cb, k=3).collect()}
+
+    codes = pq_encode(emb, cb)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("qv"))
+    )
+    qt = _pq_query_tables(stream, cb)
+    scored = codes.join(qt, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (F.col("_qc") + _pq_code_lookup_sum(len(cb))).alias("adc"),
+    )
+    assert scored.isStreaming
+    _run_to_memory(scored, "t_pqstream", "append")
+    rows = spark.sql("SELECT * FROM t_pqstream").collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append((r.adc, r.neighbor_id))
+    got = set()
+    for qid, cands in per_q.items():
+        for rank, (adc, nid) in enumerate(sorted(cands)[:3], start=1):
+            got.add((qid, nid, round(adc, 6), rank))
+    assert got == batch and len(got) > 0
