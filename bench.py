@@ -49,9 +49,28 @@ def main() -> None:
         master=f"local[{cpus}]",
         app_name="cc2dataset_spark-bench",
         shuffle_partitions=max(32, cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        # UI on: its REST endpoint is the per-query shuffle-byte
+        # accounting source (recorded in BENCH_FULL.json)
+        extra_conf={"spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _shuffle_write_bytes() -> int | None:
+        """Cumulative shuffle write bytes across all stages so far
+        (REST status API); None if the endpoint is unavailable —
+        metrics must never fail the bench."""
+        try:
+            import urllib.request
+
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages", timeout=10
+            ) as r:
+                stages = json.load(r)
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        except Exception:
+            return None
 
     qs = {n: fn for n, fn in queries().items() if n not in EXCLUDE}
 
@@ -64,10 +83,16 @@ def main() -> None:
         ).save()
 
     times: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
+    before = _shuffle_write_bytes()
     for name in sorted(qs):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        after = _shuffle_write_bytes()
+        if before is not None and after is not None:
+            shuffle_mb[name] = round((after - before) / 1048576, 3)
+        before = after
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -78,6 +103,14 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(times),
     }
+    if shuffle_mb:
+        # BENCH_FULL.json only (the stdout line has a byte budget):
+        # per-query shuffle write volume — the scale-limiting resource
+        # the wall time alone doesn't show at fixture size.
+        payload["shuffle_write_mb"] = shuffle_mb
+        payload["shuffle_write_mb_total"] = round(
+            sum(shuffle_mb.values()), 3
+        )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
         "w",
@@ -100,6 +133,9 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
     complete unfolded map.
     """
     out = dict(payload)
+    # per-query shuffle accounting lives in BENCH_FULL.json only; the
+    # stdout line keeps the scalar total within its byte budget
+    out.pop("shuffle_write_mb", None)
 
     def render(qdict: dict) -> str:
         out["queries"] = qdict
