@@ -107,7 +107,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_index",
     "dedup_ngram_jaccard",
     "dedup_minhash_neardup",
-    "dedup_embedding_cosine",
     "dedup_simhash_embeddings",
     "dedup_cluster_survivors",
     # new in r5: the end-to-end LSH dedup decision (took the
@@ -116,14 +115,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # agg_regr_trend keeps the trend-agg family in-window)
     "dedup_cluster_survivors_lsh",
     "dedup_cluster_twophase",
-    # LLM-ops: similarity search (ivf/simhash oracle-backed since r5)
-    "ann_bruteforce_topk",
+    # LLM-ops: similarity search (ivf/simhash oracle-backed since r5;
+    # late-r5: the PQ and IVF-PQ index debuts took the slots of
+    # ann_bruteforce_topk and dedup_embedding_cosine — both green in
+    # r1 AND r4, both exact quadratic baselines that stay covered by
+    # the local oracle suite)
+    "ann_pq_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "ann_simhash_topk",
     "knn_label_vote",
     # LLM-ops: multimodal (stub chain fully oracle-backed late in r5 —
     # the deterministic fake decode is byte-arithmetic SQL can replay)
-    "multimodal_binary_stats",
+    # multimodal_binary_stats (green r1 AND r4) ceded its slot to the
+    # new-in-r5 graph_pagerank_brands (the sum-preserving dangling
+    # variant's debut); frame_features + decode_stub keep the
+    # multimodal family in-window
+    "graph_pagerank_brands",
     "multimodal_frame_features",
     "multimodal_decode_stub",
     # streaming surface (batch-checkable twins; events_tumbling_10m —
