@@ -50,8 +50,14 @@ def main() -> None:
         app_name="cc2dataset_spark-bench",
         shuffle_partitions=max(32, cpus),
         # UI on: its REST endpoint is the per-query shuffle-byte
-        # accounting source (recorded in BENCH_FULL.json)
-        extra_conf={"spark.ui.enabled": "true"},
+        # accounting source (recorded in BENCH_FULL.json). Stage
+        # retention raised far above the catalog's stage count — the
+        # default 1000 would evict early stages mid-run and the
+        # cumulative sums would silently shrink between samples.
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -90,9 +96,14 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
         after = _shuffle_write_bytes()
-        if before is not None and after is not None:
+        # A failed fetch drops only THIS query's metric (before keeps
+        # the last good cumulative reading); a negative delta means
+        # stage eviction defeated the accounting — drop the sample
+        # rather than record garbage.
+        if before is not None and after is not None and after >= before:
             shuffle_mb[name] = round((after - before) / 1048576, 3)
-        before = after
+        if after is not None:
+            before = after
 
     total = round(sum(times.values()), 3)
     payload = {

@@ -170,4 +170,15 @@ def pagerank(
                 prev.unpersist()
             prev = ranks_next
         ranks = ranks_next
+    if persist_rounds:
+        # The final rank vector is materialized, so the loop's
+        # scaffolding caches are dead weight for the caller — drop
+        # them instead of leaking 4 entries per invocation (a bench /
+        # test session calls pagerank dozens of times). In the lazy
+        # small-absorbing mode the caches must survive for the
+        # caller's action; that mode leaves them, documented.
+        for scaffold in (edges, norm, nodes):
+            scaffold.unpersist()
+        if redistribute_dangling:
+            srcs.unpersist()
     return ranks

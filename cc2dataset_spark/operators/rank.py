@@ -38,6 +38,11 @@ def global_row_number(
     partition count, same class as the IVF centroid seed), and one
     within-partition sort+row_number with the partition's prefix-sum
     offset added. No stage ever holds more than one partition's rows.
+
+    The returned frame is backed by a persisted intermediate (see the
+    boundary-pinning comment below) that must outlive every action on
+    the result; callers running many ranks in one session should
+    ``.unpersist()`` the result after consuming it.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:

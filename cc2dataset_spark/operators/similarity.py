@@ -414,7 +414,14 @@ def pq_codebook(
     bounded collect) as the IVF centroid seed, so the SQL oracle
     derives the identical codebook; kmeans refinement is deliberately
     omitted for cross-engine determinism (same trade as the
-    registered IVF query's kmeans_iters=0)."""
+    registered IVF query's kmeans_iters=0).
+
+    Raises instead of silently truncating: every distance in the
+    pipeline slices exactly dim components, so a dim that doesn't
+    match the data or divide by n_sub would otherwise drop trailing
+    dimensions from every ranking with no error."""
+    if dim % n_sub != 0:
+        raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
     sub_len = dim // n_sub
     rows = (
         vectors.select(
@@ -424,6 +431,10 @@ def pq_codebook(
         .limit(n_codes)
         .collect()
     )
+    if rows and len(rows[0].cv) != dim:
+        raise ValueError(
+            f"dim={dim} but vectors have {len(rows[0].cv)} components"
+        )
     return [
         [
             [float(x) for x in r.cv[m * sub_len : (m + 1) * sub_len]]
@@ -431,6 +442,26 @@ def pq_codebook(
         ]
         for m in range(n_sub)
     ]
+
+
+def _pq_codebook_norms(codebook: list[list[list[float]]]):
+    """(numpy codebooks, per-codeword self-dots) — the self-dots fold
+    SEQUENTIALLY in Python, bit-identical to DuckDB's
+    list_dot_product. Single home for the invariant both PQ kernels
+    depend on: edit the fold here or nowhere."""
+    import numpy as np
+
+    cbs = [np.array(words, dtype="float64") for words in codebook]
+    dbb = []
+    for words in codebook:
+        row = []
+        for cw in words:
+            acc = 0.0
+            for x in cw:
+                acc = acc + x * x
+            row.append(acc)
+        dbb.append(row)
+    return cbs, dbb
 
 
 def _pq_codes_udf(codebook: list[list[list[float]]]):
@@ -448,16 +479,7 @@ def _pq_codes_udf(codebook: list[list[list[float]]]):
 
     n_sub = len(codebook)
     sub_len = len(codebook[0][0])
-    cbs = [np.array(words, dtype="float64") for words in codebook]
-    dbb = []
-    for words in codebook:
-        row = []
-        for cw in words:
-            acc = 0.0
-            for x in cw:
-                acc = acc + x * x
-            row.append(acc)
-        dbb.append(row)
+    cbs, dbb = _pq_codebook_norms(codebook)
 
     @pandas_udf("array<int>")
     def codes(v: pd.Series) -> pd.Series:
@@ -513,16 +535,7 @@ def _pq_tables_udf(codebook: list[list[list[float]]]):
 
     n_sub = len(codebook)
     sub_len = len(codebook[0][0])
-    cbs = [np.array(words, dtype="float64") for words in codebook]
-    dbb = []
-    for words in codebook:
-        row = []
-        for cw in words:
-            acc = 0.0
-            for x in cw:
-                acc = acc + x * x
-            row.append(acc)
-        dbb.append(row)
+    cbs, dbb = _pq_codebook_norms(codebook)
 
     @pandas_udf("struct<qc:double, tabs:array<array<double>>>")
     def tables(v: pd.Series) -> pd.DataFrame:

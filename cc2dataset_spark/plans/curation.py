@@ -426,7 +426,13 @@ def curate_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(
         per_doc, ["mean_nll", "doc_id"], rank_col="quality_rank"
     )
-    n = docs.count()
+    # tercile divisor = RANKED doc count (per_doc), NOT docs.count():
+    # documents that tokenize to zero tokens never enter per_doc (the
+    # explode yields no rows), and the oracle's n CTE counts per_doc —
+    # a corpus with any empty-text doc would otherwise shift every
+    # tier boundary and diverge between engines. per_doc is persisted,
+    # so this count reads cache.
+    n = per_doc.count()
     tier = (
         F.when(F.expr(f"((quality_rank - 1) * 3) DIV {n}") == 0, "head")
         .when(F.expr(f"((quality_rank - 1) * 3) DIV {n}") == 1, "middle")

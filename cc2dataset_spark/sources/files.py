@@ -110,8 +110,18 @@ def write_sorted_parquet(
     Use for the final corpus write when downstream readers filter on a
     known column (date, domain, quality score). Not worth it for
     columns nobody filters on — the range shuffle is a full extra
-    exchange over the sink data."""
-    out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    exchange over the sink data.
+
+    With ``partition_by``, the partition columns lead the
+    within-partition sort: FileFormatWriter re-sorts any task whose
+    rows are not ordered by the partition columns (a NON-stable sort
+    that would silently destroy the ``sort_by`` order inside each
+    file); pre-sorting (partition_by, *sort_by) satisfies the writer's
+    requirement so the secondary order survives into every file."""
+    sort_cols = [*(partition_by or []), *sort_by]
+    out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+        *sort_cols
+    )
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -132,22 +142,23 @@ def compact_parquet(
     output file count.
 
     Uses coalesce (narrow — no shuffle: output files concatenate
-    existing partitions) sized from the SOURCE byte size, the same
-    heuristic as pipeline.output_file_count. Run it per partition
-    directory at scale so one compaction never rewrites the whole
-    table."""
+    existing partitions) sized from the SOURCE byte size (a metadata
+    listing, never a data scan), the same heuristic as
+    pipeline.output_file_count. Run it per partition directory at
+    scale so one compaction never rewrites the whole table. Returns
+    the number of parquet files actually written — coalesce cannot
+    INCREASE partition count, so the target may overshoot what the
+    packed read yields."""
+    import glob as _glob
     import math
 
-    from pyspark.sql.functions import input_file_name
-
-    df = spark.read.parquet(src_path)
-    files = [
-        r.f for r in df.select(input_file_name().alias("f")).distinct().collect()
-    ]
+    files = _glob.glob(f"{src_path}/**/*.parquet", recursive=True)
     fs_bytes = _local_total_bytes(files)
     n = max(1, math.ceil(fs_bytes / target_file_bytes))
-    df.coalesce(n).write.mode("overwrite").parquet(dst_path)
-    return n
+    spark.read.parquet(src_path).coalesce(n).write.mode("overwrite").parquet(
+        dst_path
+    )
+    return len(_glob.glob(f"{dst_path}/**/*.parquet", recursive=True))
 
 
 def _local_total_bytes(file_uris: list[str]) -> int:

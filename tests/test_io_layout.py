@@ -55,6 +55,33 @@ def test_sorted_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
     assert back.count() == orders.count()
 
 
+def test_sorted_write_with_partitioning_keeps_file_order(spark, sf_dir, tmp_path):
+    """partition_by must not destroy the within-file sort: the parquet
+    writer re-sorts any task not ordered by the partition columns, so
+    write_sorted_parquet pre-sorts (partition_by, *sort_by). Every
+    file under every partition directory must be internally ordered by
+    the sort key."""
+    import pyarrow.parquet as pq
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dst = str(tmp_path / "part_sorted")
+    write_sorted_parquet(
+        orders,
+        dst,
+        sort_by=["o_totalprice"],
+        n_files=4,
+        partition_by=["o_orderstatus"],
+    )
+    files = glob.glob(f"{dst}/*/*.parquet")
+    assert files
+    for f in files:
+        vals = pq.read_table(f, columns=["o_totalprice"]).column(0).to_pylist()
+        assert vals == sorted(vals), f
+    assert spark.read.parquet(dst).count() == orders.count()
+
+
 def test_compact_parquet(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     src = str(tmp_path / "fragmented")
