@@ -306,3 +306,30 @@ def test_streaming_pq_scoring_equals_batch(spark, sf_dir):
         for rank, (adc, nid) in enumerate(sorted(cands)[:3], start=1):
             got.add((qid, nid, round(adc, 6), rank))
     assert got == batch and len(got) > 0
+
+
+def test_sessionize_agrees_with_session_window(spark, sf_dir):
+    """Two independent formulations of the same 30-minute-gap session
+    concept must agree: the per-event lag-flag-cumsum query
+    (events_sessionize) and Spark's session_window aggregate
+    (streaming/windows.session_stats). Per (user, session): same
+    first-event time, same event count, and session_window's end ==
+    sessionize's last event + gap (the session_window contract).
+    Boundary note: an event at EXACTLY prev + 30min merges in
+    sessionize (>) but splits in session_window (<) — distinct at
+    microsecond equality only, which the fixture cannot hit."""
+    from cc2dataset_spark.plans.catalog import queries
+    from cc2dataset_spark.streaming.windows import session_stats
+    from datetime import timedelta
+
+    a = {
+        (r.user_id, r.t_start, r.n_events, r.t_end + timedelta(minutes=30))
+        for r in queries()["events_sessionize"](spark, sf_dir).collect()
+    }
+    b = {
+        (r.user_id, r.session_start, r.n_events, r.session_end)
+        for r in session_stats(
+            load_table(spark, sf_dir, "events"), gap="30 minutes"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
