@@ -439,3 +439,64 @@ def curate_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return ranked.select("doc_id", "mean_nll", "quality_rank", tier.alias("tier"))
+
+
+_CHUNK = 64
+_STRIDE = 48
+
+
+@query(
+    "text_chunk_documents",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ), chunked AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             unnest(generate_series(1, greatest(len(t) - {_CHUNK} + 1, 1),
+                                    {_STRIDE})) AS start
+      FROM tok
+    )
+    SELECT c.doc_id,
+           CAST((c.start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           c.n_tokens,
+           len(list_slice(tok.t, c.start, c.start + {_CHUNK} - 1))
+             AS chunk_len,
+           md5(array_to_string(
+                 list_slice(tok.t, c.start, c.start + {_CHUNK} - 1), ' '))
+             AS chunk_md5
+    FROM chunked c JOIN tok ON tok.doc_id = c.doc_id
+    """,
+    tags=("text", "llm", "curation", "chunking"),
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length preparation: split every document into
+    64-token chunks on a 48-token stride (16-token overlap so no
+    span is lost at a boundary) — the pretraining packing step
+    between curation and tokenizer sharding. The trailing chunk
+    truncates rather than pads; documents shorter than one chunk
+    yield exactly one chunk.
+
+    Plan: one tokenize pass, chunk starts as a generated integer
+    sequence exploded per document (pure codegen — chunking never
+    touches Python), and the chunk itself re-sliced from the SAME
+    materialized token array. Everything is integer/string-exact, so
+    the oracle needs no float discipline at all. At 100 TB this is a
+    narrow map + explode whose output fan-out is corpus_tokens /
+    stride rows — the expected blow-up of packing, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
+    n = F.size("t")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - _CHUNK + 1, F.lit(1)), F.lit(_STRIDE)
+    )
+    chunked = tok.select(
+        "doc_id", n.alias("n_tokens"), "t", F.explode(starts).alias("start")
+    )
+    piece = F.slice("t", F.col("start"), _CHUNK)
+    return chunked.select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE).cast("bigint").alias("chunk_idx"),
+        "n_tokens",
+        F.size(piece).alias("chunk_len"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
