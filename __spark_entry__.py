@@ -29,9 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
     Runs the engine's flagship: the reference's semantic core
     (explode -> predicate filter -> project -> md5 uid -> dedup; see
-    /root/reference/cc2dataset/main.py:134-183,254-266) re-expressed as
-    a declarative plan over a links-shaped view, falling back to the
-    TPC-H-style Q3 plan until the reference pipeline module lands.
+    /root/reference/cc2dataset/main.py:134-183,254-266) re-expressed
+    as a declarative plan over a links-shaped view.
     """
     qs = _catalog.queries()
     return qs["cc_extract_dedup_links"](spark, _SMOKE_SF_DIR)
