@@ -128,6 +128,73 @@ def write_sorted_parquet(
     writer.options(**options).parquet(path)
 
 
+def zorder_value(cols, mins, maxs, bits: int = 16):
+    """Morton (Z-order) interleave of ``cols`` scaled into
+    ``bits``-bit buckets via the supplied global (min, max) per
+    column. Pure integer codegen: bucket = floor((x-min)/(max-min) *
+    (2^bits-1)), then the buckets' bits interleave round-robin so
+    nearby (x, y) pairs get nearby z values in BOTH dimensions."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        c = F.col(c) if isinstance(c, str) else c
+        span = F.when(hi - lo > 0, hi - lo).otherwise(F.lit(1.0))
+        b = F.floor(
+            (c.cast("double") - lo) / span * ((1 << bits) - 1)
+        ).cast("bigint")
+        buckets.append(F.greatest(F.least(b, F.lit((1 << bits) - 1)), F.lit(0)))
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return z
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int,
+    bits: int = 16,
+    **options: str,
+) -> None:
+    """Multi-column data-skipping layout: rows sort by the Morton
+    interleave of the ``zorder_by`` columns, so EVERY listed column's
+    per-file min/max stats are compact — a single-column sort makes
+    one column skippable and leaves the others full-range per file,
+    Z-order makes each of d columns cover ~(1/n_files)^(1/d) of its
+    range per file. The standard lakehouse technique (Delta/Iceberg
+    OPTIMIZE ZORDER), here as a plain write: one 2-scalar-per-column
+    global aggregate (broadcast back), a pure-integer z value, and
+    the same range-repartition + sort as write_sorted_parquet.
+
+    Deterministic: bucket boundaries come from exact global min/max,
+    not sampling, so the same data always yields the same layout."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in zorder_by:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    mins = [F.lit(float(row[f"_min_{c}"])) for c in zorder_by]
+    maxs = [F.lit(float(row[f"_max_{c}"])) for c in zorder_by]
+    z = zorder_value(list(zorder_by), mins, maxs, bits=bits)
+    out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode("overwrite").options(**options).parquet(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

@@ -92,3 +92,44 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert n == 1
     assert len(glob.glob(f"{dst}/*.parquet")) == 1
     assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_zorder_write_compacts_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort: after z-ordering on
+    (o_custkey, o_totalprice), EVERY file's min/max range must be a
+    small fraction of the global range in BOTH columns; the plain
+    totalprice-sorted layout leaves o_custkey near-full-range per
+    file. This is the property that makes multi-predicate scans skip
+    files."""
+    import pyarrow.parquet as pq
+
+    from cc2dataset_spark.sources.files import write_zordered_parquet
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def mean_fraction(path, col):
+        lo = orders.agg({col: "min"}).collect()[0][0]
+        hi = orders.agg({col: "max"}).collect()[0][0]
+        fracs = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            t = pq.read_table(f, columns=[col]).column(0).to_pylist()
+            if t:
+                fracs.append((max(t) - min(t)) / (hi - lo))
+        return sum(fracs) / len(fracs)
+
+    zp = str(tmp_path / "zordered")
+    write_zordered_parquet(
+        orders, zp, zorder_by=["o_custkey", "o_totalprice"], n_files=16
+    )
+    sp = str(tmp_path / "price_sorted")
+    write_sorted_parquet(orders, sp, sort_by=["o_totalprice"], n_files=16)
+
+    assert spark.read.parquet(zp).count() == orders.count()
+    z_cust = mean_fraction(zp, "o_custkey")
+    z_price = mean_fraction(zp, "o_totalprice")
+    s_cust = mean_fraction(sp, "o_custkey")
+    assert z_cust < 0.5 and z_price < 0.5, (z_cust, z_price)
+    assert s_cust > 0.9  # single-column sort leaves the other full-range
+    assert z_cust < s_cust / 2
