@@ -187,10 +187,15 @@ def graph_pagerank_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(
-            F.col("l_suppkey").cast("string").alias("src"),
+            F.col("l_suppkey").alias("src_key"),
             F.col("p_brand").alias("dst"),
         )
         .agg(F.sum("l_quantity").cast("double").alias("w"))
+        # node ids must share one type across the bipartite union; the
+        # cast runs on the aggregated rows, not per fact row
+        .select(
+            F.col("src_key").cast("string").alias("src"), "dst", "w"
+        )
     )
     ranks = pagerank(
         edges,
