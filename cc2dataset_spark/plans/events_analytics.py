@@ -192,3 +192,72 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_secs"
         ),
     )
+
+
+@query(
+    "events_value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ), scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             s.s1 / s.n AS mean,
+             sqrt(greatest(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n), 0.0))
+               AS std
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    )
+    SELECT event_id, event_type, value,
+           round((value - mean) / NULLIF(std, 0.0), 6) AS zscore,
+           abs(value - mean) > 3 * std AS is_outlier
+    FROM scored
+    """,
+    tags=("events", "quality", "agg"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event z-score against its event type's population moments,
+    flagging |z| > 3 — the monitoring/anomaly shape (metric drift,
+    bot spikes). Moments come from exact DECIMAL sums (value and
+    value² at (18,6)x(18,6) -> (37,12), inside DECIMAL(38) in both
+    engines, so accumulation order cannot matter); mean/variance/sqrt
+    are then identical IEEE double ops — sqrt is correctly rounded —
+    so even the 3-sigma BOOLEAN compares identical doubles and needs
+    no rounding slack. Plan: one tiny per-type aggregate broadcast
+    back onto the events; the stream never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    stats = e.groupBy(F.col("event_type").alias("t")).agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(
+        F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    )
+    scored = e.join(
+        F.broadcast(stats), e.event_type == F.col("t")
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        mean.alias("mean"),
+        std.alias("std"),
+    )
+    return scored.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            (F.col("value") - F.col("mean"))
+            / F.nullif(F.col("std"), F.lit(0.0)),
+            6,
+        ).alias("zscore"),
+        (
+            F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std")
+        ).alias("is_outlier"),
+    )
