@@ -580,3 +580,59 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", "d"), 4).alias("intercept"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "agg_corr_lineitem",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxy / n - (sx / n) * (sy / n))
+                 / (sqrt(sxx / n - (sx / n) * (sx / n))
+                    * sqrt(syy / n - (sy / n) * (sy / n))), 6)
+             AS corr_qty_price
+    FROM m
+    """,
+    tags=("agg", "statistics"),
+)
+def agg_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, computed from exact DECIMAL moment sums rather than the
+    built-in corr() — built-in implementations use different
+    single-pass update formulas per engine (Welford vs naive), so
+    their float results drift; the moment sums are order-free exact
+    integers-in-decimal and every double op after them is identical
+    IEEE in both engines. Same one-aggregate shape and cost as any
+    grouped agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(19,6)")
+    y = F.col("l_extendedprice").cast("decimal(19,6)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    cov = F.col("sxy") / n - mx * my
+    sd = F.sqrt(F.col("sxx") / n - mx * mx) * F.sqrt(
+        F.col("syy") / n - my * my
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(cov / sd, 6).alias("corr_qty_price")
+    )
