@@ -307,7 +307,7 @@ _NLL_CTES = rf"""tok AS (
     ), s AS (
       SELECT doc_id,
              round(-ln(CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE)
-                       / tot.n_total), 6) AS srp
+                       / tot.n_total), 9) AS srp
       FROM tok, tot
     ), per_doc AS (
       SELECT doc_id,
@@ -325,7 +325,7 @@ def _per_doc_nll(docs: DataFrame) -> DataFrame:
     )
     total = tok.agg(F.count("*").cast("double").alias("n_total"))
     uc = F.count("*").over(Window.partitionBy("term"))
-    srp = F.round(-F.log(uc.cast("double") / F.col("n_total")), 6)
+    srp = F.round(-F.log(uc.cast("double") / F.col("n_total")), 9)
     return (
         tok.crossJoin(F.broadcast(total))
         .select("doc_id", srp.alias("srp"))
@@ -367,7 +367,10 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     total is a 1-row broadcast (its recompute of the tokenize map is
     a second scan but no second shuffle); then one doc-keyed
     aggregate. Cross-engine float discipline (same as
-    text_char_entropy): each surprisal rounds libm's ln to 6, the
+    text_char_entropy): each surprisal rounds libm's ln to 9 (a 6-dp
+    term round left a measurable boundary-flip chance — one term DID
+    flip at sf0.001; at 9 dp a flip needs ln within ~1e-16 of a
+    boundary), the
     per-doc sum accumulates in DECIMAL(38,18) so order cannot matter,
     the mean rounds to 6, and exp of that already-identical mean
     re-rounds to 6."""
