@@ -133,3 +133,37 @@ def test_zorder_write_compacts_both_dimensions(spark, sf_dir, tmp_path):
     assert z_cust < 0.5 and z_price < 0.5, (z_cust, z_price)
     assert s_cust > 0.9  # single-column sort leaves the other full-range
     assert z_cust < s_cust / 2
+
+
+def test_zorder_value_matches_python_model(spark):
+    """The Morton expression must equal a direct Python model of the
+    same double-arithmetic bucketing + bit interleave (one Spark job
+    for all examples)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.sources.files import zorder_value
+
+    bits, lo, hi = 8, 0.0, 997.0
+    rows = [(i, float((i * 37) % 998), float((i * 91) % 998)) for i in range(200)]
+
+    def py_bucket(v):
+        b = int(math.floor((v - lo) / (hi - lo) * ((1 << bits) - 1)))
+        return min(max(b, 0), (1 << bits) - 1)
+
+    def py_z(x, y):
+        bx, by = py_bucket(x), py_bucket(y)
+        z = 0
+        for i in range(bits):
+            z |= ((bx >> i) & 1) << (2 * i)
+            z |= ((by >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(rows, ["rid", "x", "y"])
+    z = zorder_value(
+        ["x", "y"], [F.lit(lo), F.lit(lo)], [F.lit(hi), F.lit(hi)], bits=bits
+    )
+    got = {r.rid: r.z for r in df.select("rid", z.alias("z")).collect()}
+    want = {rid: py_z(x, y) for rid, x, y in rows}
+    assert got == want
