@@ -530,3 +530,13 @@ def test_ivfpq_scores_agree_with_pq(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in full:  # pair survived into PQ's top-100 too
             assert full[key] == r.adc_sqdist
+
+
+def test_pq_codebook_validates_dim(spark, sf_dir):
+    from cc2dataset_spark.operators import similarity as SIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        SIM.pq_codebook(emb, dim=65, n_sub=4)
+    with pytest.raises(ValueError, match="components"):
+        SIM.pq_codebook(emb, dim=32, n_sub=4)

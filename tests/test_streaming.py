@@ -333,3 +333,46 @@ def test_sessionize_agrees_with_session_window(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_streaming_outlier_gate_equals_batch(spark, sf_dir):
+    """Continuous anomaly monitoring: per-type moments computed once
+    on the reference corpus gate a live event STREAM via a
+    stream-static broadcast join — the flagged (event_id, is_outlier)
+    set must equal the batch events_value_outliers result (the stats
+    are static state, so the scoring is a stateless map)."""
+    from cc2dataset_spark.plans.catalog import queries
+
+    batch = {
+        (r.event_id, r.is_outlier)
+        for r in queries()["events_value_outliers"](spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(19,6)")
+    stats = ev.groupBy(F.col("event_type").alias("t")).agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(
+        F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = stream.join(
+        F.broadcast(stats), stream.event_type == F.col("t")
+    ).select(
+        "event_id",
+        (F.abs(F.col("value") - mean) > 3 * std).alias("is_outlier"),
+    )
+    assert out.isStreaming
+    _run_to_memory(out, "t_outliers", "append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_outliers").collect()}
+    assert got == batch and len(got) > 0
