@@ -376,3 +376,41 @@ def test_streaming_outlier_gate_equals_batch(spark, sf_dir):
     _run_to_memory(out, "t_outliers", "append")
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_outliers").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_streaming_chunking_equals_batch(spark, sf_dir):
+    """Context-length chunking is a stateless map + explode, so it
+    runs unchanged on a document STREAM — the continuous packing
+    shape. Chunk set (id, idx, md5) must equal the batch query's."""
+    from cc2dataset_spark.functions import text as T
+    from cc2dataset_spark.plans.catalog import queries
+    from cc2dataset_spark.plans.curation import _CHUNK, _STRIDE
+
+    batch = {
+        (r.doc_id, r.chunk_idx, r.chunk_md5)
+        for r in queries()["text_chunk_documents"](spark, sf_dir).collect()
+    }
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
+    )
+    n = F.size("t")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - _CHUNK + 1, F.lit(1)), F.lit(_STRIDE)
+    )
+    piece = F.slice("t", F.col("start"), _CHUNK)
+    out = stream.select(
+        "doc_id", "t", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / _STRIDE).cast("bigint").alias("chunk_idx"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+    assert out.isStreaming
+    _run_to_memory(out, "t_chunks", "append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_chunks").collect()}
+    assert got == batch and len(got) > 0
