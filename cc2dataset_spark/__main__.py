@@ -6,6 +6,7 @@ Usage:
   python -m cc2dataset_spark pipeline --output-path OUT --wat-paths f1 f2 ...
   python -m cc2dataset_spark query QUERY_NAME [--sf-dir DIR]
   python -m cc2dataset_spark list-queries
+  python -m cc2dataset_spark verify [NAME ...] [--sf-dir DIR]
 """
 
 from __future__ import annotations
@@ -47,6 +48,18 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--explain", action="store_true")
 
     sub.add_parser("list-queries", help="list catalog queries")
+
+    v = sub.add_parser(
+        "verify",
+        help="run catalog queries against their DuckDB oracles "
+        "(differential correctness, same comparison as the test suite)",
+    )
+    v.add_argument(
+        "names",
+        nargs="*",
+        help="query names (default: every oracle-backed query)",
+    )
+    v.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     return p
 
 
@@ -63,6 +76,46 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from cc2dataset_spark.session import build_spark_session
+
+    if args.command == "verify":
+        from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+        try:
+            # the differential harness ships with the repo, not the
+            # wheel — verify is a repo-checkout tool
+            from tests.oracle_harness import compare, duckdb_conn
+        except ImportError:
+            print(
+                "verify needs the repo checkout on sys.path "
+                "(tests/oracle_harness.py)",
+                file=sys.stderr,
+            )
+            return 2
+
+        _load_all()
+        names = args.names or sorted(
+            n for n, q in QUERIES.items() if q.oracle is not None
+        )
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+        spark = build_spark_session(master="local[*]")
+        con = duckdb_conn(args.sf_dir)
+        failed = 0
+        for name in names:
+            q = QUERIES[name]
+            if q.oracle is None:
+                print(f"{name}\tSKIP (rows-only)")
+                continue
+            try:
+                compare(q.fn(spark, args.sf_dir), con, q.oracle, name=name)
+                print(f"{name}\tOK")
+            except AssertionError as ex:
+                failed += 1
+                print(f"{name}\tFAIL\t{str(ex)[:200]}")
+        print(f"verified {len(names)} queries, {failed} failed")
+        return 1 if failed else 0
 
     if args.command == "query":
         from cc2dataset_spark.plans.catalog import QUERIES, _load_all

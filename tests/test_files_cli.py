@@ -136,3 +136,11 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1].splitlines()[0]
     assert scan.count() == docs.where("lang = 'en'").count()
+
+
+def test_cli_verify_subcommand(capsys):
+    assert main(["verify", "q1_pricing_summary", "sample_deterministic"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\tOK" in out
+    assert "0 failed" in out
+    assert main(["verify", "no_such_query"]) == 2
