@@ -261,3 +261,44 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std")
         ).alias("is_outlier"),
     )
+
+
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM ud
+    )
+    SELECT days.d AS day,
+           COUNT(DISTINCT ud.user_id) AS wau
+    FROM days JOIN ud
+      ON ud.d <= days.d AND ud.d >= days.d - 6
+    GROUP BY days.d
+    """,
+    tags=("events", "window", "agg", "distinct"),
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the product-metrics WAU
+    series. DISTINCT aggregates are not allowed inside window frames
+    (either engine), so the rolling distinct uses the classic
+    formulation: dedup to (day, user) once, then join the (tiny) day
+    grid to the 7-day-trailing user-days and count distinct per day.
+
+    Scale shape: the corpus-sized work is the single (day, user)
+    dedup shuffle; the day grid is |days| rows and broadcasts, so the
+    fan-out is exactly 7x the deduped user-days — bounded and
+    skew-free. Integer/date-exact throughout."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    window_hit = (F.col("d") <= F.col("day")) & (
+        F.col("d") >= F.date_sub("day", 6)
+    )
+    return (
+        F.broadcast(days)
+        .join(ud, window_hit)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
