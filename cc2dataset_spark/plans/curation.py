@@ -170,9 +170,12 @@ def _mix_case_sql() -> str:
     SELECT d.lang,
            r.n_docs,
            CAST(r.thresh AS DOUBLE) / {_MIX_MOD} AS sample_rate,
-           SUM(CASE WHEN md5_number_lower('mix:' || CAST(d.doc_id AS VARCHAR))
-                         % {_MIX_MOD} < r.thresh
-                    THEN 1 ELSE 0 END) AS n_sampled
+           -- CAST: DuckDB SUM(int) is HUGEINT, Spark's is BIGINT; the
+           -- driver's typed hasher treats them as different values.
+           CAST(SUM(CASE WHEN md5_number_lower(
+                              'mix:' || CAST(d.doc_id AS VARCHAR))
+                              % {_MIX_MOD} < r.thresh
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM documents d JOIN r ON d.lang = r.lang
     GROUP BY d.lang, r.n_docs, r.thresh
     """,

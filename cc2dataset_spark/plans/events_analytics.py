@@ -141,8 +141,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_seq
+             -- CAST: DuckDB's SUM over integers returns HUGEINT
+             -- (int128); Spark emits BIGINT. Values are identical but
+             -- the driver's typed hasher sees Decimal vs int — this
+             -- exact divergence was the only red driver row of r5.
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,
