@@ -53,131 +53,85 @@ def query(
 # The external driver's correctness harness checks the FIRST 50 entries
 # of queries() (CORRECTNESS_r01.json keys == registration order [:50]),
 # so ordering is part of the contract. This list pins the window
-# explicitly — one representative per SURVEY §2 row. Round-5 rotation:
-# the 7 queries that had never received a driver row
-# (text_winnow/text_bpe/sketch_countmin/curate_cap/q4/window_percent_
-# cume/multimodal_decode_stub) plus the new agg_regr_trend swap in over
-# 8 slots that were driver-green in BOTH rounds 1 and 4
-# (scalar_string_part, scalar_date_arithmetic, sort_topk_orders,
-# cross_join_region_matrix, pivot_status_by_priority,
-# unpivot_customer_metrics, setop_nation_coverage,
-# join_full_outer_nation_roles). Queries not listed here follow in
-# registration order; everything rotated out stays covered by the local
-# oracle suite (tests/test_oracle.py), which runs ALL oracle-backed
-# queries every CI pass. Second r5 rotation: the queries ADDED in r5
-# (q6/q10/q14, curate_pii_scrub, curate_decontaminate) take 5 more
-# twice-green slots (q1_pricing_summary, join_broadcast_geo,
-# join_semi_big_spenders, join_anti_no_orders,
-# subquery_correlated_scalar) so every operator family gets a driver
-# row in its debut round.
+# explicitly. Rotation policy, per-round slot maps, and the full green
+# history live in ROTATION.md (repo root) — keep that file and this
+# tuple in sync; the invariant is "every catalog query gets a green
+# driver row in some round, and re-confirmation at least every ~3
+# rounds via the local oracle suite + window rotation". Queries not
+# listed here follow in registration order; everything rotated out
+# stays covered by the local oracle suite (tests/test_oracle.py), which
+# runs ALL oracle-backed queries every CI pass.
+#
+# Round-6 window: the 20 r5 debuts that had never received a driver row
+# rotate IN (13 LLM-ops/events/as-of operators + the 7 remaining TPC-H
+# fill-ins q7/q9/q11/q12/q15/q16/q20); ceded are 12 slots green in 4-5
+# consecutive rounds and 8 once-green r5 slots whose family stays
+# represented. events_sessionize stays — its r5 red was an oracle
+# HUGEINT cast bug (fixed; see events_analytics.py) and it needs its
+# first green.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # reference-parity core (layer A)
     "cc_extract_dedup_links",
     "cc_extract_image_wat",
-    # LLM-ops: text analysis / curation (text_token_stats — green in
-    # r1 AND r4 — ceded its slot to the new-in-r5
-    # text_unigram_perplexity so the LM-quality-prior op debuts with a
-    # driver row; the text family keeps 4 other slots)
+    # LLM-ops: text analysis
     "text_unigram_perplexity",
-    "text_lang_id",
-    # curate_quality_filter (green r1, r2, AND r4) ceded its slot to
-    # the new-in-r5 curate_quality_tiers — the rank-based CCNet
-    # head/middle/tail split over the scalable global-rank operator —
-    # so the op debuts with a driver row; the curation family keeps
-    # 6 other slots
-    "curate_quality_tiers",
-    "top_tokens_per_lang",
-    "text_tokenize_udtf",
-    # rotated in r5: never driver-checked before
     "text_winnow_fingerprints",
     "text_bpe_token_stats",
-    "sketch_countmin_event_types",
+    "text_tfidf_topterms",
+    "text_char_entropy",
+    "text_chunk_documents",
+    # LLM-ops: curation
+    "curate_quality_tiers",
     "curate_cap_per_source",
-    # new in r5: curation hygiene ops (+ deterministic split; took the
-    # r1+r4-green scalar_struct_map_ops slot)
     "curate_pii_scrub",
     "curate_decontaminate",
     "curate_train_val_split",
-    # LLM-ops: dedup family (minhash/simhash oracle-backed since r5;
-    # dedup_incremental_index is new in r5 — the incremental-ingest
-    # anti-join shape — and takes the slot of
-    # dedup_fingerprint_documents, green in r1 AND r4 and sharing the
-    # exact same fingerprint normalization)
-    "dedup_exact_min_survivor",
+    "curate_repetition_flags",
+    "curate_mix_languages",
+    "curate_full_recipe",
+    # LLM-ops: dedup family
     "dedup_incremental_index",
-    "dedup_ngram_jaccard",
+    "dedup_index_upsert",
     "dedup_minhash_neardup",
     "dedup_simhash_embeddings",
-    "dedup_cluster_survivors",
-    # new in r5: the end-to-end LSH dedup decision (took the
-    # r1+r4-green join_range_shipments slot) + the two-phase
-    # contraction twin (took the r1+r4-green udaf_user_trend slot;
-    # agg_regr_trend keeps the trend-agg family in-window)
     "dedup_cluster_survivors_lsh",
     "dedup_cluster_twophase",
-    # LLM-ops: similarity search (ivf/simhash oracle-backed since r5;
-    # late-r5: the PQ and IVF-PQ index debuts took the slots of
-    # ann_bruteforce_topk and dedup_embedding_cosine — both green in
-    # r1 AND r4, both exact quadratic baselines that stay covered by
-    # the local oracle suite)
+    "dedup_semantic_clusters",
+    # LLM-ops: similarity search
     "ann_pq_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_simhash_topk",
-    "knn_label_vote",
-    # LLM-ops: multimodal (stub chain fully oracle-backed late in r5 —
-    # the deterministic fake decode is byte-arithmetic SQL can replay)
-    # multimodal_binary_stats (green r1 AND r4) ceded its slot to the
-    # new-in-r5 graph_pagerank_brands (the sum-preserving dangling
-    # variant's debut); frame_features + decode_stub keep the
-    # multimodal family in-window
-    "graph_pagerank_brands",
+    # LLM-ops: multimodal
     "multimodal_frame_features",
     "multimodal_decode_stub",
-    # streaming surface (batch-checkable twins; events_tumbling_10m —
-    # green r1, r2, AND r4 — ceded its slot to the new-in-r5
-    # graph_pagerank_trade so the graph-analytics family debuts with a
-    # driver row; sliding/session/followup keep the family in-window)
+    # graph analytics
+    "graph_pagerank_brands",
     "graph_pagerank_trade",
-    "events_sliding_10m_5m",
-    # events_session_30m (green r2 AND r4) ceded its slot to the
-    # new-in-r5 events_sessionize — the per-event lag-flag-cumsum
-    # formulation of the same 30-minute-gap concept, debuting with a
-    # driver row
+    # events / streaming-twin surface
     "events_sessionize",
-    "events_followup_pairs_10m",
-    # late-r5 rotation: SemDeDup (embedding-cluster dedup) takes the
-    # slot of array_ops_embeddings, green in both r2 and r4
-    "dedup_semantic_clusters",
-    # late-r5 rotation: the end-to-end curation recipe takes the slot
-    # of agg_approx_distinct, green in both r2 and r4
-    "curate_full_recipe",
-    # new in r5: JVM regr_slope twin of the pandas UDAF
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_value_outliers",
+    "events_rolling_wau",
+    # sketches / statistics
+    "sketch_countmin_event_types",
     "agg_regr_trend",
-    # as-of joins: linear scale path (the candidate+max_by twin
-    # join_asof_last_order was green in r1+r4; rotated out late in r5
-    # for q8_market_share)
-    "join_asof_union_last_order",
+    "agg_corr_lineitem",
+    # as-of joins: forward/nearest debut completes merge_asof parity
+    "join_asof_forward_next_order",
+    "join_asof_nearest_order",
+    # TPC-H representatives
+    "q7_nation_volume",
     "q8_market_share",
-    # new in r5: TPC-H widening (pushdown probe, fact-fact top-k,
-    # broadcast-dim ratio, OR-of-ANDs join, scalar-threshold + anti —
-    # the last two took the r1+r4-green q3_shipping_priority and
-    # text_quality_scores slots)
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q19_discounted_revenue",
-    "q22_dormant_rich_customers",
-    # one representative per remaining §2 family (late-r5 rotation:
-    # grouping_sets_geo and window_topk_orders_per_cust, both green in
-    # r1 AND r4, ceded their slots to the never-driver-checked
-    # q17_small_quantity_revenue and q21_waiting_suppliers)
-    "q17_small_quantity_revenue",
-    "q4_order_priority_exists",
-    "q21_waiting_suppliers",
-    "window_range_frame_1h",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_latency",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    # windows / distribution
     "window_percent_cume",
-    "setop_multiset_suppliers",
 )
 
 
