@@ -96,14 +96,15 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
         after = _shuffle_write_bytes()
-        # A failed fetch drops only THIS query's metric (before keeps
-        # the last good cumulative reading); a negative delta means
+        # A failed fetch invalidates TWO samples: this query's (no
+        # after) and the next one's (a stale `before` would attribute
+        # both queries' bytes to it) — so `before` always takes the
+        # post-query reading, None included. A negative delta means
         # stage eviction defeated the accounting — drop the sample
         # rather than record garbage.
         if before is not None and after is not None and after >= before:
             shuffle_mb[name] = round((after - before) / 1048576, 3)
-        if after is not None:
-            before = after
+        before = after
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -113,6 +114,15 @@ def main() -> None:
         "queries": dict(times),
         "sf": float(sf),
         "n_queries": len(times),
+        # Regime label: every bench.py invocation is a cold fresh
+        # JVM/process (the only warmup is codegen compilation at
+        # sf0.001), so round-over-round comparisons of this file are
+        # cold-vs-cold. Anything re-running queries inside an existing
+        # session (e.g. ad-hoc warm passes) must NOT overwrite
+        # BENCH_FULL.json — point SPARK_GRAFT_BENCH_FULL elsewhere and
+        # set SPARK_GRAFT_BENCH_LABEL.
+        "run": os.environ.get("SPARK_GRAFT_BENCH_LABEL", "cold"),
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     if shuffle_mb:
         # BENCH_FULL.json only (the stdout line has a byte budget):
@@ -122,10 +132,13 @@ def main() -> None:
         payload["shuffle_write_mb_total"] = round(
             sum(shuffle_mb.values()), 3
         )
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
-        "w",
-    ) as f:
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        ),
+    )
+    with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     print(compact_line(payload), flush=True)
     spark.stop()

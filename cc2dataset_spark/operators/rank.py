@@ -41,8 +41,12 @@ def global_row_number(
 
     The returned frame is backed by a persisted intermediate (see the
     boundary-pinning comment below) that must outlive every action on
-    the result; callers running many ranks in one session should
-    ``.unpersist()`` the result after consuming it.
+    the result — eager cleanup inside this function would let a later
+    action re-sample different range boundaries and mis-attribute the
+    prefix-sum offsets. ``.unpersist()`` on the RETURNED frame does
+    NOT release it (it is a derived plan, not the cached one): callers
+    running many ranks in one session should call ``release(result)``
+    after the final action on the result.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
@@ -77,9 +81,21 @@ def global_row_number(
         F.col("_pid"),
     ) if offsets else F.lit(0)
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    out = (
         ranged.withColumn(
             rank_col, (offset_col + F.row_number().over(w)).cast("bigint")
         )
         .drop("_pid")
     )
+    out._pinned_intermediates = [ranged]  # released via release()
+    return out
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist the boundary-pinning intermediates behind a frame
+    returned by :func:`global_row_number` (or any frame that stacked
+    handles onto ``_pinned_intermediates``). Call only after the FINAL
+    action on the result — afterwards the result must not be recomputed
+    (range boundaries would re-sample)."""
+    for h in getattr(result, "_pinned_intermediates", []):
+        h.unpersist()

@@ -289,10 +289,33 @@ def knn_label_vote(
     )
 
 
+SEMDEDUP_TARGET_CLUSTER = 128
+SEMDEDUP_MIN_LISTS = 8
+
+
+def semantic_dedup_n_lists(
+    n_vectors: int,
+    target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER,
+    min_lists: int = SEMDEDUP_MIN_LISTS,
+) -> int:
+    """Auto-size the cluster count so the within-cluster pair search
+    stays LINEAR in corpus size: candidate volume is
+    ~ n_assign^2 * n^2 / n_lists, so pinning the average cluster at
+    ``target_cluster_size`` (n_lists = n / target) makes it
+    ~ n_assign^2 * n * target / 2 — a fixed-width band per row. A
+    fixed n_lists is the measured trap: the r5 10x-density probe on
+    n_lists=8 ran 15x (cluster-bounded QUADRATIC, SCALE.md); with this
+    formula the same probe is ~10x (linear). The floor keeps tiny
+    fixtures on the exact clustering the oracle replays."""
+    import math
+
+    return max(min_lists, math.ceil(n_vectors / target_cluster_size))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.35,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_assign: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -328,6 +351,11 @@ def semantic_dedup(
     v = corpus.select(
         F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
     )
+    if n_lists is None:
+        # One count() job (an index-fit statistic, like the centroid
+        # sample itself) buys the linear candidate bound above. Callers
+        # pinning n_lists explicitly own the quadratic risk.
+        n_lists = semantic_dedup_n_lists(v.count())
     c = _seed_centroids(v, n_lists)
     assigned = v.select(
         "cid",
@@ -431,7 +459,16 @@ def pq_codebook(
         .limit(n_codes)
         .collect()
     )
-    if rows and len(rows[0].cv) != dim:
+    if len(rows) < n_codes:
+        # An empty/short codebook poisons every downstream encode
+        # (codebook[0][0] IndexError, or silent low-recall quantization
+        # with fewer codewords than the code range assumes) — fail at
+        # the fit, where the cause is visible.
+        raise ValueError(
+            f"pq_codebook needs >= n_codes={n_codes} corpus vectors, "
+            f"got {len(rows)}"
+        )
+    if len(rows[0].cv) != dim:
         raise ValueError(
             f"dim={dim} but vectors have {len(rows[0].cv)} components"
         )

@@ -444,7 +444,15 @@ def curate_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.expr(f"((quality_rank - 1) * 3) DIV {n}") == 1, "middle")
         .otherwise("tail")
     )
-    return ranked.select("doc_id", "mean_nll", "quality_rank", tier.alias("tier"))
+    out = ranked.select(
+        "doc_id", "mean_nll", "quality_rank", tier.alias("tier")
+    )
+    # Stack BOTH pins (per_doc and the rank's internal range exchange)
+    # on the result so rank.release(result) frees them after the final
+    # action — without this, every call leaks two MEMORY_AND_DISK cache
+    # entries for the life of the session.
+    out._pinned_intermediates = [per_doc, *ranked._pinned_intermediates]
+    return out
 
 
 _CHUNK = 64

@@ -1246,9 +1246,7 @@ def dedup_cluster_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle(
-    threshold: float = 0.35, n_lists: int = 8, n_assign: int = 3
-) -> str:
+def _semdedup_oracle(threshold: float = 0.35, n_assign: int = 3) -> str:
     """DuckDB replay of the full SemDeDup chain: the md5-hash centroid
     seed and top-n_assign list assignment are verbatim from _ivf_oracle
     (assignment boundaries sit >= 3e-5 above the runner-up on the
@@ -1256,8 +1254,21 @@ def _semdedup_oracle(
     within-list pair threshold compares round-6 cosines (DISTINCT
     because a pair can co-occur in several shared lists), and the
     closure tail labels the embeddings universe."""
+    from cc2dataset_spark.operators.similarity import (
+        SEMDEDUP_MIN_LISTS,
+        SEMDEDUP_TARGET_CLUSTER,
+    )
+
     a_cos = _COS.format(a="e.embedding", b="ct.embedding")
     p_cos = _COS.format(a="a.cv", b="b.cv")
+    # n_lists replays semantic_dedup_n_lists(corpus.count()) — the
+    # auto-sizing that keeps the within-cluster pair search linear —
+    # as a scalar subquery, so the oracle stays green at any SF.
+    n_lists = (
+        f"GREATEST({SEMDEDUP_MIN_LISTS}, CAST(CEIL("
+        f"(SELECT COUNT(*) FROM embeddings) / {SEMDEDUP_TARGET_CLUSTER}.0"
+        f") AS BIGINT))"
+    )
     return (
         f"""
     WITH RECURSIVE cent AS (
@@ -1302,9 +1313,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the within-cluster pair set is a strict subset of the exact
     pair set; the 8x3 soft assignment recovers >=90% of the exact
     non-survivors on the fixture (both asserted in
-    tests/test_llm_ops.py)."""
+    tests/test_llm_ops.py). n_lists auto-sizes from the corpus count
+    (floor 8 / target cluster 128 — identical clustering to the old
+    fixed 8 at fixture SFs, linear candidate volume at scale; the
+    oracle replays the formula as a scalar subquery)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(emb, threshold=0.35, n_lists=8, n_assign=3)
+    return SIM.semantic_dedup(emb, threshold=0.35, n_assign=3)
 
 
 # --------------------------------------------------------------------------

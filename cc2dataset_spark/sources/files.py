@@ -137,6 +137,14 @@ def zorder_value(cols, mins, maxs, bits: int = 16):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if n * bits > 63:
+        # Interleaved bit positions beyond 62 reach the bigint sign
+        # bit: high-bucket rows would get NEGATIVE z and the range sort
+        # would silently destroy the clustering instead of failing.
+        raise ValueError(
+            f"{n} cols x {bits} bits = {n * bits} interleaved bits > 63 "
+            f"(bigint sign bit); lower bits to <= {63 // n}"
+        )
     buckets = []
     for c, lo, hi in zip(cols, mins, maxs):
         c = F.col(c) if isinstance(c, str) else c

@@ -9,11 +9,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_emits_contract_json():
+def test_bench_emits_contract_json(tmp_path):
+    # BENCH_FULL goes to a tmp path: the repo's BENCH_FULL.json is the
+    # driver-scale (sf0.1) record, and this sf0.001 run overwriting it
+    # is exactly the regime-mixing the r5 verdict flagged.
+    full_path = tmp_path / "BENCH_FULL.json"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_FULL=str(full_path),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -38,7 +43,10 @@ def test_bench_emits_contract_json():
     # value == total wall; folding preserves the sum up to per-query
     # centisecond rounding.
     assert abs(d["value"] - sum(d["queries"].values())) <= 0.005 * d["n_queries"] + 0.01
-    # BENCH_FULL.json (rewritten by the run above) must carry the whole
+    # every run states its regime so round-over-round comparisons can't
+    # silently mix cold and warm numbers
+    assert d["run"] == "cold"
+    # The full record (written by the run above) must carry the whole
     # unfolded catalog: exactly the registered queries minus the named
     # exclusions — a query added to the catalog but missing here means
     # bench.py silently stopped covering it.
@@ -46,7 +54,7 @@ def test_bench_emits_contract_json():
     import bench as bench_mod
     from cc2dataset_spark.plans.catalog import queries
 
-    full = json.load(open(os.path.join(REPO, "BENCH_FULL.json")))
+    full = json.load(open(full_path))
     assert full["n_queries"] == len(full["queries"]) == d["n_queries"]
     expected = set(queries()) - bench_mod.EXCLUDE
     assert set(full["queries"]) == expected

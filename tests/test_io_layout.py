@@ -4,6 +4,8 @@
 import glob
 import os
 
+import pytest
+
 from cc2dataset_spark.sources.files import (
     compact_parquet,
     read_binary_files,
@@ -167,3 +169,12 @@ def test_zorder_value_matches_python_model(spark):
     got = {r.rid: r.z for r in df.select("rid", z.alias("z")).collect()}
     want = {rid: py_z(x, y) for rid, x, y in rows}
     assert got == want
+
+
+def test_zorder_value_rejects_sign_bit_overflow():
+    from cc2dataset_spark.sources.files import zorder_value
+
+    with pytest.raises(ValueError, match="sign bit"):
+        zorder_value(
+            ["a", "b", "c", "d"], [0, 0, 0, 0], [1, 1, 1, 1], bits=16
+        )

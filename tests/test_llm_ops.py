@@ -540,3 +540,31 @@ def test_pq_codebook_validates_dim(spark, sf_dir):
         SIM.pq_codebook(emb, dim=65, n_sub=4)
     with pytest.raises(ValueError, match="components"):
         SIM.pq_codebook(emb, dim=32, n_sub=4)
+
+
+def test_pq_codebook_raises_on_short_corpus(spark):
+    from cc2dataset_spark.operators import similarity as SIM
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_codes"):
+        SIM.pq_codebook(empty)
+    short = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] * 64)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="got 2"):
+        SIM.pq_codebook(short, n_codes=16)
+
+
+def test_semantic_dedup_n_lists_scales_linearly():
+    from cc2dataset_spark.operators.similarity import semantic_dedup_n_lists
+
+    # floor keeps fixture SFs on the oracle's exact clustering
+    assert semantic_dedup_n_lists(0) == 8
+    assert semantic_dedup_n_lists(100) == 8
+    assert semantic_dedup_n_lists(1000) == 8
+    # beyond the floor: average cluster pinned at the target (linear
+    # candidate volume), not a fixed list count (quadratic)
+    assert semantic_dedup_n_lists(10_000) == 79
+    assert semantic_dedup_n_lists(1_000_000) == 7813

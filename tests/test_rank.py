@@ -65,3 +65,18 @@ def test_skewed_keys_stay_correct(spark):
     }
     assert got == _reference(rows)
     assert sorted(got.values()) == list(range(1, 101))
+
+
+def test_release_unpins_internal_cache(spark):
+    """.unpersist() on the returned frame is a no-op on the internal
+    range-pinned intermediate; rank.release() must actually free it."""
+    from cc2dataset_spark.operators.rank import release
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(i, i % 7) for i in range(50)], ["rid", "v"])
+    out = global_row_number(df, ["v", "rid"], num_partitions=4)
+    out.collect()
+    assert jsc.getPersistentRDDs().size() == base + 1
+    release(out)
+    assert jsc.getPersistentRDDs().size() == base
