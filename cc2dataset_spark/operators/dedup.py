@@ -110,3 +110,71 @@ def dedup_by_fingerprint(
         keys=["_fp"],
         order_by=[F.col(id_col)],
     ).drop("_fp")
+
+
+def bloom_prefilter(
+    batch: DataFrame,
+    index_fingerprints: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Append a ``bloom_maybe`` column to ``batch``: False means the
+    row's fingerprint is DEFINITELY absent from the index (no false
+    negatives), True means "maybe present" — the standard Bloom-filter
+    pre-filter that, at 100 TB, lets the incremental-dedup anti-join
+    shuffle only the (small) maybe-dup slice of each incoming batch
+    instead of the whole batch. m/n ~ 10 bits per indexed fingerprint
+    with k=3 gives ~1-3% false positives; every false positive costs
+    one extra anti-join row, never a wrong result.
+
+    Fully distributed AND cross-engine-replayable: the k probe
+    positions are md5_mod residues (DuckDB: md5_number_lower % m), the
+    bitmap is built with one groupBy(word).bit_or shuffle over the
+    index positions (m/32 words total — KBs to a few MB), and
+    membership is a broadcast join of batch probe positions against
+    the word table + a bool_and rollup. The bitmap never funnels
+    through the driver. Bits live in the LOW 32 of each BIGINT word so
+    no engine ever shifts into a sign bit.
+    """
+    if not 0 < m_bits < 2**31:
+        raise ValueError(f"m_bits must be in (0, 2^31), got {m_bits}")
+    from cc2dataset_spark.functions.hashes import md5_mod
+
+    def positions(df: DataFrame, keep: list[str]) -> DataFrame:
+        pos = F.explode(
+            F.array(
+                *[
+                    md5_mod(
+                        F.concat(
+                            F.lit(f"bloom{i}:"), F.col(fp_col).cast("string")
+                        ),
+                        m_bits,
+                    )
+                    for i in range(k)
+                ]
+            )
+        )
+        return df.select(*keep, pos.alias("pos"))
+
+    words = (
+        positions(index_fingerprints, [])
+        .groupBy(F.expr("pos div 32").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
+            ).alias("word")
+        )
+    )
+    probes = positions(batch, batch.columns).join(
+        F.broadcast(words), F.expr("pos div 32") == words["w"], "left"
+    )
+    bit_set = F.coalesce(
+        F.expr(
+            "(word & shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))) <> 0"
+        ),
+        F.lit(False),
+    )
+    return probes.groupBy(*[batch[c] for c in batch.columns]).agg(
+        F.bool_and(bit_set).alias("bloom_maybe")
+    )

@@ -386,6 +386,128 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(tk) AS term FROM t
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM tok
+    ), uni AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS c_uni FROM tok GROUP BY term
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> {{'prev': tk[i], 'cur': tk[i+1]}}),
+                    recursive := true)
+      FROM t WHERE len(tk) >= 2
+    ), cb AS (
+      SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c_big
+      FROM bg GROUP BY prev, cur
+    ), cp AS (
+      SELECT prev, CAST(COUNT(*) AS DOUBLE) AS c_prev FROM bg GROUP BY prev
+    ), s AS (
+      SELECT b.doc_id,
+             round(-ln({_BIGRAM_LAMBDA} * (cb.c_big / cp.c_prev)
+                       + {1 - _BIGRAM_LAMBDA} * (u.c_uni / tot.n_total)),
+                   9) AS nll
+      FROM bg b
+      JOIN cb ON cb.prev = b.prev AND cb.cur = b.cur
+      JOIN cp ON cp.prev = b.prev
+      JOIN uni u ON u.term = b.cur
+      CROSS JOIN tot
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             round(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_nll
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, mean_nll,
+           round(exp(mean_nll), 6) AS ppl
+    FROM per_doc
+    """,
+    tags=("text", "llm", "curation", "quality"),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality prior — the next model class up
+    from text_unigram_perplexity: per-document mean surprisal of
+    -ln( lambda * p(cur|prev) + (1-lambda) * p(cur) ) with the bigram
+    and unigram distributions estimated from the corpus itself
+    (Jelinek-Mercer interpolation, lambda=0.75; the closed-form,
+    SQL-replayable stand-in for the KenLM n-gram scorer CCNet uses).
+    Repetitive/templated text scores LOW (its bigrams are corpus-
+    frequent), rare-token salad scores HIGH — the two failure modes a
+    unigram prior cannot separate.
+
+    Plan: bigrams come from zipping the token array against itself
+    shifted by one (a NARROW per-row transform — no doc-keyed
+    window/sort shuffle, unlike the lag-window formulation). The
+    bigram stream then carries two count windows (one (prev,cur)
+    exchange, one prev exchange), joins the unigram count table on the
+    successor term (term-keyed shuffle join — vocabulary-scale, never
+    broadcast), and aggregates per doc. Float discipline as the
+    unigram twin: the interpolation is parenthesized identically in
+    both engines (IEEE ops are deterministic given the same tree),
+    each surprisal rounds to 9, the per-doc sum accumulates in
+    DECIMAL(38,18), the mean rounds to 6, exp re-rounds to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("tk")
+    ).where(F.size("tk") >= 2)
+    pair = F.zip_with(
+        F.slice(F.col("tk"), F.lit(1), F.size("tk") - 1),
+        F.slice(F.col("tk"), F.lit(2), F.size("tk") - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = t.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    uni = tok.groupBy("term").agg(
+        F.count("*").cast("double").alias("c_uni")
+    )
+    total = tok.agg(F.count("*").cast("double").alias("n_total"))
+    w_big = Window.partitionBy("prev", "cur")
+    w_prev = Window.partitionBy("prev")
+    scored = (
+        bg.withColumn("c_big", F.count("*").over(w_big).cast("double"))
+        .withColumn("c_prev", F.count("*").over(w_prev).cast("double"))
+        .join(uni, bg["cur"] == uni["term"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    F.lit(_BIGRAM_LAMBDA) * (F.col("c_big") / F.col("c_prev"))
+                    + F.lit(1 - _BIGRAM_LAMBDA)
+                    * (F.col("c_uni") / F.col("n_total"))
+                ),
+                9,
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("nll").cast("decimal(38,18)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_nll"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "mean_nll",
+        F.round(F.exp("mean_nll"), 6).alias("ppl"),
+    )
+
+
 @query(
     "curate_quality_tiers",
     oracle=f"""

@@ -200,10 +200,10 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_incremental_index",
-    oracle=r"""
-    WITH base AS (
+# Index/batch split shared by dedup_incremental_index and
+# dedup_bloom_prefilter: ~80% of the corpus plays the already-ingested
+# fingerprint index, ~20% the incoming batch (deterministic id-hash).
+_INCR_CTES = r"""base AS (
       SELECT doc_id, source,
              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
                AS fingerprint,
@@ -211,7 +211,13 @@ def dedup_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     ix AS (SELECT DISTINCT fingerprint FROM base WHERE b < 80),
-    batch AS (SELECT doc_id, source, fingerprint FROM base WHERE b >= 80),
+    batch AS (SELECT doc_id, source, fingerprint FROM base WHERE b >= 80)"""
+
+
+@query(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH {_INCR_CTES},
     fresh AS (
       SELECT * FROM batch
       WHERE NOT EXISTS (SELECT 1 FROM ix WHERE ix.fingerprint = batch.fingerprint)
@@ -245,6 +251,113 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = base.where(F.col("b") >= 80).select("doc_id", "source", "text")
     return dedup_incremental(batch, index_fps, fp).select(
         "doc_id", "fingerprint", "source"
+    )
+
+
+_BLOOM_M = 1 << 13  # bits; ~10-20 bits per indexed fp at fixture scale
+_BLOOM_K = 3
+
+
+@query(
+    "dedup_bloom_prefilter",
+    # Own base CTE (not _INCR_CTES): every 11th doc's content is
+    # replaced by shared boilerplate so the batch actually CONTAINS
+    # duplicates of indexed content — without it the fixture's
+    # all-unique texts would leave the 'dup' classification (and the
+    # no-false-negatives property) unexercised by the driver row.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 11 = 0 THEN 'Boilerplate Page'
+                    ELSE text END)), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             md5_number_lower('ix:' || CAST(doc_id AS VARCHAR)) % 100 AS b
+      FROM documents
+    ),
+    ix AS (SELECT DISTINCT fingerprint FROM base WHERE b < 80),
+    batch AS (SELECT doc_id, source, fingerprint FROM base WHERE b >= 80),
+    ixpos AS (
+      SELECT CAST(md5_number_lower(
+               'bloom' || CAST(i AS VARCHAR) || ':' || fingerprint
+             ) % {_BLOOM_M} AS BIGINT) AS pos
+      FROM ix CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i)
+    ),
+    words AS (
+      SELECT pos // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+      FROM ixpos GROUP BY pos // 32
+    ),
+    bpos AS (
+      SELECT doc_id, fingerprint,
+             CAST(md5_number_lower(
+               'bloom' || CAST(i AS VARCHAR) || ':' || fingerprint
+             ) % {_BLOOM_M} AS BIGINT) AS pos
+      FROM batch CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i)
+    ),
+    checks AS (
+      SELECT b.doc_id,
+             bool_and(COALESCE(
+               (w.word & (CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT)))
+                 <> 0, FALSE)) AS bloom_maybe
+      FROM bpos b LEFT JOIN words w ON w.w = b.pos // 32
+      GROUP BY b.doc_id
+    )
+    SELECT c.doc_id, batch.fingerprint, c.bloom_maybe,
+           (batch.fingerprint IN (SELECT fingerprint FROM ix)) AS in_index,
+           CASE WHEN NOT c.bloom_maybe THEN 'definitely_new'
+                WHEN batch.fingerprint IN (SELECT fingerprint FROM ix)
+                  THEN 'dup'
+                ELSE 'false_positive' END AS status
+    FROM checks c JOIN batch ON batch.doc_id = c.doc_id
+    """,
+    tags=("dedup", "llm", "incremental", "sketch"),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-filter for incremental dedup
+    (operators/dedup.bloom_prefilter): the index's fingerprints are
+    folded into an m-bit / k-hash bitmap (one bit_or shuffle over
+    m/32 BIGINT words — the bitmap never funnels through the driver),
+    and each incoming batch row probes it via a BROADCAST join of its
+    k positions. bloom_maybe=False rows skip the fingerprint anti-join
+    entirely — at 100 TB that join is the incremental pipeline's only
+    batch-scale shuffle, and a mostly-fresh batch shrinks it by the
+    filter's true-negative rate (~97% with ~10 bits/fp). The driver
+    row value-checks every classification: no false negatives by
+    construction (every 'dup' has bloom_maybe=true), and the observed
+    false_positive rows ARE the measured FP rate at this m/n."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+    from cc2dataset_spark.operators.dedup import bloom_prefilter
+
+    docs = load_table(spark, sf_dir, "documents")
+    content = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("Boilerplate Page")
+    ).otherwise(F.col("text"))
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(content)), r"\s+", " "))
+    b = md5_mod(F.concat(F.lit("ix:"), F.col("doc_id").cast("string")), 100)
+    base = docs.select("doc_id", fp.alias("fingerprint"), b.alias("b"))
+    ix = base.where(F.col("b") < 80).select("fingerprint").distinct()
+    batch = base.where(F.col("b") >= 80).select("doc_id", "fingerprint")
+    flagged = bloom_prefilter(batch, ix, m_bits=_BLOOM_M, k=_BLOOM_K)
+    in_index = F.col("ix_fp").isNotNull()
+    status = (
+        F.when(~F.col("bloom_maybe"), "definitely_new")
+        .when(in_index, "dup")
+        .otherwise("false_positive")
+    )
+    return (
+        flagged.join(
+            F.broadcast(ix.select(F.col("fingerprint").alias("ix_fp"))),
+            flagged["fingerprint"] == F.col("ix_fp"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "fingerprint",
+            "bloom_maybe",
+            in_index.alias("in_index"),
+            status.alias("status"),
+        )
     )
 
 
@@ -841,10 +954,10 @@ def dedup_exact_min_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("lang", "source", "doc_id", "n_chars")
 
 
-@query(
-    "text_winnow_fingerprints",
-    oracle=r"""
-    WITH t AS (
+# Winnowing chain shared by text_winnow_fingerprints and
+# dedup_winnow_overlap: tokens -> 3-word shingle md5s -> window-4
+# minima (distinct) => fp(doc_id, n_shingles, fps).
+_WINNOW_CTES = r"""t AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'),
                          x -> x <> '') AS tk
@@ -863,7 +976,13 @@ def dedup_exact_min_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
                          i -> list_aggregate(h[i:i+3], 'min')))
                   ELSE [list_aggregate(h, 'min')] END AS fps
       FROM sh
-    )
+    )"""
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_CTES}
     SELECT doc_id, n_shingles,
            len(fps) AS n_fingerprints,
            md5(list_aggregate(list_sort(fps), 'string_agg', ',')) AS fp_digest
@@ -899,6 +1018,57 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         F.size("fps").alias("n_fingerprints"),
         F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fp_digest"),
+    )
+
+
+_WINNOW_MAX_FP_DF = 100
+_WINNOW_MIN_SHARED = 2
+
+
+@query(
+    "dedup_winnow_overlap",
+    oracle=f"""
+    WITH {_WINNOW_CTES}, fpx AS (
+      SELECT doc_id, unnest(fps) AS w FROM fp
+    ), kept AS (
+      SELECT doc_id, w FROM fpx
+      WHERE w IN (SELECT w FROM fpx GROUP BY w
+                  HAVING COUNT(*) <= {_WINNOW_MAX_FP_DF})
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    )
+    SELECT c.id_a, c.id_b, c.n_shared,
+           round(CAST(c.n_shared AS DOUBLE) / least(sa.n, sb.n), 6)
+             AS containment
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    """,
+    tags=("dedup", "text", "llm", "fingerprint"),
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-substring near-dup pairs over winnowing fingerprints
+    (operators/neardup.winnow_overlap_pairs) — the LOCAL-overlap
+    complement of the MinHash/Jaccard set-resemblance family: a
+    verbatim run of >= 6 tokens shared between two documents yields a
+    shared fingerprint regardless of how different the rest of the
+    documents are, which is the verbatim-contamination signal
+    Lee et al. 2022 ("Deduplicating Training Data...") target with
+    suffix arrays; winnowing is the bounded-memory distributed proxy.
+    Bounded-quadratic via the stop-fingerprint cap, like the jaccard
+    ground truth; the winnow selection keeps ~1/window of the shingle
+    stream, so this joins ~4x less data than dedup_ngram_jaccard at
+    the same shingle length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ND.winnow_overlap_pairs(
+        docs,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_fp_df=_WINNOW_MAX_FP_DF,
     )
 
 

@@ -540,3 +540,69 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(20)
     )
+
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_shipdate",
+    "l_linestatus",
+)
+
+
+@query(
+    "profile_lineitem_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("profile", "agg", "stats"),
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality pass every ingestion
+    pipeline runs before training-set assembly: per-column row count,
+    null count, exact distinct count, and min/max (as strings, so one
+    schema profiles heterogeneous column types). The oracle is a
+    straightforward per-column UNION ALL; the Spark plan is ONE pass:
+    a single aggregate carries all per-column metrics (the multi-
+    distinct aggregate plans through Expand — one shuffle total, not
+    one scan per column), producing a 1-row frame that explodes into
+    the per-column profile. Exact distinct on purpose: approx_distinct
+    is the 100 TB default but its sketch is not cross-engine
+    reproducible; swap in approx_count_distinct per-column where a 2%
+    error is acceptable and the scan is the bottleneck."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

@@ -568,3 +568,52 @@ def test_semantic_dedup_n_lists_scales_linearly():
     # candidate volume), not a fixed list count (quadratic)
     assert semantic_dedup_n_lists(10_000) == 79
     assert semantic_dedup_n_lists(1_000_000) == 7813
+
+
+def test_winnow_overlap_detects_planted_quotation(spark):
+    """A verbatim >= window+shingle-1 token run shared between two
+    otherwise-different documents must produce a pair — the local-
+    overlap property Jaccard-style global resemblance can miss."""
+    from cc2dataset_spark.operators.neardup import winnow_overlap_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "alpha beta gamma " + quote + " delta epsilon zeta eta"),
+        (2, "one two three four five " + quote + " six seven eight"),
+        (3, "completely unrelated text with no shared runs at all ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(df, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_bloom_prefilter_has_no_false_negatives(spark):
+    from cc2dataset_spark.operators.dedup import bloom_prefilter
+
+    ix = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(200)], ["fingerprint"]
+    )
+    batch = spark.createDataFrame(
+        [(i, f"fp{i}") for i in range(150, 250)], ["doc_id", "fingerprint"]
+    )
+    out = {
+        r.doc_id: r.bloom_maybe
+        for r in bloom_prefilter(batch, ix, m_bits=1 << 12, k=3).collect()
+    }
+    assert len(out) == 100
+    # every fingerprint actually present in the index MUST flag maybe
+    assert all(out[i] for i in range(150, 200))
+    # and the filter is useful: most absent fps flag definitely-new
+    fresh = [i for i in range(200, 250)]
+    assert sum(not out[i] for i in fresh) >= 40
+
+
+def test_bloom_prefilter_rejects_bad_m():
+    from cc2dataset_spark.operators.dedup import bloom_prefilter
+
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_prefilter(None, None, m_bits=2**31)
