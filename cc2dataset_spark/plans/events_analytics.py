@@ -308,3 +308,59 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "events_value_quantiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           MAX(n) AS n_events,
+           MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+           MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+           MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("events", "stats", "window", "quantile"),
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE quantiles (p50/p90/p99) of event value per type —
+    the latency-percentile shape of ops analytics, done cross-engine
+    exact: the k-th smallest actual value with k = ceil(p*n) computed
+    in INTEGER arithmetic ((p_num*n + p_den - 1) DIV p_den), so there
+    is no float interpolation to drift between engines (Spark's
+    percentile()/DuckDB's quantile_cont interpolate with different
+    float expression trees; approx_percentile sketches aren't
+    replayable at all). NULL values are filtered first — Spark sorts
+    nulls FIRST ascending, DuckDB LAST, so leaving them in would shift
+    every rank.
+
+    Plan: one event_type-keyed exchange+sort carries both the
+    ROW_NUMBER and the partition COUNT (two Window nodes, same spec),
+    then the per-type aggregate rides the same partitioning —
+    partial-aggregates map-side, no second shuffle. Per-type state is
+    the sort run, fine for bounded type cardinality; for a heavy-tail
+    key domain use global_row_number per type instead."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda t: F.min(F.when(F.col("rn") == F.expr(t), F.col("value")))
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        pick("(n + 1) div 2").alias("p50"),
+        pick("(9 * n + 9) div 10").alias("p90"),
+        pick("(99 * n + 99) div 100").alias("p99"),
+    )
