@@ -157,3 +157,34 @@ def uid_column(alt: str = "alt", url: str = "url") -> Column:
     """P12 — uid = md5(alt || url), byte-identical to
     hashlib.md5((alt+url).encode()).hexdigest() (main.py:174)."""
     return F.md5(F.concat(F.col(alt), F.col(url)))
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonicalize a URL for dedup: drop the fragment, lowercase the
+    scheme+host (authority), strip default ports (:443 for https, :80
+    for http), and remove utm_* tracking query parameters (cleaning up
+    any dangling '?'/'&'). Path and non-tracking query params keep
+    their case and order — they are semantically significant.
+
+    Pure codegen regex chain; every pattern is RE2-simple and valid
+    verbatim in DuckDB (the oracle replays the identical sequence), so
+    normalized-URL dedup is SQL-checkable end to end. This is the
+    canonicalization the reference's md5(alt+url) uid implicitly
+    skips — cc_dedup_normalized_url measures exactly how many uid
+    duplicates it would have merged."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    prefix = F.regexp_extract(
+        no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1
+    )
+    rest = F.substr(no_frag, F.length(prefix) + F.lit(1))
+    p = F.lower(prefix)
+    p = (
+        F.when(p.startswith("https://"), F.regexp_replace(p, r":443$", ""))
+        .when(p.startswith("http://"), F.regexp_replace(p, r":80$", ""))
+        .otherwise(p)
+    )
+    r = F.regexp_replace(rest, r"utm_[^&#]*&?", "")
+    r = F.regexp_replace(r, r"\?&", "?")
+    r = F.regexp_replace(r, r"[?&]$", "")
+    return F.concat(p, r)

@@ -200,3 +200,129 @@ def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py."""
     wat_df = _wat_records_from_documents(spark, sf_dir)
     return extract_document_links(wat_df, "image").dropDuplicates(["uid"])
+
+
+@query(
+    "cc_dedup_normalized_url",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id, source,
+             UNNEST(generate_series(1, 1 + CAST(doc_id % 3 AS INT))) AS cp
+      FROM documents
+    ), messy AS (
+      SELECT doc_id,
+        CASE CAST((doc_id + cp) % 5 AS INT)
+          WHEN 0 THEN 'https://cdn.example.com/' || source || '/'
+                      || CAST(doc_id AS VARCHAR) || '.jpg'
+          WHEN 1 THEN 'HTTPS://CDN.EXAMPLE.COM/' || source || '/'
+                      || CAST(doc_id AS VARCHAR) || '.jpg#section2'
+          WHEN 2 THEN 'https://cdn.example.com:443/' || source || '/'
+                      || CAST(doc_id AS VARCHAR)
+                      || '.jpg?utm_source=feed&utm_campaign=c'
+          WHEN 3 THEN 'https://cdn.example.com/' || source || '/'
+                      || CAST(doc_id AS VARCHAR) || '.jpg?keep=1&utm_medium=m'
+          ELSE 'HtTpS://CDN.example.COM:443/' || source || '/'
+               || CAST(doc_id AS VARCHAR) || '.jpg'
+        END AS url
+      FROM raw
+    ), parts AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '', 'g') AS no_frag,
+             regexp_extract(regexp_replace(url, '#.*$', '', 'g'),
+                            '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1)
+               AS prefix
+      FROM messy
+    ), norm AS (
+      SELECT doc_id, url,
+             (CASE WHEN lower(prefix) LIKE 'https://%'
+                     THEN regexp_replace(lower(prefix), ':443$', '', 'g')
+                   WHEN lower(prefix) LIKE 'http://%'
+                     THEN regexp_replace(lower(prefix), ':80$', '', 'g')
+                   ELSE lower(prefix) END)
+             || regexp_replace(
+                  regexp_replace(
+                    regexp_replace(substr(no_frag, length(prefix) + 1),
+                                   'utm_[^&#]*&?', '', 'g'),
+                    '\?&', '?', 'g'),
+                  '[?&]$', '', 'g')
+               AS nurl
+      FROM parts
+    )
+    SELECT md5(nurl) AS uid, nurl AS url_normalized,
+           COUNT(*) AS n_links,
+           COUNT(DISTINCT url) AS n_raw_forms,
+           MIN(doc_id) AS first_doc
+    FROM norm GROUP BY nurl
+    """,
+    tags=("layer_a", "dedup", "links"),
+)
+def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup over the link stream — the layer the
+    reference's md5(alt+url) uid does NOT have: the same target
+    reached via case-varied authority, default ports, fragments, or
+    utm_* tracking params produces distinct uids there (main.py:174
+    hashes the raw string). functions/links.normalize_url collapses
+    those five messy forms (injected deterministically per link copy)
+    and the dedup groups on the canonical form, counting how many raw
+    variants each one absorbed. Pure codegen regex; the oracle runs
+    the identical regex chain. One shuffle, keyed on the canonical
+    URL's uniform md5 — skew-free."""
+    from cc2dataset_spark.functions.links import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    cp = F.explode(
+        F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+    )
+    raw = docs.select("doc_id", "source", cp.alias("cp"))
+    sid = F.col("doc_id").cast("string")
+    base = lambda: [F.col("source"), F.lit("/"), sid]  # noqa: E731
+    variant = ((F.col("doc_id") + F.col("cp")) % 5).cast("int")
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("https://cdn.example.com/"), *base(), F.lit(".jpg")),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://CDN.EXAMPLE.COM/"), *base(),
+                F.lit(".jpg#section2"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://cdn.example.com:443/"), *base(),
+                F.lit(".jpg?utm_source=feed&utm_campaign=c"),
+            ),
+        )
+        .when(
+            variant == 3,
+            F.concat(
+                F.lit("https://cdn.example.com/"), *base(),
+                F.lit(".jpg?keep=1&utm_medium=m"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HtTpS://CDN.example.COM:443/"), *base(), F.lit(".jpg")
+            )
+        )
+    )
+    messy = raw.select("doc_id", url.alias("url"))
+    return (
+        messy.withColumn("nurl", normalize_url("url"))
+        .groupBy("nurl")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.count_distinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            F.md5("nurl").alias("uid"),
+            F.col("nurl").alias("url_normalized"),
+            "n_links",
+            "n_raw_forms",
+            "first_doc",
+        )
+    )

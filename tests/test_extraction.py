@@ -64,3 +64,26 @@ def test_malformed_json_rows_are_skipped(spark, tmp_path):
     got = sorted(tuple(r) for r in extract_document_links(df, "image").collect())
     want = sorted(oracle_extract([FIXTURE_RECORDS[0], FIXTURE_RECORDS[1]], "image"))
     assert got == want
+
+
+def test_normalize_url_cases(spark):
+    """normalize_url: fragment, case, default ports, utm params —
+    including the things it must NOT touch (path case, non-tracking
+    query params, non-default ports, scheme differences)."""
+    from cc2dataset_spark.functions.links import normalize_url
+
+    cases = {
+        "HTTPS://CDN.Example.COM:443/A/1.jpg#frag": "https://cdn.example.com/A/1.jpg",
+        "https://cdn.example.com/a/1.jpg?utm_source=x&utm_campaign=y": "https://cdn.example.com/a/1.jpg",
+        "https://cdn.example.com/a/1.jpg?id=5&utm_medium=z": "https://cdn.example.com/a/1.jpg?id=5",
+        "http://cdn.example.com:80/a/1.jpg": "http://cdn.example.com/a/1.jpg",
+        # non-default port survives; https default port does NOT apply to http
+        "http://cdn.example.com:443/a/1.jpg": "http://cdn.example.com:443/a/1.jpg",
+        "https://cdn.example.com:8443/a/1.jpg?b=2": "https://cdn.example.com:8443/a/1.jpg?b=2",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["url"])
+    got = {
+        r.url: r.n
+        for r in df.select("url", normalize_url("url").alias("n")).collect()
+    }
+    assert got == cases

@@ -227,3 +227,38 @@ def test_curation_ops_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in pmix, pmix
     # corpus rows are gated map-side: no repartitioning keyed on doc_id
     assert "hashpartitioning(doc_id" not in pmix, pmix
+
+
+def test_r6_ops_plan_shapes(spark, sf_dir):
+    """Round-6 operators keep the plan shapes their docstrings claim."""
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+
+    # winnow overlap: the explicit fp repartition must survive into
+    # the plan (REPARTITION_BY_COL exchange) — it is what lets AQE
+    # reuse one shuffle of the md5-shingle chain across the self-join
+    # sides and the size count at runtime (measured ~30% at sf0.1;
+    # static explain can't show runtime reuse under AQE). The stop-fp
+    # cap must join as a broadcast anti.
+    p = _formatted_plan(QUERIES["dedup_winnow_overlap"].fn(spark, sf_dir))
+    assert "REPARTITION_BY_COL" in p, p
+    assert "BroadcastHashJoin LeftAnti" in p, p
+
+    # bloom prefilter: the bitmap words join the probes as a BROADCAST
+    # (the bitmap is KBs); the batch must never sort-merge against it.
+    p = _formatted_plan(QUERIES["dedup_bloom_prefilter"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    # quantiles: rank + count windows AND the final aggregate ride ONE
+    # event_type exchange — exactly one shuffle below the agg (plus
+    # AQE reads); no second exchange between Window and HashAggregate.
+    p = _formatted_plan(QUERIES["events_value_quantiles"].fn(spark, sf_dir))
+    n_exchanges = p.count("Exchange") - p.count("ReusedExchange")
+    assert n_exchanges <= 2, p  # type exchange + final 1-row gather
+
+    # bigram perplexity: the unigram join must stay a real shuffle join
+    # at scale is fine, but the 1-row total must broadcast.
+    p = _formatted_plan(QUERIES["text_bigram_perplexity"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
