@@ -404,6 +404,58 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
 
 
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tkl,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             array_to_string(tkl[1:3], ' ') AS skey,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 1, 1)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      FROM t WHERE len(tk) >= 3
+    ), ranked AS (
+      SELECT doc_id, sh,
+             ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rn
+      FROM base
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             len(list_intersect(a.sh, b.sh)) AS c,
+             len(a.sh) + len(b.sh) AS ab
+      FROM ranked a
+      CROSS JOIN (SELECT unnest(range(1, 4)) AS off)
+      JOIN ranked b ON b.rn = a.rn + off
+    )
+    SELECT least(da, db) AS id_a, greatest(da, db) AS id_b,
+           round(CAST(c AS DOUBLE) / (ab - c), 6) AS jaccard
+    FROM pairs
+    WHERE round(CAST(c AS DOUBLE) / (ab - c), 6) >= 0.5
+    """,
+    tags=("dedup", "llm", "blocking"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs
+    (operators/neardup.sorted_neighborhood_pairs) — the THIRD blocking
+    strategy next to LSH hash-buckets and SimHash signatures: sort by
+    a clustering key (first 3 tokens) and compare each record only to
+    its 3 successors, exact-Jaccard-verified. O(n*w) comparisons, and
+    on this corpus it recovers 100% of the exact 0.5-Jaccard pairs
+    (asserted in tests/test_llm_ops.py) because near-dups share
+    prefixes — the regime (templated/versioned docs) where SNM beats
+    hash blocking. Spark ranks via the range-repartition global rank,
+    never an unpartitioned ROW_NUMBER; the oracle can afford the naive
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ND.sorted_neighborhood_pairs(docs, neighborhood=4, threshold=0.5)
+
+
 def _minhash_ctes(
     num_hashes: int = 16,
     bands: int = 4,

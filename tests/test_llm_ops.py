@@ -617,3 +617,27 @@ def test_bloom_prefilter_rejects_bad_m():
 
     with pytest.raises(ValueError, match="m_bits"):
         bloom_prefilter(None, None, m_bits=2**31)
+
+
+def test_sorted_neighborhood_full_recall_on_fixture(spark, sf_dir):
+    """SNM with the 3-token prefix key recovers every exact
+    0.5-Jaccard pair on the fixture (near-dups share prefixes) — the
+    recall claim the query docstring makes."""
+    from cc2dataset_spark.operators.neardup import (
+        exact_jaccard_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    snm = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(docs).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in exact_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    assert exact <= snm  # every true pair found
