@@ -146,3 +146,85 @@ def funnel_user_stages(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSIONIZE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_seq", LongType()),
+        StructField("n_events", LongType()),
+        StructField("t_start", TimestampType()),
+        StructField("t_end", TimestampType()),
+    ]
+)
+
+_SESSIONIZE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", TimestampType()),
+        StructField("seq", LongType()),
+        StructField("t_start", TimestampType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Stateful streaming sessionizer — the per-event streaming twin of
+    the batch ``events_sessionize`` query (plans/events_analytics.py):
+    assigns each user's events to 30-minute-gap sessions with STABLE
+    per-user ordinals (session_seq 1, 2, ...), which the built-in
+    ``session_window`` aggregate cannot produce (it yields window
+    bounds, not ordinals). State per user is a fixed 4-tuple (last ts,
+    current seq, session start, event count) — bounded by user
+    cardinality, not stream length; a session spanning a micro-batch
+    boundary continues from state rather than restarting (asserted
+    across a 2-file feed in tests/test_stateful_streaming.py).
+
+    Update-mode semantics: each batch emits the rows of every session
+    it touched (closed sessions are final; the open session's row grows
+    until its gap closes it), so the LAST emission per
+    (user_id, session_seq) equals the batch result. Events must arrive
+    in event-time order ACROSS batches (within a batch they are sorted
+    here) — same ordering contract as funnel_user_stages.
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # self-contained closure
+
+        gap = pd.Timedelta(minutes=gap_minutes)
+        last_ts, seq, t_start, n = (
+            state.get if state.exists else (None, 0, None, 0)
+        )
+        out: list[tuple] = []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for ts in rows["ts"]:
+            if last_ts is None or ts > last_ts + gap:
+                if last_ts is not None:
+                    # previous session is now closed — final emission
+                    out.append((key[0], seq, n, t_start, last_ts))
+                seq += 1
+                t_start = ts
+                n = 1
+            else:
+                n += 1
+            last_ts = ts
+        state.update((last_ts, seq, t_start, n))
+        # snapshot of the still-open session (overwritten by a later
+        # batch if it grows or closes)
+        out.append((key[0], seq, n, t_start, last_ts))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_seq", "n_events", "t_start", "t_end"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSIONIZE_SCHEMA,
+        stateStructType=_SESSIONIZE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

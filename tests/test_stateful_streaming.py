@@ -141,3 +141,83 @@ def test_stateful_funnel_state_survives_restart(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_sessionize_stateful_matches_batch_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """Streaming sessionizer == batch events_sessionize, with the feed
+    SPLIT AT THE TIME MEDIAN into two micro-batches so sessions that
+    span the boundary must continue from state instead of restarting."""
+    import os
+    import time as _time
+
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+    from cc2dataset_spark.streaming.stateful import sessionize_stateful
+
+    _load_all()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    # cut INSIDE a multi-event session (not the global median, which
+    # tends to land between sessions) so the boundary-spanning property
+    # below is guaranteed by construction
+    batch_rows = QUERIES["events_sessionize"].fn(spark, sf_dir).collect()
+    span_row = max(
+        (r for r in batch_rows if r.n_events >= 3 and r.t_start < r.t_end),
+        key=lambda r: r.duration_secs,
+    )
+    cut = span_row.t_start + (span_row.t_end - span_row.t_start) / 2
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i, part in enumerate(
+        (events.where(F.col("ts") <= F.lit(cut)),
+         events.where(F.col("ts") > F.lit(cut)))
+    ):
+        p = f"{feed}/part{i}.parquet"
+        pdf = part.toPandas()
+        # pandas defaults to ns timestamps; Spark's file stream needs us
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emission per (user, seq) wins: n_events grows monotonically
+    # within a session, so keep the max-n row
+    got = {}
+    for r in spark.sql("SELECT * FROM t_sessions").collect():
+        k = (r.user_id, r.session_seq)
+        if k not in got or r.n_events > got[k][0]:
+            got[k] = (r.n_events, r.t_start, r.t_end)
+    batch = {
+        (r.user_id, r.session_seq): (
+            r.n_events,
+            r.t_start.replace(tzinfo=None),
+            r.t_end.replace(tzinfo=None),
+        )
+        for r in QUERIES["events_sessionize"].fn(spark, sf_dir).collect()
+    }
+    norm = {
+        k: (n, s.replace(tzinfo=None), e.replace(tzinfo=None))
+        for k, (n, s, e) in got.items()
+    }
+    assert norm == batch
+    # and the split actually exercised continuation: some user must
+    # have a session whose start is in batch 1 and end in batch 2
+    spanning = [
+        k for k, (n, s, e) in batch.items() if s <= cut and e > cut
+    ]
+    assert spanning, "median split produced no boundary-spanning session"
