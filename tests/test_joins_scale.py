@@ -262,3 +262,53 @@ def test_r6_ops_plan_shapes(spark, sf_dir):
     # at scale is fine, but the 1-row total must broadcast.
     p = _formatted_plan(QUERIES["text_bigram_perplexity"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Catalyst's runtime bloom-filter join pruning (the engine-native
+    complement of operators/dedup.bloom_prefilter) fires on a
+    selective-dim fact join once the scan crosses the size thresholds.
+    Enabled by default in the session profile (Spark 4 default); the
+    thresholds are lowered here only because the fixture scan is far
+    below the 10 GB application-side default that gates it in
+    production — the point is that the default profile needs NO code
+    changes to benefit at 100 TB."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"  # session-profile default, not set by this test
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        p = _formatted_plan(j)
+        assert "bloom_filter_agg" in p, p
+        # and pruning cannot change results
+        n_filtered = j.agg(F.sum("count")).collect()[0][0]
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        j2 = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert j2.agg(F.sum("count")).collect()[0][0] == n_filtered
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        for k, v in old.items():
+            spark.conf.set(k, v)
