@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.functions.hashes import md5_mod_from_hex
+from cc2dataset_spark.functions.numeric import ratio_round6
 from cc2dataset_spark.functions.text import tokens, word_shingles
 from cc2dataset_spark.functions.vectors import (
     as_double_array,
@@ -191,9 +192,11 @@ def jaccard_verify_pairs(
         F.size(F.array_intersect("sh_a", "sh_b")).alias("_c"),
         (F.size("sh_a") + F.size("sh_b")).alias("_ab"),
     )
-    jac = F.col("_c").cast("double") / (F.col("_ab") - F.col("_c"))
+    # integer-exact 6dp rounding: F.round on the double is NOT
+    # cross-engine stable at half boundaries (functions/numeric.py)
+    jac = ratio_round6(F.col("_c"), F.col("_ab") - F.col("_c"))
     return (
-        sized.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        sized.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -306,13 +309,13 @@ def exact_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    jac = F.col("common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("common")
+    jac = ratio_round6(
+        F.col("common"), F.col("na") + F.col("nb") - F.col("common")
     )
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -431,11 +434,11 @@ def winnow_overlap_pairs(
     )
     sa = sizes.select(F.col("did").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("did").alias("id_b"), F.col("n").alias("nb"))
-    cont = F.col("n_shared").cast("double") / F.least("na", "nb")
+    cont = ratio_round6(F.col("n_shared"), F.least("na", "nb"))
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment"))
+        .select("id_a", "id_b", "n_shared", cont.alias("containment"))
     )
 
 
@@ -494,9 +497,9 @@ def sorted_neighborhood_pairs(
         F.size(F.array_intersect("sa", "sb")).alias("c"),
         (F.size("sa") + F.size("sb")).alias("ab"),
     )
-    jac = F.col("c").cast("double") / (F.col("ab") - F.col("c"))
+    jac = ratio_round6(F.col("c"), F.col("ab") - F.col("c"))
     out = sized.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        "id_a", "id_b", jac.alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
     out._pinned_intermediates = list(
         getattr(ranked, "_pinned_intermediates", [])

@@ -162,9 +162,16 @@ def _mix_case_sql() -> str:
     ), t AS (
       SELECT COUNT(*) AS n_total FROM documents
     ), r AS (
+      -- CAST the CASE to DOUBLE (DuckDB numeric literals are DECIMAL,
+      -- and decimal arithmetic here is exact where Spark's double
+      -- rounds) and FLOOR before the BIGINT cast (DuckDB's
+      -- double->BIGINT cast ROUNDS, Spark's truncates — a 1-ulp
+      -- boundary flipped thresh by 1 at sf0.1).
       SELECT lang, n_docs,
-             CAST(least(1.0, {_mix_case_sql()} * n_total / n_docs)
-                  * {_MIX_MOD} AS BIGINT) AS thresh
+             CAST(floor(least(CAST(1.0 AS DOUBLE),
+                              CAST({_mix_case_sql()} AS DOUBLE)
+                                * n_total / n_docs)
+                        * {_MIX_MOD}) AS BIGINT) AS thresh
       FROM c, t
     )
     SELECT d.lang,
@@ -212,12 +219,13 @@ def curate_mix_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "r_lang",
         "n_docs",
-        (
+        # floor == the double->bigint truncation this used before
+        # (thresh >= 0), spelled explicitly because the oracle must
+        # floor too: DuckDB's CAST(double AS BIGINT) ROUNDS.
+        F.floor(
             F.least(F.lit(1.0), weight * F.col("n_total") / F.col("n_docs"))
             * _MIX_MOD
-        )
-        .cast("bigint")
-        .alias("thresh"),
+        ).alias("thresh"),
     )
     accepted = (
         md5_mod(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), _MIX_MOD)

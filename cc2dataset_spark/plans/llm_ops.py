@@ -384,12 +384,14 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+    -- integer-exact 6dp rounding (functions/numeric.py): round()
+    -- on the double is not cross-engine stable at half boundaries
     SELECT id_a, id_b,
-           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+           (CAST((2000000 * (c) + (sa.n + sb.n - c)) // (2 * (sa.n + sb.n - c)) AS DOUBLE) / 1000000) AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.5
+    WHERE (CAST((2000000 * (c) + (sa.n + sb.n - c)) // (2 * (sa.n + sb.n - c)) AS DOUBLE) / 1000000) >= 0.5
     """,
     tags=("dedup", "llm"),
 )
@@ -434,9 +436,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN ranked b ON b.rn = a.rn + off
     )
     SELECT least(da, db) AS id_a, greatest(da, db) AS id_b,
-           round(CAST(c AS DOUBLE) / (ab - c), 6) AS jaccard
+           (CAST((2000000 * (c) + (ab - c)) // (2 * (ab - c)) AS DOUBLE) / 1000000) AS jaccard
     FROM pairs
-    WHERE round(CAST(c AS DOUBLE) / (ab - c), 6) >= 0.5
+    WHERE (CAST((2000000 * (c) + (ab - c)) // (2 * (ab - c)) AS DOUBLE) / 1000000) >= 0.5
     """,
     tags=("dedup", "llm", "blocking"),
 )
@@ -516,11 +518,11 @@ def _minhash_ctes(
       GROUP BY 1, 2
     ), lsh_pairs AS (
       SELECT id_a, id_b,
-             round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
+             (CAST((2000000 * (cnt) + (sa.n + sb.n - cnt)) // (2 * (sa.n + sb.n - cnt)) AS DOUBLE) / 1000000) AS jaccard
       FROM common
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-      WHERE round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) >= {threshold}
+      WHERE (CAST((2000000 * (cnt) + (sa.n + sb.n - cnt)) // (2 * (sa.n + sb.n - cnt)) AS DOUBLE) / 1000000) >= {threshold}
     )"""
 
 
@@ -1095,8 +1097,7 @@ _WINNOW_MIN_SHARED = 2
       HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
     )
     SELECT c.id_a, c.id_b, c.n_shared,
-           round(CAST(c.n_shared AS DOUBLE) / least(sa.n, sb.n), 6)
-             AS containment
+           (CAST((2000000 * (c.n_shared) + (least(sa.n, sb.n))) // (2 * (least(sa.n, sb.n))) AS DOUBLE) / 1000000) AS containment
     FROM common c
     JOIN sizes sa ON sa.doc_id = c.id_a
     JOIN sizes sb ON sb.doc_id = c.id_b

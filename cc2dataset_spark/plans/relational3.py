@@ -143,7 +143,12 @@ def explode_outer_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.l_partkey AS partkey,
            MIN(c.l_suppkey) AS best_suppkey,
-           CAST(round(b.best_cost, 6) AS DOUBLE) AS best_cost
+           -- NO round: the unit costs are bit-identical doubles in both
+           -- engines (one IEEE division + MIN), and round-6 DIVERGES on
+           -- them — Spark rounds the shortest decimal repr (BigDecimal)
+           -- while DuckDB rounds the binary value; a "...5625"-repr cost
+           -- flipped the last digit at sf0.1.
+           b.best_cost
     FROM costs c JOIN best b
       ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
     GROUP BY c.l_partkey, b.best_cost
@@ -171,7 +176,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "partkey",
             "best_suppkey",
-            F.round("best_cost", 6).cast("double").alias("best_cost"),
+            # no round — see the oracle comment: rounding identical
+            # binary doubles is what DIVERGES between engines here
+            "best_cost",
         )
     )
 

@@ -6,6 +6,7 @@ comparing row-count + column names + order-insensitive values.
 """
 import json
 import math
+import os
 import sys
 from datetime import date, datetime
 from decimal import Decimal
@@ -32,7 +33,10 @@ print(f"t1 smoke: entry() -> {len(rows)} rows, schema={df.columns}")
 assert len(rows) >= 0
 
 # --- t2 correctness ---
-SF = "/root/testdata/sf0.01"
+# SPARK_GRAFT_SIM_SF overrides the scale (the driver runs sf0.01; a
+# one-off sf0.1 sweep stresses the rounding-boundary discipline with
+# 10x the data, where every cross-engine float boundary moves)
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
