@@ -118,6 +118,8 @@ def bloom_prefilter(
     m_bits: int = 1 << 20,
     k: int = 3,
     fp_col: str = "fingerprint",
+    n_shards: int = 1,
+    broadcast_max_bits: int = 1 << 26,
 ) -> DataFrame:
     """Append a ``bloom_maybe`` column to ``batch``: False means the
     row's fingerprint is DEFINITELY absent from the index (no false
@@ -128,46 +130,77 @@ def bloom_prefilter(
     with k=3 gives ~1-3% false positives; every false positive costs
     one extra anti-join row, never a wrong result.
 
-    Fully distributed AND cross-engine-replayable: the k probe
-    positions are md5_mod residues (DuckDB: md5_number_lower % m), the
-    bitmap is built with one groupBy(word).bit_or shuffle over the
-    index positions (m/32 words total — KBs to a few MB), and
-    membership is a broadcast join of batch probe positions against
-    the word table + a bool_and rollup. The bitmap never funnels
-    through the driver. Bits live in the LOW 32 of each BIGINT word so
-    no engine ever shifts into a sign bit.
+    **Sharded capacity.** Each fingerprint maps to ONE of ``n_shards``
+    independent ``m_bits``-bit filters via a shard residue
+    (``md5 % n_shards``), so total capacity is ``n_shards * m_bits``
+    with no per-shard value above 2^31 — at 10 bits/fp, 1024 shards of
+    2^30 bits index ~107 G fingerprints. Because the shard residue is
+    uniform, every shard sees ~n/n_shards fingerprints and the
+    per-shard FP math is unchanged: p ~ (1 - e^{-k*n/(n_shards*m)})^k.
+    The word table is keyed (shard, w) and built in ONE
+    groupBy.bit_or shuffle regardless of shard count.
+
+    **Join strategy.** The probe join broadcasts the word table only
+    while ``n_shards * m_bits <= broadcast_max_bits`` (default 2^26
+    bits = 8 MB of words — safely under a default-heap driver);
+    beyond that it stays an unhinted (shard, w) equi-join that AQE
+    plans as a shuffle-hash join, which is the right shape anyway once
+    the bitmap outgrows a broadcast.
+
+    **Cardinality.** Output cardinality and multiplicity equal the
+    input's — no unique-id requirement on ``batch``: the bool_and
+    rollup groups by every batch column, and each input duplicate
+    contributes exactly k probe rows (the word table is unique per
+    (shard, w), so the left join never multiplies), so multiplicity is
+    recovered as count(*)/k and re-expanded after the rollup. Still
+    exactly ONE batch-scale shuffle.
+
+    Fully distributed AND cross-engine-replayable: probe positions are
+    md5_mod residues (DuckDB: md5_number_lower % m), the bitmap never
+    funnels through the driver, and bits live in the LOW 32 of each
+    BIGINT word so no engine ever shifts into a sign bit.
     """
     if not 0 < m_bits < 2**31:
         raise ValueError(f"m_bits must be in (0, 2^31), got {m_bits}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     from cc2dataset_spark.functions.hashes import md5_mod
 
-    def positions(df: DataFrame, keep: list[str]) -> DataFrame:
+    def sharded_positions(df: DataFrame, keep: list[str]) -> DataFrame:
+        fp_str = F.col(fp_col).cast("string")
+        shard = (
+            md5_mod(F.concat(F.lit("bshard:"), fp_str), n_shards)
+            if n_shards > 1
+            else F.lit(0).cast("bigint")
+        )
         pos = F.explode(
             F.array(
                 *[
-                    md5_mod(
-                        F.concat(
-                            F.lit(f"bloom{i}:"), F.col(fp_col).cast("string")
-                        ),
-                        m_bits,
-                    )
+                    md5_mod(F.concat(F.lit(f"bloom{i}:"), fp_str), m_bits)
                     for i in range(k)
                 ]
             )
         )
-        return df.select(*keep, pos.alias("pos"))
+        return df.select(*keep, shard.alias("shard"), pos.alias("pos"))
 
     words = (
-        positions(index_fingerprints, [])
-        .groupBy(F.expr("pos div 32").alias("w"))
+        sharded_positions(index_fingerprints, [])
+        .groupBy(
+            F.col("shard").alias("w_shard"), F.expr("pos div 32").alias("w")
+        )
         .agg(
             F.expr(
                 "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
             ).alias("word")
         )
     )
-    probes = positions(batch, batch.columns).join(
-        F.broadcast(words), F.expr("pos div 32") == words["w"], "left"
+    if n_shards * m_bits <= broadcast_max_bits:
+        words = F.broadcast(words)
+    probes = sharded_positions(batch, batch.columns).join(
+        words,
+        (F.col("shard") == F.col("w_shard"))
+        & (F.expr("pos div 32") == F.col("w")),
+        "left",
     )
     bit_set = F.coalesce(
         F.expr(
@@ -175,6 +208,14 @@ def bloom_prefilter(
         ),
         F.lit(False),
     )
-    return probes.groupBy(*[batch[c] for c in batch.columns]).agg(
-        F.bool_and(bit_set).alias("bloom_maybe")
+    flagged = probes.groupBy(*[batch[c] for c in batch.columns]).agg(
+        F.bool_and(bit_set).alias("bloom_maybe"),
+        (F.count("*") / F.lit(k)).cast("int").alias("_bloom_n"),
     )
+    return flagged.select(
+        *batch.columns,
+        "bloom_maybe",
+        F.explode(F.array_repeat(F.lit(1), F.col("_bloom_n"))).alias(
+            "_bloom_rep"
+        ),
+    ).drop("_bloom_rep")

@@ -254,8 +254,9 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_M = 1 << 13  # bits; ~10-20 bits per indexed fp at fixture scale
+_BLOOM_M = 1 << 11  # bits PER SHARD; sharded capacity = shards * m
 _BLOOM_K = 3
+_BLOOM_SHARDS = 4  # >1 on purpose: the driver row must prove sharding
 
 
 @query(
@@ -278,18 +279,22 @@ _BLOOM_K = 3
     ix AS (SELECT DISTINCT fingerprint FROM base WHERE b < 80),
     batch AS (SELECT doc_id, source, fingerprint FROM base WHERE b >= 80),
     ixpos AS (
-      SELECT CAST(md5_number_lower(
+      SELECT CAST(md5_number_lower('bshard:' || fingerprint)
+               % {_BLOOM_SHARDS} AS BIGINT) AS shard,
+             CAST(md5_number_lower(
                'bloom' || CAST(i AS VARCHAR) || ':' || fingerprint
              ) % {_BLOOM_M} AS BIGINT) AS pos
       FROM ix CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i)
     ),
     words AS (
-      SELECT pos // 32 AS w,
+      SELECT shard, pos // 32 AS w,
              bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
-      FROM ixpos GROUP BY pos // 32
+      FROM ixpos GROUP BY shard, pos // 32
     ),
     bpos AS (
       SELECT doc_id, fingerprint,
+             CAST(md5_number_lower('bshard:' || fingerprint)
+               % {_BLOOM_SHARDS} AS BIGINT) AS shard,
              CAST(md5_number_lower(
                'bloom' || CAST(i AS VARCHAR) || ':' || fingerprint
              ) % {_BLOOM_M} AS BIGINT) AS pos
@@ -300,7 +305,8 @@ _BLOOM_K = 3
              bool_and(COALESCE(
                (w.word & (CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT)))
                  <> 0, FALSE)) AS bloom_maybe
-      FROM bpos b LEFT JOIN words w ON w.w = b.pos // 32
+      FROM bpos b LEFT JOIN words w
+        ON w.shard = b.shard AND w.w = b.pos // 32
       GROUP BY b.doc_id
     )
     SELECT c.doc_id, batch.fingerprint, c.bloom_maybe,
@@ -316,16 +322,21 @@ _BLOOM_K = 3
 def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-filter for incremental dedup
     (operators/dedup.bloom_prefilter): the index's fingerprints are
-    folded into an m-bit / k-hash bitmap (one bit_or shuffle over
-    m/32 BIGINT words — the bitmap never funnels through the driver),
-    and each incoming batch row probes it via a BROADCAST join of its
-    k positions. bloom_maybe=False rows skip the fingerprint anti-join
-    entirely — at 100 TB that join is the incremental pipeline's only
-    batch-scale shuffle, and a mostly-fresh batch shrinks it by the
-    filter's true-negative rate (~97% with ~10 bits/fp). The driver
-    row value-checks every classification: no false negatives by
-    construction (every 'dup' has bloom_maybe=true), and the observed
-    false_positive rows ARE the measured FP rate at this m/n."""
+    folded into SHARDED m-bit / k-hash bitmaps — each fp lands in one
+    of n_shards independent filters by md5 residue, so capacity scales
+    as shards * m with no per-shard bitmap above 2^31 bits (the word
+    table is built in ONE groupBy(shard, w).bit_or shuffle and never
+    funnels through the driver) — and each incoming batch row probes
+    its shard via a broadcast (small bitmaps) or shuffle-hash (big
+    bitmaps) join of its k positions. bloom_maybe=False rows skip the
+    fingerprint anti-join entirely — at 100 TB that join is the
+    incremental pipeline's only batch-scale shuffle, and a
+    mostly-fresh batch shrinks it by the filter's true-negative rate
+    (~97% with ~10 bits/fp). This fixture runs 4 shards of 2^11 bits
+    so the driver row proves the sharded path end to end: no false
+    negatives by construction (every 'dup' has bloom_maybe=true), and
+    the observed false_positive rows ARE the measured FP rate at this
+    m/n."""
     from cc2dataset_spark.functions.hashes import md5_mod
     from cc2dataset_spark.operators.dedup import bloom_prefilter
 
@@ -338,7 +349,9 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", fp.alias("fingerprint"), b.alias("b"))
     ix = base.where(F.col("b") < 80).select("fingerprint").distinct()
     batch = base.where(F.col("b") >= 80).select("doc_id", "fingerprint")
-    flagged = bloom_prefilter(batch, ix, m_bits=_BLOOM_M, k=_BLOOM_K)
+    flagged = bloom_prefilter(
+        batch, ix, m_bits=_BLOOM_M, k=_BLOOM_K, n_shards=_BLOOM_SHARDS
+    )
     in_index = F.col("ix_fp").isNotNull()
     status = (
         F.when(~F.col("bloom_maybe"), "definitely_new")

@@ -617,6 +617,52 @@ def test_bloom_prefilter_rejects_bad_m():
 
     with pytest.raises(ValueError, match="m_bits"):
         bloom_prefilter(None, None, m_bits=2**31)
+    with pytest.raises(ValueError, match="n_shards"):
+        bloom_prefilter(None, None, n_shards=0)
+
+
+def test_bloom_prefilter_sharded_no_false_negatives(spark):
+    """The sharded path (4 independent 2^10-bit filters) keeps the
+    no-false-negative guarantee and stays useful, regardless of which
+    shard each fingerprint routes to."""
+    from cc2dataset_spark.operators.dedup import bloom_prefilter
+
+    ix = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(200)], ["fingerprint"]
+    )
+    batch = spark.createDataFrame(
+        [(i, f"fp{i}") for i in range(150, 250)], ["doc_id", "fingerprint"]
+    )
+    out = {
+        r.doc_id: r.bloom_maybe
+        for r in bloom_prefilter(
+            batch, ix, m_bits=1 << 10, k=3, n_shards=4
+        ).collect()
+    }
+    assert len(out) == 100
+    assert all(out[i] for i in range(150, 200))
+    assert sum(not out[i] for i in range(200, 250)) >= 40
+
+
+def test_bloom_prefilter_preserves_duplicate_batch_rows(spark):
+    """Fully-duplicate batch rows keep their multiplicity in the
+    output (count(*)/k re-expansion), with the same verdict on every
+    copy."""
+    from cc2dataset_spark.operators.dedup import bloom_prefilter
+
+    ix = spark.createDataFrame([("fpA",)], ["fingerprint"])
+    batch = spark.createDataFrame(
+        [(1, "fpA")] * 3 + [(2, "fpB")] * 2 + [(3, "fpC")],
+        ["doc_id", "fingerprint"],
+    )
+    rows = bloom_prefilter(batch, ix, m_bits=1 << 10, k=3).collect()
+    assert len(rows) == 6
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r.bloom_maybe)
+    assert len(by_id[1]) == 3 and all(by_id[1])
+    assert len(by_id[2]) == 2
+    assert len(by_id[3]) == 1
 
 
 def test_sorted_neighborhood_full_recall_on_fixture(spark, sf_dir):
