@@ -75,7 +75,9 @@ def connected_components(
     # expensive join (measured 4.6x slower warm); the labels below DO
     # use localCheckpoint because there the enemy is per-round lineage
     # growth, and their plans are trivial.
-    both = (
+    from cc2dataset_spark import caching
+
+    both = caching.track(
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)

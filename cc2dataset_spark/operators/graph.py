@@ -71,7 +71,9 @@ def pagerank(
     """
     from pyspark.storagelevel import StorageLevel
 
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    from cc2dataset_spark import caching
+
+    edges = caching.track(edges.persist(StorageLevel.MEMORY_AND_DISK))
     m = edges.count()
     p = (F.col(weight).cast("double") / F.sum(F.col(weight).cast("double")).over(
         Window.partitionBy(src)
@@ -117,8 +119,8 @@ def pagerank(
         parts = max(8, min(sp, m // 50_000 + 1))
         norm = norm.repartition(parts, "_src")
         nodes = nodes.repartition(parts, "id")
-    norm = norm.persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    norm = caching.track(norm.persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = caching.track(nodes.persist(StorageLevel.MEMORY_AND_DISK))
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -129,7 +131,7 @@ def pagerank(
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     srcs = edges.select(F.col(src).alias("id")).distinct()
     if redistribute_dangling:
-        srcs = srcs.persist(StorageLevel.MEMORY_AND_DISK)
+        srcs = caching.track(srcs.persist(StorageLevel.MEMORY_AND_DISK))
     prev: DataFrame | None = None
     for _ in range(iters):
         contribs = (
@@ -164,7 +166,9 @@ def pagerank(
                 ).alias("rank"),
             )
         if persist_rounds:
-            ranks_next = ranks_next.persist(StorageLevel.MEMORY_AND_DISK)
+            ranks_next = caching.track(
+                ranks_next.persist(StorageLevel.MEMORY_AND_DISK)
+            )
             ranks_next.count()
             if prev is not None:
                 prev.unpersist()
@@ -173,10 +177,12 @@ def pagerank(
     if persist_rounds:
         # The final rank vector is materialized, so the loop's
         # scaffolding caches are dead weight for the caller — drop
-        # them instead of leaking 4 entries per invocation (a bench /
-        # test session calls pagerank dozens of times). In the lazy
-        # small-absorbing mode the caches must survive for the
-        # caller's action; that mode leaves them, documented.
+        # them eagerly (a bench / test session calls pagerank dozens
+        # of times). In the lazy small-absorbing mode the caches must
+        # survive for the caller's action; they are released between
+        # catalog queries via cc2dataset_spark.caching (every persist
+        # above is track()ed; the late unpersists here just make the
+        # eventual release_all a no-op for them).
         for scaffold in (edges, norm, nodes):
             scaffold.unpersist()
         if redistribute_dangling:

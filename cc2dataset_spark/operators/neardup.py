@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from cc2dataset_spark.functions.hashes import md5_mod_from_hex
 from cc2dataset_spark.functions.numeric import ratio_round6
+from cc2dataset_spark.operators.partitioning import spread_small_input
 from cc2dataset_spark.functions.text import tokens, word_shingles
 from cc2dataset_spark.functions.vectors import (
     as_double_array,
@@ -220,9 +221,12 @@ def minhash_neardup_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from cc2dataset_spark import caching
+
     sh_expr = F.array_distinct(word_shingles(text_col, shingle_words))
-    base = (
-        df.select(F.col(id_col), sh_expr.alias("_sh"))
+    base = caching.track(
+        spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), sh_expr.alias("_sh"))
         .where(F.size("_sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -282,7 +286,7 @@ def exact_jaccard_pairs(
     the SQL-expressible ground truth the LSH path approximates.
     ``max_shingle_df`` drops shingles appearing in more than N docs
     (stop-shingles), the standard cap on join blowup at scale."""
-    sh = df.select(
+    sh = spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle_words))).alias("s"),
     )
@@ -406,9 +410,11 @@ def winnow_overlap_pairs(
         winnow_from_hashes,
     )
 
-    hashed = df.select(
-        F.col(id_col).alias("did"), shingle_hashes(text_col).alias("h")
-    ).where(F.size("h") > 0)
+    hashed = (
+        spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col).alias("did"), shingle_hashes(text_col).alias("h"))
+        .where(F.size("h") > 0)
+    )
     fps = hashed.select(
         "did", F.explode(winnow_from_hashes(F.col("h"))).alias("fp")
     )
@@ -472,12 +478,16 @@ def sorted_neighborhood_pairs(
     NEVER an unpartitioned ROW_NUMBER window), the neighbor join is an
     equi-join on rn + offset (offset exploded 1..w-1, so w-1 narrow
     copies of the ranked stream, no theta join), and verification
-    touches only the w-1 neighbors per row. The returned frame stacks
-    the rank's pinned intermediate on ``_pinned_intermediates`` —
-    call rank.release(result) after the final action."""
+    touches only the w-1 neighbors per row. The rank's pinned
+    intermediate is registered with cc2dataset_spark.caching (released
+    between catalog queries); ``_pinned_intermediates`` is also
+    stacked for callers wanting the memory back sooner via
+    rank.release(result)."""
     from cc2dataset_spark.operators.rank import global_row_number
 
-    base = df.select(
+    base = spread_small_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("did"),
         F.array_join(
             F.slice(tokens(F.lower(F.col(text_col))), 1, 3), " "

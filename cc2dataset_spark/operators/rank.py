@@ -60,8 +60,12 @@ def global_row_number(
     # without pinning, the counts job and the final ranking job could
     # draw different boundaries and the prefix-sum offsets would be
     # attributed to the wrong partitions.
-    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from cc2dataset_spark import caching
+
+    ranged = caching.track(
+        ranged.withColumn("_pid", F.spark_partition_id()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     counts = dict(
         ranged.groupBy("_pid").count().select("_pid", "count").collect()
@@ -96,6 +100,11 @@ def release(result: DataFrame) -> None:
     returned by :func:`global_row_number` (or any frame that stacked
     handles onto ``_pinned_intermediates``). Call only after the FINAL
     action on the result — afterwards the result must not be recomputed
-    (range boundaries would re-sample)."""
+    (range boundaries would re-sample).
+
+    Production paths no longer rely on this: every pinned frame is
+    also registered with cc2dataset_spark.caching, which the @query
+    wrapper drains between catalog queries. This remains for callers
+    composing operators directly who want the memory back sooner."""
     for h in getattr(result, "_pinned_intermediates", []):
         h.unpersist()

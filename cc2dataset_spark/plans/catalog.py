@@ -15,9 +15,12 @@ row-count + schema + order-insensitive value-hash, so:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from cc2dataset_spark import caching
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -42,8 +45,22 @@ def query(
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
+
+        # Building a query first releases the PREVIOUS query's tracked
+        # caches (see cc2dataset_spark/caching.py): every production
+        # path builds-then-collects one query at a time, so this is
+        # the earliest point the previous caches are provably dead.
+        # The registry holds the wrapped fn; the module-level name
+        # stays the raw fn so intra-module composition doesn't
+        # double-release.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            caching.release_all()
+            return fn(spark, sf_dir)
+
         QUERIES[name] = Query(
-            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags
+            name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "",
+            tags=tags,
         )
         return fn
 

@@ -554,7 +554,9 @@ def curate_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # persisted because the range partitioner's boundary-sampling pass
     # is a full extra evaluation of the surprisal chain otherwise
-    per_doc = (
+    from cc2dataset_spark import caching
+
+    per_doc = caching.track(
         _per_doc_nll(docs)
         .select("doc_id", "mean_nll")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -577,10 +579,10 @@ def curate_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ranked.select(
         "doc_id", "mean_nll", "quality_rank", tier.alias("tier")
     )
-    # Stack BOTH pins (per_doc and the rank's internal range exchange)
-    # on the result so rank.release(result) frees them after the final
-    # action — without this, every call leaks two MEMORY_AND_DISK cache
-    # entries for the life of the session.
+    # Both pins (per_doc and the rank's internal range exchange) are
+    # caching.track()ed, so the @query wrapper releases them before
+    # the next catalog query builds; the attribute stack remains for
+    # direct callers using rank.release(result).
     out._pinned_intermediates = [per_doc, *ranked._pinned_intermediates]
     return out
 
