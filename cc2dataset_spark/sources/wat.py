@@ -209,47 +209,62 @@ def read_wat_archives(
     The per-path iterator mirrors the reference's 3-tier error
     containment (main.py:141-143, 178-183, 190-200): record-level skip,
     file-level skip, retried IO. It is a self-contained closure —
-    pickled by value, so executors need fastwarc/fsspec but NOT this
-    package on their PYTHONPATH.
+    pickled by value (including the dependency-free WARC parser, see
+    sources/warc_fallback.py), so executors need NOTHING beyond
+    pyspark on their PYTHONPATH: fastwarc (fast C parser) and fsspec
+    (remote IO) are used when present, with pure-stdlib fallbacks
+    (gzip-member WARC reader, local open) otherwise.
     """
-    try:
-        import fastwarc  # noqa: F401
-    except ImportError as ex:  # pragma: no cover - container-dependent
-        raise NotImplementedError(
-            "read_wat_archives requires fastwarc, which is not installed in "
-            "this environment; use read_wat_jsonl/read_wat_structs, or "
-            "install fastwarc for real Common Crawl ingestion"
-        ) from ex
+    from cc2dataset_spark.sources.warc_fallback import iter_warc_records
 
     def iter_wat_links(path: str) -> Iterator[dict]:
         import random as _random
         import time as _time
         from io import BytesIO
 
-        import fsspec
-        from fastwarc.warc import ArchiveIterator, WarcRecordType
-
         try:
             import simdjson as _json
         except ImportError:  # pragma: no cover - container-dependent
             import json as _json
 
-        stream = None
-        with fsspec.open(path, "rb") as f:
-            for i in range(retries):
-                try:
-                    stream = BytesIO(f.read())
-                    break
-                except Exception:  # noqa: BLE001 - flaky remote IO
-                    if i == retries - 1:
-                        return
-                    _time.sleep(1 + _random.random())
-        try:
+        def _open(p: str):
+            try:
+                import fsspec
+
+                return fsspec.open(p, "rb").open()
+            except ImportError:  # local-path fallback
+                return open(p, "rb")
+
+        def _payload_readers(stream) -> Iterator:
+            """metadata-record payload streams, via fastwarc when
+            installed, else the stdlib WARC parser (identical record
+            selection: WARC-Type == metadata)."""
+            try:
+                from fastwarc.warc import ArchiveIterator, WarcRecordType
+            except ImportError:
+                for wtype, _headers, payload in iter_warc_records(stream):
+                    if wtype == "metadata":
+                        yield BytesIO(payload)
+                return
             for record in ArchiveIterator(
                 stream, record_types=WarcRecordType.metadata, parse_http=False
             ):
+                yield record.reader
+
+        stream = None
+        for i in range(retries):
+            try:
+                with _open(path) as f:
+                    stream = BytesIO(f.read())
+                break
+            except Exception:  # noqa: BLE001 - flaky remote IO
+                if i == retries - 1:
+                    return
+                _time.sleep(1 + _random.random())
+        try:
+            for reader in _payload_readers(stream):
                 try:
-                    data = _json.load(record.reader)
+                    data = _json.load(reader)
                 except Exception:  # noqa: BLE001 - malformed record: skip
                     continue
                 envelope = data["Envelope"]

@@ -19,10 +19,10 @@ Properties the V2 packaging buys over ``read_wat_archives``:
   (operators/extraction.py) applies unchanged.
 
 Two modes share the record pipeline:
-- ``mode=warc``: real gzipped WARC archives via fastwarc (gated on the
-  import exactly like read_wat_archives).
-- ``mode=jsonl``: one WAT envelope JSON per line — the hermetic twin,
-  used by the tests in environments without fastwarc.
+- ``mode=warc``: real gzipped WARC archives — fastwarc when installed,
+  else the stdlib gzip-member parser (sources/warc_fallback.py),
+  exactly like read_wat_archives.
+- ``mode=jsonl``: one WAT envelope JSON per line — the hermetic twin.
 
 Reference parity notes: record iteration and the 3-tier error
 containment mirror /root/reference/cc2dataset/main.py:138-200
@@ -84,12 +84,27 @@ def _iter_warc(path: str, retries: int) -> Iterator[tuple]:
     import time as _time
     from io import BytesIO
 
-    from fastwarc.warc import ArchiveIterator, WarcRecordType
-
     try:
         import simdjson as _json
     except ImportError:  # pragma: no cover - container-dependent
         import json as _json
+
+    def _payload_readers(stream) -> Iterator:
+        try:
+            from fastwarc.warc import ArchiveIterator, WarcRecordType
+        except ImportError:
+            from cc2dataset_spark.sources.warc_fallback import (
+                iter_warc_records,
+            )
+
+            for wtype, _headers, payload in iter_warc_records(stream):
+                if wtype == "metadata":
+                    yield BytesIO(payload)
+            return
+        for record in ArchiveIterator(
+            stream, record_types=WarcRecordType.metadata, parse_http=False
+        ):
+            yield record.reader
 
     stream = None
     with _open_binary(path) as f:
@@ -102,11 +117,9 @@ def _iter_warc(path: str, retries: int) -> Iterator[tuple]:
                     return
                 _time.sleep(1 + _random.random())
     try:
-        for record in ArchiveIterator(
-            stream, record_types=WarcRecordType.metadata, parse_http=False
-        ):
+        for reader in _payload_readers(stream):
             try:
-                data = _json.load(record.reader)
+                data = _json.load(reader)
             except Exception:  # noqa: BLE001 - malformed record: skip
                 continue
             row = _navigate(data)
@@ -164,14 +177,8 @@ class WatReader(DataSourceReader):
         self.mode = options.get("mode", "warc")
         if self.mode not in ("warc", "jsonl"):
             raise ValueError(f"unknown wat mode {self.mode!r}")
-        if self.mode == "warc":
-            try:
-                import fastwarc  # noqa: F401
-            except ImportError as ex:
-                raise NotImplementedError(
-                    "wat mode=warc requires fastwarc (not installed); "
-                    "use mode=jsonl or install fastwarc"
-                ) from ex
+        # mode=warc runs fastwarc when installed, else the stdlib
+        # gzip-member parser (sources/warc_fallback.py) — no gate.
         self.retries = int(options.get("retries", "10"))
 
     def partitions(self) -> list[InputPartition]:

@@ -43,6 +43,28 @@ def _expected_unique_uids(document_type="image"):
     return {t[0] for t in oracle_extract(FIXTURE_RECORDS, document_type)}
 
 
+def test_pipeline_on_real_warc_archive(spark, tmp_path, monkeypatch):
+    """End-to-end on the REAL gzipped WARC fixture — the archive path
+    (stdlib parser here; fastwarc where installed) feeding the full
+    extract -> dedup -> write -> count pipeline, matching the
+    reference's single-WAT golden test shape
+    (/root/reference/tests/test_single_warc.py:22-54)."""
+    from cc2dataset_spark.sources.wat import read_wat_archives
+    from tests.fixtures.build_tiny_wat import FIXTURE_PATH
+
+    monkeypatch.setattr(pipeline, "read_wat_archives", read_wat_archives)
+    out = str(tmp_path / "warc_out")
+    n = pipeline.cc2dataset(
+        spark, out, [FIXTURE_PATH], document_type="image", min_files=1
+    )
+    assert n == len(_expected_unique_uids())
+    job = os.path.join(out, os.listdir(out)[0])
+    written = spark.read.parquet(job)
+    assert {r.uid for r in written.select("uid").collect()} == (
+        _expected_unique_uids()
+    )
+
+
 def test_single_part_pipeline(spark, tmp_path, wat_jsonl):
     out = str(tmp_path / "out")
     n = pipeline.cc2dataset(

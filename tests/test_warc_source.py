@@ -2,29 +2,30 @@
 
 The checked-in tiny.wat.warc.gz fixture holds the SAME envelopes as
 tests/wat_fixtures.FIXTURE_RECORDS plus a warcinfo record and a
-malformed-JSON record, so the fastwarc path is checked golden-count
+malformed-JSON record, so the archive path is checked golden-count
 style against the same pure-Python oracle as the jsonl twin — the
 rebuild's hermetic version of the reference's pinned-WAT golden tests
 (/root/reference/tests/test_single_warc.py:22-54).
 
-fastwarc is not installed in every environment (it is absent from the
-build sandbox); the golden tests skip there but the fixture itself and
-the NotImplementedError gate are always exercised.
+The archive path no longer gates on fastwarc: when it is absent (as
+in the build sandbox) the stdlib gzip-member parser
+(sources/warc_fallback.py) serves the same record stream, so the
+golden tests run everywhere; where fastwarc IS installed the identical
+assertions cover the fast path instead.
 """
 
 from __future__ import annotations
 
-import importlib.util
+import io
 import os
 
 import pytest
 
 from cc2dataset_spark.operators.extraction import extract_document_links
 from cc2dataset_spark.sources.wat import read_wat_archives
+from cc2dataset_spark.sources.warc_fallback import iter_warc_records
 from tests.fixtures.build_tiny_wat import FIXTURE_PATH, build_warc_bytes, build
 from tests.wat_fixtures import FIXTURE_RECORDS, oracle_extract
-
-_HAS_FASTWARC = importlib.util.find_spec("fastwarc") is not None
 
 
 def test_fixture_is_deterministic_and_checked_in():
@@ -37,13 +38,30 @@ def test_fixture_is_deterministic_and_checked_in():
     assert gzip.decompress(committed) == build_warc_bytes()
 
 
-@pytest.mark.skipif(_HAS_FASTWARC, reason="fastwarc installed")
-def test_read_wat_archives_gates_on_fastwarc(spark):
-    with pytest.raises(NotImplementedError, match="fastwarc"):
-        read_wat_archives(spark, [FIXTURE_PATH])
+def test_fallback_parser_reads_fixture_records():
+    """The stdlib parser sees every record (warcinfo + metadata) with
+    headers and exact payload lengths, from the gzipped bytes."""
+    with open(FIXTURE_PATH, "rb") as f:
+        recs = list(iter_warc_records(f))
+    types = [t for t, _, _ in recs]
+    assert types.count("warcinfo") == 1
+    # FIXTURE_RECORDS metadata + 1 malformed-JSON metadata record
+    assert types.count("metadata") == len(FIXTURE_RECORDS) + 1
+    for _, headers, payload in recs:
+        assert int(headers["Content-Length"]) == len(payload)
+        assert "WARC-Record-ID" in headers
 
 
-@pytest.mark.skipif(not _HAS_FASTWARC, reason="fastwarc not installed")
+def test_fallback_parser_reads_plain_and_raises_on_truncation():
+    plain = build_warc_bytes()  # uncompressed
+    recs = list(iter_warc_records(io.BytesIO(plain)))
+    assert len(recs) >= 2
+    with pytest.raises(ValueError, match="truncated|Content-Length|malformed"):
+        list(iter_warc_records(io.BytesIO(plain[: len(plain) // 2])))
+    with pytest.raises(ValueError, match="version line"):
+        list(iter_warc_records(io.BytesIO(b"HTTP/1.1 200 OK\r\n\r\n")))
+
+
 def test_read_wat_archives_golden_records(spark):
     """Archive scan yields exactly the guard-passing fixture records:
     the warcinfo record is filtered by record type, the malformed-JSON
@@ -61,7 +79,6 @@ def test_read_wat_archives_golden_records(spark):
     assert df.count() == len(guarded)
 
 
-@pytest.mark.skipif(not _HAS_FASTWARC, reason="fastwarc not installed")
 @pytest.mark.parametrize(
     "document_type", ["image", "image_only", "audio", "text", "video"]
 )

@@ -5,7 +5,6 @@ and partition-per-archive planning.
 
 from __future__ import annotations
 
-import importlib.util
 import json
 
 import pytest
@@ -15,8 +14,6 @@ from cc2dataset_spark.sources.wat import read_wat_jsonl
 from cc2dataset_spark.sources.wat_datasource import WatDataSource
 from tests.fixtures.build_tiny_wat import FIXTURE_PATH
 from tests.wat_fixtures import FIXTURE_RECORDS, oracle_extract
-
-_HAS_FASTWARC = importlib.util.find_spec("fastwarc") is not None
 
 # Records that pass the envelope guards (the wat source drops guard
 # failures pre-emit; the schema-on-read jsonl twin keeps them as
@@ -107,19 +104,6 @@ def test_wat_source_rejects_bad_options(registered):
         )
 
 
-@pytest.mark.skipif(_HAS_FASTWARC, reason="fastwarc installed")
-def test_wat_source_warc_mode_gates_on_fastwarc(registered):
-    with pytest.raises(Exception, match="fastwarc"):
-        (
-            registered.read.format("wat")
-            .option("paths", FIXTURE_PATH)
-            .option("mode", "warc")
-            .load()
-            .count()
-        )
-
-
-@pytest.mark.skipif(not _HAS_FASTWARC, reason="fastwarc not installed")
 def test_wat_source_warc_mode_golden(registered):
     df = (
         registered.read.format("wat")
