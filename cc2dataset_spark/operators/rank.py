@@ -95,6 +95,84 @@ def global_row_number(
     return out
 
 
+def keyed_row_number(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column | str],
+    rank_col: str = "rn",
+    count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based PER-KEY row number (and optionally the per-key
+    total) without ``PARTITION BY key`` window state — the heavy-tail
+    variant of :func:`global_row_number` for when a single key's rows
+    exceed one task's capacity (``ROW_NUMBER() OVER (PARTITION BY
+    key)`` funnels every row of the hottest key through one task; a
+    'click' event type with 10^10 rows kills that plan at 100 TB).
+
+    Plan: ONE range exchange on ``(keys..., order_by...)`` — the range
+    sampler splits a hot key across as many partitions as its volume
+    demands, so no task ever holds more than one partition's rows of
+    it — then a per-(partition, key) count collected to the driver
+    (bounded by #partitions + #keys-present: keys are contiguous in
+    range order, so each partition adds at most one straddling key),
+    prefix-summed per key in partition order, and broadcast-joined
+    back onto the ranged frame where a within-(partition, key)
+    row_number adds the offset. Same boundary-pinning persist contract
+    as global_row_number (registered with cc2dataset_spark.caching).
+
+    ``order_by`` plus ``keys`` must be a total order (include a unique
+    tiebreak) for reproducibility.
+    """
+    kcols = [F.col(k) for k in keys]
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    allcols = kcols + ocols
+    if num_partitions is None:
+        ranged = df.repartitionByRange(*allcols)
+    else:
+        ranged = df.repartitionByRange(num_partitions, *allcols)
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+
+    ranged = caching.track(
+        ranged.withColumn("_pid", F.spark_partition_id()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    counts = ranged.groupBy("_pid", *keys).count().collect()
+    totals: dict[tuple, int] = {}
+    off_rows = []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        kt = tuple(row[k] for k in keys)
+        off_rows.append((row["_pid"], *kt, totals.get(kt, 0)))
+        totals[kt] = totals.get(kt, 0) + row["count"]
+    spark = df.sparkSession
+    off_schema = (
+        ranged.select("_pid", *keys)
+        .withColumn("_offset", F.lit(0).cast("bigint"))
+        .withColumn("_ktotal", F.lit(0).cast("bigint"))
+        .schema
+    )
+    off_df = spark.createDataFrame(
+        [(*r, totals[tuple(r[1 : 1 + len(keys)])]) for r in off_rows],
+        off_schema,
+    )
+    w = Window.partitionBy("_pid", *keys).orderBy(*ocols)
+    out = (
+        ranged.join(F.broadcast(off_df), ["_pid", *keys])
+        .withColumn(
+            rank_col,
+            (F.col("_offset") + F.row_number().over(w)).cast("bigint"),
+        )
+    )
+    if count_col is not None:
+        out = out.withColumn(count_col, F.col("_ktotal"))
+    out = out.drop("_pid", "_offset", "_ktotal")
+    out._pinned_intermediates = [ranged]
+    return out
+
+
 def release(result: DataFrame) -> None:
     """Unpersist the boundary-pinning intermediates behind a frame
     returned by :func:`global_row_number` (or any frame that stacked

@@ -310,9 +310,7 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_value_quantiles",
-    oracle="""
+_QUANTILES_ORACLE = """
     WITH ranked AS (
       SELECT event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type
@@ -326,7 +324,28 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
            MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
     FROM ranked GROUP BY event_type
-    """,
+    """
+
+
+def _discrete_quantiles(ranked: DataFrame) -> DataFrame:
+    """(event_type, value, rn, n) -> per-type exact discrete
+    p50/p90/p99 with k = ceil(p*n) in integer arithmetic — shared by
+    the window path and the heavy-tail keyed-rank path, which must
+    produce identical rows."""
+    pick = lambda t: F.min(  # noqa: E731
+        F.when(F.col("rn") == F.expr(t), F.col("value"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        pick("(n + 1) div 2").alias("p50"),
+        pick("(9 * n + 9) div 10").alias("p90"),
+        pick("(99 * n + 99) div 100").alias("p99"),
+    )
+
+
+@query(
+    "events_value_quantiles",
+    oracle=_QUANTILES_ORACLE,
     tags=("events", "stats", "window", "quantile"),
 )
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,8 +364,9 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW_NUMBER and the partition COUNT (two Window nodes, same spec),
     then the per-type aggregate rides the same partitioning —
     partial-aggregates map-side, no second shuffle. Per-type state is
-    the sort run, fine for bounded type cardinality; for a heavy-tail
-    key domain use global_row_number per type instead."""
+    the sort run, fine for bounded type cardinality; when one key's
+    rows outgrow a task, use events_value_quantiles_heavy (identical
+    output, rank via operators/rank.keyed_row_number)."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
     )
@@ -357,10 +377,40 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy("event_type")).alias("n"),
     )
-    pick = lambda t: F.min(F.when(F.col("rn") == F.expr(t), F.col("value")))
-    return ranked.groupBy("event_type").agg(
-        F.max("n").alias("n_events"),
-        pick("(n + 1) div 2").alias("p50"),
-        pick("(9 * n + 9) div 10").alias("p90"),
-        pick("(99 * n + 99) div 100").alias("p99"),
+    return _discrete_quantiles(ranked)
+
+
+@query(
+    "events_value_quantiles_heavy",
+    oracle=_QUANTILES_ORACLE,
+    tags=("events", "stats", "quantile", "rank"),
+)
+def events_value_quantiles_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy-tail twin of events_value_quantiles — identical
+    output (same oracle), different rank plan: ``ROW_NUMBER() OVER
+    (PARTITION BY event_type)`` funnels every row of the hottest type
+    through ONE task, which dies when a 'click'-sized key holds 10^10
+    rows at 100 TB. operators/rank.keyed_row_number instead
+    range-partitions on (event_type, value, event_id) — the range
+    sampler splits a hot key across as many partitions as its volume
+    needs — and reassembles per-key ranks and totals from a
+    (partition, key)-count prefix sum broadcast back, so no task ever
+    sorts more than one partition's slice of any key. The choice
+    between the twins is the caller's capacity call: per-type window
+    state below task memory -> the window plan's single exchange is
+    cheaper; above it -> this plan is the one that finishes."""
+    from cc2dataset_spark.operators.rank import keyed_row_number
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
     )
+    ranked = keyed_row_number(
+        e,
+        keys=["event_type"],
+        order_by=["value", "event_id"],
+        rank_col="rn",
+        count_col="n",
+    )
+    return _discrete_quantiles(ranked)

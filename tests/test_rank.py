@@ -80,3 +80,72 @@ def test_release_unpins_internal_cache(spark):
     assert jsc.getPersistentRDDs().size() == base + 1
     release(out)
     assert jsc.getPersistentRDDs().size() == base
+
+
+def _keyed_reference(rows):
+    """(rid, key, v) -> rid: (rn within key by (v, rid), key total)."""
+    out = {}
+    keys = {k for _, k, _ in rows}
+    for k in keys:
+        grp = sorted(
+            [(v, rid) for rid, kk, v in rows if kk == k]
+        )
+        for i, (_, rid) in enumerate(grp, 1):
+            out[rid] = (i, len(grp))
+    return out
+
+
+def test_keyed_row_number_matches_python_reference(spark):
+    from cc2dataset_spark.operators.rank import keyed_row_number
+
+    rows = [(i, f"k{i % 3}", (i * 37) % 50) for i in range(120)]
+    df = spark.createDataFrame(rows, ["rid", "key", "v"])
+    got = {
+        r.rid: (r.rn, r.n)
+        for r in keyed_row_number(
+            df, ["key"], ["v", "rid"], count_col="n", num_partitions=7
+        ).collect()
+    }
+    assert got == _keyed_reference(rows)
+
+
+def test_keyed_row_number_hot_key_spans_partitions(spark):
+    """One key holds 95% of the rows: the range partitioner must split
+    it across partitions (no single-task funnel) and the prefix-sum
+    must still assemble exact per-key ranks."""
+    from cc2dataset_spark.operators.rank import keyed_row_number
+
+    rows = [(i, "hot" if i < 950 else f"c{i % 13}", (i * 17) % 200)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, ["rid", "key", "v"])
+    ranked = keyed_row_number(
+        df, ["key"], ["v", "rid"], count_col="n", num_partitions=8
+    )
+    got = {r.rid: (r.rn, r.n) for r in ranked.collect()}
+    assert got == _keyed_reference(rows)
+    # the hot key must actually occupy >1 range partition
+    spread = (
+        df.repartitionByRange(8, "key", "v", "rid")
+        .where(F.col("key") == "hot")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert spread > 1
+
+
+def test_quantile_twins_agree(spark, sf_dir):
+    """events_value_quantiles (window plan) and _heavy (keyed-rank
+    plan) must be row-identical — same oracle, different physical
+    strategy."""
+    from cc2dataset_spark.plans.catalog import queries
+
+    q = queries()
+    a = sorted(
+        tuple(r) for r in q["events_value_quantiles"](spark, sf_dir).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in q["events_value_quantiles_heavy"](spark, sf_dir).collect()
+    )
+    assert a == b
