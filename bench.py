@@ -27,14 +27,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Exact all-pairs verifiers: quadratic by design (they are the ground
-# truth for the LSH/SimHash scale paths, benched below).
-# dedup_ngram_jaccard is NOT excluded anymore: its registered form
-# carries the stop-shingle cap (max_shingle_df), which bounds the
-# self-join fan-out, so it is a legitimate benchable operator.
-EXCLUDE = {
-    "dedup_embedding_cosine",
-}
+# Nothing is excluded anymore. dedup_ngram_jaccard carries the
+# stop-shingle cap (max_shingle_df) bounding its self-join fan-out,
+# and dedup_embedding_cosine (r7) runs the blocked exact kernel
+# (operators/neardup.embedding_neardup_pairs_blocked) — still O(n^2)
+# compares by definition (it IS the ground truth) but with a tiled
+# Arrow kernel constant, so even the exact verifier is benchable.
+EXCLUDE: set[str] = set()
 
 
 def main() -> None:

@@ -578,10 +578,16 @@ def dedup_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "vector"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, brute-force baseline (the
-    sequential double fold is bit-identical to DuckDB's)."""
+    """Embedding-cosine near-dup pairs — the EXACT all-pairs ground
+    truth the subquadratic paths (simhash/LSH/SemDeDup) approximate,
+    run via the blocked kernel (operators/neardup.
+    embedding_neardup_pairs_blocked): value-identical to the naive
+    crossJoin form (tests/test_llm_ops.py asserts row equality; the
+    numpy accumulation is sequential over dims, bit-matching DuckDB's
+    list_dot_product fold) but benchable — B x B cosine tiles instead
+    of a row-per-pair interpreted HOF chain."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ND.embedding_neardup_pairs(emb, threshold=0.35)
+    return ND.embedding_neardup_pairs_blocked(emb, threshold=0.35)
 
 
 def _simhash_oracle(n_bits: int = 16, dim: int = 64, threshold: float = 0.35, seed: int = 42) -> str:

@@ -591,6 +591,30 @@ def test_winnow_overlap_detects_planted_quotation(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_blocked_cosine_equals_naive_exact(spark, sf_dir):
+    """The blocked Arrow kernel must reproduce the naive crossJoin
+    ground truth EXACTLY (same rounded values, same pairs) — the
+    sequential-over-dims accumulation is the bit-parity contract; a
+    block size that doesn't divide n exercises ragged tiles."""
+    from cc2dataset_spark.operators import neardup as ND
+    from cc2dataset_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    naive = sorted(
+        map(tuple, ND.embedding_neardup_pairs(emb, threshold=0.35).collect())
+    )
+    blocked = sorted(
+        map(
+            tuple,
+            ND.embedding_neardup_pairs_blocked(
+                emb, threshold=0.35, block_size=300
+            ).collect(),
+        )
+    )
+    assert naive == blocked
+    assert len(naive) > 0
+
+
 def test_bloom_prefilter_has_no_false_negatives(spark):
     from cc2dataset_spark.operators.dedup import bloom_prefilter
 
