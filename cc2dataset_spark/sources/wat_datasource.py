@@ -107,15 +107,17 @@ def _iter_warc(path: str, retries: int) -> Iterator[tuple]:
             yield record.reader
 
     stream = None
-    with _open_binary(path) as f:
-        for i in range(retries):
-            try:
+    for i in range(retries):
+        try:
+            # open INSIDE the retry: remote stores fail at open() as
+            # often as at read() (found by the X6 flaky-IO test)
+            with _open_binary(path) as f:
                 stream = BytesIO(f.read())
-                break
-            except Exception:  # noqa: BLE001 - flaky remote IO
-                if i == retries - 1:
-                    return
-                _time.sleep(1 + _random.random())
+            break
+        except Exception:  # noqa: BLE001 - flaky remote IO
+            if i == retries - 1:
+                return
+            _time.sleep(1 + _random.random())
     try:
         for reader in _payload_readers(stream):
             try:

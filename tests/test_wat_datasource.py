@@ -143,3 +143,33 @@ def test_pipeline_runs_on_wat_datasource(registered, jsonl_paths, tmp_path):
         source=wat_source,
     )
     assert n == len({t[0] for t in oracle_extract(FIXTURE_RECORDS, "image")})
+
+
+def test_warc_iter_retries_flaky_io(monkeypatch):
+    """X6: the whole-file read retries with backoff and then succeeds;
+    when retries are exhausted the file is skipped (empty, no raise) —
+    the reference's file-tier containment (main.py:190-200). Driven
+    directly through the module-level _iter_warc/_open_binary seam (the
+    same closure the executors run)."""
+    import time
+
+    from cc2dataset_spark.sources import wat_datasource as ds
+
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    real_open = ds._open_binary
+    calls = {"n": 0}
+
+    def flaky(path):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("transient remote failure")
+        return real_open(path)
+
+    monkeypatch.setattr(ds, "_open_binary", flaky)
+    rows = list(ds._iter_warc(FIXTURE_PATH, retries=5))
+    assert calls["n"] == 3  # two failures + one success
+    assert len(rows) == len(_GUARDED)
+
+    calls["n"] = 0
+    assert list(ds._iter_warc(FIXTURE_PATH, retries=2)) == []
+    assert calls["n"] == 2  # exhausted, skipped silently
