@@ -24,7 +24,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.functions.hashes import md5_mod_from_hex
@@ -346,6 +346,95 @@ def embedding_neardup_pairs(
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard via PREFIX FILTERING (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): a LOSSLESS alternative to exact_jaccard_pairs'
+    stop-shingle cap. Order the shingle universe globally by
+    (document-frequency asc, shingle); for Jaccard >= t any match must
+    share a shingle inside each doc's (|x| - ceil(t|x|) + 1)-prefix
+    under that order (J >= t implies overlap >= ceil(t|x|), and two
+    ordered sets with overlap >= a must meet within their
+    (size - a + 1)-prefixes), so only PREFIX shingles join — and
+    prefixes hold each doc's RAREST shingles, so the join's per-key
+    fan-out is biased to df~1 keys: boilerplate n-grams that detonate
+    the naive shingle join sit at the END of the order and never enter
+    a prefix. Exact result, no dropped shingles, no recall loss.
+
+    Plan: one shingle-keyed exchange serves the df count and the
+    df-annotation join; the per-doc prefix trim is a bounded window
+    (partition = one doc's shingles); candidates self-join on prefix
+    shingles only; verification re-reads the persisted shingle-set
+    frame (array_intersect on the candidate pairs, same as the
+    MinHash verifier). threshold = threshold_num/threshold_den kept
+    rational so the prefix arithmetic is integer-exact in any engine.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+
+    t_n, t_d = threshold_num, threshold_den
+    base = caching.track(
+        spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("did"),
+            F.array_distinct(
+                word_shingles(text_col, shingle_words)
+            ).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = base.select(
+        "did", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    dfc = ex.groupBy("s").agg(F.count("*").alias("df_"))
+    exdf = ex.join(dfc, "s")
+    # p = n - ceil(t*n) + 1, integer-exact: ceil(a/b) = (a+b-1) div b
+    p = (
+        F.col("n")
+        - F.expr(f"(n * {t_n} + {t_d} - 1) div {t_d}")
+        + F.lit(1)
+    )
+    w = Window.partitionBy("did").orderBy("df_", "s")
+    prefix = (
+        exdf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= p)
+        .select("did", "s")
+    )
+    a = prefix.select(F.col("did").alias("id_a"), "s")
+    b = prefix.select(F.col("did").alias("id_b"), "s")
+    cands = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = base.select(F.col("did").alias("id_a"), F.col("sh").alias("sha"))
+    sb = base.select(F.col("did").alias("id_b"), F.col("sh").alias("shb"))
+    sized = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sha", "shb")).alias("c"),
+            (F.size("sha") + F.size("shb")).alias("ab"),
+        )
+    )
+    jac = ratio_round6(F.col("c"), F.col("ab") - F.col("c"))
+    return sized.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= F.lit(t_n / t_d)
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from cc2dataset_spark.functions import text as T
 from cc2dataset_spark.functions.hashes import md5_mod
+from cc2dataset_spark.functions.numeric import RATIO6_SQL
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
 
@@ -645,4 +646,130 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.size(piece).alias("chunk_len"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", App. A1.1), bounds tuned so the synthetic
+# fixture actually splits on every discriminative rule: word counts
+# run 10-99 and mean word lengths 3.7-5.3 at sf0.01, so min_words=30
+# and mean in [3.0, 4.6] both cut; the symbol/alpha rules pass
+# everywhere on the clean fixture but are kept for rule fidelity
+# (they are the cheap ones).
+_GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is", "that")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 30, 100_000
+
+
+@query(
+    "curate_gopher_rules",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             CAST(SUM(len(term)) AS BIGINT) AS sum_len,
+             CAST(SUM(CASE WHEN regexp_matches(term, '[a-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+             CAST(SUM(CASE WHEN term IN {_GOPHER_STOPS!r}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+             CAST(SUM(len(term) - len(replace(term, '#', ''))) AS BIGINT)
+               AS n_hash,
+             CAST(SUM((len(term) - len(replace(term, '...', ''))) // 3)
+               AS BIGINT) AS n_ellipsis
+      FROM tok GROUP BY doc_id
+    ), rules AS (
+      SELECT doc_id, n_words, stop_hits,
+             {RATIO6_SQL.format(num="sum_len", den="n_words")} AS mean_word_len,
+             {RATIO6_SQL.format(num="n_alpha", den="n_words")} AS alpha_frac,
+             {RATIO6_SQL.format(num="n_hash + n_ellipsis", den="n_words")}
+               AS symbol_ratio
+      FROM per_doc
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+           symbol_ratio,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+             AS words_ok,
+           (mean_word_len >= CAST(3.0 AS DOUBLE)
+            AND mean_word_len <= CAST(4.6 AS DOUBLE)) AS mean_len_ok,
+           (alpha_frac >= CAST(0.8 AS DOUBLE)) AS alpha_ok,
+           (stop_hits >= 2) AS stop_ok,
+           (symbol_ratio <= CAST(0.1 AS DOUBLE)) AS symbol_ok,
+           ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+            AND mean_word_len >= CAST(3.0 AS DOUBLE)
+            AND mean_word_len <= CAST(4.6 AS DOUBLE)
+            AND alpha_frac >= CAST(0.8 AS DOUBLE)
+            AND stop_hits >= 2
+            AND symbol_ratio <= CAST(0.1 AS DOUBLE)) AS keep
+    FROM rules
+    """,
+    tags=("text", "llm", "curation", "quality"),
+)
+def curate_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021, App. A1.1) — the
+    pre-training filter battery every large text pipeline runs before
+    dedup: word-count bounds, mean-word-length window, minimum
+    alphabetic-word fraction, minimum stop-word evidence, and a
+    symbol-to-word ceiling ('#'/'...'), with keep = AND of all rules.
+    Complements curate_repetition_flags (the repetition half of the
+    Gopher battery) and text_quality_scores (continuous scores; these
+    are the hard gates).
+
+    One explode + one per-doc aggregate — a single doc_id-keyed
+    shuffle of 6 integer partials; every ratio is an integer pair
+    pushed through functions/numeric.ratio_round6, so each rule
+    compares identical doubles in both engines (the DuckDB twin
+    replays the same BIGINT arithmetic; float literals are cast to
+    DOUBLE explicitly because bare DuckDB literals are DECIMAL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    term = F.col("term")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    hash_chars = F.length(term) - F.length(F.replace(term, F.lit("#")))
+    ell = F.floor(
+        (F.length(term) - F.length(F.replace(term, F.lit("...")))) / 3
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length(term)).alias("sum_len"),
+        F.sum(term.rlike("[a-z]").cast("int")).alias("n_alpha"),
+        F.sum(term.isin(*_GOPHER_STOPS).cast("int")).alias("stop_hits"),
+        F.sum(hash_chars).alias("n_hash"),
+        F.sum(ell).alias("n_ellipsis"),
+    )
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    mean_len = ratio_round6(F.col("sum_len"), F.col("n_words"))
+    alpha = ratio_round6(F.col("n_alpha"), F.col("n_words"))
+    symbol = ratio_round6(
+        F.col("n_hash") + F.col("n_ellipsis"), F.col("n_words")
+    )
+    r = per_doc.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha.alias("alpha_frac"),
+        F.col("stop_hits").cast("bigint").alias("stop_hits"),
+        symbol.alias("symbol_ratio"),
+    )
+    words_ok = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    mean_ok = F.col("mean_word_len").between(3.0, 4.6)
+    alpha_ok = F.col("alpha_frac") >= 0.8
+    stop_ok = F.col("stop_hits") >= 2
+    symbol_ok = F.col("symbol_ratio") <= 0.1
+    return r.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        "symbol_ratio",
+        words_ok.alias("words_ok"),
+        mean_ok.alias("mean_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        symbol_ok.alias("symbol_ok"),
+        (words_ok & mean_ok & alpha_ok & stop_ok & symbol_ok).alias("keep"),
     )

@@ -420,6 +420,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_prefix_jaccard",
+    # Oracle = the UNCAPPED exact all-pairs ground truth: prefix
+    # filtering is LOSSLESS, so the oracle needs no prefix logic at
+    # all — the strongest possible check that no candidate was missed.
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           (CAST((2000000 * (c) + (sa.n + sb.n - c)) // (2 * (sa.n + sb.n - c)) AS DOUBLE) / 1000000) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (CAST((2000000 * (c) + (sa.n + sb.n - c)) // (2 * (sa.n + sb.n - c)) AS DOUBLE) / 1000000) >= 0.5
+    """,
+    tags=("dedup", "llm", "similarity-join"),
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact similarity join (AllPairs/PPJoin,
+    operators/neardup.prefix_filter_jaccard_pairs) — the LOSSLESS
+    scale path for exact Jaccard dedup: where dedup_ngram_jaccard
+    tames boilerplate by DROPPING hot shingles (stop-shingle cap,
+    bounded but lossy at the margin), prefix filtering proves the
+    same exact result while joining only each doc's rarest
+    (|x| - ceil(t|x|) + 1) shingles, so the hot keys never enter the
+    join at all. The oracle is the uncapped all-pairs ground truth —
+    a missed candidate fails the driver row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ND.prefix_filter_jaccard_pairs(docs)
+
+
+@query(
     "dedup_sorted_neighborhood",
     oracle=r"""
     WITH t AS (

@@ -152,3 +152,37 @@ def test_retention_cohort_offsets(spark, monkeypatch):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_gopher_rules_fire_on_dirty_synthetic_docs(spark):
+    """The alpha/symbol rules pass everywhere on the clean fixture, so
+    prove them on constructed failures: a hashtag-spam doc, a
+    numeric-soup doc, and a clean doc that passes every gate."""
+    from cc2dataset_spark.plans.curation import curate_gopher_rules
+
+    filler = " ".join(
+        f"the quick brown word{i} and some more of that text in it"
+        for i in range(4)
+    )
+    rows = [
+        (1, filler),  # clean: >=30 words, stopwords, all-alpha
+        (2, " ".join("#tag#" + str(i) for i in range(40)) + " the a of"),
+        (3, " ".join(str(i * 13) for i in range(40)) + " the a of and"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    import cc2dataset_spark.plans.curation as C
+    import cc2dataset_spark.sources.tables as tables
+
+    # drive the query body directly on the tiny frame via its seam
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf, name: df
+        C.load_table = tables.load_table
+        out = {r.doc_id: r for r in curate_gopher_rules(spark, "x").collect()}
+    finally:
+        tables.load_table = orig
+        C.load_table = orig
+    assert out[1].keep
+    assert not out[2].symbol_ok  # '#' density over 0.1/word
+    assert not out[3].alpha_ok  # digit soup
+    assert not out[2].keep and not out[3].keep

@@ -591,6 +591,71 @@ def test_winnow_overlap_detects_planted_quotation(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_prefix_jaccard_equals_uncapped_ground_truth(spark, sf_dir):
+    """Prefix filtering is lossless: its output must equal the
+    UNCAPPED exact all-pairs join on the fixture corpus."""
+    from cc2dataset_spark.operators import neardup as ND
+    from cc2dataset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = sorted(
+        map(
+            tuple,
+            ND.exact_jaccard_pairs(
+                docs, threshold=0.5, max_shingle_df=None
+            ).collect(),
+        )
+    )
+    pref = sorted(
+        map(tuple, ND.prefix_filter_jaccard_pairs(docs).collect())
+    )
+    assert pref == exact
+    assert len(pref) > 0
+
+
+def test_prefix_jaccard_excludes_boilerplate_from_join(spark):
+    """Every doc shares one boilerplate shingle (naive join: n^2 rows
+    on that key). The prefix join must still find the one real
+    near-dup pair, and the boilerplate shingle — maximally hot, hence
+    LAST in the (df, s) order — must not appear in any doc's prefix."""
+    from pyspark.sql import Window
+    from cc2dataset_spark.functions.text import word_shingles
+    from cc2dataset_spark.operators import neardup as ND
+
+    boiler = "all rights reserved"
+    rows = [
+        (i, f"unique text number {i} about topic {i * 7} " + boiler)
+        for i in range(50)
+    ]
+    # one genuine near-dup pair
+    rows.append((100, rows[0][1]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ND.prefix_filter_jaccard_pairs(df).collect()
+    }
+    assert (0, 100) in pairs
+    # rebuild the prefix exactly as the operator does and check the
+    # boilerplate shingle never enters it
+    ex = (
+        df.select(
+            F.col("doc_id").alias("did"),
+            F.array_distinct(word_shingles("text", 3)).alias("sh"),
+        )
+        .select("did", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    )
+    dfc = ex.groupBy("s").agg(F.count("*").alias("df_"))
+    w = Window.partitionBy("did").orderBy("df_", "s")
+    p = F.col("n") - F.expr("(n * 1 + 2 - 1) div 2") + F.lit(1)
+    prefix = (
+        ex.join(dfc, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= p)
+    )
+    hot = prefix.where(F.col("s") == boiler).count()
+    assert hot == 0
+
+
 def test_blocked_cosine_equals_naive_exact(spark, sf_dir):
     """The blocked Arrow kernel must reproduce the naive crossJoin
     ground truth EXACTLY (same rounded values, same pairs) — the
