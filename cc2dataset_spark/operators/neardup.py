@@ -349,6 +349,55 @@ def embedding_neardup_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str = "source",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Edit-distance <= 1 pairs over a string domain via DELETION-
+    NEIGHBORHOOD blocking (FastSS, Bocek et al. 2007 — the SymSpell
+    principle): every string emits itself plus each single-character
+    deletion; two strings within one edit (substitute / insert /
+    delete) provably share a variant (substitution at i: both i-th
+    deletions coincide; insertion: the inserted char's deletion IS the
+    other string), so an equi-join on variants is a COMPLETE candidate
+    generator — never a cross join — and ``levenshtein`` verifies.
+    The record-linkage workhorse for typo-level key matching (hosts,
+    SKUs, names).
+
+    Scale shape: the variant explode is (len+1) rows per distinct
+    string; the join keys are near-unique (a variant collides only
+    for actual near-matches), so the self-join fan-out tracks the
+    true match count, not the corpus size. Only edit distance 1 is
+    blocked this way — the k-deletion generalization multiplies
+    variants by C(len, k); prefer it only for k <= 2.
+    """
+    if max_distance != 1:
+        raise NotImplementedError(
+            "deletion-neighborhood blocking implemented for "
+            f"max_distance=1 only, got {max_distance}"
+        )
+    s = df.select(F.col(col).alias("v")).distinct()
+    variants = F.array_union(
+        F.array(F.col("v")),
+        F.expr("transform(sequence(1, length(v)), "
+               "i -> concat(substr(v, 1, i - 1), substr(v, i + 1)))"),
+    )
+    ex = s.select("v", F.explode(variants).alias("d"))
+    a = ex.select(F.col("v").alias("src_a"), "d")
+    b = ex.select(F.col("v").alias("src_b"), "d")
+    cands = (
+        a.join(b, "d")
+        .where(F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b")
+        .distinct()
+    )
+    dist = F.levenshtein("src_a", "src_b")
+    return cands.select(
+        "src_a", "src_b", dist.cast("bigint").alias("dist")
+    ).where(F.col("dist") <= max_distance)
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

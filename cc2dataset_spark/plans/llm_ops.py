@@ -420,6 +420,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_edit_distance_sources",
+    # Oracle = brute-force all-pairs levenshtein: the deletion-
+    # neighborhood blocking must be COMPLETE, so any missed candidate
+    # fails the row.
+    oracle="""
+    WITH s AS (SELECT DISTINCT source AS v FROM documents)
+    SELECT a.v AS src_a, b.v AS src_b,
+           CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
+    FROM s a JOIN s b ON a.v < b.v
+    WHERE levenshtein(a.v, b.v) <= 1
+    """,
+    tags=("dedup", "strings", "record-linkage"),
+)
+def dedup_edit_distance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level key matching over the source domain
+    (operators/neardup.edit_distance_pairs): FastSS deletion-
+    neighborhood blocking — provably complete for edit distance 1 —
+    then levenshtein verification, which both engines implement with
+    the classic unit-cost dynamic program (spot-checked identical).
+    The oracle brute-forces every pair, so the driver row is a
+    completeness proof, not just a value check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ND.edit_distance_pairs(docs, col="source", max_distance=1)
+
+
+@query(
     "dedup_prefix_jaccard",
     # Oracle = the UNCAPPED exact all-pairs ground truth: prefix
     # filtering is LOSSLESS, so the oracle needs no prefix logic at

@@ -312,3 +312,37 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
         )
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_r7_ops_plan_shapes(spark, sf_dir):
+    """Round-7 operators keep the plan shapes their docstrings claim."""
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+
+    # prefix-filtered jaccard: everything is keyed equi-work — no
+    # cartesian/nested-loop anywhere despite being an all-pairs join
+    p = _formatted_plan(QUERIES["dedup_prefix_jaccard"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+    # gopher rules: one explode + ONE doc_id-keyed aggregate — a
+    # single exchange below the scan. Count tree nodes ("Exchange (n)")
+    # not raw mentions: formatted explain prints each node twice.
+    p = _formatted_plan(QUERIES["curate_gopher_rules"].fn(spark, sf_dir))
+    n_exchanges = p.count("Exchange (") - p.count("ReusedExchange (")
+    assert n_exchanges == 1, p
+
+    # edit-distance join: deletion-neighborhood equi-join, never a
+    # cartesian product of the string domain
+    p = _formatted_plan(
+        QUERIES["dedup_edit_distance_sources"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in p, p
+
+    # heavy quantiles: the range exchange (RangePartitioning) must be
+    # the rank's only corpus-scale shuffle; the offset table joins as
+    # a broadcast
+    df = QUERIES["events_value_quantiles_heavy"].fn(spark, sf_dir)
+    p = _formatted_plan(df)
+    assert "BroadcastHashJoin" in p, p

@@ -776,3 +776,42 @@ def test_sorted_neighborhood_full_recall_on_fixture(spark, sf_dir):
     }
     assert exact, "fixture must contain near-dup pairs"
     assert exact <= snm  # every true pair found
+
+
+def test_edit_distance_blocking_is_complete(spark):
+    """Deletion-neighborhood candidates must cover every true
+    distance<=1 pair across all three edit kinds (substitution,
+    insertion, deletion), and exclude distance-2 lookalikes."""
+    from cc2dataset_spark.operators.neardup import edit_distance_pairs
+
+    vals = ["alpha", "alpho", "alphas", "alph", "beta", "betamax", "gamma"]
+    df = spark.createDataFrame([(v,) for v in vals], ["source"])
+    got = {
+        (r.src_a, r.src_b): r.dist
+        for r in edit_distance_pairs(df, col="source").collect()
+    }
+    import itertools
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        tuple(sorted((a, b))): ed(a, b)
+        for a, b in itertools.combinations(vals, 2)
+        if ed(a, b) <= 1
+    }
+    assert got == want
+    assert ("alpha", "alpho") in got  # substitution
+    assert ("alpha", "alphas") in got  # insertion
+    assert ("alph", "alpha") in got  # deletion
+    assert all(p != ("beta", "betamax") for p in got)  # distance 3
+
+    with pytest.raises(NotImplementedError, match="max_distance"):
+        edit_distance_pairs(df, max_distance=2)
