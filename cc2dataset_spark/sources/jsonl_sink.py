@@ -1,0 +1,111 @@
+"""``jsonl_shard`` Python Data Source SINK (Spark 4 DataSource writer
+API) — the write-side counterpart of the ``wat`` read source: sharded
+jsonl output with a two-phase commit, the same atomicity concern the
+pipeline's manifest + commit markers address (pipeline.py X13/X14,
+reference main.py:254-329's write-then-count contract).
+
+Protocol (executor/driver split):
+
+- ``write`` (per task): rows stream to a TEMP file under ``_tmp/``
+  named with a uuid, so concurrent speculative attempts of the same
+  task never collide; the task returns a commit message carrying its
+  temp path + row count.
+- ``commit`` (driver, exactly once, only with one SUCCESSFUL message
+  per task): temp files are renamed to their final ``part-NNNNN``
+  names and a ``_MANIFEST.json`` records row/file totals — a reader
+  that requires the manifest sees either the complete output or
+  nothing.
+- ``abort``: temp files from failed attempts are removed; the final
+  directory is never touched.
+
+Worth having beside ``DataFrame.write.json`` because the commit hook
+is user-visible: production sinks hang dataset registration, count
+reconciliation, or marker files off exactly this two-phase structure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, temp_path: str, n_rows: int) -> None:
+        self.temp_path = temp_path
+        self.n_rows = n_rows
+
+
+class _JsonlShardWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_shard sink needs option 'path'")
+        self.path = path
+        self.cols = schema.fieldNames()
+
+    def write(self, iterator) -> _ShardCommit:
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        temp = os.path.join(tmp_dir, f"attempt-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(temp, "w", encoding="utf8") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(dict(zip(self.cols, row)), default=str) + "\n"
+                )
+                n += 1
+        return _ShardCommit(temp, n)
+
+    def commit(self, messages) -> None:
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.temp_path, final)
+            total += m.n_rows
+        manifest = {
+            "rows": total,
+            "files": len(messages),
+            "schema": list(self.cols),
+        }
+        with open(
+            os.path.join(self.path, "_MANIFEST.json"), "w", encoding="utf8"
+        ) as f:
+            json.dump(manifest, f)
+        # losing attempts of speculated tasks leave temp files behind;
+        # the commit point is where they are provably dead
+        tmp_dir = os.path.join(self.path, "_tmp")
+        for leftover in os.listdir(tmp_dir):
+            try:
+                os.remove(os.path.join(tmp_dir, leftover))
+            except OSError:
+                pass
+        try:
+            os.rmdir(tmp_dir)
+        except OSError:
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.temp_path)
+            except OSError:
+                pass
+
+
+class JsonlShardDataSource(DataSource):
+    """Register with ``spark.dataSource.register(JsonlShardDataSource)``
+    then ``df.write.format("jsonl_shard").option("path", p).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shard"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlShardWriter:
+        return _JsonlShardWriter(self.options, schema)

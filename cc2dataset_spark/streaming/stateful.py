@@ -228,3 +228,62 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of :func:`running_user_totals`
+    — the Spark 4 arbitrary-stateful API (typed value/list/map state,
+    timers, TTL) that supersedes applyInPandasWithState. Same
+    semantics: lifetime (count, sum(value)) per user, one row per
+    user per micro-batch, state bounded by key cardinality.
+
+    Requires the RocksDB state store provider (set
+    spark.sql.streaming.stateStore.providerClass to
+    ...state.RocksDBStateStoreProvider on the session) and the
+    ``protobuf`` Python package — transformWithState's Python workers
+    speak a protobuf state-server protocol
+    (pyspark/sql/streaming/proto). Environments without protobuf get
+    a NotImplementedError here rather than an opaque
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE at query start;
+    the applyInPandasWithState twin above runs everywhere.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark's state-server protocol); use running_user_totals "
+            "(applyInPandasWithState) instead"
+        ) from ex
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -221,3 +221,49 @@ def test_sessionize_stateful_matches_batch_across_batches(
         k for k, (n, s, e) in batch.items() if s <= cut and e > cut
     ]
     assert spanning, "median split produced no boundary-spanning session"
+
+
+def test_transform_with_state_twin(spark, sf_dir):
+    """running_user_totals_tws: gated on protobuf (pyspark's
+    transformWithState state-server protocol); where available it must
+    converge to the same batch totals as the applyInPandasWithState
+    twin."""
+    import importlib.util
+
+    from cc2dataset_spark.streaming.stateful import running_user_totals_tws
+
+    has_protobuf = importlib.util.find_spec("google") is not None and (
+        importlib.util.find_spec("google.protobuf") is not None
+    )
+    if not has_protobuf:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_totals_tws(read_events_stream(spark, sf_dir))
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = running_user_totals_tws(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_totals_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM t_totals_tws").collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
