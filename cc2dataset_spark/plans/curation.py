@@ -773,3 +773,133 @@ def curate_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol_ok.alias("symbol_ok"),
         (words_ok & mean_ok & alpha_ok & stop_ok & symbol_ok).alias("keep"),
     )
+
+
+_DSIR_BUCKETS = 4096
+
+
+@query(
+    "curate_dsir_weights",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, (lang = 'en') AS tgt, {_DUCK_TOKENS} AS tk
+      FROM documents
+    ), bgl AS (
+      SELECT doc_id, tgt,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS s
+      FROM t WHERE len(tk) >= 2
+    ), db AS (
+      SELECT doc_id, tgt,
+             CAST(md5_number_lower('dsir:' || s) % {_DSIR_BUCKETS}
+                  AS BIGINT) AS b,
+             COUNT(*) AS c
+      FROM bgl GROUP BY 1, 2, 3
+    ), bt AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS n_r,
+             CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS n_t
+      FROM db GROUP BY b
+    ), w AS (
+      SELECT b,
+             (2000000 * (n_t + 1) + (n_r + 1)) // (2 * (n_r + 1))
+               AS w_micro
+      FROM bt
+    ), scored AS (
+      SELECT db.doc_id, CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(db.c * w.w_micro) AS BIGINT) AS score_micro
+      FROM db JOIN w USING (b) GROUP BY db.doc_id
+    )
+    SELECT doc_id, n_bigrams, score_micro,
+           (score_micro >= 1000000 * n_bigrams) AS keep
+    FROM scored
+    """,
+    tags=("curation", "llm", "sampling", "quality"),
+)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, hashed-n-gram form
+    (DSIR — Xie et al. 2023): score every raw document by how much its
+    hashed-bigram feature distribution resembles a target distribution
+    (here the corpus' lang='en' slice standing in for the
+    high-quality target sample). Per bucket b of 4096
+    md5-hashed bigram buckets, the Laplace-smoothed target-to-raw
+    count ratio (n_t+1)/(n_r+1) is the per-feature importance factor;
+    a document's score is the count-weighted sum over its buckets.
+    The paper's global normalizer (N_r+B)/(N_t+B) is a constant
+    monotone rescale shared by every bucket, so it is dropped — keep
+    thresholds and rankings are unchanged.
+
+    Float discipline: there are NO floats. The per-bucket factor is
+    kept as a round-half-up micro-scaled BIGINT
+    (w_micro = round6((n_t+1)/(n_r+1)) * 10^6, computed with the
+    ratio_round6 integer identity), and the per-doc score is a BIGINT
+    dot product — order-independent, so Spark's partial-agg ordering
+    cannot drift from DuckDB's. ``keep`` = mean factor >= 1.0, i.e.
+    score_micro >= 10^6 * n_bigrams, also integer. Overflow headroom:
+    2*10^6*(n_t+1) stays under 2^63 while any single bucket holds
+    < ~4.6e12 target bigram instances — with 4096 uniform
+    md5 buckets that is >10^16 corpus tokens, far past 100 TB.
+
+    Plan: one narrow map builds (doc, bucket) bigram counts (the
+    shingle zip — no per-shingle regex), one (doc_id, tgt, b)-keyed
+    shuffle of integer partials, then the bucket table — at most
+    4096 rows by construction — aggregates and BROADCASTS
+    back onto the per-doc-bucket stream, so the scoring join is
+    shuffle-free and the per-doc rollup rides the existing doc-keyed
+    partials. The corpus is scanned ONCE."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("tgt"),
+        F.explode(T.word_shingles(F.lower(F.col("text")), 2)).alias("s"),
+    )
+    # The (doc, bucket) count frame feeds BOTH the bucket table and
+    # the scoring rollup; without pinning, column pruning specializes
+    # each branch below the aggregate and the corpus is scanned (and
+    # the bigram explode evaluated) twice. It is also the natural
+    # materialization point: orders of magnitude smaller than the
+    # bigram stream (<= 4096 integer rows per doc), so persisting it
+    # beats a second full corpus pass at any scale.
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+
+    db = caching.track(
+        bg.select(
+            "doc_id",
+            "tgt",
+            md5_mod(F.concat(F.lit("dsir:"), F.col("s")), _DSIR_BUCKETS)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .groupBy("doc_id", "tgt", "b")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bt = db.groupBy("b").agg(
+        F.sum("c").alias("n_r"),
+        F.sum(F.when(F.col("tgt"), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_t"
+        ),
+    )
+    w = bt.select(
+        "b",
+        F.expr(
+            "(2000000 * (n_t + 1) + (n_r + 1)) div (2 * (n_r + 1))"
+        ).alias("w_micro"),
+    )
+    scored = (
+        db.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("w_micro")).alias("score_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "score_micro",
+        (F.col("score_micro") >= F.lit(1_000_000) * F.col("n_bigrams")).alias(
+            "keep"
+        ),
+    )

@@ -414,3 +414,79 @@ def events_value_quantiles_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="n",
     )
     return _discrete_quantiles(ranked)
+
+
+@query(
+    "events_scd2_event_type",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM ordered
+    ), collapsed AS (
+      SELECT user_id, version, event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY version) AS valid_to,
+           n_events,
+           (LEAD(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY version) IS NULL) AS is_current
+    FROM collapsed
+    """,
+    tags=("events", "scd2", "window", "islands"),
+)
+def events_scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension reconstruction from a change
+    log (Kimball SCD2): collapse each user's consecutive runs of the
+    same event_type into versioned validity intervals
+    [valid_from, valid_to) with an is_current flag on the open tail —
+    the gaps-and-islands pattern every warehouse builds dimension
+    history with, and the batch twin of a CDC-fed MERGE.
+
+    Plan: ONE user_id-keyed exchange serves the entire query. The
+    change-flag lag window and the running-sum island window hash-
+    partition on user_id; the (user_id, version) collapse and the
+    lead(valid_from) stitch both require only ClusteredDistribution
+    over supersets of {user_id}, which HashPartitioning(user_id)
+    already satisfies, so Catalyst inserts sorts but NO further
+    exchanges (asserted in tests/test_r7_plans.py). Per-user state is
+    bounded by that user's event count — no global window anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact twin of SQL's IS DISTINCT FROM (null-safe inequality)
+    chg = (
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w))
+    ).cast("bigint")
+    islands = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("version"),
+    )
+    collapsed = islands.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count("*").alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(wv)
+    return collapsed.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )

@@ -2164,3 +2164,99 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = SIM.pq_codebook(emb)
     return SIM.ivfpq_topk(emb.where(F.col("vec_id") < 5), emb, cb, k=3)
+
+
+from cc2dataset_spark.functions.numeric import RATIO6_SQL  # noqa: E402
+
+_SPAN_RATIO = RATIO6_SQL.format(num="n_dup", den="n_grams")
+
+
+@query(
+    "dedup_ngram_span_coverage",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                    || ' ' || tk[i+3] || ' ' || tk[i+4])) AS g
+      FROM t WHERE len(tk) >= 5
+    ), gdf AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS df_ FROM sh GROUP BY g
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup
+      FROM sh JOIN gdf USING (g) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_dup, {_SPAN_RATIO} AS dup_frac
+    FROM per_doc
+    """,
+    tags=("dedup", "llm", "text", "coverage"),
+)
+def dedup_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-5-gram coverage per document — the diagnostic behind
+    exact-substring training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each doc, the fraction of its 5-gram start positions whose 5-gram
+    also appears in at least one OTHER document. Corpora are pruned by
+    coverage threshold (high dup_frac = boilerplate/mirrored text)
+    where pair-level dedup would miss partial overlaps; this is the
+    bounded n-gram proxy for the paper's suffix-array substring scan.
+
+    Plan: one gram-keyed exchange serves both the document-frequency
+    count (distinct (doc, gram) then gram agg) and the annotation join
+    back to the gram instances; the per-doc rollup is a second,
+    doc_id-keyed shuffle of integer partials. No windows, no UDFs —
+    everything whole-stage codegen. The gram stream is the same
+    shingle shape the MinHash family shuffles, so its 100 TB behavior
+    is already characterized (SCALE.md): fan-out is len(doc) rows per
+    doc, keys are near-uniform, and the df table is never broadcast
+    (vocabulary-scale). Coverage ratio is integer-exact via
+    functions/numeric.ratio_round6. Docs under 5 tokens emit no grams
+    and are absent from the output by construction (same convention as
+    the shingle family)."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Pin ONE gram-keyed exchange: the df count (distinct + agg) and
+    # the annotation join both require only clustering by g, which
+    # this partitioning satisfies, so runtime exchange reuse computes
+    # the (expensive) shingle explode once instead of per consumer —
+    # same pattern as exact_jaccard_pairs/winnow_overlap_pairs.
+    # (the explicit isNotNull matches the null filter the join side
+    # would inject, so both consumers' subtrees are identical and the
+    # reuse is static, not just AQE-runtime)
+    ex = (
+        docs.select(
+            "doc_id", F.explode(T.word_shingles("text", 5)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+        .repartition("g")
+    )
+    gdf = (
+        ex.distinct()
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("df_"))
+    )
+    per_doc = (
+        ex.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df_") >= 2).cast("int"))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup",
+        ratio_round6(F.col("n_dup"), F.col("n_grams")).alias("dup_frac"),
+    )

@@ -346,3 +346,42 @@ def test_r7_ops_plan_shapes(spark, sf_dir):
     df = QUERIES["events_value_quantiles_heavy"].fn(spark, sf_dir)
     p = _formatted_plan(df)
     assert "BroadcastHashJoin" in p, p
+
+
+def test_r7b_ops_plan_shapes(spark, sf_dir):
+    import re
+
+    """The second r7 cohort keeps the plan shapes its docstrings claim."""
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+
+    # SCD2: the whole query rides ONE user_id-keyed exchange — the lag
+    # window, the running-sum window, the (user, version) collapse and
+    # the lead stitch all accept HashPartitioning(user_id).
+    p = _formatted_plan(QUERIES["events_scd2_event_type"].fn(spark, sf_dir))
+    n_exchanges = p.count("Exchange (") - p.count("ReusedExchange (")
+    assert n_exchanges == 1, p
+    assert p.count("Scan parquet") == 2, p  # formatted prints tree+detail
+
+    # DSIR: the bucket table (<= 4096 rows) broadcasts back onto the
+    # per-doc-bucket stream — the scoring join must never shuffle; the
+    # corpus-side frame is pinned so the scan/explode runs once.
+    p = _formatted_plan(QUERIES["curate_dsir_weights"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    # one parquet scan node (detail-section header), however many
+    # times the shared InMemoryRelation subtree gets re-printed
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "InMemoryTableScan" in p, p
+
+    # span coverage: both gram consumers (df count + annotation join)
+    # read the SAME pinned gram exchange — subtrees are canonically
+    # identical (explicit isnotnull matches the join's null filter),
+    # so reuse is available statically and AQE merges the stages at
+    # runtime. No cartesian anywhere.
+    df = QUERIES["dedup_ngram_span_coverage"].fn(spark, sf_dir)
+    p = _formatted_plan(df)
+    assert "CartesianProduct" not in p, p
+    df.collect()
+    rt = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in rt, rt
