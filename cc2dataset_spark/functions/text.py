@@ -231,3 +231,51 @@ def pii_redact(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     no_email = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(no_email, LONG_DIGITS_RE, "<NUM>")
+
+
+def cdc_chunks(
+    col: Column | str, window: int = 8, modulus: int = 32
+) -> Column:
+    """Content-defined chunking (the LBFS/storage-dedup primitive,
+    Muthitacharoen et al. SOSP'01): split a string into variable-size
+    chunks at positions where the hash of the trailing ``window``-char
+    slice is 0 mod ``modulus`` — so chunk boundaries are determined by
+    CONTENT, not offsets, and an insertion near the front of a
+    document shifts every fixed-size block but leaves all CDC chunks
+    after the next boundary byte-identical. That stability is what
+    makes chunk-level dedup catch shared substrings across revisions
+    of a blob where whole-blob fingerprints see two distinct objects.
+
+    The boundary hash here is a full md5 of the w-char window
+    (replayable in DuckDB via md5_number_lower; a production rolling
+    Rabin fingerprint computes the same boundaries incrementally in
+    O(1) per position instead of O(w) — same chunks, cheaper scan; the
+    O(w) factor is the price of cross-engine determinism and is a
+    documented constant, not a scaling term). Mean chunk length is
+    ~``modulus`` chars. Pure codegen: sequence + filter + zip_with —
+    no explode, no shuffle, no UDF.
+    """
+    from cc2dataset_spark.functions.hashes import md5_mod
+
+    c = F.col(col) if isinstance(col, str) else col
+    ln = F.length(c)
+    cuts = F.when(ln < window, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(window), F.greatest(ln, F.lit(window))),
+            lambda i: md5_mod(
+                F.concat(F.lit("cdc:"), c.substr(i - window + 1, F.lit(window))),
+                modulus,
+            )
+            == 0,
+        )
+    )
+    b = F.array_distinct(
+        F.concat(
+            F.array(F.lit(0)), cuts, F.array(ln)
+        )
+    )
+    return F.zip_with(
+        F.slice(b, F.lit(1), F.size(b) - 1),
+        F.slice(b, F.lit(2), F.size(b) - 1),
+        lambda s, e: c.substr(s + 1, e - s),
+    )

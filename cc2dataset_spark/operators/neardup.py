@@ -447,8 +447,14 @@ def prefix_filter_jaccard_pairs(
     ex = base.select(
         "did", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
+    # The df table is SHINGLE-UNIVERSE-scale (there is deliberately no
+    # stop cap here — losslessness is the point), so it must never be
+    # a build-side broadcast: post-aggregate row estimates are
+    # optimistic enough that the static planner picks one, and at the
+    # 10x near-copy probe that broadcast OOMs the default heap. Pin
+    # shuffle-hash: the join then shares the shingle-keyed exchange.
     dfc = ex.groupBy("s").agg(F.count("*").alias("df_"))
-    exdf = ex.join(dfc, "s")
+    exdf = ex.join(dfc.hint("shuffle_hash"), "s")
     # p = n - ceil(t*n) + 1, integer-exact: ceil(a/b) = (a+b-1) div b
     p = (
         F.col("n")
@@ -464,16 +470,23 @@ def prefix_filter_jaccard_pairs(
     a = prefix.select(F.col("did").alias("id_a"), "s")
     b = prefix.select(F.col("did").alias("id_b"), "s")
     cands = (
-        a.join(b, "s")
+        a.join(b.hint("shuffle_hash"), "s")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
     sa = base.select(F.col("did").alias("id_a"), F.col("sh").alias("sha"))
     sb = base.select(F.col("did").alias("id_b"), F.col("sh").alias("shb"))
+    # Pin the verification joins to shuffle-hash: BOTH sides are
+    # corpus-scale under adversarial duplication (the shingle-set
+    # frame always, the candidate set quadratically in the dup
+    # factor), and the cached frame's columnar-compressed size
+    # estimate tempts AQE into a driver-heap-sized broadcast — the
+    # measured failure mode of the 10x near-copy probe (SCALE.md).
+    # Same mitigation as operators/graph.py's pinned joins.
     sized = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",

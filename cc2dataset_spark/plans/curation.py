@@ -903,3 +903,164 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+@query(
+    "text_collocation_lift",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                                   i -> {{'x': tk[i], 'y': tk[i+1]}}),
+                    recursive := true)
+      FROM t WHERE len(tk) >= 2
+    ), c AS (
+      SELECT x, y, COUNT(*) AS n_xy FROM bg GROUP BY 1, 2
+    ), mx AS (
+      SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM c GROUP BY x
+    ), my AS (
+      SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM c GROUP BY y
+    ), tot AS (
+      SELECT CAST(SUM(n_xy) AS BIGINT) AS n_tot FROM c
+    )
+    SELECT c.x, c.y, c.n_xy,
+           CAST((CAST(2000000 AS BIGINT) * c.n_xy * tot.n_tot
+                 + mx.n_x * my.n_y)
+                // (2 * mx.n_x * my.n_y) AS DOUBLE) / 1000000 AS lift
+    FROM c
+    JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    WHERE c.n_xy >= 5
+    ORDER BY lift DESC, c.x, c.y
+    LIMIT 100
+    """,
+    tags=("text", "collocation", "llm", "topk"),
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-token collocations by LIFT — the PMI family's
+    integer-exact member: lift(x,y) = p(x,y)/(p(x)p(y)) with the
+    positional marginals (x as predecessor, y as successor), min
+    support 5. PMI = log2(lift) is a monotone transform, so the
+    RANKING is identical to PMI's — but lift needs no transcendental
+    call, so the score is computed entirely in BIGINT arithmetic
+    (round-half-up to 6 dp via integral divide, exact in both engines
+    even past 2^53 — verified against the double-division path's
+    failure there) and no float ever decides membership or order.
+
+    Plan: the bigram count table c is built with one (x,y)-keyed
+    exchange from the narrow zip stream and PINNED — both marginals,
+    the grand total, and the scoring join re-read it instead of
+    re-aggregating the corpus. Marginals are vocabulary-scale, so they
+    join by SHUFFLE on x / y (never broadcast — at web scale the
+    unigram table alone is 10^8 rows); only the 1-row total
+    broadcasts. Final top-k is a TakeOrderedAndProject (no global
+    sort). (lift, x, y) is a total order on the unique (x,y) keys, so
+    the LIMIT boundary is deterministic."""
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        T.tokens(F.lower(F.col("text"))).alias("tk")
+    ).where(F.size("tk") >= 2)
+    pair = F.zip_with(
+        F.slice(F.col("tk"), F.lit(1), F.size("tk") - 1),
+        F.slice(F.col("tk"), F.lit(2), F.size("tk") - 1),
+        lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+    )
+    c = caching.track(
+        t.select(F.explode(pair).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_xy"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mx = c.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = c.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    tot = c.agg(F.sum("n_xy").alias("n_tot"))
+    lift_micro = F.expr(
+        "(CAST(2000000 AS BIGINT) * n_xy * n_tot + n_x * n_y)"
+        " div (2 * n_x * n_y)"
+    )
+    return (
+        c.where(F.col("n_xy") >= 5)
+        .join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "n_xy",
+            (lift_micro.cast("double") / F.lit(1000000.0)).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "x", "y")
+        .limit(100)
+    )
+
+
+@query(
+    "sample_weighted_tickets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             greatest(CAST(1 AS BIGINT), (n_chars + 255) // 256)
+               AS n_tickets
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars, n_tickets,
+             list_min(list_transform(
+               range(1, n_tickets + 1),
+               i -> md5_number_lower('wt:' || CAST(doc_id AS VARCHAR)
+                                     || ':' || CAST(i AS VARCHAR)))) AS mt
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tickets
+    FROM m ORDER BY mt, doc_id LIMIT 100
+    """,
+    tags=("curation", "sampling", "llm"),
+)
+def sample_weighted_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-weighted corpus sampling (bottom-k ticket
+    lottery): every document holds ceil(n_chars/256) tickets, each
+    ticket's value is a replayable md5 hash, and the 100 documents
+    holding the globally smallest minimum ticket win — inclusion
+    probability rises with document size, the standard way to draw a
+    byte-budget-proportional inspection/eval sample from a corpus
+    without a random() that no oracle could replay.
+
+    Plan: the per-doc minimum ticket is a NARROW map (sequence +
+    transform + array_min — ~n_chars/256 md5 calls per doc, no
+    explode, no shuffle), and the global top-100 is a
+    TakeOrderedAndProject: per-partition top-k then a driver merge of
+    k-row slices — the corpus is never shuffled or sorted globally.
+    (min_ticket, doc_id) is a total order, so the LIMIT boundary is
+    deterministic; the hash column itself is dropped from the output
+    (Spark renders it DECIMAL(20,0), DuckDB UBIGINT — same integers,
+    different wire types)."""
+    from cc2dataset_spark.functions.hashes import md5_number_lower
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.greatest(
+        F.lit(1).cast("bigint"), F.expr("(n_chars + 255) div 256")
+    )
+    t = docs.select("doc_id", "n_chars", nt.alias("n_tickets"))
+    mt = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1).cast("bigint"), F.col("n_tickets")),
+            lambda i: md5_number_lower(
+                F.concat(
+                    F.lit("wt:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    i.cast("string"),
+                )
+            ),
+        )
+    )
+    return (
+        t.select("doc_id", "n_chars", "n_tickets", mt.alias("mt"))
+        .orderBy("mt", "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars", "n_tickets")
+    )

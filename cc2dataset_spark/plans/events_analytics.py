@@ -490,3 +490,66 @@ def events_scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS prev_type, next_type
+      FROM ordered WHERE next_type IS NOT NULL
+    ), c AS (
+      SELECT prev_type, next_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev FROM c GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           (CAST((2000000 * (c.n) + (t.n_prev)) // (2 * (t.n_prev))
+                 AS DOUBLE) / 1000000) AS p
+    FROM c JOIN tot t USING (prev_type)
+    """,
+    tags=("events", "markov", "window", "agg"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), the classic
+    behavioral-model fit (and the sanity check behind funnel design —
+    transitions the funnel assumes but users rarely take show up
+    immediately as low p).
+
+    Plan: the successor pairing is a lead window on the same ONE
+    user_id-keyed exchange the other event analytics ride; the
+    (prev, next) count and the per-prev total are aggregates over a
+    k x k frame (k = distinct event types — single digits), so
+    everything after the window is broadcast-sized. The conditional
+    probability is integer-exact via functions/numeric.ratio_round6
+    (n and n_prev are BIGINTs; both engines round the same rational),
+    so no float ever decides a value."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+    )
+    c = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    # marginal as a window over the k x k count frame: an agg-and-join
+    # formulation re-evaluates c's whole lineage (second corpus scan +
+    # second user-keyed window) because Catalyst cannot unify the
+    # differently-pruned subtrees; the window keeps ONE lineage.
+    n_prev = F.sum("n").over(Window.partitionBy("prev_type"))
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        ratio_round6(F.col("n"), n_prev).alias("p"),
+    )

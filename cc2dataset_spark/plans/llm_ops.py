@@ -2260,3 +2260,100 @@ def dedup_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup",
         ratio_round6(F.col("n_dup"), F.col("n_grams")).alias("dup_frac"),
     )
+
+
+_CDC_SHARED_RATIO = RATIO6_SQL.format(num="n_shared", den="n_chunks")
+
+
+@query(
+    "multimodal_cdc_chunks",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS ln FROM documents
+    ), cutl AS (
+      SELECT doc_id, text, ln,
+             CASE WHEN ln < 8 THEN CAST([] AS BIGINT[])
+                  ELSE list_filter(range(8, ln + 1),
+                       i -> md5_number_lower('cdc:' || substr(text, CAST(i - 7 AS INT), 8)) % 32 = 0)
+             END AS cuts
+      FROM base
+    ), bounds AS (
+      SELECT doc_id, text,
+             -- list_sort: DuckDB's list_distinct does NOT preserve
+             -- order (Spark's array_distinct does); boundaries must
+             -- be ascending before pairing
+             list_sort(list_distinct([CAST(0 AS BIGINT)] || cuts || [CAST(ln AS BIGINT)])) AS b
+      FROM cutl
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(b)),
+               j -> md5(substr(text, CAST(b[j] + 1 AS INT),
+                               CAST(b[j+1] - b[j] AS INT))))) AS fp
+      FROM bounds
+    ), fdf AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS df_ FROM chunks GROUP BY fp
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM chunks JOIN fdf USING (fp) GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_shared, """ + _CDC_SHARED_RATIO + r""" AS shared_frac
+    FROM per_doc
+    """,
+    tags=("multimodal", "dedup", "cdc", "llm"),
+)
+def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup over document payloads — the
+    storage-layer dedup primitive for opaque blobs (LBFS; every
+    backup/object-store dedup engine since): chunk each payload at
+    content-determined boundaries (functions/text.cdc_chunks), md5
+    each chunk, and measure per-doc how many of its chunks also occur
+    in another document. Unlike the token-level span coverage, CDC
+    works on RAW bytes — this is the op you run on the multimodal
+    binary columns where there is no tokenizer (here on the UTF-8
+    payload the multimodal stub chain carries, operators/multimodal.py).
+
+    Plan: chunking is one narrow codegen map (no explode until the
+    chunk fingerprints, whose stream is ~len/32 rows per doc — 32x
+    SMALLER than the token-shingle streams); then the identical
+    pinned-exchange shape as dedup_ngram_span_coverage: one fp-keyed
+    exchange serves the distinct-doc frequency count and the
+    annotation join, one doc-keyed rollup. shared_frac is
+    integer-exact via ratio_round6. Empty payloads chunk to zero rows
+    and drop out, same convention as the shingle family."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        docs.select(
+            "doc_id",
+            F.explode(T.cdc_chunks("text", window=8, modulus=32)).alias("ch"),
+        )
+        .select("doc_id", F.md5("ch").alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .repartition("fp")
+    )
+    fdf = (
+        ex.distinct()
+        .groupBy("fp")
+        .agg(F.count("*").cast("bigint").alias("df_"))
+    )
+    per_doc = (
+        ex.join(fdf, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("df_") >= 2).cast("int"))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_shared",
+        ratio_round6(F.col("n_shared"), F.col("n_chunks")).alias(
+            "shared_frac"
+        ),
+    )

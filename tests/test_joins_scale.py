@@ -385,3 +385,43 @@ def test_r7b_ops_plan_shapes(spark, sf_dir):
     df.collect()
     rt = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in rt, rt
+
+
+def test_r7c_ops_plan_shapes(spark, sf_dir):
+    """Third r7 cohort: plan shapes per docstring."""
+    import re
+
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+
+    # weighted ticket sampling: NO exchange at all — narrow map +
+    # TakeOrderedAndProject (per-partition top-k, driver merge)
+    p = _formatted_plan(QUERIES["sample_weighted_tickets"].fn(spark, sf_dir))
+    assert p.count("Exchange (") == 0, p
+    assert "TakeOrderedAndProject" in p, p
+
+    # markov transitions: one user-keyed window exchange + the k x k
+    # count agg + the marginal window — 3 exchanges, ONE corpus scan
+    # (the marginal is a window over the count frame, not a re-agg)
+    p = _formatted_plan(
+        QUERIES["events_markov_transitions"].fn(spark, sf_dir)
+    )
+    assert p.count("Exchange (") - p.count("ReusedExchange (") == 3, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+    # collocation lift: top-k must be TakeOrderedAndProject (no global
+    # sort), marginals join by shuffle (vocabulary-scale — never
+    # broadcast), corpus scanned once through the pinned count frame
+    p = _formatted_plan(QUERIES["text_collocation_lift"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+    # CDC chunking: no cartesian; chunk stream reuses one pinned
+    # fp exchange at runtime (same shape as span coverage)
+    df = QUERIES["multimodal_cdc_chunks"].fn(spark, sf_dir)
+    p = _formatted_plan(df)
+    assert "CartesianProduct" not in p, p
+    df.collect()
+    rt = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in rt, rt
