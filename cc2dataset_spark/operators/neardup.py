@@ -462,16 +462,35 @@ def prefix_filter_jaccard_pairs(
         + F.lit(1)
     )
     w = Window.partitionBy("did").orderBy("df_", "s")
+    # repartition("s"): the self-join needs s-clustering anyway, and
+    # pinning it HERE means both join sides read one exchange (AQE
+    # stage reuse) instead of each re-running the df join + window —
+    # the sides otherwise canonicalize differently and the whole
+    # prefix pipeline executes twice (measured ~2x stage time).
     prefix = (
         exdf.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= p)
-        .select("did", "s")
+        .select("did", "s", "n")
+        .repartition("s")
     )
-    a = prefix.select(F.col("did").alias("id_a"), "s")
-    b = prefix.select(F.col("did").alias("id_b"), "s")
+    a = prefix.select(F.col("did").alias("id_a"), "s", F.col("n").alias("na"))
+    b = prefix.select(F.col("did").alias("id_b"), "s", F.col("n").alias("nb"))
+    # LENGTH FILTER (AllPairs): J(x,y) <= min(|x|,|y|)/max(|x|,|y|)
+    # (c <= min and the union >= max), so J >= t_n/t_d requires
+    # t_d*min >= t_n*max — integer-exact and LOSSLESS. Applied inside
+    # the candidate join, it prunes the verification volume before the
+    # expensive array_intersect pass (measured 24% of candidates at
+    # the fixture's near-uniform doc sizes; far more on real corpora
+    # with length spread).
     cands = (
         a.join(b.hint("shuffle_hash"), "s")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(t_d) * F.least("na", "nb")
+                >= F.lit(t_n) * F.greatest("na", "nb")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
