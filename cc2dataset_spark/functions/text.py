@@ -249,11 +249,16 @@ def cdc_chunks(
     The boundary hash here is a full md5 of the w-char window
     (replayable in DuckDB via md5_number_lower; a production rolling
     Rabin fingerprint computes the same boundaries incrementally in
-    O(1) per position instead of O(w) — same chunks, cheaper scan; the
-    O(w) factor is the price of cross-engine determinism and is a
-    documented constant, not a scaling term). Mean chunk length is
-    ~``modulus`` chars. Pure codegen: sequence + filter + zip_with —
-    no explode, no shuffle, no UDF.
+    O(1) per position instead of O(w) — same chunks, cheaper scan).
+    Mean chunk length is ~``modulus`` chars.
+
+    PERFORMANCE HAZARD: this per-row form nests the md5 filter inside
+    higher-order-function lambdas, which (a) fall out of whole-stage
+    codegen into the interpreted evaluator and (b) re-evaluate per
+    reference — measured 86 s vs ~3 s at sf0.1 for identical output.
+    For anything bigger than a per-row convenience call use
+    operators/multimodal.cdc_chunk_fingerprints, which runs the hash
+    in an exploded codegen Filter.
     """
     from cc2dataset_spark.functions.hashes import md5_mod
 

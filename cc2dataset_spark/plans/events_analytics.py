@@ -553,3 +553,267 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         ratio_round6(F.col("n"), n_prev).alias("p"),
     )
+
+
+@query(
+    "join_interval_busy_hours",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_seq,
+             ts
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_seq,
+             MIN(ts) AS t_start, MAX(ts) AS t_end
+      FROM sess GROUP BY user_id, session_seq
+    ), hours AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_events_hour
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_events_hour) AS BIGINT) AS n_total,
+             COUNT(*) AS n_hours
+      FROM hours
+    ), busy AS (
+      SELECT h, n_events_hour FROM hours, tot
+      WHERE n_events_hour * n_hours > n_total
+    )
+    SELECT s.user_id, s.session_seq, b.h AS hour_start, b.n_events_hour
+    FROM sessions s JOIN busy b
+      ON date_trunc('hour', s.t_start) <= b.h
+     AND b.h <= date_trunc('hour', s.t_end)
+    """,
+    tags=("events", "join", "interval", "session"),
+)
+def join_interval_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, bucket-explode form — the temporal-join
+    pattern for 'which of my intervals overlap which of yours' when
+    BOTH sides are interval sets (the range join in plans/relational.py
+    covers point-in-interval): user sessions (30-min-gap sessionize,
+    closed intervals) against above-mean-activity 'busy hours'
+    (half-open calendar buckets). 'Busy' = hourly count strictly above
+    the global mean, compared as n_events_hour * n_hours > n_total in
+    pure BIGINT — scale-free and float-free.
+
+    Plan: sessions ride the ONE user-keyed exchange the other session
+    analytics use; the hourly histogram is a calendar-bounded
+    aggregate whose busy subset is BROADCAST (a year of hours is 8.8k
+    rows — genuinely broadcastable at any corpus size); each session
+    EXPLODES to the hour buckets it spans (sequence of date_trunc
+    boundaries — fan-out = session duration in hours, bounded by the
+    session gap rule) and equi-joins on the bucket, which is the
+    standard O(n * span) interval join that never degenerates into the
+    O(n * m) theta join the oracle runs. Bucket membership
+    h in [trunc(t_start), trunc(t_end)] is EXACTLY interval overlap
+    for a closed interval vs half-open hour buckets, so no residual
+    filter is needed (the oracle states the same containment as a
+    theta join)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.select(
+        "user_id",
+        F.sum(new_s).over(run).alias("session_seq"),
+        "ts",
+    )
+    sessions = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    hours = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n_events_hour"))
+    )
+    # global totals as a window over the hourly frame: the frame is
+    # calendar-bounded (a year is 8.8k rows), so the single-partition
+    # window is safe by construction — and it keeps ONE lineage where
+    # an agg-and-join-back would rescan events for the totals.
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    busy = (
+        hours.withColumn("n_total", F.sum("n_events_hour").over(wall))
+        .withColumn("n_hours", F.count("*").over(wall))
+        .where(F.col("n_events_hour") * F.col("n_hours") > F.col("n_total"))
+        .select("h", "n_events_hour")
+    )
+    spanned = sessions.select(
+        "user_id",
+        "session_seq",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("t_start")),
+                F.date_trunc("hour", F.col("t_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+    )
+    return spanned.join(F.broadcast(busy), "h").select(
+        "user_id",
+        "session_seq",
+        F.col("h").alias("hour_start"),
+        "n_events_hour",
+    )
+
+
+@query(
+    "sketch_kmv_distinct_users",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(md5_number_lower(
+               'kmv:' || CAST(user_id AS VARCHAR)) AS DECIMAL(20,0)) AS hv
+      FROM events
+    ), samp AS (
+      SELECT hv FROM h ORDER BY hv LIMIT 256
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(hv) AS kth FROM samp
+    )
+    SELECT 256 AS k, n_seen,
+           CASE WHEN n_seen < 256 THEN n_seen
+                ELSE CAST((255 * CAST(18446744073709551616 AS HUGEINT))
+                          // CAST(kth AS HUGEINT) AS BIGINT)
+           END AS est_distinct
+    FROM agg
+    """,
+    tags=("events", "sketch", "distinct", "agg"),
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count estimator,
+    k=256: hash every user, keep the k smallest DISTINCT hashes, and
+    estimate |distinct| = (k-1) * 2^64 / h_k (Bar-Yossef et al. 2002 —
+    the mergeable-sample ancestor of HLL; union of two sketches =
+    merge + re-truncate). The estimate arithmetic is an exact integral
+    divide in DECIMAL(38,0)/HUGEINT — verified bit-equal cross-engine
+    — and when the universe is smaller than k the sketch IS the exact
+    count (n_seen branch), so no float touches the output.
+
+    Honest scale note: this batch twin computes the distinct-hash
+    stream with a map-side partial distinct + one exchange of the
+    distinct hashes before the k-truncation — oracle-replayable, but
+    NOT sub-distinct cost; at true corpus scale the production path
+    for one-shot counts is approx_count_distinct (HLL, already in
+    A3's agg battery) and this row pins the KMV MATH the mergeable
+    per-segment sketches use. The k-sample itself is tiny and the
+    estimator exact given the sample, so the driver row proves the
+    full estimate chain."""
+    from cc2dataset_spark.functions.hashes import md5_number_lower
+
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        md5_number_lower(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("hv")
+    ).distinct()
+    samp = h.orderBy("hv").limit(256)
+    agg = samp.agg(
+        F.count("*").alias("n_seen"), F.max("hv").alias("kth")
+    )
+    est = F.when(F.col("n_seen") < 256, F.col("n_seen")).otherwise(
+        F.expr(
+            "CAST((CAST(255 AS DECIMAL(38,0))"
+            " * CAST(18446744073709551616 AS DECIMAL(38,0)))"
+            " div kth AS BIGINT)"
+        )
+    )
+    return agg.select(
+        F.lit(256).alias("k"),
+        F.col("n_seen").cast("bigint").alias("n_seen"),
+        est.cast("bigint").alias("est_distinct"),
+    )
+
+
+@query(
+    "events_quantile_sketch_bottomk",
+    oracle="""
+    WITH s AS (
+      SELECT value
+      FROM events
+      WHERE value IS NOT NULL
+      ORDER BY md5_number_lower('qs:' || CAST(event_id AS VARCHAR)),
+               event_id
+      LIMIT 512
+    ), ranked AS (
+      SELECT value,
+             ROW_NUMBER() OVER (ORDER BY value) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_sample,
+           MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50_est,
+           MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90_est,
+           MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99_est
+    FROM ranked
+    """,
+    tags=("events", "sketch", "quantile", "sampling"),
+)
+def events_quantile_sketch_bottomk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile ESTIMATION from a bottom-k uniform sample — the
+    mergeable-sketch counterpart of events_value_quantiles' exact
+    path: the 512 events with the smallest md5(event_id) are a
+    deterministic uniform sample without replacement (hash order is
+    independent of value), two segment sketches merge by union +
+    re-truncate, and the p50/p90/p99 estimates apply the SAME integer
+    ceil-rank rule as the exact query to the sample. Replayable
+    end-to-end — no random(), no interpolation.
+
+    Plan: the sample selection is a TakeOrderedAndProject on the
+    hash (per-partition top-k, driver merge of k-row slices) — the
+    corpus is never shuffled or sorted, which is the whole point: the
+    exact path's event_type exchange+sort disappears, at the price of
+    a +-O(1/sqrt(k)) rank error. The 512-row sample then ranks in a
+    single-partition window (bounded by construction). event_id
+    tie-breaks the hash order so the sample is unique even under
+    hash collisions."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    from cc2dataset_spark.functions.hashes import md5_number_lower
+
+    s = (
+        e.select(
+            "value",
+            md5_number_lower(
+                F.concat(F.lit("qs:"), F.col("event_id").cast("string"))
+            ).alias("hv"),
+            "event_id",
+        )
+        .orderBy("hv", "event_id")
+        .limit(512)
+        .select("value")
+    )
+    w = Window.orderBy("value")
+    ranked = s.select(
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    pick = lambda t: F.min(  # noqa: E731
+        F.when(F.col("rn") == F.expr(t), F.col("value"))
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_sample"),
+        pick("(n + 1) div 2").alias("p50_est"),
+        pick("(9 * n + 9) div 10").alias("p90_est"),
+        pick("(99 * n + 99) div 100").alias("p99_est"),
+    )

@@ -2326,11 +2326,7 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ex = (
-        docs.select(
-            "doc_id",
-            F.explode(T.cdc_chunks("text", window=8, modulus=32)).alias("ch"),
-        )
-        .select("doc_id", F.md5("ch").alias("fp"))
+        MM.cdc_chunk_fingerprints(docs, "text", "doc_id", window=8, modulus=32)
         .where(F.col("fp").isNotNull())
         .repartition("fp")
     )

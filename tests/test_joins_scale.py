@@ -425,3 +425,35 @@ def test_r7c_ops_plan_shapes(spark, sf_dir):
     df.collect()
     rt = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in rt, rt
+
+
+def test_r7d_ops_plan_shapes(spark, sf_dir):
+    """Fourth r7 cohort: plan shapes per docstring."""
+    import re
+
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+
+    # bottom-k quantile sketch: the sample selection must be a
+    # TakeOrderedAndProject with ZERO exchanges — the corpus is never
+    # shuffled; only the 512-row sample ranks in a bounded window
+    p = _formatted_plan(
+        QUERIES["events_quantile_sketch_bottomk"].fn(spark, sf_dir)
+    )
+    assert p.count("Exchange (") == 0, p
+    assert "TakeOrderedAndProject" in p, p
+
+    # KMV: one distinct exchange + the k-truncation TakeOrdered
+    p = _formatted_plan(QUERIES["sketch_kmv_distinct_users"].fn(spark, sf_dir))
+    assert p.count("Exchange (") - p.count("ReusedExchange (") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+
+    # interval-overlap join: the busy-hour side broadcasts (calendar-
+    # bounded), the session side explodes to hour buckets — never a
+    # cartesian or theta join; events scanned once per interval side
+    p = _formatted_plan(QUERIES["join_interval_busy_hours"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
