@@ -427,9 +427,10 @@ def events_value_quantiles_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), islands AS (
       SELECT user_id, ts, event_type,
-             SUM(chg) OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS version
+             CAST(SUM(chg) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS version
       FROM ordered
     ), collapsed AS (
       SELECT user_id, version, event_type,

@@ -2353,3 +2353,67 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared_frac"
         ),
     )
+
+
+@query(
+    "er_snm_cluster_survivors",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tkl,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             array_to_string(tkl[1:3], ' ') AS skey,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 1, 1)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      FROM t WHERE len(tk) >= 3
+    ), ranked AS (
+      SELECT doc_id, sh,
+             ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rn
+      FROM base
+    ), rawp AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             len(list_intersect(a.sh, b.sh)) AS c,
+             len(a.sh) + len(b.sh) AS ab
+      FROM ranked a
+      CROSS JOIN (SELECT unnest(range(1, 4)) AS off)
+      JOIN ranked b ON b.rn = a.rn + off
+    ), pairs AS (
+      SELECT least(da, db) AS id_a, greatest(da, db) AS id_b
+      FROM rawp
+      WHERE (CAST((2000000 * (c) + (ab - c)) // (2 * (ab - c))
+                  AS DOUBLE) / 1000000) >= 0.5
+    )"""
+    + _components_closure_sql("pairs"),
+    tags=("dedup", "er", "llm", "graph", "blocking"),
+)
+def er_snm_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic ENTITY-RESOLUTION pipeline end-to-end, composed
+    from individually-proven stages: sorted-neighborhood blocking
+    (Hernandez-Stolfo merge/purge — the blocking family member for
+    templated/versioned records, where near-matches share sort-key
+    prefixes) -> exact-Jaccard verification -> connected components ->
+    deterministic min-id survivor per cluster, singletons surviving
+    trivially. This is the merge/purge decision a warehouse runs on
+    customer/supplier master data, here exercised on the documents
+    corpus with the same 0.5 threshold as the LSH twin
+    (dedup_cluster_survivors_lsh) — same output contract, different
+    blocking strategy, so a user can swap blocking per data regime
+    without touching the downstream survivorship.
+
+    Scale shape: SNM pairs are O(n*w) by construction off a
+    range-partitioned global rank (never an unpartitioned window);
+    the closure is the gated union-find / distributed label
+    propagation of operators/components.py; the oracle replays
+    blocking, verification AND the transitive closure in one
+    recursive query."""
+    from cc2dataset_spark.operators.components import cluster_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ND.sorted_neighborhood_pairs(docs)
+    return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")
