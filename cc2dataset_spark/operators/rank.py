@@ -173,6 +173,83 @@ def keyed_row_number(
     return out
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value_col: str,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the INCLUSIVE global running sum of ``value_col`` under a
+    TOTAL order — the prefix-sum sibling of :func:`global_row_number`,
+    for operators that need a global cumulative quantity (sequence
+    packing by token budget, quota cutoffs) without the unpartitioned
+    ``SUM() OVER (ORDER BY ...)`` window that funnels the whole corpus
+    through one task.
+
+    Plan: one range exchange on the order key, a per-partition SUM
+    collected to the driver (bounded by the partition count), and a
+    within-partition cumulative window with the partition's prefix-sum
+    offset added. Same boundary-pinning persist contract as
+    :func:`global_row_number` (the counts job and the final job must
+    see identical range boundaries); the pinned frame registers with
+    cc2dataset_spark.caching so the @query wrapper releases it.
+
+    ``order_by`` must be a total order (unique tiebreak) and
+    ``value_col`` must be integral (the driver-side prefix fold is
+    exact Python int arithmetic; float partials would reorder).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if num_partitions is None:
+        ranged = df.repartitionByRange(*cols)
+    else:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+
+    ranged = caching.track(
+        ranged.withColumn("_pid", F.spark_partition_id()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    sums = dict(
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.col(value_col)).cast("bigint").alias("_s"))
+        .select("_pid", "_s")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    offset_col = (
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for pid in sorted(offsets)
+                    for x in (F.lit(pid), F.lit(offsets[pid]))
+                ]
+            ),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged.withColumn(
+        sum_col,
+        (offset_col + F.sum(F.col(value_col)).over(w)).cast("bigint"),
+    ).drop("_pid")
+    out._pinned_intermediates = [ranged]
+    return out
+
+
 def release(result: DataFrame) -> None:
     """Unpersist the boundary-pinning intermediates behind a frame
     returned by :func:`global_row_number` (or any frame that stacked

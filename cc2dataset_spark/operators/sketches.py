@@ -79,3 +79,49 @@ def countmin_estimate(
     return joined.groupBy(key_col).agg(
         F.min("counter").alias("cm_estimate")
     )
+
+
+def misra_gries_candidates(
+    items: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Per-partition Misra-Gries summary (Misra & Gries 1982) over a
+    single-column item stream: returns a DISTINCT superset of every
+    item whose GLOBAL frequency exceeds n/k, using at most ``k``
+    counters per partition and never shuffling the stream.
+
+    Guarantee (why the superset is sound): within a partition holding
+    n_i items, MG undercounts any item by at most n_i/(k+1), so an
+    item with partition frequency > n_i/k survives that partition's
+    summary. If an item's global frequency exceeds n/k = sum(n_i)/k,
+    it must exceed n_i/k in at least one partition — hence every true
+    global heavy hitter appears in the union of partition summaries.
+    The candidate set is partitioning-dependent (up to k*partitions
+    rows); callers MUST verify with an exact count pass — only the
+    verified output is deterministic.
+
+    Batched kernel: per Arrow batch, merge vectorized value_counts
+    into the counter dict, then apply the standard batched decrement —
+    subtract the (k+1)-th largest count m from every counter and drop
+    the non-positive ones. Each such step removes >= (k+1)*m total
+    mass while charging any single item only m, preserving the
+    n_i/(k+1) undercount bound. The Python cost is one value_counts +
+    one dict merge per batch, never per row.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"misra_gries_candidates requires k >= 1, got {k}")
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            for w, c in zip(vc.index, vc.to_numpy()):
+                counters[w] = counters.get(w, 0) + int(c)
+            if len(counters) > k:
+                m = sorted(counters.values(), reverse=True)[k]
+                counters = {w: c for w, c in counters.items() if c > m}
+                counters = {w: c - m for w, c in counters.items()}
+        yield pd.DataFrame({col: list(counters)})
+
+    return items.select(col).mapInPandas(mg, f"{col} string").distinct()

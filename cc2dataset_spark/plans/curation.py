@@ -1064,3 +1064,129 @@ def sample_weighted_tickets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("doc_id", "n_chars", "n_tickets")
     )
+
+
+@query(
+    "curate_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             md5_number_lower('pk:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS excl
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           excl // 2048 AS shard_id,
+           excl - (excl // 2048) * 2048 AS offset_in_shard,
+           (excl + n_tokens > (excl // 2048 + 1) * 2048) AS spans_boundary
+    FROM c
+    """,
+    tags=("curation", "packing", "llm"),
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: shuffle the corpus into a
+    deterministic (hash-keyed) order, concatenate, and cut every
+    B=2048 tokens — each document is assigned the shard in which it
+    STARTS, with its token offset inside that shard and a flag when it
+    straddles a cut. This is the shard/offset manifest a training
+    loader consumes; replayable order (md5 of doc_id, doc_id tiebreak)
+    means the same corpus always packs identically, so resumed or
+    re-run packing jobs emit byte-identical shards.
+
+    Plan: the global token prefix sum uses
+    operators/rank.global_running_sum — ONE range exchange on the
+    shuffle key plus a partition-count driver fold — never the
+    unpartitioned ``SUM() OVER (ORDER BY ...)`` window that would drag
+    the whole corpus through one task; shard id/offset are then pure
+    integer projections (bigint div/mod, exact in both engines). At
+    100 TB the manifest job costs one range shuffle of
+    (doc_id, n_tokens, h) triples — the text itself never moves."""
+    from cc2dataset_spark.functions.hashes import md5_number_lower
+    from cc2dataset_spark.operators.rank import global_running_sum
+
+    B = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
+        md5_number_lower(
+            F.concat(F.lit("pk:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    c = global_running_sum(t, ["h", "doc_id"], "n_tokens", "cum")
+    excl = F.col("cum") - F.col("n_tokens")
+    shard_id = F.expr(f"(cum - n_tokens) div {B}")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        shard_id.alias("shard_id"),
+        (excl - shard_id * B).alias("offset_in_shard"),
+        (excl + F.col("n_tokens") > (shard_id + 1) * B).alias(
+            "spans_boundary"
+        ),
+    )
+
+
+@query(
+    "sample_stratified_per_lang",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             md5_number_lower('ss:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY h, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT)
+               AS n_lang_docs
+      FROM t
+    )
+    SELECT lang, doc_id, rn, n_lang_docs FROM r WHERE rn <= 20
+    """,
+    tags=("curation", "sampling", "llm"),
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-language sample — 20 documents per lang, chosen
+    by globally replayable hash order (the distributed equivalent of a
+    per-stratum reservoir sample): the standard way to draw a fixed
+    per-language inspection/eval set from a multilingual corpus so
+    low-resource languages are not drowned out by proportional
+    sampling. The hash order makes the draw deterministic and stable
+    under re-runs, appends only reshuffle each stratum's margin.
+
+    Plan: per-key rank rides operators/rank.keyed_row_number — ONE
+    range exchange on (lang, h, doc_id); a hot language spreads across
+    as many range partitions as its volume needs instead of funnelling
+    through a single ``PARTITION BY lang`` window task, so the query
+    survives a corpus that is 90% one language. The per-key total
+    comes back from the same pass (count_col), not a second shuffle."""
+    from cc2dataset_spark.functions.hashes import md5_number_lower
+    from cc2dataset_spark.operators.rank import keyed_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        md5_number_lower(
+            F.concat(F.lit("ss:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    ranked = keyed_row_number(
+        t,
+        keys=["lang"],
+        order_by=["h", "doc_id"],
+        rank_col="rn",
+        count_col="n_lang_docs",
+    )
+    return ranked.where(F.col("rn") <= 20).select(
+        "lang", "doc_id", "rn", "n_lang_docs"
+    )

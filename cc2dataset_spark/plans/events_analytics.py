@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.functions.datetime_ntz import (
+    trunc_hour_ntz,
+    trunc_week_monday_date,
+)
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
 
@@ -108,14 +112,17 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny (cohort, offset) roll-up. Week truncation is Monday-based in
     both engines; the offset is exact integer day arithmetic."""
     e = load_table(spark, sf_dir, "events")
-    # cast("date"): Spark date_trunc yields TIMESTAMP, DuckDB's DATE —
-    # week boundaries are midnight-aligned so the cast is lossless
+    # trunc_week_monday_date, not date_trunc("week").cast("date"):
+    # date_trunc converts NTZ inputs through the session timezone, so
+    # a DST gap at a week boundary would shift the cohort; the pure
+    # date-arithmetic Monday is tz-free and matches DuckDB's Monday-
+    # based week truncation exactly
     firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+        trunc_week_monday_date(F.min("ts")).alias("cohort_week")
     )
     activity = e.select(
         "user_id",
-        F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        trunc_week_monday_date(F.col("ts")).alias("active_week"),
     ).distinct()
     return (
         activity.join(firsts, "user_id")
@@ -618,7 +625,12 @@ def join_interval_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     h in [trunc(t_start), trunc(t_end)] is EXACTLY interval overlap
     for a closed interval vs half-open hour buckets, so no residual
     filter is needed (the oracle states the same containment as a
-    theta join)."""
+    theta join).
+
+    Hour truncation uses functions/datetime_ntz.trunc_hour_ntz, NOT
+    F.date_trunc — date_trunc casts NTZ inputs to LTZ via the session
+    timezone, which makes hour_start render process-tz-dependently at
+    collect() and shifts wall clocks that land in a DST gap."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -637,7 +649,7 @@ def join_interval_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hours = (
         load_table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .groupBy(trunc_hour_ntz("ts").alias("h"))
         .agg(F.count("*").alias("n_events_hour"))
     )
     # global totals as a window over the hourly frame: the frame is
@@ -658,8 +670,8 @@ def join_interval_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_seq",
         F.explode(
             F.sequence(
-                F.date_trunc("hour", F.col("t_start")),
-                F.date_trunc("hour", F.col("t_end")),
+                trunc_hour_ntz("t_start"),
+                trunc_hour_ntz("t_end"),
                 F.expr("INTERVAL 1 HOUR"),
             )
         ).alias("h"),

@@ -2417,3 +2417,60 @@ def er_snm_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ND.sorted_neighborhood_pairs(docs)
     return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")
+
+
+@query(
+    "text_heavy_hitter_words",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), c AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM toks GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n_occurrences) AS BIGINT) AS corpus_tokens FROM c
+    )
+    SELECT word, n_occurrences, corpus_tokens
+    FROM c, t WHERE n_occurrences * 200 > corpus_tokens
+    """,
+    tags=("text", "sketch", "heavy-hitters", "llm"),
+)
+def text_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-frequent words (phi = 1/200) over the corpus token stream
+    via the two-pass heavy-hitter pattern: per-partition Misra-Gries
+    summaries (k=200 counters, operators/sketches.py) produce a small
+    candidate superset WITHOUT a full-vocabulary shuffle, then one
+    exact count pass over candidates only decides membership — so the
+    output is exact (oracle: plain GROUP BY ... HAVING) while the
+    grouped aggregation only ever shuffles candidate keys, at most
+    k per partition, regardless of vocabulary size. This is how a
+    pipeline finds boilerplate/stop tokens on a corpus whose vocab
+    (urls, hashes, numbers) is far too wide to count exactly.
+
+    Plan: the MG pass is ONE Arrow-batched mapInPandas over the
+    exploded token stream (vectorized value_counts per batch, k-dict
+    merge — no per-row Python); candidates broadcast back onto a
+    second stream scan; the total is a 1-row broadcast. The exact
+    verify makes the result independent of partitioning — MG
+    guarantees every true heavy hitter survives some partition's
+    summary (proof in the operator docstring)."""
+    from cc2dataset_spark.operators.partitioning import spread_small_input
+    from cc2dataset_spark.operators.sketches import misra_gries_candidates
+
+    k = 200
+    docs = load_table(spark, sf_dir, "documents")
+    words = spread_small_input(
+        docs.select(F.explode(T.tokens("text")).alias("word"))
+    )
+    cands = misra_gries_candidates(words, "word", k)
+    total = words.agg(F.count("*").cast("bigint").alias("corpus_tokens"))
+    counts = (
+        words.join(F.broadcast(cands), "word")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+    return counts.crossJoin(F.broadcast(total)).where(
+        F.col("n_occurrences") * k > F.col("corpus_tokens")
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.functions.datetime_ntz import trunc_day_ntz
 from cc2dataset_spark.operators.asof import asof_join_union
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
@@ -864,7 +865,7 @@ def scalar_json_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.where(k.isNotNull()).select(
         "event_id",
         k.cast("bigint").alias("prop_k"),
-        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+        trunc_day_ntz("ts").alias("day"),
         F.hour("ts").cast("int").alias("hr"),
         F.upper("event_type").alias("event_type_uc"),
         F.round(F.col("value"), 4).cast("double").alias("value_r4"),

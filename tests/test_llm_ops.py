@@ -815,3 +815,51 @@ def test_edit_distance_blocking_is_complete(spark):
 
     with pytest.raises(NotImplementedError, match="max_distance"):
         edit_distance_pairs(df, max_distance=2)
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy-hitter candidates (operators/sketches.py)
+# --------------------------------------------------------------------------
+
+
+def test_mg_candidates_contain_every_true_heavy_hitter(spark):
+    import random
+
+    from cc2dataset_spark.operators.sketches import misra_gries_candidates
+
+    rng = random.Random(7)
+    # Zipf-ish stream: item i appears ~1000/i times; k=10 => threshold
+    # n/10, so only the very top items are true heavy hitters.
+    stream = []
+    for i in range(1, 200):
+        stream += [f"w{i}"] * (1000 // i)
+    rng.shuffle(stream)
+    n = len(stream)
+    k = 10
+    true_hh = {
+        w
+        for w in set(stream)
+        if stream.count(w) * k > n
+    }
+    assert true_hh  # the fixture must exercise a nonempty answer
+    for parts in (1, 3, 13):
+        df = spark.createDataFrame(
+            [(w,) for w in stream], ["word"]
+        ).repartition(parts)
+        cands = {
+            r.word
+            for r in misra_gries_candidates(df, "word", k).collect()
+        }
+        assert true_hh <= cands  # no false negatives, any partitioning
+        # candidate bound: at most k survivors per partition
+        assert len(cands) <= k * parts
+
+
+def test_mg_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from cc2dataset_spark.operators.sketches import misra_gries_candidates
+
+    df = spark.createDataFrame([("a",)], ["word"])
+    with _pytest.raises(ValueError):
+        misra_gries_candidates(df, "word", 0)

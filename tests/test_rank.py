@@ -149,3 +149,49 @@ def test_quantile_twins_agree(spark, sf_dir):
         for r in q["events_value_quantiles_heavy"](spark, sf_dir).collect()
     )
     assert a == b
+
+
+def test_global_running_sum_matches_window(spark, sf_dir):
+    from cc2dataset_spark.operators.rank import global_running_sum
+    from cc2dataset_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("v")
+    )
+    got = global_running_sum(
+        o, ["v", "o_orderkey"], "v", "cum", num_partitions=7
+    )
+    w = Window.orderBy("v", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = o.withColumn("cum", F.sum("v").over(w).cast("bigint"))
+    assert {(r.o_orderkey, r.cum) for r in got.collect()} == {
+        (r.o_orderkey, r.cum) for r in want.collect()
+    }
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(-50, 50)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    parts=st.integers(1, 9),
+)
+def test_global_running_sum_matches_python(spark, rows, parts):
+    from cc2dataset_spark.operators.rank import global_running_sum
+
+    df = spark.createDataFrame(rows, ["rid", "v"])
+    got = {
+        r.rid: r.cum
+        for r in global_running_sum(
+            df, ["v", "rid"], "v", "cum", num_partitions=parts
+        ).collect()
+    }
+    acc, want = 0, {}
+    for v, rid in sorted((v, rid) for rid, v in rows):
+        acc += v
+        want[rid] = acc
+    assert got == want
