@@ -830,3 +830,192 @@ def events_quantile_sketch_bottomk(
         pick("(9 * n + 9) div 10").alias("p90_est"),
         pick("(99 * n + 99) div 100").alias("p99_est"),
     )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, ts, value,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), w AS (
+      SELECT user_id,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_e3,
+             date_diff('microsecond', ts, nxt) // 1000 AS dt_ms
+      FROM d WHERE nxt IS NOT NULL
+    ), agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) + 1 AS n_events,
+             CAST(SUM(v_e3 * dt_ms) AS BIGINT) AS num,
+             CAST(SUM(dt_ms) AS BIGINT) AS den
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id, n_events, den AS active_ms,
+           (2 * num + den) // (2 * den) AS twap_e3
+    FROM agg WHERE den > 0
+    """,
+    tags=("events", "timeseries", "agg"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user (the TimescaleDB
+    time_weight / financial TWAP primitive): each reading is held
+    piecewise-constant until the user's next event, so a burst of
+    cheap readings milliseconds apart cannot drown out a reading that
+    stood for hours — the correct average for irregularly-sampled
+    gauges. Emitted as twap_e3 = round(1000 * TWAP) in BIGINT.
+
+    Float discipline: the reading is snapped to integer 1e-3 units
+    (floor(value*1000 + 0.5) — one identical double op per row in both
+    engines), the hold duration to integer milliseconds via
+    MICROSECOND timestampdiff div 1000 (exact on NTZ in both engines,
+    timezone-free — never DuckDB's millisecond boundary-crossing
+    count, which disagrees with Spark's truncating diff on sub-ms
+    gaps), so the weighted sum is pure BIGINT — order-free — and the
+    final round is the exact-rational (2*num + den) div (2*den).
+    Bound: sum(v_e3 * dt_ms) < 2^63 holds while value*span stays under
+    ~9e15 unit-milliseconds per user (a value of 10^6 held for 290
+    years); route through DECIMAL(38,0) past that.
+
+    Plan: ONE user-keyed exchange carries the LEAD window and the
+    per-user aggregate (the groupBy reuses the window's partitioning);
+    nothing else shuffles. Users whose events all share one
+    millisecond (den = 0) are dropped rather than divided by zero."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.withColumn("nxt", F.lead("ts").over(w)).where(
+        F.col("nxt").isNotNull()
+    )
+    weighted = d.select(
+        "user_id",
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("v_e3"),
+        F.expr("timestampdiff(MICROSECOND, ts, nxt) div 1000").alias(
+            "dt_ms"
+        ),
+    )
+    agg = weighted.groupBy("user_id").agg(
+        (F.count("*") + 1).cast("bigint").alias("n_events"),
+        F.sum(F.col("v_e3") * F.col("dt_ms")).cast("bigint").alias("num"),
+        F.sum("dt_ms").cast("bigint").alias("den"),
+    )
+    return agg.where(F.col("den") > 0).select(
+        "user_id",
+        "n_events",
+        F.col("den").alias("active_ms"),
+        F.expr("(2 * num + den) div (2 * den)").alias("twap_e3"),
+    )
+
+
+@query(
+    "sketch_kmv_setops",
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT CAST(md5_number_lower(
+               'kmv:' || CAST(user_id AS VARCHAR)) AS DECIMAL(20,0)) AS hv
+      FROM events WHERE event_type = 'click'
+    ), hb AS (
+      SELECT DISTINCT CAST(md5_number_lower(
+               'kmv:' || CAST(user_id AS VARCHAR)) AS DECIMAL(20,0)) AS hv
+      FROM events WHERE event_type = 'purchase'
+    ), ka AS (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+    kb AS (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+    ku AS (
+      SELECT hv FROM (
+        SELECT DISTINCT hv
+        FROM (SELECT hv FROM ka UNION ALL SELECT hv FROM kb)
+      ) ORDER BY hv LIMIT 256
+    ), ua AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_union, MAX(hv) AS kth FROM ku
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ku JOIN ka USING (hv) JOIN kb USING (hv)
+    )
+    SELECT 256 AS k, ua.n_union, m.n_both,
+           CASE WHEN ua.n_union < 256 THEN ua.n_union
+                ELSE CAST((255 * CAST(18446744073709551616 AS HUGEINT))
+                          // CAST(ua.kth AS HUGEINT) AS BIGINT)
+           END AS est_union,
+           CASE WHEN ua.n_union < 256 THEN m.n_both
+                ELSE (m.n_both * CAST(
+                  (255 * CAST(18446744073709551616 AS HUGEINT))
+                  // CAST(ua.kth AS HUGEINT) AS BIGINT)) // 256
+           END AS est_intersection
+    FROM ua, m
+    """,
+    tags=("events", "sketch", "distinct", "setops"),
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations on KMV sketches (Bar-Yossef 2002 / Beyer 2007):
+    estimate |clickers UNION purchasers| and |clickers INTERSECT
+    purchasers| from two k=256 bottom-k sketches WITHOUT re-touching
+    the raw data — the reason KMV (not HLL) is the sketch a curation
+    pipeline stores per segment: sketches merge by union+re-truncate,
+    and intersection comes from the merged sketch's both-members ratio
+    (est_inter = n_both * est_union / k), so overlap questions across
+    any segment pair are answered from k-row summaries. Everything
+    downstream of the hashes is exact integer arithmetic
+    (DECIMAL/HUGEINT integral divides, the same bit-equal primitive
+    the driver-proven kmv_distinct_users row pins); when the merged
+    sketch holds the whole universe (n_union < k) both estimates
+    collapse to EXACT counts by construction.
+
+    Plan: each side's sketch is a distinct + TakeOrderedAndProject
+    (map-side partial distinct, k-row result — the corpus-scale stream
+    is never globally sorted); the merge, membership joins, and
+    estimate math all run on k-row broadcast frames. Both sides MUST
+    share the hash salt ('kmv:') — sketch intersection is only sound
+    over a common hash universe."""
+    from cc2dataset_spark.functions.hashes import md5_number_lower
+
+    e = load_table(spark, sf_dir, "events")
+
+    def sketch(event_type: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == event_type)
+            .select(
+                md5_number_lower(
+                    F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+                ).alias("hv")
+            )
+            .distinct()
+            .orderBy("hv")
+            .limit(256)
+        )
+
+    ka, kb = sketch("click"), sketch("purchase")
+    ku = ka.union(kb).distinct().orderBy("hv").limit(256)
+    ua = ku.agg(
+        F.count("*").cast("bigint").alias("n_union"),
+        F.max("hv").alias("kth"),
+    )
+    m = (
+        ku.join(F.broadcast(ka), "hv")
+        .join(F.broadcast(kb), "hv")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    est_union = F.when(F.col("n_union") < 256, F.col("n_union")).otherwise(
+        F.expr(
+            "CAST((CAST(255 AS DECIMAL(38,0))"
+            " * CAST(18446744073709551616 AS DECIMAL(38,0)))"
+            " div kth AS BIGINT)"
+        )
+    )
+    return (
+        ua.crossJoin(F.broadcast(m))
+        .withColumn("est_union", est_union.cast("bigint"))
+        .select(
+            F.lit(256).alias("k"),
+            "n_union",
+            "n_both",
+            "est_union",
+            F.when(F.col("n_union") < 256, F.col("n_both"))
+            .otherwise(
+                F.expr("(n_both * est_union) div 256")
+            )
+            .cast("bigint")
+            .alias("est_intersection"),
+        )
+    )

@@ -2474,3 +2474,163 @@ def text_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(total)).where(
         F.col("n_occurrences") * k > F.col("corpus_tokens")
     )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=r"""
+    WITH dls AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                                                     '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS tt
+      FROM dls
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('spark', 'vector', 'hash')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), parts AS (
+      SELECT tf.doc_id, tf.tf,
+             round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)),
+                   6) AS idf6,
+             10000000 * tf.tf + 3000000
+               + 9 * ((2000000 * dls.dl * s.n_docs + s.tt)
+                      // (2 * s.tt)) AS denom_e7
+      FROM tf
+      JOIN dfreq d ON d.term = tf.term
+      JOIN dls ON dls.doc_id = tf.doc_id, stats s
+    ), scored AS (
+      SELECT doc_id,
+             CAST(round(idf6 * CAST(
+               (2 * (22000000000000 * tf) + denom_e7) // (2 * denom_e7)
+               AS DOUBLE)) AS BIGINT) AS ts_e6
+      FROM parts
+    ), perdoc AS (
+      SELECT doc_id, CAST(SUM(ts_e6) AS BIGINT) AS bm25_e6,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_e6, n_terms_hit, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id)
+                     AS BIGINT) AS rnk
+      FROM perdoc
+    ) WHERE rnk <= 10
+    """,
+    tags=("text", "search", "ranking", "llm"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones) for a fixed
+    keyword query over the corpus — the retrieval scorer a curation
+    pipeline uses for decontamination lookups and for building
+    seed/eval retrieval sets — with the whole tf-saturation term
+    carried in BIGINT micro-units so ranking is integer-exact.
+
+    Math, kept exact: with k1 = 1.2, b = 0.75, the per-term component
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) is rational once
+    r = dl/avgdl = dl*N/TT is rounded to 1e-6 (q_r, an exact BIGINT
+    floor-quotient): the denominator scaled by 1e7 is the integer
+    10^7*tf + 3*10^6 + 9*q_r, and the component scaled by 1e6 is one
+    more exact BIGINT quotient. Only the idf (a transcendental ln)
+    touches floating point, and it is rounded to 6 dp BEFORE the
+    multiply — the same round-early discipline the driver-proven
+    TF-IDF query uses — after which the per-term score is snapped back
+    to a BIGINT, so the per-doc SUM is order-free-exact and the
+    ranking can never flip on a ulp. Bounds: exact while
+    tf < 2*10^5 and dl*N < 4.6*10^12 (both orders of magnitude above
+    any real document/corpus pairing at one shard; shard-local scoring
+    re-bases N, TT per shard at larger scales).
+
+    Plan: document length is a PER-ROW projection (F.size over the
+    token array — no shuffle); the token stream is filtered to the
+    3 query terms IMMEDIATELY under the explode, so the only
+    corpus-scale work is one scan and the (doc, term) aggregate only
+    ever shuffles query-term hits; N/TT ride one 1-row broadcast, df
+    a 3-row broadcast; the top-10 is orderBy().limit() —
+    TakeOrderedAndProject, never a global window over the scored
+    corpus."""
+    from pyspark.sql import Window
+
+    QUERY_TERMS = ("spark", "vector", "hash")
+    K1_TOP = 10
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.lower(F.col("text")))
+    dls = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl")
+    )
+    stats = dls.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("tt"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .where(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    parts = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf6"),
+            F.expr(
+                "10000000 * tf + 3000000"
+                " + 9 * ((2000000 * dl * n_docs + tt) div (2 * tt))"
+            ).alias("denom_e7"),
+        )
+    )
+    scored = parts.select(
+        "doc_id",
+        F.round(
+            F.col("idf6")
+            * F.expr(
+                "CAST((2 * (22000000000000 * tf) + denom_e7)"
+                " div (2 * denom_e7) AS DOUBLE)"
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("ts_e6"),
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.sum("ts_e6").cast("bigint").alias("bm25_e6"),
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+    )
+    top = perdoc.orderBy(F.col("bm25_e6").desc(), F.col("doc_id")).limit(
+        K1_TOP
+    )
+    w = Window.orderBy(F.col("bm25_e6").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        "bm25_e6",
+        "n_terms_hit",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )

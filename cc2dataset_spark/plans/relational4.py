@@ -682,3 +682,54 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "skew", "salting", "events"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join — the manual mitigation for a join key
+    whose hottest values overwhelm single tasks when AQE's skew-join
+    split cannot fire (its thresholds are tuned for spills, not
+    stragglers, and it never splits the BUILD side). The fact side
+    gets a deterministic salt in [0, S) (pmod of the already-unique
+    event_id — never rand(), which re-evaluates per reference and can
+    disagree between a task retry and its first attempt); the dim side
+    explodes each row into all S salt values; the join key becomes
+    (user_id, salt), so one hot user spreads across S tasks. The
+    result is EXACTLY the unsalted join — each fact row meets its dim
+    row in precisely one salt bucket — which is what the plain-join
+    oracle checks.
+
+    Scale math: dim inflation is S * |dim| rows, borne only on the
+    small side; S=8 caps the hottest key's per-task share at 1/8. The
+    plan is asserted to join on both keys (tests/test_relational2.py);
+    the per-segment rollup keeps the driver result small while still
+    value-checking every joined row through the counts."""
+    SALTS = 8
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.pmod(F.col("event_id"), F.lit(SALTS)).alias("salt"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(SALTS)])).alias("salt"),
+    )
+    joined = e.join(
+        c,
+        (F.col("user_id") == F.col("c_custkey"))
+        & (e["salt"] == c["salt"]),
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -457,3 +457,68 @@ def test_r7d_ops_plan_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+
+
+def test_r7e_ops_plan_shapes(spark, sf_dir):
+    """Fifth r7 cohort: plan shapes per docstring."""
+    import re
+
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+
+    # BM25: top-10 must be TakeOrderedAndProject (never a global
+    # window over the scored corpus); df/stats ride broadcasts; no
+    # cartesian-shaped fallback
+    p = _formatted_plan(QUERIES["text_bm25_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastExchange" in p, p
+
+    # TWAP: ONE user-keyed exchange carries window + aggregate
+    p = _formatted_plan(
+        QUERIES["events_time_weighted_avg"].fn(spark, sf_dir)
+    )
+    assert p.count("Exchange (") - p.count("ReusedExchange (") == 1, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+    # KMV setops: both sketches are distinct + TakeOrdered; all
+    # post-sketch work is broadcast-sized — no corpus-scale sort
+    p = _formatted_plan(QUERIES["sketch_kmv_setops"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+
+    # salted skew join: the equi-join must carry BOTH keys (user and
+    # salt) so hot keys split across tasks, and must stay a hash join
+    p = _formatted_plan(QUERIES["join_salted_skew"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    m = re.search(r"Left keys \[2\]: \[([^\]]*)\]", p)
+    assert m and "salt" in m.group(1) and "user_id" in m.group(1), p
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """The salted join's per-segment rollup must equal the unsalted
+    join's — salting redistributes work, never changes the result."""
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+    from cc2dataset_spark.sources.tables import load_table
+
+    _load_all()
+    got = {
+        (r.segment, r.n_events, r.n_users)
+        for r in QUERIES["join_salted_skew"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    plain = (
+        e.join(c, e["user_id"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    want = {(r.segment, r.n_events, r.n_users) for r in plain.collect()}
+    assert got == want and got
