@@ -863,3 +863,61 @@ def test_mg_rejects_bad_k(spark):
     df = spark.createDataFrame([("a",)], ["word"])
     with _pytest.raises(ValueError):
         misra_gries_candidates(df, "word", 0)
+
+
+# --------------------------------------------------------------------------
+# Real image-header parsing (operators/multimodal.image_dims)
+# --------------------------------------------------------------------------
+
+
+def test_image_dims_real_headers(spark):
+    import struct
+
+    from cc2dataset_spark.operators.multimodal import image_dims
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", 640, 480)
+        + b"\x08\x06\x00\x00\x00"
+        + b"idatgoeshere"
+    )
+    gif87 = b"GIF87a" + struct.pack("<HH", 320, 200) + b"\x80\x00\x00rest"
+    gif89 = b"GIF89a" + struct.pack("<HH", 65535, 1) + b"\x80\x00\x00"
+    # JFIF APP0 then a COM segment, then SOF0 — variable offset
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xfe\x00\x07hello"
+        + b"\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", 1080, 1920)
+        + b"\x03tail"
+    )
+    # progressive JPEG: SOF2 marker instead of SOF0
+    jpg2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2\x00\x11\x08"
+        + struct.pack(">HH", 8, 4096)
+        + b"\x03"
+    )
+    truncated_jpg = b"\xff\xd8\xff\xe0"  # no SOF at all
+    not_image = b"plain text bytes"
+    rows = [
+        (1, png, ("png", 640, 480)),
+        (2, gif87, ("gif", 320, 200)),
+        (3, gif89, ("gif", 65535, 1)),
+        (4, jpg, ("jpeg", 1920, 1080)),
+        (5, jpg2, ("jpeg", 4096, 8)),
+        (6, truncated_jpg, (None, None, None)),
+        (7, not_image, (None, None, None)),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _ in rows], ["i", "payload"]
+    )
+    got = {
+        r.i: (r.d.format, r.d.width, r.d.height)
+        for r in df.select("i", image_dims("payload").alias("d")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
