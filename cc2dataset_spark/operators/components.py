@@ -274,3 +274,59 @@ def connected_components_twophase(
         f"rounds ({changed} edge changes in the last round); raise "
         "max_iter — the alternating contraction needs O(log^2 n) rounds."
     )
+
+
+def cluster_best_survivors(
+    universe: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    score,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    components_fn=None,
+) -> DataFrame:
+    """:func:`cluster_survivors` with QUALITY-AWARE survivorship: the
+    representative of each near-dup component is its highest-``score``
+    member (ties on the score break to the smallest id), not the
+    smallest id. This is what a production dedup actually keeps — when
+    a page and its mirror differ in boilerplate, the min-id rule keeps
+    whichever crawled first; the argmax rule keeps the better copy.
+    ``score`` is a Column evaluated against ``universe`` rows and must
+    be deterministic and cross-engine exact (round floats to 6 before
+    they reach this, per the house discipline).
+
+    Plan: component labeling as in :func:`cluster_survivors`; the
+    argmax is a per-component ``max(struct(score, -id))`` AGGREGATE
+    joined back on component_id — two component-keyed hash shuffles
+    with map-side partials, never a per-component window, so a
+    pathological mega-component (every doc a near-dup of one template)
+    costs a skewed reduce task, not a single-task sort."""
+    scored = universe.select(
+        F.col(id_col), score.alias("_score")
+    )
+    comp = (components_fn or connected_components)(edges, id_a, id_b)
+    labeled = (
+        scored.join(comp, scored[id_col] == comp["id"], "left")
+        .select(
+            scored[id_col],
+            "_score",
+            F.coalesce("component", scored[id_col]).alias("component_id"),
+        )
+    )
+    best = labeled.groupBy("component_id").agg(
+        F.max(F.struct(F.col("_score"), (-F.col(id_col)).alias("_nid"))).alias(
+            "_best"
+        )
+    )
+    return (
+        labeled.join(best, "component_id")
+        .withColumn(
+            "is_survivor", F.col(id_col) == -F.col("_best._nid")
+        )
+        .select(
+            id_col,
+            "component_id",
+            F.col("_score").alias("quality"),
+            "is_survivor",
+        )
+    )

@@ -1190,3 +1190,83 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rn") <= 20).select(
         "lang", "doc_id", "rn", "n_lang_docs"
     )
+
+
+@query(
+    "curate_boilerplate_prefix",
+    oracle="""
+    WITH banner AS (
+      SELECT doc_id, source,
+             '[' || source || '] ' || text AS btext
+      FROM documents
+    ), g AS (
+      SELECT source, MIN(btext) AS a, MAX(btext) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM banner GROUP BY source
+    )
+    SELECT source, n_docs,
+           CAST(len(list_filter(range(1, least(length(a), length(b)) + 1),
+                                i -> substr(a, 1, i) = substr(b, 1, i)))
+                AS BIGINT) AS lcp_len,
+           substr(a, 1, CAST(len(list_filter(
+             range(1, least(length(a), length(b)) + 1),
+             i -> substr(a, 1, i) = substr(b, 1, i))) AS INT))
+             AS shared_prefix
+    FROM g
+    """,
+    tags=("curation", "boilerplate", "llm"),
+)
+def curate_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-prefix detection — the first step of
+    template stripping: find the longest character prefix EVERY
+    document from a source shares (site banners, license headers,
+    nav breadcrumbs), so a later pass can trim it before dedup and
+    training. The whole-group LCP reduces to LCP(min(text), max(text))
+    — the lexicographic extremes bound every other member — so the
+    corpus-scale work is ONE (source)-keyed min/max/count aggregate
+    with map-side partials; the character scan runs on n_sources rows.
+    The fixture corpus is random text (group LCP 0 everywhere), so a
+    per-source banner is planted first — the detector must recover at
+    least that banner, and the oracle replays plant + detection
+    independently.
+
+    The LCP scan itself is a higher-order filter over char positions
+    (prefix equality is monotone, so counting matching prefix lengths
+    IS the LCP) — O(L^2) char compares in Catalyst's interpreted HOF
+    mode, fine for a per-SOURCE frame, documented NOT for per-row use
+    (see the cdc_chunks HOF hazard note)."""
+    docs = load_table(spark, sf_dir, "documents")
+    banner = docs.select(
+        "source",
+        F.concat(
+            F.lit("["), F.col("source"), F.lit("] "), F.col("text")
+        ).alias("btext"),
+    )
+    g = banner.groupBy("source").agg(
+        F.min("btext").alias("a"),
+        F.max("btext").alias("b"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    L = F.least(F.length("a"), F.length("b"))
+    # substring with a COLUMN length parameter needs the expr form
+    lcp = F.when(
+        L >= 1,
+        F.size(
+            F.expr(
+                "filter(sequence(1, greatest(least(length(a), length(b)), 1)),"
+                " i -> i <= least(length(a), length(b))"
+                " AND substring(a, 1, i) = substring(b, 1, i))"
+            )
+        ),
+    ).otherwise(0)
+    return g.select(
+        "source",
+        "n_docs",
+        lcp.cast("bigint").alias("lcp_len"),
+        F.expr(
+            "substring(a, 1, CAST("
+            "size(filter(sequence(1, greatest(least(length(a), length(b)), 1)),"
+            " i -> i <= least(length(a), length(b))"
+            " AND substring(a, 1, i) = substring(b, 1, i))) AS INT))"
+        ).alias("shared_prefix"),
+    )

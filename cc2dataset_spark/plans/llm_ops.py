@@ -2355,9 +2355,10 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "er_snm_cluster_survivors",
-    oracle=r"""
+# SNM blocking -> exact-Jaccard-verified pairs: the shared CTE prefix
+# for the merge/purge oracles (er_snm_cluster_survivors and the
+# quality-aware survivor twin).
+_SNM_PAIRS_SQL = r"""
     WITH RECURSIVE t AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -2389,7 +2390,11 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE (CAST((2000000 * (c) + (ab - c)) // (2 * (ab - c))
                   AS DOUBLE) / 1000000) >= 0.5
     )"""
-    + _components_closure_sql("pairs"),
+
+
+@query(
+    "er_snm_cluster_survivors",
+    oracle=_SNM_PAIRS_SQL + _components_closure_sql("pairs"),
     tags=("dedup", "er", "llm", "graph", "blocking"),
 )
 def er_snm_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2759,4 +2764,86 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims["format"].alias("format"),
         dims["width"].alias("width"),
         dims["height"].alias("height"),
+    )
+
+
+@query(
+    "dedup_cluster_best_quality",
+    oracle=_SNM_PAIRS_SQL
+    + _components_ctes("pairs")
+    + r""", qm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]',
+                                                  '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr
+      FROM documents
+    ), qm2 AS (
+      SELECT doc_id, toks, pr,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_aggregate(list_transform(toks,
+                                                          x -> length(x)),
+                                           'sum') AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mwl
+      FROM qm
+    ), q AS (
+      SELECT doc_id,
+             round(least(len(toks) / 64.0, 1.0)
+                   * (1.0 - least(pr * 4.0, 1.0) * 0.5)
+                   * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                           THEN 1.0 ELSE 0.5 END), 6) AS quality
+      FROM qm2
+    ), lab AS (
+      SELECT d.doc_id,
+             COALESCE(comp.component, d.doc_id) AS component_id,
+             q.quality
+      FROM documents d
+      LEFT JOIN comp ON comp.id = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, component_id, quality,
+           ROW_NUMBER() OVER (PARTITION BY component_id
+                              ORDER BY quality DESC, doc_id) = 1
+             AS is_survivor
+    FROM lab
+    """,
+    tags=("dedup", "er", "quality", "llm", "graph"),
+)
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE near-dup survivorship: the same SNM-blocked,
+    Jaccard-verified, transitively-closed clusters as
+    er_snm_cluster_survivors, but each cluster keeps its
+    HIGHEST-QUALITY member (text_quality_scores' length/punct/
+    word-shape heuristic, rounded to 6 before it decides anything;
+    quality ties break to the smaller doc_id). This is the
+    survivorship rule production dedup actually wants — min-id keeps
+    whichever copy was crawled first, argmax keeps the best copy of
+    the template — and having both twins on the SAME clustering
+    isolates exactly the survivor-selection semantics.
+
+    Plan: operators/components.cluster_best_survivors — the argmax is
+    a per-component max(struct(quality, -id)) AGGREGATE joined back,
+    never a per-component window, so a mega-component (every doc one
+    template) degrades to a skewed reduce task instead of a
+    single-task sort. Quality is computed once per doc (narrow
+    projection), clustering cost is shared with the min-id twin."""
+    from cc2dataset_spark.operators.components import cluster_best_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ND.sorted_neighborhood_pairs(docs)
+    tok = docs.select("doc_id", "text", T.tokens("text").alias("t"))
+    n_tok = F.size("t")
+    total = F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x))
+    mwl = F.when(n_tok > 0, total / n_tok).otherwise(0.0)
+    len_score = F.least(n_tok / 64.0, F.lit(1.0))
+    punct_penalty = F.least(T.punct_ratio("text") * 4.0, F.lit(1.0))
+    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
+    quality = F.round(
+        len_score * (1.0 - punct_penalty * 0.5) * word_score, 6
+    )
+    return cluster_best_survivors(
+        tok, pairs.select("id_a", "id_b"), "doc_id", quality
     )

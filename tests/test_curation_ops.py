@@ -186,3 +186,15 @@ def test_gopher_rules_fire_on_dirty_synthetic_docs(spark):
     assert not out[2].symbol_ok  # '#' density over 0.1/word
     assert not out[3].alpha_ok  # digit soup
     assert not out[2].keep and not out[3].keep
+
+
+def test_boilerplate_prefix_recovers_planted_banner(spark, sf_dir):
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    rows = QUERIES["curate_boilerplate_prefix"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        banner = f"[{r.source}] "
+        assert r.lcp_len >= len(banner), (r.source, r.lcp_len)
+        assert r.shared_prefix.startswith(banner)

@@ -921,3 +921,25 @@ def test_image_dims_real_headers(spark):
     }
     for i, _, want in rows:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_best_quality_survivors_contract(spark, sf_dir):
+    """Same clustering as the min-id twin; exactly one survivor per
+    component; the survivor maximizes (quality, -doc_id)."""
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    rows = QUERIES["dedup_cluster_best_quality"].fn(spark, sf_dir).collect()
+    minid = {
+        r.doc_id: r.component_id
+        for r in QUERIES["er_snm_cluster_survivors"].fn(spark, sf_dir).collect()
+    }
+    assert {r.doc_id: r.component_id for r in rows} == minid
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        survivors = [r for r in members if r.is_survivor]
+        assert len(survivors) == 1, comp
+        best = max(members, key=lambda r: (r.quality, -r.doc_id))
+        assert survivors[0].doc_id == best.doc_id, comp
