@@ -2847,3 +2847,73 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_best_survivors(
         tok, pairs.select("id_a", "id_b"), "doc_id", quality
     )
+
+
+@query(
+    "text_unicode_nfc",
+    oracle="""
+    WITH syn AS (
+      SELECT doc_id, text ||
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN ' cafe' || chr(769)
+          WHEN 1 THEN ' A' || chr(778)
+          WHEN 2 THEN ' o' || chr(776)
+          ELSE ' plain' END AS t
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, t, nfc_normalize(t) AS n FROM syn
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS len_before,
+           CAST(length(n) AS BIGINT) AS len_after,
+           length(t) <> length(n) AS changed,
+           right(n, 5) AS norm_tail
+    FROM norm
+    """,
+    tags=("text", "unicode", "normalization", "llm"),
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step every
+    multilingual curation pipeline runs BEFORE hashing/dedup, because
+    the same visible text arrives in both composed ('é', U+00E9) and
+    decomposed ('e'+U+0301) forms from different encoders and would
+    otherwise hash to different fingerprints. The kernel is an
+    Arrow-batched pandas_udf over stdlib unicodedata (the production
+    shape: normalization is a table-driven codepoint map, no heavy
+    dependency); the oracle is DuckDB's independent utf8proc-backed
+    nfc_normalize, so the driver row cross-checks two UNRELATED
+    Unicode implementations against each other. The fixture corpus is
+    ASCII (NFC-invariant), so decomposed combining-mark suffixes are
+    planted per doc_id and the normalizer must compose exactly those.
+
+    Plan: zero shuffles — one scan, one Arrow-batched projection.
+    Cross-engine note: lengths stay comparable because every involved
+    codepoint is BMP (Spark counts UTF-16 units, DuckDB codepoints;
+    they agree outside surrogate pairs — astral-plane text would need
+    a codepoint-counting twin)."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s):
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = (
+        F.when((F.col("doc_id") % 4).cast("int") == 0, F.lit(" café"))
+        .when((F.col("doc_id") % 4).cast("int") == 1, F.lit(" Å"))
+        .when((F.col("doc_id") % 4).cast("int") == 2, F.lit(" ö"))
+        .otherwise(F.lit(" plain"))
+    )
+    syn = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("t")
+    )
+    norm = syn.withColumn("n", nfc("t"))
+    return norm.select(
+        "doc_id",
+        F.length("t").cast("bigint").alias("len_before"),
+        F.length("n").cast("bigint").alias("len_after"),
+        (F.length("t") != F.length("n")).alias("changed"),
+        F.expr("right(n, 5)").alias("norm_tail"),
+    )
