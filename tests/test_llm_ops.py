@@ -943,3 +943,45 @@ def test_best_quality_survivors_contract(spark, sf_dir):
         assert len(survivors) == 1, comp
         best = max(members, key=lambda r: (r.quality, -r.doc_id))
         assert survivors[0].doc_id == best.doc_id, comp
+
+
+def test_image_dims_dimension_sweep(spark):
+    """Edge-case dimension sweep for the header parser: extremes of
+    each format's width field (1, u16 max, PNG past u16/u24) plus a
+    seeded random sample, all parsed in ONE DataFrame pass."""
+    import random
+    import struct
+
+    from cc2dataset_spark.operators.multimodal import image_dims
+
+    rng = random.Random(77)
+    png_dims = [(1, 1), (65535, 1), (65536, 2), (16777216, 3),
+                (2**31 - 1, 7)] + [
+        (rng.randrange(1, 2**31), rng.randrange(1, 2**31)) for _ in range(10)
+    ]
+    u16_dims = [(1, 1), (65535, 65535), (256, 255)] + [
+        (rng.randrange(1, 65536), rng.randrange(1, 65536)) for _ in range(10)
+    ]
+    rows, want = [], {}
+    i = 0
+    for w, h in png_dims:
+        payload = (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00tail"
+        )
+        rows.append((i, payload)); want[i] = ("png", w, h); i += 1
+    for w, h in u16_dims:
+        rows.append((i, b"GIF89a" + struct.pack("<HH", w, h) + b"\x80\x00\x00"))
+        want[i] = ("gif", w, h); i += 1
+        jpg = (
+            b"\xff\xd8"
+            + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", h, w) + b"\x03"
+        )
+        rows.append((i, jpg)); want[i] = ("jpeg", w, h); i += 1
+    df = spark.createDataFrame(rows, ["i", "payload"])
+    got = {
+        r.i: (r.d.format, r.d.width, r.d.height)
+        for r in df.select("i", image_dims("payload").alias("d")).collect()
+    }
+    assert got == want
