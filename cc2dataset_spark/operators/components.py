@@ -313,16 +313,24 @@ def cluster_best_survivors(
             F.coalesce("component", scored[id_col]).alias("component_id"),
         )
     )
-    best = labeled.groupBy("component_id").agg(
-        F.max(F.struct(F.col("_score"), (-F.col(id_col)).alias("_nid"))).alias(
-            "_best"
-        )
+    # Two-stage argmax that works for ANY orderable id type (string
+    # ids included — a unary-minus tiebreak would implicitly cast a
+    # string id to double, yield NULL, and silently mark NO survivor):
+    # per-component max score, then min id among the max-score rows.
+    # Both stages are component-keyed hash aggregates that reuse one
+    # partitioning with map-side partials.
+    best_score = labeled.groupBy("component_id").agg(
+        F.max("_score").alias("_best_score")
+    )
+    scored_max = labeled.join(best_score, "component_id")
+    survivor = (
+        scored_max.where(F.col("_score") == F.col("_best_score"))
+        .groupBy("component_id")
+        .agg(F.min(id_col).alias("_survivor_id"))
     )
     return (
-        labeled.join(best, "component_id")
-        .withColumn(
-            "is_survivor", F.col(id_col) == -F.col("_best._nid")
-        )
+        labeled.join(survivor, "component_id")
+        .withColumn("is_survivor", F.col(id_col) == F.col("_survivor_id"))
         .select(
             id_col,
             "component_id",

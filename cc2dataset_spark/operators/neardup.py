@@ -513,10 +513,15 @@ def prefix_filter_jaccard_pairs(
             (F.size("sha") + F.size("shb")).alias("ab"),
         )
     )
+    # EXACT integer threshold predicate: J = c/(ab-c) >= t_n/t_d
+    # <=> t_d*c >= t_n*(ab-c) — never the rounded jaccard vs a float
+    # threshold, which drops/admits boundary pairs whenever t_n/t_d is
+    # not exactly representable in 6 decimals (e.g. 1/3). The rounded
+    # value is kept as the DISPLAY column only.
     jac = ratio_round6(F.col("c"), F.col("ab") - F.col("c"))
-    return sized.select("id_a", "id_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= F.lit(t_n / t_d)
-    )
+    return sized.where(
+        F.lit(t_d) * F.col("c") >= F.lit(t_n) * (F.col("ab") - F.col("c"))
+    ).select("id_a", "id_b", jac.alias("jaccard"))
 
 
 def embedding_neardup_pairs_blocked(

@@ -159,8 +159,18 @@ def keyed_row_number(
         off_schema,
     )
     w = Window.partitionBy("_pid", *keys).orderBy(*ocols)
+    # eqNullSafe, not a name-list equi-join: a NULL key forms its own
+    # group in the window twin and the SQL oracle (ROW_NUMBER
+    # PARTITION BY treats NULL as a partition), so the offset join
+    # must match NULL keys too — a plain EqualTo would silently drop
+    # every NULL-key row from the output.
+    cond = ranged["_pid"] == off_df["_pid"]
+    for k in keys:
+        cond = cond & ranged[k].eqNullSafe(off_df[k])
     out = (
-        ranged.join(F.broadcast(off_df), ["_pid", *keys])
+        ranged.join(F.broadcast(off_df), cond)
+        .drop(off_df["_pid"])
+        .drop(*[off_df[k] for k in keys])
         .withColumn(
             rank_col,
             (F.col("_offset") + F.row_number().over(w)).cast("bigint"),

@@ -108,6 +108,7 @@ def misra_gries_candidates(
     one dict merge per batch, never per row.
     """
     import pandas as pd
+    from pyspark.sql.types import StructField, StructType
 
     if k < 1:
         raise ValueError(f"misra_gries_candidates requires k >= 1, got {k}")
@@ -124,4 +125,9 @@ def misra_gries_candidates(
                 counters = {w: c - m for w, c in counters.items()}
         yield pd.DataFrame({col: list(counters)})
 
-    return items.select(col).mapInPandas(mg, f"{col} string").distinct()
+    # output schema mirrors the INPUT column type (bigint keys stay
+    # bigint — a hard-coded string schema would fail Arrow conversion
+    # or silently change the type under the exact-count verify join)
+    field = items.schema[col]
+    schema = StructType([StructField(col, field.dataType, True)])
+    return items.select(col).mapInPandas(mg, schema).distinct()

@@ -979,9 +979,15 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = c.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
     my = c.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
     tot = c.agg(F.sum("n_xy").alias("n_tot"))
+    # DECIMAL(38,0), not BIGINT: 2e6 * n_xy * n_tot overflows int64
+    # once the corpus holds ~1e12 bigrams (exactly the scale this op
+    # targets) and Spark's non-ANSI mode would WRAP SILENTLY while the
+    # DuckDB twin (HUGEINT //) stays exact. Decimal128 keeps the
+    # product exact to 38 digits; the quotient itself fits BIGINT.
     lift_micro = F.expr(
-        "(CAST(2000000 AS BIGINT) * n_xy * n_tot + n_x * n_y)"
-        " div (2 * n_x * n_y)"
+        "CAST((CAST(2000000 AS DECIMAL(38,0)) * n_xy * n_tot"
+        " + CAST(n_x AS DECIMAL(38,0)) * n_y)"
+        " div (CAST(2 AS DECIMAL(38,0)) * n_x * n_y) AS BIGINT)"
     )
     return (
         c.where(F.col("n_xy") >= 5)

@@ -473,7 +473,7 @@ def dedup_edit_distance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM common
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE (CAST((2000000 * (c) + (sa.n + sb.n - c)) // (2 * (sa.n + sb.n - c)) AS DOUBLE) / 1000000) >= 0.5
+    WHERE 2 * c >= (sa.n + sb.n - c)
     """,
     tags=("dedup", "llm", "similarity-join"),
 )
@@ -2461,13 +2461,21 @@ def text_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify makes the result independent of partitioning — MG
     guarantees every true heavy hitter survives some partition's
     summary (proof in the operator docstring)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
     from cc2dataset_spark.operators.partitioning import spread_small_input
     from cc2dataset_spark.operators.sketches import misra_gries_candidates
 
     k = 200
     docs = load_table(spark, sf_dir, "documents")
-    words = spread_small_input(
-        docs.select(F.explode(T.tokens("text")).alias("word"))
+    # persist the exploded stream: three consumers (MG pass, total,
+    # candidate counts) would otherwise each re-run the corpus scan +
+    # explode — the dominant stage — tripling the wall time
+    words = caching.track(
+        spread_small_input(
+            docs.select(F.explode(T.tokens("text")).alias("word"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands = misra_gries_candidates(words, "word", k)
     total = words.agg(F.count("*").cast("bigint").alias("corpus_tokens"))
@@ -2900,10 +2908,18 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     docs = load_table(spark, sf_dir, "documents")
+    # escape-built DECOMPOSED suffixes (base letter + combining mark),
+    # mirroring the oracle's chr(769)/chr(778)/chr(776) — explicit
+    # \u escapes, never raw decomposed literals, which an
+    # NFC-normalizing editor/formatter would silently compose,
+    # flipping the query's answer with no code-visible diff
     suffix = (
-        F.when((F.col("doc_id") % 4).cast("int") == 0, F.lit(" café"))
-        .when((F.col("doc_id") % 4).cast("int") == 1, F.lit(" Å"))
-        .when((F.col("doc_id") % 4).cast("int") == 2, F.lit(" ö"))
+        F.when(
+            (F.col("doc_id") % 4).cast("int") == 0,
+            F.lit(" cafe\u0301"),
+        )
+        .when((F.col("doc_id") % 4).cast("int") == 1, F.lit(" A\u030A"))
+        .when((F.col("doc_id") % 4).cast("int") == 2, F.lit(" o\u0308"))
         .otherwise(F.lit(" plain"))
     )
     syn = docs.select(

@@ -92,7 +92,12 @@ class _JsonlShardWriter(DataSourceWriter):
             pass
 
     def abort(self, messages) -> None:
+        # messages holds None for every FAILED task (pyspark passes a
+        # commit message only for tasks that completed) — skip those
+        # rather than AttributeError over the original task failure.
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.temp_path)
             except OSError:

@@ -81,14 +81,20 @@ def make_warc_record_iterator():
                 if not sep:
                     raise ValueError(f"malformed WARC header line {hline[:40]!r}")
                 headers[name.strip()] = value.strip()
+            # WARC header field names are case-insensitive (ISO 28500
+            # inherits RFC 822 field semantics) — look up through a
+            # lowered view so 'content-length:' archives that fastwarc
+            # accepts are not rejected by the fallback, while the
+            # yielded dict keeps the archive's original casing.
+            lowered = {k.lower(): v for k, v in headers.items()}
             try:
-                length = int(headers["Content-Length"])
+                length = int(lowered["content-length"])
             except (KeyError, ValueError) as ex:
                 raise ValueError("missing/invalid Content-Length") from ex
             payload = stream.read(length)
             if len(payload) != length:
                 raise ValueError("truncated WARC payload")
-            yield headers.get("WARC-Type", ""), headers, payload
+            yield lowered.get("warc-type", ""), headers, payload
 
     return iter_warc_records
 

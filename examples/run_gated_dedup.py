@@ -15,6 +15,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.operators.components import cluster_survivors
 from cc2dataset_spark.operators.neardup import prefix_filter_jaccard_pairs
 from cc2dataset_spark.plans.curation import curate_gopher_rules
 from cc2dataset_spark.session import build_spark_session
@@ -35,11 +36,18 @@ def main() -> None:
         gates.where(F.col("keep")).select("doc_id"), "doc_id"
     )
 
-    # exact near-dup pairs over the KEPT corpus; drop the max-id side
-    # of every pair (min-id survivor, transitively via repeated drop)
+    # exact near-dup pairs over the KEPT corpus -> transitive min-id
+    # survivorship via the proven component labeler. (NOT a "drop
+    # every id_b" anti-join: in a component {4,7,8} with pairs (4,8)
+    # and (7,8) that would keep BOTH 4 and 7 — transitive closure
+    # keeps exactly one survivor per component.)
     pairs = prefix_filter_jaccard_pairs(kept)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    survivors = kept.join(losers, "doc_id", "left_anti")
+    labeled = cluster_survivors(
+        kept, pairs.select("id_a", "id_b"), "doc_id"
+    )
+    survivors = kept.join(
+        labeled.where(F.col("is_survivor")).select("doc_id"), "doc_id"
+    )
 
     survivors.select("doc_id", "lang", "source", "text").write.format(
         "jsonl_shard"

@@ -985,3 +985,40 @@ def test_image_dims_dimension_sweep(spark):
         for r in df.select("i", image_dims("payload").alias("d")).collect()
     }
     assert got == want
+
+
+def test_mg_candidates_preserve_bigint_type(spark):
+    from cc2dataset_spark.operators.sketches import misra_gries_candidates
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(500)], ["user_id"]
+    )
+    out = misra_gries_candidates(df, "user_id", 5)
+    assert dict(out.dtypes)["user_id"] == "bigint"
+    cands = {r.user_id for r in out.collect()}
+    assert cands <= set(range(7)) and cands
+
+
+def test_best_quality_survivors_string_ids(spark):
+    """String ids must work end to end (no numeric-negation tiebreak)."""
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.operators.components import cluster_best_survivors
+
+    universe = spark.createDataFrame(
+        [("doc_a", 0.5), ("doc_b", 0.9), ("doc_c", 0.9), ("doc_z", 0.1)],
+        ["id", "score"],
+    )
+    edges = spark.createDataFrame(
+        [("doc_a", "doc_b"), ("doc_b", "doc_c")], ["id_a", "id_b"]
+    )
+    rows = {
+        r.id: (r.component_id, r.is_survivor)
+        for r in cluster_best_survivors(
+            universe, edges, "id", F.col("score")
+        ).collect()
+    }
+    # component {a,b,c}: max score 0.9 shared by b and c -> min id b
+    assert rows["doc_b"] == ("doc_a", True)
+    assert rows["doc_a"][1] is False and rows["doc_c"][1] is False
+    assert rows["doc_z"] == ("doc_z", True)  # singleton survives

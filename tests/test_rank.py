@@ -195,3 +195,20 @@ def test_global_running_sum_matches_python(spark, rows, parts):
         acc += v
         want[rid] = acc
     assert got == want
+
+
+def test_keyed_row_number_keeps_null_keys(spark):
+    from cc2dataset_spark.operators.rank import keyed_row_number
+
+    rows = [(1, "a", 10), (2, "a", 5), (3, None, 7), (4, None, 2), (5, "b", 9)]
+    df = spark.createDataFrame(rows, ["rid", "k", "v"])
+    got = {
+        r.rid: (r.rn, r.kt)
+        for r in keyed_row_number(
+            df, ["k"], ["v", "rid"], "rn", "kt", num_partitions=3
+        ).collect()
+    }
+    assert len(got) == 5  # NULL-key rows must NOT vanish
+    assert got[4] == (1, 2) and got[3] == (2, 2)  # NULL group ranks
+    assert got[2] == (1, 2) and got[1] == (2, 2)
+    assert got[5] == (1, 1)
