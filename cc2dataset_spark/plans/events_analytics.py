@@ -1019,3 +1019,50 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_intersection"),
         )
     )
+
+
+@query(
+    "events_m4_downsample",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS bucket, ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           (MIN({'ts': ts, 'eid': event_id, 'v': value})).v AS v_first,
+           (MAX({'ts': ts, 'eid': event_id, 'v': value})).v AS v_last
+    FROM b GROUP BY bucket
+    """,
+    tags=("events", "timeseries", "downsample", "agg"),
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per hour
+    bucket keep exactly min, max, first, and last — the four values
+    that make a width-bounded line plot pixel-identical to the full
+    series, and the standard rollup a monitoring store keeps per
+    retention tier. first/last ride the min/max-of-struct trick
+    (struct ordering = (ts, event_id, value), so ties are broken by
+    the total order, never by arrival) — one hash aggregate, no
+    per-bucket window, no sort.
+
+    Exactness: values pass through UNTOUCHED (selection, not
+    arithmetic — no float op ever runs), the bucket is the tz-free
+    NTZ hour truncation, and the struct-min trick evaluates
+    identically in both engines. ONE bucket-keyed exchange with
+    map-side partials; bucket cardinality is calendar-bounded, so the
+    result stays broadcast-small at any corpus size."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = e.select(
+        trunc_hour_ntz("ts").alias("bucket"), "ts", "event_id", "value"
+    )
+    s = F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v"))
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min(s).getField("v").alias("v_first"),
+        F.max(s).getField("v").alias("v_last"),
+    )

@@ -35,6 +35,7 @@ _TEMPORAL_QUERIES = [
     "events_tumbling_10m",
     "join_asof_last_order",
     "events_scd2_event_type",
+    "events_m4_downsample",
 ]
 
 _ZONES = ["UTC", "America/New_York", "Pacific/Chatham"]
