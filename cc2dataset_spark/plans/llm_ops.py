@@ -2933,3 +2933,89 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("t") != F.length("n")).alias("changed"),
         F.expr("right(n, 5)").alias("norm_tail"),
     )
+
+
+@query(
+    "profile_cross_source_overlap",
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM (SELECT source,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           (2000000 * n_shared + sa.n) // (2 * sa.n) AS containment_a_e6,
+           (2000000 * n_shared + sb.n) // (2 * sb.n) AS containment_b_e6
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+    tags=("profile", "dedup", "contamination", "llm"),
+)
+def profile_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the diagnostic a data-mixing
+    decision needs BEFORE weighting sources: for every source pair,
+    how much of A's distinct 3-gram shingle set appears in B (and vice
+    versa). High containment means one source is substantially a
+    mirror/superset of another, so weighting them independently
+    double-counts the same text; this is the source-granular cousin of
+    train/eval decontamination. Containment is emitted in exact BIGINT
+    micro-units ((2e6*shared + n) div (2n) — round(1e6*shared/n)).
+
+    Plan: one explode -> DISTINCT (source, shingle) pass (map-side
+    partial distinct), a shingle-keyed self-join whose per-shingle
+    fan-out is bounded by #sources^2 — NOT corpus size, because the
+    distinct pass collapsed every shingle to <= #sources rows — then a
+    #source-pair-sized aggregate and two broadcast joins against the
+    per-source totals. At 100 TB the only corpus-scale stages are the
+    explode and the distinct exchange; everything after is
+    sources^2-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.array_distinct(T.word_shingles("text", 3)).alias("shs"),
+        )
+        .where(F.size("shs") >= 1)
+        .select("source", F.explode("shs").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr("(2000000 * n_shared + na) div (2 * na)").alias(
+                "containment_a_e6"
+            ),
+            F.expr("(2000000 * n_shared + nb) div (2 * nb)").alias(
+                "containment_b_e6"
+            ),
+        )
+    )
