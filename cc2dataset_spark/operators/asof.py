@@ -65,15 +65,18 @@ def asof_join_union(
     backward = direction == "backward"
     nearest = direction == "nearest"
     strict = not allow_exact_matches
-    # nearest needs the matched right_ts of both candidates to compare
-    # distances, so it is carried as an internal extra value column
-    carry_ts = nearest or tolerance is not None
-    rv = list(right_values) + (["__matchts"] if carry_ts else [])
+    # The matched right row travels as ONE struct (__matchts + every
+    # value column), filled with a single last/first(ignorenulls) —
+    # never one fill per value column, which would stitch values from
+    # DIFFERENT right rows whenever a right row holds a NULL in one
+    # column (and, under tolerance, could surface a stale column from
+    # outside the window). pandas merge_asof semantics: the matched
+    # ROW's values verbatim, NULLs included.
+    rv = ["__matchts"] + list(right_values)
     rv_src = {c: F.col(c) for c in right_values}
     rv_type = {c: right.schema[c].dataType for c in right_values}
-    if carry_ts:
-        rv_src["__matchts"] = F.col(right_ts)
-        rv_type["__matchts"] = right.schema[right_ts].dataType
+    rv_src["__matchts"] = F.col(right_ts)
+    rv_type["__matchts"] = right.schema[right_ts].dataType
     # Position at equal ts decides whether exact matches land inside a
     # leg's frame. Backward leg (preceding->current, last): inclusive
     # wants right BEFORE left (_ob: right 0, left 1), strict wants
@@ -106,7 +109,16 @@ def asof_join_union(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[rv_src[c].alias(f"_rv_{c}") for c in rv],
     )
-    u = l.unionByName(r)
+    # one struct per row: non-null exactly on right rows (a struct of
+    # possibly-null fields is itself non-null), so ignorenulls fills
+    # pick whole matched rows atomically
+    u = l.unionByName(r).withColumn(
+        "_rvs",
+        F.when(
+            F.col("_side") == 0,
+            F.struct(*[F.col(f"_rv_{c}").alias(c) for c in rv]),
+        ),
+    )
     wb = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_ob", "_tb")
@@ -120,68 +132,51 @@ def asof_join_union(
     # backward: right ties sort _tb ASC and last() takes the greatest;
     # forward: _tb ASC and first() takes the smallest
     if backward:
-        carried = u.select(
-            "*",
-            *[
-                F.last(f"_rv_{c}", ignorenulls=True).over(wb).alias(f"_asof_{c}")
-                for c in rv
-            ],
+        carried = u.withColumn(
+            "_asof", F.last("_rvs", ignorenulls=True).over(wb)
         )
     elif direction == "forward":
-        carried = u.select(
-            "*",
-            *[
-                F.first(f"_rv_{c}", ignorenulls=True).over(wf).alias(f"_asof_{c}")
-                for c in rv
-            ],
+        carried = u.withColumn(
+            "_asof", F.first("_rvs", ignorenulls=True).over(wf)
         )
     else:
         # nearest: both legs over ONE exchange (two sorts at most),
         # then a per-row choice. In the inclusive form the backward leg
         # absorbs exact-ts matches (distance 0, which always wins);
         # equidistant candidates resolve BACKWARD (documented).
-        both = u.select(
-            "*",
-            *[
-                F.last(f"_rv_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
-                for c in rv
-            ],
-            *[
-                F.first(f"_rv_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
-                for c in rv
-            ],
-        )
-        b_ts, f_ts = F.col("_b___matchts"), F.col("_f___matchts")
+        both = u.withColumn(
+            "_b", F.last("_rvs", ignorenulls=True).over(wb)
+        ).withColumn("_f", F.first("_rvs", ignorenulls=True).over(wf))
+        b_ts = F.col("_b").getField("__matchts")
+        f_ts = F.col("_f").getField("__matchts")
         use_b = b_ts.isNotNull() & (
             f_ts.isNull()
             | ((F.col("_ts") - b_ts) <= (f_ts - F.col("_ts")))
         )
-        carried = both.select(
-            "*",
-            *[
-                F.when(use_b, F.col(f"_b_{c}"))
-                .otherwise(F.col(f"_f_{c}"))
-                .alias(f"_asof_{c}")
-                for c in rv
-            ],
+        carried = both.withColumn(
+            "_asof", F.when(use_b, F.col("_b")).otherwise(F.col("_f"))
         )
     carried = carried.where(F.col("_side") == 1)
     if tolerance is not None:
-        m = F.col("_asof___matchts")
+        m = F.col("_asof").getField("__matchts")
         dist = F.when(m >= F.col("_ts"), m - F.col("_ts")).otherwise(
             F.col("_ts") - m
         )
         within = m.isNotNull() & (dist <= tolerance)
-        carried = carried.select(
-            *[c for c in carried.columns if not c.startswith("_asof_")],
-            *[
-                F.when(within, F.col(f"_asof_{c}")).alias(f"_asof_{c}")
-                for c in right_values
-            ],
+        carried = carried.withColumn(
+            "_asof", F.when(within, F.col("_asof"))
         )
     out = carried.select(
-        *lcols, *[F.col(f"_asof_{c}").alias(c) for c in right_values]
+        *lcols,
+        *[
+            F.col("_asof").getField(c).alias(c)
+            for c in right_values
+        ],
+        F.col("_asof").isNotNull().alias("_matched"),
     )
     if how == "inner":
-        out = out.where(F.col(right_values[0]).isNotNull())
-    return out
+        # matched = a right ROW was found (within tolerance), NOT
+        # "first value column non-null" — a genuine match whose value
+        # happens to be NULL must survive an inner as-of join
+        out = out.where(F.col("_matched"))
+    return out.drop("_matched")

@@ -323,8 +323,13 @@ def cluster_best_survivors(
         F.max("_score").alias("_best_score")
     )
     scored_max = labeled.join(best_score, "component_id")
+    # eqNullSafe: a component whose scores are ALL NULL (max ignores
+    # nulls -> _best_score NULL) must still elect a survivor (min id
+    # among its members) — a plain == would produce no survivor row
+    # and the inner join below would silently DELETE the whole
+    # component from the labeling, breaking the every-row contract.
     survivor = (
-        scored_max.where(F.col("_score") == F.col("_best_score"))
+        scored_max.where(F.col("_score").eqNullSafe(F.col("_best_score")))
         .groupBy("component_id")
         .agg(F.min(id_col).alias("_survivor_id"))
     )

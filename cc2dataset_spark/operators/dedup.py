@@ -27,6 +27,13 @@ def dedup_exact(
     any pipeline that must be re-runnable bit-for-bit at 100 TB.
     """
     others = [c for c in df.columns if c not in keys]
+    if not others:
+        # keys cover every column: rows within a group are fully
+        # identical, so dropDuplicates IS the deterministic answer —
+        # an empty ordering struct() would make min_by an arbitrary
+        # partition-order pick (of identical rows, but don't rely on
+        # that: keep the degenerate case out of the min_by path)
+        return df.dropDuplicates(keys)
     ordering = (
         F.struct(*order_by)
         if order_by

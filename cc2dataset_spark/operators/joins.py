@@ -34,8 +34,21 @@ def salted_join(
     so every (key, salt) pair finds its match. Right-side blowup is the
     price — use only when the right side is small-ish but above the
     broadcast threshold, or when AQE's split isn't enough.
-    Result == plain ``left.join(right, key, how)`` row-for-row.
+    Result == plain ``left.join(right, key, how)`` row-for-row for
+    ``how`` in ('inner', 'left', 'left_semi', 'left_anti') — the hows
+    where unmatched RIGHT rows never surface. 'right'/'full' would
+    emit every unmatched right row ``salt_buckets`` times (one per
+    exploded copy), silently inflating downstream counts, so they are
+    rejected rather than quietly wrong.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
+                   "leftsemi", "leftanti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins only; "
+            f"how={how!r} would duplicate unmatched right rows "
+            f"{salt_buckets}x (explode the LEFT side and salt the "
+            f"right if you need right-outer semantics)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(

@@ -268,9 +268,14 @@ def minhash_neardup_pairs(
         F.size(F.array_intersect("sh_a", "sh_b")).alias("_c"),
         (F.size("sh_a") + F.size("sh_b")).alias("_ab"),
     )
-    jac = F.col("_c").cast("double") / (F.col("_ab") - F.col("_c"))
+    # ratio_round6, not F.round on the double quotient: the double
+    # path is not cross-engine stable at 6-dp half boundaries, and the
+    # sibling verify stages (jaccard_verify_pairs,
+    # prefix_filter_jaccard_pairs) already round via the exact
+    # rational — the two "identical semantics" paths must agree
+    jac = ratio_round6(F.col("_c"), F.col("_ab") - F.col("_c"))
     return sized.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        "id_a", "id_b", jac.alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
 
 
@@ -551,13 +556,30 @@ def embedding_neardup_pairs_blocked(
     Subquadratic variants (simhash/LSH/SemDeDup) remain the 100 TB
     paths; this is the affordable form of their ground truth.
     """
+    from pyspark.sql.types import IntegralType
+
+    if not isinstance(df.schema[id_col].dataType, IntegralType):
+        # the Arrow kernel packs ids as int64; a silent cast would turn
+        # string ids into NULLs, drop them into an unjoinable NULL
+        # block, and return an EMPTY result with no error
+        raise ValueError(
+            f"embedding_neardup_pairs_blocked requires an integral id"
+            f" column, got {df.schema[id_col].dataType} for {id_col!r}"
+        )
     spark = df.sparkSession
     n = df.count()
     nblocks = max(1, -(-n // block_size))
+    # block by HASH of the id, not id % nblocks: ids sharing a residue
+    # class (every id a multiple of k) would collapse into one
+    # mega-block and recreate the single-task O(n^2) tile the blocking
+    # exists to avoid; the hash only routes rows, so the output pairs
+    # are unchanged
     v = df.select(
         F.col(id_col).cast("bigint").alias("vid"),
         as_double_array(vec_col).alias("v"),
-        F.pmod(F.col(id_col).cast("bigint"), F.lit(nblocks)).alias("b"),
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string")), F.lit(nblocks)
+        ).alias("b"),
     )
     blocks = v.groupBy("b").agg(
         F.collect_list(F.struct("vid", "v")).alias("vecs")
@@ -764,6 +786,15 @@ def sorted_neighborhood_pairs(
     rank.release(result)."""
     from cc2dataset_spark.operators.rank import global_row_number
 
+    if neighborhood < 2:
+        # sequence(1, neighborhood-1) runs DESCENDING when start >
+        # stop (sequence(1,0) = [1,0]), and offset 0 would join every
+        # row to ITSELF — a jaccard-1.0 self-pair per document —
+        # instead of the "no comparisons" a w<2 caller asked for
+        raise ValueError(
+            f"neighborhood must be >= 2 (w-1 neighbors per row),"
+            f" got {neighborhood}"
+        )
     base = spread_small_input(
         df.select(F.col(id_col), F.col(text_col))
     ).select(

@@ -281,8 +281,12 @@ def knn_label_vote(
         corpus.select(F.col(id_col).alias("neighbor_id"), label_col), "neighbor_id"
     )
     votes = labeled.groupBy("query_id", label_col).agg(F.count("*").alias("votes"))
+    # min_by over (votes DESC, label ASC) — negate the COUNT (always
+    # numeric), never the label: -label on a string column casts to
+    # double and yields NULL, making vote ties nondeterministic (the
+    # same unary-minus trap components.cluster_best_survivors avoids)
     return votes.groupBy("query_id").agg(
-        F.expr(f"max_by({label_col}, struct(votes, -{label_col}))").alias(
+        F.expr(f"min_by({label_col}, struct(-votes, {label_col}))").alias(
             "predicted_label"
         ),
         F.max("votes").alias("top_votes"),

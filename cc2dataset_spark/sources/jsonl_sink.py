@@ -21,6 +21,15 @@ Protocol (executor/driver split):
 Worth having beside ``DataFrame.write.json`` because the commit hook
 is user-visible: production sinks hang dataset registration, count
 reconciliation, or marker files off exactly this two-phase structure.
+
+SHARED-FILESYSTEM REQUIREMENT: ``write`` runs on executors and
+``commit`` os.replace()s those temp paths on the DRIVER, so the output
+path must be a filesystem both sides see (local mode, NFS, or a FUSE
+mount). On a multi-node cluster with node-local disks the commit
+cannot find the executors' temp files — production deployments point
+this at shared storage or swap the rename for the object-store
+copy-and-mark equivalent. The two-phase PROTOCOL (temp -> message ->
+driver commit) is exactly the production shape either way.
 """
 
 from __future__ import annotations
@@ -81,7 +90,10 @@ class _JsonlShardWriter(DataSourceWriter):
         # losing attempts of speculated tasks leave temp files behind;
         # the commit point is where they are provably dead
         tmp_dir = os.path.join(self.path, "_tmp")
-        for leftover in os.listdir(tmp_dir):
+        # an empty write (zero tasks produced rows) never created _tmp
+        for leftover in (
+            os.listdir(tmp_dir) if os.path.isdir(tmp_dir) else []
+        ):
             try:
                 os.remove(os.path.join(tmp_dir, leftover))
             except OSError:

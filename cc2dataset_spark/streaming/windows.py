@@ -75,13 +75,25 @@ def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
 def sliding_counts(
     events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
 ) -> DataFrame:
-    """Sliding window counts (each event lands in width/slide windows)."""
+    """Sliding window counts (each event lands in width/slide windows).
+
+    n_users is an EXACT distinct on batch frames; on streaming frames
+    it switches to approx_count_distinct (HLL) because Structured
+    Streaming rejects distinct aggregations in streaming groupBys —
+    the batch twin stays oracle-exact while the stream stays runnable,
+    and the approximation is confined to the path that cannot be
+    exact at all."""
     w = F.window("ts", width, slide)
+    n_users = (
+        F.approx_count_distinct("user_id")
+        if events.isStreaming
+        else F.countDistinct("user_id")
+    )
     return (
         events.groupBy(w.alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
+            n_users.alias("n_users"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),

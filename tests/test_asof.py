@@ -221,3 +221,40 @@ def test_asof_tolerance_rejects_distant_matches(spark):
         ).collect()
     }
     assert near == {(1, 80)}
+
+
+def test_asof_null_value_columns_stay_row_atomic(spark):
+    """A matched right row's values travel TOGETHER: a NULL in one
+    value column must surface as NULL, never backfilled from an older
+    right row (pandas merge_asof semantics); and an inner as-of join
+    keeps a genuine match whose first value column is NULL."""
+    from cc2dataset_spark.operators.asof import asof_join_union
+
+    left = spark.createDataFrame([(1, 30)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, 2.0), (1, 20, None, 3.0)],
+        ["k", "rts", "a", "b"],
+    )
+    out = asof_join_union(
+        left, right, left_key="k", right_key="k",
+        left_ts="ts", right_ts="rts", right_tiebreak="rts",
+        right_values=["a", "b"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0].a is None and out[0].b == 3.0  # ts=20 row, atomic
+
+    inner = asof_join_union(
+        left, right, left_key="k", right_key="k",
+        left_ts="ts", right_ts="rts", right_tiebreak="rts",
+        right_values=["a", "b"], how="inner",
+    ).collect()
+    assert len(inner) == 1  # match exists even though a is NULL
+
+    # tolerance: the match at ts=20 is outside tol=5 -> no backfill
+    # of column a from the ts=10 row either
+    tol = asof_join_union(
+        left, right, left_key="k", right_key="k",
+        left_ts="ts", right_ts="rts", right_tiebreak="rts",
+        right_values=["a", "b"], tolerance=5, how="left",
+    ).collect()
+    assert tol[0].a is None and tol[0].b is None

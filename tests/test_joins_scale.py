@@ -522,3 +522,19 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     )
     want = {(r.segment, r.n_events, r.n_users) for r in plain.collect()}
     assert got == want and got
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """right/full outer would emit unmatched right rows S times."""
+    import pytest as _pytest
+
+    from cc2dataset_spark.operators.joins import salted_join
+
+    l = spark.createDataFrame([(1, "x")], ["k", "a"])
+    r = spark.createDataFrame([(2, "y")], ["k", "b"])
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="duplicate"):
+            salted_join(l, r, "k", how=how)
+    # supported hows still produce plain-join results
+    got = salted_join(l, r, "k", how="left").collect()
+    assert len(got) == 1 and got[0].b is None

@@ -1022,3 +1022,56 @@ def test_best_quality_survivors_string_ids(spark):
     assert rows["doc_b"] == ("doc_a", True)
     assert rows["doc_a"][1] is False and rows["doc_c"][1] is False
     assert rows["doc_z"] == ("doc_z", True)  # singleton survives
+
+
+def test_knn_vote_string_labels_tiebreak(spark):
+    """Vote ties over STRING labels must break to the smallest label
+    deterministically (the unary-minus-on-label trap)."""
+    from cc2dataset_spark.operators.similarity import knn_label_vote
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0], "spam" if i % 2 else "ham")
+         for i in range(1, 5)],
+        ["vec_id", "embedding", "label"],
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.5, 1.0])], ["vec_id", "embedding"]
+    )
+    out = knn_label_vote(queries, corpus, k=4).collect()
+    assert len(out) == 1
+    assert out[0].top_votes == 2  # 2 spam / 2 ham — a genuine tie
+    assert out[0].predicted_label == "ham"  # smallest label wins
+
+
+def test_sorted_neighborhood_rejects_degenerate_w(spark):
+    import pytest as _pytest
+
+    from cc2dataset_spark.operators.neardup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="neighborhood"):
+        sorted_neighborhood_pairs(df, neighborhood=1)
+
+
+def test_blocked_cosine_rejects_string_ids(spark):
+    import pytest as _pytest
+
+    from cc2dataset_spark.operators.neardup import (
+        embedding_neardup_pairs_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="integral id"):
+        embedding_neardup_pairs_blocked(df)
+
+
+def test_dedup_exact_all_key_columns(spark):
+    from cc2dataset_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], ["a", "b"]
+    )
+    out = {tuple(r) for r in dedup_exact(df, ["a", "b"]).collect()}
+    assert out == {(1, "x"), (2, "y")}

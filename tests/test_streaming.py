@@ -414,3 +414,25 @@ def test_streaming_chunking_equals_batch(spark, sf_dir):
     _run_to_memory(out, "t_chunks", "append")
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_chunks").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_streaming_sliding_counts_runs(spark, sf_dir):
+    """sliding_counts must be streamable: countDistinct is rejected by
+    Structured Streaming, so the streaming path switches to the HLL
+    approx while the batch twin stays exact. Counts (exact in both)
+    must agree; n_users must be present and positive."""
+    from cc2dataset_spark.streaming.windows import sliding_counts
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.window_start, r.window_end): r.n_events
+        for r in sliding_counts(events).collect()
+    }
+    stream = sliding_counts(
+        read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    )
+    _run_to_memory(stream, "t_sliding", "complete")
+    rows = spark.sql("SELECT * FROM t_sliding").collect()
+    got = {(r.window_start, r.window_end): r.n_events for r in rows}
+    assert got == batch
+    assert all(r.n_users > 0 for r in rows)
