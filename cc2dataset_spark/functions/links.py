@@ -145,7 +145,15 @@ def absolutize_urls(df: DataFrame, url: str = "url", base: str = "base_url") -> 
     (pure JVM filter); only relative rows cross the Python boundary.
     Narrow transformations only — no shuffle is introduced.
     """
-    is_abs = F.col(url).startswith("http://") | F.col(url).startswith("https://")
+    # coalesce(false): a NULL url makes BOTH startswith branches NULL,
+    # and two complementary where()s would each drop the row — the row
+    # must instead take the relative branch, whose urljoin_udf handles
+    # None explicitly (passthrough), matching the reference's behavior
+    is_abs = F.coalesce(
+        F.col(url).startswith("http://")
+        | F.col(url).startswith("https://"),
+        F.lit(False),
+    )
     absolute = df.where(is_abs)
     relative = df.where(~is_abs).withColumn(
         url, urljoin_udf(F.col(base), F.col(url))

@@ -66,15 +66,33 @@ def mean_word_length(col: Column | str) -> Column:
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(0.0)
 
 
-def quality_score(col: Column | str) -> Column:
-    """Heuristic document quality in [0,1]: favors mid-length docs with
-    low punctuation density and word lengths typical of natural text."""
-    n_tok = token_count(col)
+def quality_score_from_tokens(
+    text_col: Column | str, tok_col: Column | str
+) -> Column:
+    """The quality formula over a PRE-MATERIALIZED token array — the
+    single source of truth for the length/punct/word-shape heuristic:
+    quality_score (inline, re-tokenizing) and every query that ranks
+    or filters on quality (text_quality_scores,
+    dedup_cluster_best_quality, the curation gates' oracles) must all
+    agree bit-for-bit, so the formula lives exactly once. Rounded to
+    6 decimals — the value is ordering-deciding downstream."""
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    n_tok = F.size(t)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    mwl = F.when(n_tok > 0, total / n_tok).otherwise(0.0)
     len_score = F.least(n_tok / 64.0, F.lit(1.0))
-    punct_penalty = F.least(punct_ratio(col) * 4.0, F.lit(1.0))
-    mwl = mean_word_length(col)
+    punct_penalty = F.least(punct_ratio(text_col) * 4.0, F.lit(1.0))
     word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
     return F.round(len_score * (1.0 - punct_penalty * 0.5) * word_score, 6)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: favors mid-length docs with
+    low punctuation density and word lengths typical of natural text.
+    Convenience form that tokenizes inline (3x per row) — fine for
+    filters; materialize the token array and use
+    quality_score_from_tokens for full-corpus projections."""
+    return quality_score_from_tokens(col, tokens(col))
 
 
 # Tiny per-language stopword marker sets for the n-gram/stopword

@@ -252,7 +252,9 @@ _LOG2E = 1.4426950408889634  # 1/ln(2), shared literal on both engines
     "text_char_entropy",
     oracle=rf"""
     WITH ch AS (
-      SELECT doc_id, unnest(list_filter(string_split(lower(text), ''),
+      SELECT doc_id, unnest(list_filter(string_split(
+               regexp_replace(lower(text), '[\x{{10000}}-\x{{10FFFF}}]',
+                              '', 'g'), ''),
                                         x -> x <> '')) AS c
       FROM documents
     ), counts AS (
@@ -287,7 +289,22 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = docs.select(
         "doc_id",
         F.explode(
-            F.filter(F.split(F.lower("text"), ""), lambda x: x != "")
+            F.filter(
+                F.split(
+                    # strip astral-plane codepoints IDENTICALLY on
+                    # both engines first: Spark's split('') yields
+                    # UTF-16 code units (an emoji = 2 surrogate
+                    # "chars") while DuckDB splits codepoints — BMP
+                    # text is the only domain where the two agree
+                    F.regexp_replace(
+                        F.lower("text"),
+                        r"[\x{10000}-\x{10FFFF}]",
+                        "",
+                    ),
+                    "",
+                ),
+                lambda x: x != "",
+            )
         ).alias("c"),
     )
     counts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n"))

@@ -136,6 +136,25 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_seq(e):
+    """30-minute-gap sessionization (lag-flag-cumsum) — the ONE
+    definition of "session" shared by events_sessionize and
+    join_interval_busy_hours (gap rule, strict '>', (ts, event_id)
+    tie-break): returns (user_id, ts, session_seq) over a frame with
+    user_id/event_id/ts. Both window passes stack on one user-keyed
+    exchange+sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id", "ts", F.sum(new_s).over(run).alias("session_seq")
+    )
+
+
 @query(
     "events_sessionize",
     oracle="""
@@ -184,19 +203,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_sub), never epoch casts, so it is independent of the
     process/session timezone."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_s = F.when(
-        prev.isNull()
-        | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
-        1,
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sess = e.select(
-        "user_id", "ts", F.sum(new_s).over(run).alias("session_seq")
-    )
+    sess = _session_seq(e)
     return sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("t_start"),
@@ -213,9 +220,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))
-                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+             CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(19,6))
+                      * CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS s2
       FROM events GROUP BY event_type
     ), scored AS (
       SELECT e.event_id, e.event_type, e.value,
@@ -235,14 +242,18 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event z-score against its event type's population moments,
     flagging |z| > 3 — the monitoring/anomaly shape (metric drift,
     bot spikes). Moments come from exact DECIMAL sums (value and
-    value² at (18,6)x(18,6) -> (37,12), inside DECIMAL(38) in both
+    value² at (19,6)x(19,6) -> at most 38 digits in both
     engines, so accumulation order cannot matter); mean/variance/sqrt
     are then identical IEEE double ops — sqrt is correctly rounded —
     so even the 3-sigma BOOLEAN compares identical doubles and needs
     no rounding slack. Plan: one tiny per-type aggregate broadcast
     back onto the events; the stream never shuffles."""
     e = load_table(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(18,6)")
+    # (19,6), not (18,6): DuckDB computes an (18,6) square in int64
+    # DECIMAL(18,12) and OVERFLOWS for any |value| >= 1000; 19 digits
+    # force the int128/DECIMAL(38) path in both engines (the same
+    # class as agg_corr_lineitem's r6 fix)
+    v = F.col("value").cast("decimal(19,6)")
     stats = e.groupBy(F.col("event_type").alias("t")).agg(
         F.count("*").alias("n"),
         F.sum(v).cast("double").alias("s1"),
@@ -632,19 +643,7 @@ def join_interval_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     timezone, which makes hour_start render process-tz-dependently at
     collect() and shifts wall clocks that land in a DST gap."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_s = F.when(
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
-        1,
-    ).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = e.select(
-        "user_id",
-        F.sum(new_s).over(run).alias("session_seq"),
-        "ts",
-    )
-    sessions = sess.groupBy("user_id", "session_seq").agg(
+    sessions = _session_seq(e).groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
     )
     hours = (

@@ -109,18 +109,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — fine for filters, wasteful for a full-corpus projection)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "text", T.tokens("text").alias("t"))
-    n_tok = F.size("t")
-    total = F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x))
-    mwl = F.when(n_tok > 0, total / n_tok).otherwise(0.0)
-    len_score = F.least(n_tok / 64.0, F.lit(1.0))
-    punct_penalty = F.least(T.punct_ratio("text") * 4.0, F.lit(1.0))
-    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
     return tok.select(
         "doc_id",
         F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(len_score * (1.0 - punct_penalty * 0.5) * word_score, 6).alias(
-            "quality"
-        ),
+        T.quality_score_from_tokens("text", "t").alias("quality"),
     )
 
 
@@ -214,6 +206,33 @@ _INCR_CTES = r"""base AS (
     batch AS (SELECT doc_id, source, fingerprint FROM base WHERE b >= 80)"""
 
 
+def _incr_split(docs, content=None):
+    """The deterministic 80/20 index/batch fingerprint split — ONE
+    Spark-side definition twinned with the shared _INCR_CTES oracle
+    fragment, consumed by the incremental-dedup trio
+    (dedup_incremental_index, dedup_bloom_prefilter,
+    dedup_index_upsert). Editing the salt, bucket count, or text
+    normalization here changes all three queries AND must change
+    _INCR_CTES identically; ``content`` overrides the fingerprinted
+    text (the bloom query plants boilerplate duplicates). Returns
+    (index_fps, batch, fp_expr): the distinct historical fingerprints,
+    the full incoming-batch frame (doc_id, source, text, fingerprint),
+    and the fingerprint expression for re-derivation."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+
+    c = F.col("text") if content is None else content
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+    b = md5_mod(F.concat(F.lit("ix:"), F.col("doc_id").cast("string")), 100)
+    base = docs.select(
+        "doc_id", "source", "text", fp.alias("fingerprint"), b.alias("b")
+    )
+    ix = base.where(F.col("b") < 80).select("fingerprint").distinct()
+    batch = base.where(F.col("b") >= 80).select(
+        "doc_id", "source", "text", "fingerprint"
+    )
+    return ix, batch, fp
+
+
 @query(
     "dedup_incremental_index",
     oracle=f"""
@@ -238,20 +257,13 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose normalized-text fingerprint is new to the index AND min-id
     within the batch. Same normalization as dedup_fingerprint_documents
     so the two agree on what "identical content" means."""
-    from cc2dataset_spark.functions.hashes import md5_mod
     from cc2dataset_spark.operators.dedup import dedup_incremental
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-    b = md5_mod(F.concat(F.lit("ix:"), F.col("doc_id").cast("string")), 100)
-    base = docs.select("doc_id", "source", "text", b.alias("b"))
-    index_fps = (
-        base.where(F.col("b") < 80).select(fp.alias("fingerprint")).distinct()
-    )
-    batch = base.where(F.col("b") >= 80).select("doc_id", "source", "text")
-    return dedup_incremental(batch, index_fps, fp).select(
-        "doc_id", "fingerprint", "source"
-    )
+    index_fps, batch, fp = _incr_split(docs)
+    return dedup_incremental(
+        batch.select("doc_id", "source", "text"), index_fps, fp
+    ).select("doc_id", "fingerprint", "source")
 
 
 _BLOOM_M = 1 << 11  # bits PER SHARD; sharded capacity = shards * m
@@ -344,11 +356,8 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.when(
         F.col("doc_id") % 11 == 0, F.lit("Boilerplate Page")
     ).otherwise(F.col("text"))
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(content)), r"\s+", " "))
-    b = md5_mod(F.concat(F.lit("ix:"), F.col("doc_id").cast("string")), 100)
-    base = docs.select("doc_id", fp.alias("fingerprint"), b.alias("b"))
-    ix = base.where(F.col("b") < 80).select("fingerprint").distinct()
-    batch = base.where(F.col("b") >= 80).select("doc_id", "fingerprint")
+    ix, batch_full, _ = _incr_split(docs, content=content)
+    batch = batch_full.select("doc_id", "fingerprint")
     flagged = bloom_prefilter(
         batch, ix, m_bits=_BLOOM_M, k=_BLOOM_K, n_shards=_BLOOM_SHARDS
     )
@@ -1027,9 +1036,18 @@ def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class Tokenize:
         def eval(self, text: str):
+            import re
+
             if text is None:
                 return
-            for i, tok in enumerate(t for t in text.strip().split() if t):
+            # re.ASCII and no str.strip(): Python's default \s and
+            # strip() are Unicode-aware (NBSP, \x1c-\x1f...) while the
+            # DuckDB oracle and every other query's tokenizer split on
+            # RE2/Java '\s+', which is ASCII-only — the empty-token
+            # filter absorbs leading/trailing separators, so no strip
+            # is needed at all
+            toks = re.split(r"\s+", text, flags=re.ASCII)
+            for i, tok in enumerate(t for t in toks if t):
                 yield i, tok
 
     spark.udtf.register("tokenize_words", Tokenize)
@@ -1936,17 +1954,12 @@ def dedup_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL) and account the result per leading-hex bucket — the
     per-partition-directory sizing a production store would use to
     schedule compaction."""
-    from cc2dataset_spark.functions.hashes import md5_mod
     from cc2dataset_spark.operators.dedup import upsert_by_key
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-    b = md5_mod(F.concat(F.lit("ix:"), F.col("doc_id").cast("string")), 100)
-    base = docs.select("doc_id", fp.alias("fingerprint"), b.alias("b"))
-    ix = base.where(F.col("b") < 80).select("fingerprint").distinct()
+    ix, batch, _ = _incr_split(docs)
     accepted = (
-        base.where(F.col("b") >= 80)
-        .join(ix, "fingerprint", "left_anti")
+        batch.join(ix, "fingerprint", "left_anti")
         .select("fingerprint")
         .distinct()
     )
@@ -2843,15 +2856,9 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ND.sorted_neighborhood_pairs(docs)
     tok = docs.select("doc_id", "text", T.tokens("text").alias("t"))
-    n_tok = F.size("t")
-    total = F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x))
-    mwl = F.when(n_tok > 0, total / n_tok).otherwise(0.0)
-    len_score = F.least(n_tok / 64.0, F.lit(1.0))
-    punct_penalty = F.least(T.punct_ratio("text") * 4.0, F.lit(1.0))
-    word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
-    quality = F.round(
-        len_score * (1.0 - punct_penalty * 0.5) * word_score, 6
-    )
+    # the ONE quality formula (functions/text) — survivorship must
+    # rank by exactly the published text_quality_scores value
+    quality = T.quality_score_from_tokens("text", "t")
     return cluster_best_survivors(
         tok, pairs.select("id_a", "id_b"), "doc_id", quality
     )
