@@ -8,8 +8,8 @@ namespacing. Differences are physics, not semantics:
 - The reference chains THREE shuffles (dropDuplicates -> sort(rand())
   -> repartition, main.py:256-260) and the repartition destroys the
   sort order anyway (§2.6 O2). We do TWO: the dedup exchange, then a
-  single `repartition(n, rand(seed))` that both decorrelates rows and
-  controls output file count.
+  single `repartition(n, xxhash64(uid, seed))` that both decorrelates
+  rows and controls output file count.
 - Multipart merge reads all parts with one multi-path parquet scan
   instead of a driver-side union fold (main.py:320-327).
 """
@@ -55,15 +55,25 @@ def deduplicate_repartition_write(
     """Dedup by uid, optionally decorrelate row placement, write
     parquet, return the written row count (main.py:254-266).
 
-    Single post-dedup exchange: `repartition(n, rand(seed))` hashes a
-    seeded random key — rows scatter uniformly across n files (the
+    Single post-dedup exchange: `repartition(n, xxhash64(uid, seed))`
+    hashes a seeded key — rows scatter uniformly across n files (the
     decorrelation the reference wanted from sort(rand())) without a
-    range-sort shuffle.
+    range-sort shuffle. The scatter key is a DETERMINISTIC function of
+    the row, never `rand()`: hash-partitioning on a nondeterministic
+    expression is the SPARK-23207 failure class — a fetch-failure
+    retry re-evaluates rand() over a differently-ordered partition
+    and rows silently duplicate or vanish. (Spark's own round-robin
+    repartition(n) guards itself with a local sort for exactly this
+    reason; a rand() partition key has no such guard.) xxhash64 of the
+    just-deduped uid is unique per row, so the spread is as uniform as
+    rand()'s, and a retry reproduces identical assignments.
     """
     uniques = df.dropDuplicates(["uid"])
     n = output_file_count(wat_count, min_files)
     if shuffle:
-        repartitioned = uniques.repartition(n, F.rand(seed))
+        repartitioned = uniques.repartition(
+            n, F.xxhash64(F.col("uid"), F.lit(seed))
+        )
     else:
         repartitioned = uniques.repartition(n)
     repartitioned.write.mode("overwrite").parquet(output_path)

@@ -261,6 +261,14 @@ def read_wat_archives(
                 if i == retries - 1:
                     return
                 _time.sleep(1 + _random.random())
+        # Rows BUFFER per file, yielded only after the whole archive
+        # parsed: the reference's file tier returns [] on a structural
+        # failure (extract_documents_from_wat's broad except,
+        # main.py:178-183), discarding links already extracted from
+        # EARLIER records of that file — an incremental yield would
+        # leak them. The buffer is bounded by one archive's extracted
+        # links, exactly the reference's ``all_links`` list.
+        rows: list[dict] = []
         try:
             for reader in _payload_readers(stream):
                 try:
@@ -279,7 +287,7 @@ def read_wat_archives(
                 # fail the guard (not TypeError into the whole-file skip)
                 if meta.get("Links") is None:
                     continue
-                yield {
+                rows.append({
                     "Envelope": {
                         "Payload-Metadata": {
                             "HTTP-Response-Metadata": {
@@ -306,9 +314,10 @@ def read_wat_archives(
                         },
                     },
                     "Container": {"Filename": data["Container"]["Filename"]},
-                }
-        except Exception:  # noqa: BLE001 - whole-file parse failure: skip
+                })
+        except Exception:  # noqa: BLE001 - whole-file parse failure: drop ALL
             return
+        yield from rows
 
     sc = spark.sparkContext
     rdd = sc.parallelize(wat_paths, max(1, len(wat_paths))).flatMap(iter_wat_links)

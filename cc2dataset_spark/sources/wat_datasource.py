@@ -55,27 +55,29 @@ def _open_binary(path: str):
 
 def _navigate(data: dict) -> tuple | None:
     """WAT envelope dict -> WAT_SCHEMA-shaped nested tuple, or None when
-    an envelope guard fails (main.py:144-155)."""
-    try:
-        envelope = data["Envelope"]
-        payload = envelope["Payload-Metadata"]
-        if "HTTP-Response-Metadata" not in payload:
-            return None
-        html = payload["HTTP-Response-Metadata"]
-        if "HTML-Metadata" not in html:
-            return None
-        meta = html["HTML-Metadata"]
-        if meta.get("Links") is None:
-            return None
-        links = [
-            (l.get("url"), l.get("alt"), l.get("text"), l.get("path"))
-            for l in meta["Links"]
-        ]
-        base = (meta.get("Head") or {}).get("Base")
-        page_url = envelope["WARC-Header-Metadata"]["WARC-Target-URI"]
-        filename = data["Container"]["Filename"]
-    except Exception:  # noqa: BLE001 - malformed record: skip (main.py:141-143)
+    an explicit envelope guard fails (main.py:146-153 ``in`` checks —
+    RECORD skip). Any OTHER structural error (missing Envelope /
+    Container.Filename / WARC-Target-URI, a non-dict link) RAISES: the
+    reference contains those at the FILE tier (the broad except at
+    main.py:178-183 returns [], dropping the whole file), so the
+    callers buffer per file and discard on raise."""
+    envelope = data["Envelope"]
+    payload = envelope["Payload-Metadata"]
+    if "HTTP-Response-Metadata" not in payload:
         return None
+    html = payload["HTTP-Response-Metadata"]
+    if "HTML-Metadata" not in html:
+        return None
+    meta = html["HTML-Metadata"]
+    if meta.get("Links") is None:
+        return None
+    links = [
+        (l.get("url"), l.get("alt"), l.get("text"), l.get("path"))
+        for l in meta["Links"]
+    ]
+    base = (meta.get("Head") or {}).get("Base")
+    page_url = envelope["WARC-Header-Metadata"]["WARC-Target-URI"]
+    filename = data["Container"]["Filename"]
     return (((((links, (base,)),),), (page_url,)), (filename,))
 
 
@@ -118,6 +120,10 @@ def _iter_warc(path: str, retries: int) -> Iterator[tuple]:
             if i == retries - 1:
                 return
             _time.sleep(1 + _random.random())
+    # buffer per file: a structural failure anywhere drops the WHOLE
+    # file's rows, including ones from earlier records — the
+    # reference's file tier returns [] (main.py:178-183)
+    rows: list[tuple] = []
     try:
         for reader in _payload_readers(stream):
             try:
@@ -126,9 +132,10 @@ def _iter_warc(path: str, retries: int) -> Iterator[tuple]:
                 continue
             row = _navigate(data)
             if row is not None:
-                yield row
-    except Exception:  # noqa: BLE001 - whole-file parse failure: skip
+                rows.append(row)
+    except Exception:  # noqa: BLE001 - whole-file parse failure: drop ALL
         return
+    yield from rows
 
 
 def _iter_jsonl(path: str, retries: int) -> Iterator[tuple]:
@@ -146,17 +153,22 @@ def _iter_jsonl(path: str, retries: int) -> Iterator[tuple]:
             if i == retries - 1:
                 return
             _time.sleep(1 + _random.random())
-    for line in text.splitlines():
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            data = _json.loads(line)
-        except ValueError:
-            continue
-        row = _navigate(data)
-        if row is not None:
-            yield row
+    rows: list[tuple] = []
+    try:
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                data = _json.loads(line)
+            except ValueError:
+                continue
+            row = _navigate(data)  # structural raise -> file tier
+            if row is not None:
+                rows.append(row)
+    except Exception:  # noqa: BLE001 - whole-file parse failure: drop ALL
+        return
+    yield from rows
 
 
 class WatPartition(InputPartition):

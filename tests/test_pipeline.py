@@ -128,3 +128,42 @@ def test_dedup_idempotent(spark, wat_jsonl):
 def test_output_file_count_floor():
     assert pipeline.output_file_count(10) == 256
     assert pipeline.output_file_count(500 * 300) == 300
+
+
+def test_shuffle_scatter_is_deterministic(spark, tmp_path, wat_jsonl):
+    """The decorrelating scatter key must be a deterministic function
+    of the row (xxhash64(uid, seed)), NEVER rand(): hash-partitioning
+    on a nondeterministic expression is the SPARK-23207 class — a
+    fetch-failure retry re-evaluates the RNG over reordered input and
+    rows silently duplicate or vanish under real-cluster stage
+    retries. Locally observable proxy: two runs over the same input
+    place every row in the same output file."""
+    wat_df = read_wat_jsonl(spark, wat_jsonl)
+    extracted = extract_document_links(wat_df, "image")
+
+    def placement(out):
+        pipeline.deduplicate_repartition_write(
+            extracted, str(out), wat_count=2, shuffle=True, min_files=8
+        )
+        files = sorted(
+            f for f in os.listdir(out) if f.endswith(".parquet")
+        )
+        return [
+            frozenset(
+                r.uid for r in spark.read.parquet(str(out / f)).collect()
+            )
+            for f in files
+        ]
+
+    a = placement(tmp_path / "a")
+    b = placement(tmp_path / "b")
+    assert a == b
+    assert sum(len(s) for s in a) == len(_expected_unique_uids("image"))
+    # and the plan really carries no nondeterministic expression
+    n = pipeline.output_file_count(2, 8)
+    from pyspark.sql import functions as F
+
+    plan = extracted.dropDuplicates(["uid"]).repartition(
+        n, F.xxhash64(F.col("uid"), F.lit(42))
+    )._jdf.queryExecution().analyzed().toString()
+    assert "rand(" not in plan

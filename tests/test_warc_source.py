@@ -99,3 +99,50 @@ def test_build_writes_fixture(tmp_path):
     p2 = build(str(tmp_path / "b.warc.gz"))
     with open(p1, "rb") as f1, open(p2, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def _gz_warc(path, payloads):
+    """Write a gzipped WARC of metadata records with the given JSON
+    payload bytes (reusing the fixture builder's record writer)."""
+    import gzip
+
+    from tests.fixtures.build_tiny_wat import _warc_record
+
+    buf = io.BytesIO()
+    for i, payload in enumerate(payloads):
+        buf.write(
+            _warc_record(
+                "metadata",
+                {
+                    "WARC-Date": "2020-01-01T00:00:00Z",
+                    "WARC-Record-ID": f"<urn:uuid:t-{i}>",
+                    "Content-Type": "application/json",
+                },
+                payload,
+            )
+        )
+    with open(path, "wb") as f:
+        f.write(gzip.compress(buf.getvalue(), mtime=0))
+    return str(path)
+
+
+def test_file_tier_drops_already_extracted_records(spark, tmp_path):
+    """Reference containment parity (main.py:178-183): a structural
+    failure (valid JSON, missing 'Envelope') anywhere in a file drops
+    the WHOLE file's links — including records already parsed BEFORE
+    the failure point (the reference returns [], discarding its
+    all_links buffer). A malformed-JSON record, by contrast, is a
+    record-tier skip that keeps the rest of ITS file."""
+    import json
+
+    good = json.dumps(FIXTURE_RECORDS[0], separators=(",", ":")).encode()
+    # file A: good record THEN a structurally-broken one -> drop ALL
+    fa = _gz_warc(tmp_path / "a.warc.gz", [good, b'{"not_envelope": 1}'])
+    # file B: malformed JSON between two good records -> keep both
+    fb = _gz_warc(
+        tmp_path / "b.warc.gz", [good, b"{not json!!", good]
+    )
+    assert read_wat_archives(spark, [fa]).count() == 0
+    assert read_wat_archives(spark, [fb]).count() == 2
+    # both files in one scan: only file B's records survive
+    assert read_wat_archives(spark, [fa, fb]).count() == 2

@@ -173,3 +173,27 @@ def test_warc_iter_retries_flaky_io(monkeypatch):
     calls["n"] = 0
     assert list(ds._iter_warc(FIXTURE_PATH, retries=2)) == []
     assert calls["n"] == 2  # exhausted, skipped silently
+
+
+def test_wat_source_file_tier_drops_whole_file(registered, tmp_path):
+    """Reference containment parity in the V2 source (both modes): a
+    valid-JSON record missing 'Envelope' is a FILE-tier failure that
+    discards the file's earlier rows (main.py:178-183 returns []),
+    while malformed JSON is a record-tier skip."""
+    import json
+
+    spark = registered
+    good = json.dumps(FIXTURE_RECORDS[0])
+    broken = '{"not_envelope": 1}'
+    fa = tmp_path / "a.jsonl"
+    fa.write_text(good + "\n" + broken + "\n")
+    fb = tmp_path / "b.jsonl"
+    fb.write_text(good + "\nnot json!!\n" + good + "\n")
+    read = lambda p: (
+        spark.read.format("wat")
+        .option("paths", str(p))
+        .option("mode", "jsonl")
+        .load()
+    )
+    assert read(fa).count() == 0
+    assert read(fb).count() == 2
