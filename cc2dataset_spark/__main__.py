@@ -121,6 +121,13 @@ def main(argv: list[str] | None = None) -> int:
         from cc2dataset_spark.plans.catalog import QUERIES, _load_all
 
         _load_all()
+        if args.name not in QUERIES:
+            import difflib
+
+            close = difflib.get_close_matches(args.name, QUERIES, n=3)
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            print(f"unknown query {args.name!r}{hint}", file=sys.stderr)
+            return 2
         spark = build_spark_session(master="local[*]")
         df = QUERIES[args.name].fn(spark, args.sf_dir)
         if args.explain:

@@ -1293,3 +1293,107 @@ def curate_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND substring(a, 1, i) = substring(b, 1, i))) AS INT))"
         ).alias("shared_prefix"),
     )
+
+
+_PARA_TOKENS = 8
+
+
+@query(
+    "curate_dedup_paragraphs",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ), p AS (
+      SELECT doc_id,
+             CAST((start - 1) / {_PARA_TOKENS} AS BIGINT) AS pos,
+             array_to_string(
+               list_slice(t, start, start + {_PARA_TOKENS} - 1), ' ') AS para
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t), {_PARA_TOKENS})) AS start
+            FROM tok WHERE len(t) > 0)
+    ), marked AS (
+      SELECT doc_id, pos, para,
+             (ROW_NUMBER() OVER (PARTITION BY para
+                                 ORDER BY doc_id, pos) = 1) AS is_first
+      FROM p
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           COUNT(*) FILTER (WHERE is_first) AS n_kept,
+           COALESCE(string_agg(para, ' ' ORDER BY pos)
+                      FILTER (WHERE is_first), '') AS text_deduped
+    FROM marked GROUP BY doc_id
+    """,
+    tags=("curation", "llm", "dedup", "paragraphs"),
+)
+def curate_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level PARAGRAPH dedup (Wenzek et al. 2019,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" §3 — dedup at paragraph granularity, the step that
+    strips boilerplate headers/footers shared across pages without
+    dropping the documents themselves). Every doc-level dedup in this
+    engine keeps or drops whole documents; this operator REWRITES
+    them: each paragraph occurrence after the corpus-wide first (in
+    (doc_id, pos) order) is removed, and the survivors reassemble in
+    original order. A fully-unique document round-trips to its exact
+    token join, so text_deduped degrades gracefully to identity.
+
+    The fixture corpus has no newline structure, so "paragraph" is
+    deterministically planted as consecutive 8-token blocks (same
+    fixture-adaptation trick as dedup_bloom_prefilter's planted
+    boilerplate); on real corpora the split expression is
+    split(text, '\\n\\n') and everything downstream is unchanged.
+    The tiny fixture vocabulary makes 8-token blocks genuinely
+    collide across documents, so the dedup path is exercised, not
+    vacuous (asserted in tests/test_curation_ops.py).
+
+    Plan: one tokenize pass; paragraph starts as a generated integer
+    sequence exploded per doc (pure codegen, like
+    text_chunk_documents); first-occurrence = min((doc_id, pos))
+    struct per paragraph via a PARTIAL-AGGREGATING groupBy (skew-safe
+    under boilerplate: the hot paragraph's copies map-side combine
+    before the exchange — a ROW_NUMBER window over para would funnel
+    every copy of a hot paragraph through one reducer), joined back
+    pinned shuffle-hash (both sides corpus-scale; an AQE broadcast of
+    the distinct-paragraph frame is exactly the measured
+    default-heap-OOM hazard of the graph/neardup joins); reassembly
+    is one doc-keyed aggregate over (pos, para) structs. Two
+    corpus-scale shuffles total (para-keyed, doc-keyed) — linear at
+    100 TB, no quadratic surface anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    ).where(F.size("t") > 0)
+    starts = F.sequence(F.lit(1), F.size("t"), F.lit(_PARA_TOKENS))
+    p = tok.select(
+        "doc_id", "t", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / _PARA_TOKENS).cast("bigint").alias("pos"),
+        F.array_join(
+            F.slice("t", F.col("start"), _PARA_TOKENS), " "
+        ).alias("para"),
+    )
+    first = p.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("fo")
+    )
+    marked = p.join(first.hint("shuffle_hash"), "para").select(
+        "doc_id",
+        "pos",
+        "para",
+        (
+            (F.col("fo.doc_id") == F.col("doc_id"))
+            & (F.col("fo.pos") == F.col("pos"))
+        ).alias("is_first"),
+    )
+    kept_struct = F.when(F.col("is_first"), F.struct("pos", "para"))
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.count(F.when(F.col("is_first"), 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )

@@ -198,3 +198,63 @@ def test_boilerplate_prefix_recovers_planted_banner(spark, sf_dir):
         banner = f"[{r.source}] "
         assert r.lcp_len >= len(banner), (r.source, r.lcp_len)
         assert r.shared_prefix.startswith(banner)
+
+
+def test_paragraph_dedup_first_occurrence_and_roundtrip(spark, monkeypatch):
+    """curate_dedup_paragraphs: (a) a paragraph block shared by two
+    docs survives only at its corpus-first (doc_id, pos); (b) a doc
+    with no duplicated blocks round-trips to its exact token join;
+    (c) a doc that IS entirely a copy of an earlier doc's blocks
+    reassembles to the empty string (its every paragraph is a repeat)."""
+    from cc2dataset_spark.plans.curation import (
+        _PARA_TOKENS,
+        curate_dedup_paragraphs,
+    )
+
+    blk_a = " ".join(f"a{i}" for i in range(_PARA_TOKENS))
+    blk_b = " ".join(f"b{i}" for i in range(_PARA_TOKENS))
+    blk_c = " ".join(f"c{i}" for i in range(_PARA_TOKENS))
+    docs = _docs(
+        spark,
+        [
+            (1, f"{blk_a} {blk_b}", "en", "s0", 0),
+            (2, f"{blk_c} {blk_a}", "en", "s0", 0),  # blk_a repeats
+            (3, blk_a, "en", "s0", 0),  # whole doc is a repeat
+        ],
+    )
+    _with_docs(monkeypatch, docs)
+    out = {
+        r.doc_id: r
+        for r in curate_dedup_paragraphs(spark, "unused").collect()
+    }
+    assert out[1].text_deduped == f"{blk_a} {blk_b}"  # first wins
+    assert (out[1].n_paras, out[1].n_kept) == (2, 2)
+    assert out[2].text_deduped == blk_c  # repeat stripped, order kept
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert out[3].text_deduped == ""  # fully-duplicate doc empties
+    assert (out[3].n_paras, out[3].n_kept) == (1, 0)
+
+
+def test_paragraph_dedup_partial_trailing_block(spark, monkeypatch):
+    """A trailing block shorter than _PARA_TOKENS is its own
+    paragraph and dedups independently of the full-width blocks."""
+    from cc2dataset_spark.plans.curation import (
+        _PARA_TOKENS,
+        curate_dedup_paragraphs,
+    )
+
+    blk = " ".join(f"w{i}" for i in range(_PARA_TOKENS))
+    docs = _docs(
+        spark,
+        [
+            (1, f"{blk} tail", "en", "s0", 0),
+            (2, "tail", "en", "s0", 0),  # equals doc 1's short block
+        ],
+    )
+    _with_docs(monkeypatch, docs)
+    out = {
+        r.doc_id: r
+        for r in curate_dedup_paragraphs(spark, "unused").collect()
+    }
+    assert out[1].text_deduped == f"{blk} tail"
+    assert out[2].text_deduped == "" and out[2].n_kept == 0

@@ -538,3 +538,21 @@ def test_salted_join_rejects_right_and_full(spark):
     # supported hows still produce plain-join results
     got = salted_join(l, r, "k", how="left").collect()
     assert len(got) == 1 and got[0].b is None
+
+
+def test_paragraph_dedup_plan_shape(spark, sf_dir):
+    """curate_dedup_paragraphs: first-occurrence is a partial-
+    aggregating groupBy (skew-safe on hot boilerplate paragraphs —
+    never a ROW_NUMBER window over para, which would funnel every
+    copy of a hot paragraph through one reducer), and the join back
+    is PINNED shuffle-hash (both sides corpus-scale; an AQE broadcast
+    of the distinct-paragraph frame is the measured default-heap OOM
+    hazard). No window operator in the plan at all."""
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    p = _formatted_plan(QUERIES["curate_dedup_paragraphs"].fn(spark, sf_dir))
+    assert "Window" not in p, p
+    assert "ShuffledHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
