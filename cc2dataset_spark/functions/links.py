@@ -211,3 +211,47 @@ def normalize_url(col: Column | str) -> Column:
     q = F.regexp_replace(q, r"\?&", "?")
     q = F.regexp_replace(q, r"[?&]$", "")
     return F.concat(p, path_part, q)
+
+
+# Two-label public suffixes recognized by registrable_domain. A full
+# Public Suffix List is ~10k entries and changes monthly — production
+# swaps this tuple for a broadcast of the PSL file; the extraction
+# logic (and its DuckDB twin in cc_domain_stats' oracle) is unchanged.
+TWO_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.za", "co.nz",
+)
+
+
+def registrable_domain(col: Column | str) -> Column:
+    """eTLD+1-style registrable domain of a URL — the per-domain
+    aggregation key of C4/RefinedWeb-style curation (domain blocklists,
+    per-domain caps, domain quality priors). Lowercased host (no port,
+    no userinfo-free schemes assumed), then the last TWO labels —
+    except when those two labels form a known two-label public suffix
+    (co.uk, com.au, ...), where the last THREE labels are registrable.
+    Hosts with fewer labels than that pass through whole; a trailing
+    root dot is stripped. A relative URL (no authority) yields '';
+    NULL propagates (standard SQL null semantics).
+
+    Pure codegen: one regexp_extract for the host, array slicing from
+    the end for the label take — no UDF, and every step has a verbatim
+    DuckDB twin (string_split + negative list_slice), so per-domain
+    stats are SQL-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)", 2)
+    )
+    host = F.regexp_replace(host, r"\.$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_2suffix = last2.isin(*TWO_LABEL_SUFFIXES)
+    return (
+        F.when(n <= 2, host)
+        .when(is_2suffix & (n >= 3), last3)
+        .otherwise(last2)
+    )

@@ -226,3 +226,68 @@ def bloom_prefilter(
             "_bloom_rep"
         ),
     ).drop("_bloom_rep")
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    paras: Column,
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """CCNet-style corpus-level paragraph dedup (Wenzek et al. 2019
+    §3): remove every paragraph occurrence after the corpus-wide
+    first — in (id, position) order — and REWRITE each document from
+    its surviving paragraphs, preserving order. ``paras`` is any
+    Column producing array<string> paragraphs (``F.split(text,
+    '\\n\\n')`` on real corpora; the catalog query plants fixed-width
+    token blocks on the newline-free fixture); ``sep`` rejoins the
+    survivors. Empty-string paragraphs are discarded before dedup
+    (``split('')`` yields ``['']``, and a run of blank lines yields
+    empty segments — neither is content), and rows left with zero
+    paragraphs are dropped entirely.
+
+    Returns (id_col, n_paras, n_kept, text_deduped).
+
+    Plan (see the curate_dedup_paragraphs docstring for the scale
+    argument): explode with position; first-occurrence = min((id,
+    pos)) struct per paragraph via a PARTIAL-AGGREGATING groupBy
+    (skew-safe on hot boilerplate — never a per-para ROW_NUMBER
+    window); join back pinned shuffle-hash (both sides corpus-scale;
+    an AQE broadcast of the distinct-paragraph frame is the measured
+    default-heap OOM hazard); one id-keyed reassembly aggregate. Two
+    linear corpus-scale shuffles total."""
+    p = (
+        df.select(
+            F.col(id_col),
+            F.filter(paras, lambda x: x != "").alias("_paras"),
+        )
+        .where(F.size("_paras") > 0)
+        .select(
+            id_col,
+            F.posexplode("_paras").alias("pos", "para"),
+        )
+        .select(F.col(id_col), F.col("pos").cast("bigint").alias("pos"), "para")
+    )
+    first = p.groupBy("para").agg(
+        F.min(F.struct(id_col, "pos")).alias("fo")
+    )
+    marked = p.join(first.hint("shuffle_hash"), "para").select(
+        id_col,
+        "pos",
+        "para",
+        (
+            (F.col(f"fo.{id_col}") == F.col(id_col))
+            & (F.col("fo.pos") == F.col("pos"))
+        ).alias("is_first"),
+    )
+    kept_struct = F.when(F.col("is_first"), F.struct("pos", "para"))
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.count(F.when(F.col("is_first"), 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+            ),
+            sep,
+        ).alias("text_deduped"),
+    )

@@ -1360,40 +1360,18 @@ def curate_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one doc-keyed aggregate over (pos, para) structs. Two
     corpus-scale shuffles total (para-keyed, doc-keyed) — linear at
     100 TB, no quadratic surface anywhere."""
+    from cc2dataset_spark.operators.dedup import dedup_paragraphs
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
     ).where(F.size("t") > 0)
-    starts = F.sequence(F.lit(1), F.size("t"), F.lit(_PARA_TOKENS))
-    p = tok.select(
-        "doc_id", "t", F.explode(starts).alias("start")
-    ).select(
-        "doc_id",
-        ((F.col("start") - 1) / _PARA_TOKENS).cast("bigint").alias("pos"),
-        F.array_join(
-            F.slice("t", F.col("start"), _PARA_TOKENS), " "
-        ).alias("para"),
-    )
-    first = p.groupBy("para").agg(
-        F.min(F.struct("doc_id", "pos")).alias("fo")
-    )
-    marked = p.join(first.hint("shuffle_hash"), "para").select(
-        "doc_id",
-        "pos",
-        "para",
-        (
-            (F.col("fo.doc_id") == F.col("doc_id"))
-            & (F.col("fo.pos") == F.col("pos"))
-        ).alias("is_first"),
-    )
-    kept_struct = F.when(F.col("is_first"), F.struct("pos", "para"))
-    return marked.groupBy("doc_id").agg(
-        F.count("*").alias("n_paras"),
-        F.count(F.when(F.col("is_first"), 1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
-            ),
+    n_blocks = F.ceil(F.size("t") / F.lit(_PARA_TOKENS)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("t"), i * _PARA_TOKENS + 1, F.lit(_PARA_TOKENS)),
             " ",
-        ).alias("text_deduped"),
+        ),
     )
+    return dedup_paragraphs(tok, paras)

@@ -359,3 +359,118 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_doc",
         )
     )
+
+
+@query(
+    "cc_domain_stats",
+    oracle=r"""
+    WITH l AS (
+      SELECT doc_id,
+             'https://' ||
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'img.' || source || '.co.uk'
+               WHEN 1 THEN source || '.com'
+               WHEN 2 THEN 'cdn.static.' || source || '.org'
+               WHEN 3 THEN 'a.' || source || '.com.au'
+               ELSE source || '.io'
+             END || '/' || CAST(doc_id AS VARCHAR) || '.jpg' AS url
+      FROM documents,
+           (SELECT unnest(generate_series(1, 2)) AS c)
+      WHERE c = 1 OR doc_id % 2 = 0
+    ), h AS (
+      SELECT doc_id, url,
+             regexp_replace(lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)', 2)),
+               '\.$', '') AS host
+      FROM l
+    ), d AS (
+      SELECT doc_id, url, host,
+             string_split(host, '.') AS p,
+             array_to_string(string_split(host, '.')[-2:], '.') AS last2,
+             array_to_string(string_split(host, '.')[-3:], '.') AS last3
+      FROM h
+    )
+    SELECT CASE WHEN len(p) <= 2 THEN host
+                WHEN last2 IN ('co.uk','org.uk','ac.uk','gov.uk',
+                               'com.au','net.au','org.au',
+                               'co.jp','or.jp','ne.jp',
+                               'com.br','com.cn','com.mx',
+                               'co.in','co.za','co.nz')
+                     AND len(p) >= 3 THEN last3
+                ELSE last2 END AS domain,
+           COUNT(*) AS n_links,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(DISTINCT host) AS n_hosts
+    FROM d GROUP BY 1
+    """,
+    tags=("layer_a", "curation", "domains"),
+)
+def cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain link statistics
+    (functions/links.registrable_domain) — the aggregation key of
+    C4/RefinedWeb-style domain curation (blocklists, per-domain caps,
+    domain quality priors). Hosts are synthesized with subdomain depth
+    and two-label public suffixes (img.*.co.uk, a.*.com.au, ...) so
+    the eTLD+1 take is exercised, not vacuous; even doc_ids emit a
+    second link so n_links genuinely exceeds n_docs.
+
+    Plan: pure-codegen URL synthesis + host/domain regex chain, then
+    ONE domain-keyed aggregate. The two exact distincts share the
+    Expand strategy over a 3-column stream — acceptable here because
+    the aggregate input is (domain, doc_id, host), not a wide row (the
+    profile-query Expand trap needs wide agg inputs to bite). At
+    100 TB the domain key is Zipf-skewed; partial aggregation absorbs
+    the hot domains map-side before the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    host = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("img."), F.col("source"), F.lit(".co.uk")),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("source"), F.lit(".com")))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("cdn.static."), F.col("source"), F.lit(".org")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("a."), F.col("source"), F.lit(".com.au")),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".io")))
+    )
+    links = (
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                host,
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+                F.lit(".jpg"),
+            ).alias("url"),
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("c"),
+        )
+        .where((F.col("c") == 1) | (F.col("doc_id") % 2 == 0))
+    )
+    from cc2dataset_spark.functions.links import registrable_domain
+
+    hosts = links.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(
+                F.regexp_extract(
+                    "url",
+                    r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)",
+                    2,
+                )
+            ),
+            r"\.$",
+            "",
+        ).alias("host"),
+        registrable_domain("url").alias("domain"),
+    )
+    return hosts.groupBy("domain").agg(
+        F.count("*").alias("n_links"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct("host").alias("n_hosts"),
+    )

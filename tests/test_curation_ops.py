@@ -258,3 +258,37 @@ def test_paragraph_dedup_partial_trailing_block(spark, monkeypatch):
     }
     assert out[1].text_deduped == f"{blk} tail"
     assert out[2].text_deduped == "" and out[2].n_kept == 0
+
+
+def test_dedup_paragraphs_newline_corpus(spark):
+    """The reusable operator (operators/dedup.dedup_paragraphs) on a
+    REAL newline-structured corpus: paragraphs = split(text, '\\n\\n'),
+    reassembled with '\\n\\n' — the production configuration the
+    fixture-adapted catalog query can't exercise."""
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.operators.dedup import dedup_paragraphs
+
+    footer = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique first article\n\n{footer}"),
+            (2, f"another piece entirely\n\n{footer}"),
+            (3, footer),
+            (4, ""),  # empty doc: zero paragraphs -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_paragraphs(
+            docs, F.split("text", r"\n\n"), sep="\n\n"
+        ).collect()
+    }
+    assert out[1].text_deduped == f"unique first article\n\n{footer}"
+    assert out[2].text_deduped == "another piece entirely"
+    assert (out[2].n_paras, out[2].n_kept) == (2, 1)
+    assert out[3].text_deduped == ""  # footer-only page fully stripped
+    # split('') yields [''] — the operator discards empty-string
+    # paragraphs, so the empty doc has zero paragraphs and drops
+    assert 4 not in out

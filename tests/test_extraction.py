@@ -101,3 +101,30 @@ def test_normalize_url_cases(spark):
         for r in df.select("url", normalize_url("url").alias("n")).collect()
     }
     assert got == cases
+
+
+def test_registrable_domain_cases(spark):
+    """eTLD+1 take: subdomains stripped, two-label public suffixes
+    keep three labels, ports/userinfo/trailing-dot handled, short and
+    authority-less inputs degrade gracefully."""
+    from cc2dataset_spark.functions.links import registrable_domain
+
+    cases = {
+        "https://img.cdn.example.co.uk/a.jpg": "example.co.uk",
+        "http://example.com:8080/x": "example.com",
+        "https://a.b.site.com.au/": "site.com.au",
+        "https://user@deep.sub.host.org/p?q=1": "host.org",
+        "https://single/": "single",
+        "https://example.com./x": "example.com",
+        "HTTPS://WWW.EXAMPLE.COM/": "example.com",
+        "relative/path": "",
+        "https://co.uk/": "co.uk",  # bare suffix: too few labels
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["url"])
+    got = {
+        r.url: r.d
+        for r in df.select(
+            "url", registrable_domain("url").alias("d")
+        ).collect()
+    }
+    assert got == cases
