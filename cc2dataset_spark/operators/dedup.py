@@ -268,6 +268,14 @@ def dedup_paragraphs(
         )
         .select(F.col(id_col), F.col("pos").cast("bigint").alias("pos"), "para")
     )
+    # NOT pinned to a shared para exchange on purpose: the
+    # winnow-overlap trick (explicit repartition("para") reused by
+    # both consumers) MEASURED WORSE here — 3.2 s -> 8.5 s on the
+    # 10x-dup probe — because it moves the exchange BELOW the
+    # first-occurrence groupBy, forfeiting its map-side partial
+    # aggregation: under heavy duplication the hot paragraphs'
+    # copies must combine BEFORE crossing the wire. Re-evaluating
+    # the paragraph chain once per consumer is the cheaper side.
     first = p.groupBy("para").agg(
         F.min(F.struct(id_col, "pos")).alias("fo")
     )
