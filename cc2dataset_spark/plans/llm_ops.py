@@ -3026,3 +3026,84 @@ def profile_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dedup_truncated_docs",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000000 AS doc_id, substr(text, 1, 40) AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ), ranked AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY text, doc_id) AS rn
+      FROM corpus
+    )
+    SELECT a.doc_id,
+           b.doc_id AS container_id,
+           length(a.text) AS n_chars,
+           length(b.text) AS container_chars
+    FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+    WHERE starts_with(b.text, a.text) AND b.text <> a.text
+    """,
+    tags=("dedup", "llm", "containment"),
+)
+def dedup_truncated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-duplicate detection: flag every document that is a
+    PROPER PREFIX of another document — the "same page, cut off"
+    shape (pagination/mobile/AMP truncations, partial re-crawls) that
+    Jaccard-threshold dedup misses when the container is much longer
+    (|A ∩ B| / |A ∪ B| -> |A|/|B| -> small) but containment is total.
+
+    The whole operator is ONE sort, by the lexicographic-adjacency
+    property: if x is a prefix of ANY y > x, every string BETWEEN x
+    and y in sorted order also starts with x — so x is a prefix of
+    some other doc iff it is a prefix of its IMMEDIATE successor.
+    Exact and complete with n-1 adjacent comparisons, no candidate
+    generation, no quadratic surface. Duplicate-text chains: equal
+    texts sort together, so only the chain's LAST copy (highest
+    doc_id) is adjacent to the longer container and gets flagged
+    here; the other copies are exact duplicates, which
+    dedup_exact_min_survivor already owns.
+
+    The fixture's random-word texts contain no genuine truncations,
+    so the query plants them (40-char prefixes of every 5th doc,
+    replayed verbatim in the oracle); the operator logic never
+    special-cases the plant.
+
+    Plan: the global rank comes from the range-partitioned two-pass
+    rank (operators/rank.py) — NEVER an unpartitioned ROW_NUMBER
+    window — and the successor pairing is an rn+1 equi-join, the
+    sorted-neighborhood pattern with w=2. One range exchange + one
+    rn-keyed join; both linear."""
+    from cc2dataset_spark.operators.rank import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000000).alias("doc_id"),
+        F.substring("text", 1, 40).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    ranked = global_row_number(
+        corpus, order_by=["text", "doc_id"], rank_col="rn"
+    )
+    a = ranked.select(
+        F.col("doc_id"), F.col("text").alias("ta"), F.col("rn")
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("container_id"),
+        F.col("text").alias("tb"),
+        (F.col("rn") - 1).alias("rn"),
+    )
+    return (
+        a.join(b, "rn")
+        .where(F.col("tb").startswith(F.col("ta")) & (F.col("tb") != F.col("ta")))
+        .select(
+            "doc_id",
+            "container_id",
+            F.length("ta").cast("bigint").alias("n_chars"),
+            F.length("tb").cast("bigint").alias("container_chars"),
+        )
+    )

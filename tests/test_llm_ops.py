@@ -1075,3 +1075,46 @@ def test_dedup_exact_all_key_columns(spark):
     )
     out = {tuple(r) for r in dedup_exact(df, ["a", "b"]).collect()}
     assert out == {(1, "x"), (2, "y")}
+
+
+def test_truncated_docs_adjacency_is_complete(spark, monkeypatch):
+    """The lexicographic-adjacency argument end-to-end on a crafted
+    corpus: a prefix separated from its container by OTHER prefixed
+    strings is still found (the in-between strings all start with it),
+    a duplicate-text chain flags only its last copy, and a
+    non-prefix neighbor is not flagged."""
+    import cc2dataset_spark.plans.llm_ops as llm
+    from cc2dataset_spark.plans.llm_ops import dedup_truncated_docs
+
+    rows = [
+        (1, "alpha"),          # prefix of 2 and 3 (successor: "alpha b...")
+        (2, "alpha beta"),     # between 1 and 3; itself NOT a prefix of 3
+        (3, "alpha cat"),
+        (4, "zeta"),           # dup chain ...
+        (9, "zeta"),           # ... last copy flags against 10
+        (10, "zeta extended"),
+        (11, "omega"),         # no container anywhere
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).withColumns(
+        {"lang": F.lit("en"), "source": F.lit("s0"), "n_chars": F.lit(0)}
+    )
+    # neutralize the fixture plant: doc_ids here are never % 5 == 0
+    # except none (1,2,3,4,9,10,11 — 10 is! drop it from the plant by
+    # monkeypatching load_table only; the plant uses doc_id % 5 == 0,
+    # so doc 10 ("zeta extended") ALSO spawns a 40-char planted copy,
+    # which equals itself (shorter than 40) — equal text, not a
+    # proper prefix, so it changes nothing.
+    monkeypatch.setattr(
+        llm, "load_table", lambda spark, sf_dir, name: df
+    )
+    got = {
+        (r.doc_id, r.container_id)
+        for r in dedup_truncated_docs(spark, "unused").collect()
+    }
+    assert (1, 2) in got          # adjacency finds the nearest container
+    assert (9, 10) in got         # last dup copy flags
+    assert all(d != 4 for d, _ in got)   # earlier dup copy: exact-dup domain
+    assert all(d != 2 for d, _ in got)   # "alpha beta" not a prefix of "alpha cat"
+    assert all(d != 11 for d, _ in got)  # nothing contains "omega"
