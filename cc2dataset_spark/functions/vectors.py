@@ -1,6 +1,16 @@
 """Vector math over array<float>/array<double> embedding columns —
 similarity-search building blocks (north-star extension, SURVEY.md §2.3
 similarity join row). All JVM higher-order functions; no Python.
+
+Performance caveat (measured, r5): zip_with/aggregate are
+CodegenFallback — they evaluate INTERPRETED, outside whole-stage
+codegen, so per-row cost is fine for a single dot/norm per row but
+M*K folds per row (PQ encode, brute-force fan-outs) run ~6x slower
+than an Arrow pandas-UDF kernel. The hot ANN paths
+(operators/similarity.py) therefore use Arrow kernels that replicate
+these formulas bit-for-bit; these Column forms remain the
+cross-engine-replayable reference and the right choice for
+one-evaluation-per-row plans.
 """
 
 from __future__ import annotations
@@ -14,7 +24,8 @@ def _c(col: Column | str) -> Column:
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Dot product via zip_with + aggregate (whole-stage codegen)."""
+    """Dot product via zip_with + aggregate (interpreted — see the
+    module caveat; use the Arrow kernels for M*K-per-row fan-outs)."""
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 

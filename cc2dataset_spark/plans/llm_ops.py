@@ -3107,3 +3107,81 @@ def dedup_truncated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("tb").cast("bigint").alias("container_chars"),
         )
     )
+
+
+_VOCAB_TTR = RATIO6_SQL.format(num="vocab_size", den="n_tokens")
+
+
+@query(
+    "text_vocab_stats",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT lang, unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term
+    ), d AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ), v AS (
+      SELECT lang,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             COUNT(*) AS vocab_size,
+             COUNT(*) FILTER (WHERE n = 1) AS n_hapax,
+             MAX(struct_pack(n := n, term := term)) AS top
+      FROM tf GROUP BY lang
+    )
+    SELECT v.lang, d.n_docs, v.n_tokens, v.vocab_size, v.n_hapax,
+           v.top.term AS top_term,
+           v.top.n AS top_freq,
+           {_VOCAB_TTR} AS type_token_ratio
+    FROM v JOIN d ON v.lang = d.lang
+    """,
+    tags=("text", "llm", "profiling", "vocab"),
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus vocabulary health: token mass, type count
+    (vocabulary), hapax-legomena count, the modal term, and the
+    type/token ratio — the Heaps/Zipf-adjacent monitoring numbers a
+    curation pipeline tracks per snapshot (a collapsing TTR or hapax
+    share is the classic symptom of template/boilerplate flooding;
+    the modal term flipping to markup is a parse regression).
+
+    Everything ordering- or value-deciding is integer-exact: counts
+    are BIGINTs, the modal term is max(struct(freq, term)) — highest
+    frequency, ties to the lexicographically LAST term, identically
+    computable as MAX(struct_pack(n, term)) in DuckDB (positional struct comparison) — and the only ratio
+    goes through the exact rational ratio_round6 (sub-4.5e9 numerators
+    by construction: vocab_size <= n_tokens <= corpus tokens).
+
+    Plan: one tokenize+explode pass, a (lang, term) count (the same
+    shuffle key TF-IDF uses — at 100 TB the two share one exchange),
+    then a vocab-sized per-lang aggregate and a broadcast join of the
+    tiny per-lang doc counts. No windows, no floats."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    d = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    v = tf.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
+        F.max(F.struct("n", "term")).alias("top"),
+    )
+    return v.join(F.broadcast(d), "lang").select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        "n_hapax",
+        F.col("top.term").alias("top_term"),
+        F.col("top.n").alias("top_freq"),
+        ratio_round6(F.col("vocab_size"), F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+    )
