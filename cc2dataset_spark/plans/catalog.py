@@ -202,6 +202,8 @@ def _load_all() -> None:
         curation,
         events_analytics,
         graph_ops,
+        io_ops,
+        multimodal_ops,
         relational,
         relational2,
         relational3,

@@ -1375,3 +1375,260 @@ def curate_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return dedup_paragraphs(tok, paras)
+
+
+_FLESCH_NUM = (
+    "206835 * n_sentences * n_words - 1015 * n_words * n_words "
+    "- 84600 * n_syllables * n_sentences"
+)
+_FLESCH_DEN = "1000 * n_sentences * n_words"
+_WPS = RATIO6_SQL.format(num="n_words", den="n_sentences")
+_SPW = RATIO6_SQL.format(num="n_syllables", den="n_words")
+_FLESCH_POS = RATIO6_SQL.format(num=_FLESCH_NUM, den=_FLESCH_DEN)
+_FLESCH_NEG = RATIO6_SQL.format(num=f"-({_FLESCH_NUM})", den=_FLESCH_DEN)
+
+
+@query(
+    "text_readability",
+    oracle=rf"""
+    WITH counted AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_words,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           {_WPS} AS words_per_sentence,
+           {_SPW} AS syllables_per_word,
+           CASE WHEN ({_FLESCH_NUM}) >= 0 THEN {_FLESCH_POS}
+                ELSE -{_FLESCH_NEG} END AS flesch_score
+    FROM counted WHERE n_words > 0
+    """,
+    tags=("text", "curation", "quality"),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the readability prior
+    educational-quality curation uses as a cheap feature (FineWeb-Edu
+    style classifiers lean on exactly these surface ratios). Syllables
+    use the standard vowel-group heuristic (runs of [aeiouy] after
+    lowercasing: 'table' -> 2, 'query' -> 2); sentences are
+    terminator runs with a floor of 1 so punctuation-free docs (this
+    fixture) score as one long sentence rather than dividing by zero.
+
+    The score 206.835 - 1.015*(W/S) - 84.6*(Y/W) is evaluated as ONE
+    exact rational (206835*S*W - 1015*W^2 - 84600*Y*S) / (1000*S*W) —
+    never as a float expression tree — then rounded via ratio_round6,
+    with a sign split (round-half-away-from-zero) because the score
+    goes negative for run-on text and the round6 primitive is defined
+    for non-negative numerators. Numerator magnitude is bounded by
+    206835 * words^2 — document-sized, far under the 2^53/2e6 exactness
+    ceiling. Every count and both component ratios are emitted too, so
+    a downstream gate can re-threshold without re-tokenizing.
+
+    Scale: single narrow scan (doc_id, text), zero shuffles — all
+    codegen regex/aggregate-free row math. The only caveat at 100 TB
+    is regex cost per row, which is scan-bound and embarrassingly
+    parallel."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counted = docs.select(
+        "doc_id",
+        F.size(T.tokens(F.lower(F.col("text")))).cast("bigint").alias(
+            "n_words"
+        ),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    w, s, y = F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+    num = (
+        F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * y * s
+    )
+    den = F.lit(1000) * s * w
+    signed = F.when(num >= 0, ratio_round6(num, den)).otherwise(
+        -ratio_round6(-num, den)
+    )
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        ratio_round6(w, s).alias("words_per_sentence"),
+        ratio_round6(y, w).alias("syllables_per_word"),
+        signed.alias("flesch_score"),
+    )
+
+
+_UNIMAX_EPOCHS = RATIO6_SQL.format(num="alloc_tokens", den="tokens")
+
+
+@query(
+    "curate_unimax_budget",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT lang, CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang
+    ), cap AS (
+      SELECT lang, tokens,
+             CAST((ascii(substr(lang, 1, 1)) % 3) + 1 AS BIGINT) AS e_cap,
+             tokens * ((ascii(substr(lang, 1, 1)) % 3) + 1) AS capacity
+      FROM tok
+    ), tot AS (
+      SELECT (2 * SUM(capacity)) // 3 AS budget, COUNT(*) AS n FROM cap
+    ), ranked AS (
+      SELECT lang, tokens, e_cap, capacity, budget, n,
+             ROW_NUMBER() OVER (ORDER BY capacity, lang) AS rn,
+             COALESCE(SUM(capacity) OVER (
+               ORDER BY capacity, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS s_prev
+      FROM cap CROSS JOIN tot
+    ), flagged AS (
+      SELECT *,
+             capacity * (n - rn + 1) <= budget - s_prev AS capped
+      FROM ranked
+    ), brk AS (
+      SELECT MIN(CASE WHEN NOT capped THEN rn END) AS k,
+             MIN(CASE WHEN NOT capped THEN budget - s_prev END) AS remaining
+      FROM flagged
+    ), alloc AS (
+      SELECT f.lang, f.tokens, f.e_cap, f.capacity, f.budget,
+             CASE
+               WHEN b.k IS NULL OR f.rn < b.k THEN f.capacity
+               ELSE b.remaining // (f.n - b.k + 1)
+                    + CASE WHEN f.rn - b.k <
+                               b.remaining % (f.n - b.k + 1)
+                           THEN 1 ELSE 0 END
+             END AS alloc_tokens
+      FROM flagged f CROSS JOIN brk b
+    )
+    SELECT lang, tokens, e_cap, capacity, budget, alloc_tokens,
+           {_UNIMAX_EPOCHS} AS sampling_epochs
+    FROM alloc
+    """,
+    tags=("curation", "sampling", "mixing"),
+)
+def curate_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): given a
+    total token budget and a per-language epoch cap, allocate the
+    budget across languages as UNIFORMLY as possible without sampling
+    any language past cap*its_corpus_size — the water-filling that
+    replaces temperature sampling's tail over-weighting. Budget here
+    is 2/3 of total capacity and the per-language epoch caps come from
+    a deterministic config expression (1-3 epochs keyed on the lang
+    string), so both branches — low-resource languages pinned at
+    capacity, high-resource languages splitting the remainder equally
+    — are exercised on the fixture's genuinely skewed language mix.
+
+    Closed form, no iteration: sort languages by capacity ascending;
+    language i is CAPPED iff capacity_i * (langs_remaining) <=
+    budget - capacity_prefix_sum — once false it stays false (c is
+    nondecreasing while the water level test tightens by exactly the
+    amount a capped row drains), so one window pass + a 1-row
+    break-point aggregate replaces the iterative waterfill. The
+    uncapped remainder divides integer-exactly: base = rem div m with
+    the first rem%m languages (capacity order) taking +1, so
+    SUM(alloc) == budget EXACTLY — auditable conservation, no float
+    drift. Allocation epochs (alloc/tokens, <= e_cap) report the
+    realized oversampling factor via the exact rational round.
+
+    Scale: the corpus-sized work is ONE map-side-combined (lang)
+    aggregate; everything after runs on a languages-count table
+    (<=10^4 rows for any real corpus), where the unpartitioned
+    ROW_NUMBER window is deliberate and safe — documented exception
+    to the no-global-window rule, same class as the 1-row broadcast
+    totals in graph_ops."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(F.size(T.tokens(F.lower(F.col("text")))))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    e_cap = (F.ascii(F.substring("lang", 1, 1)) % 3 + 1).cast("bigint")
+    # cap is the LAST corpus-scale product (one map-side-combined lang
+    # aggregate); it feeds the budget total AND the ranked window, and
+    # flagged feeds the break-point aggregate AND the final allocation
+    # — pin both (lang-count-sized) so the corpus scan runs once, not
+    # four times (measured: 22 exchanges unpinned vs 8 pinned).
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+
+    cap = caching.track(
+        tok.select(
+            "lang",
+            "tokens",
+            e_cap.alias("e_cap"),
+            (F.col("tokens") * e_cap).alias("capacity"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = cap.agg(
+        F.expr("(2 * sum(capacity)) div 3").alias("budget"),
+        F.count("*").alias("n"),
+    )
+    ranked = cap.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("capacity", "lang"))
+        .alias("rn"),
+        F.coalesce(
+            F.sum("capacity").over(
+                Window.orderBy("capacity", "lang").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("s_prev"),
+    )
+    flagged = caching.track(
+        ranked.withColumn(
+            "capped",
+            F.col("capacity") * (F.col("n") - F.col("rn") + 1)
+            <= F.col("budget") - F.col("s_prev"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    brk = flagged.agg(
+        F.min(F.when(~F.col("capped"), F.col("rn"))).alias("k"),
+        F.min(
+            F.when(~F.col("capped"), F.col("budget") - F.col("s_prev"))
+        ).alias("remaining"),
+    )
+    m = F.col("n") - F.col("k") + 1
+    alloc = (
+        flagged.crossJoin(F.broadcast(brk))
+        .withColumn(
+            "alloc_tokens",
+            F.when(
+                F.col("k").isNull() | (F.col("rn") < F.col("k")),
+                F.col("capacity"),
+            ).otherwise(
+                F.expr("remaining div (n - k + 1)")
+                + F.when(
+                    F.col("rn") - F.col("k") < F.pmod(F.col("remaining"), m),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+        )
+    )
+    return alloc.select(
+        "lang",
+        "tokens",
+        "e_cap",
+        "capacity",
+        "budget",
+        "alloc_tokens",
+        ratio_round6(F.col("alloc_tokens"), F.col("tokens")).alias(
+            "sampling_epochs"
+        ),
+    )

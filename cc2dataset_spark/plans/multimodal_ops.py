@@ -1,0 +1,137 @@
+"""Multimodal near-duplicate queries over opaque media columns.
+
+The decode step (pixels -> perceptual hash) is environment-gated like
+every image op in this sandbox (no codec libs; see
+operators/multimodal.py), so the pHash here is synthesized
+deterministically per document — the Spark-side PLUMBING under test
+(64-bit hash banding, band-bucket candidate join, exact Hamming
+verification) is the real production path and is what a cluster runs
+after a Pandas-UDF pHash kernel fills the hash column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.plans.catalog import query
+from cc2dataset_spark.sources.tables import load_table
+
+# Planted perturbations: doc_id % 5 selects a variant of the group
+# base hash (group = doc_id div 5). Variants 0-3 flip 0/1/1/2 fixed
+# bits (pairwise Hamming <= 3); variant 4 rehashes to an unrelated
+# point (expected distance ~30) and must NOT survive verification.
+_FLIP_SQL = (
+    "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 1 "
+    "WHEN 2 THEN 1048576 WHEN 3 THEN 3298534883328 "
+    "ELSE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) END"
+)
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             xor(CAST(concat('0x',
+                   substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 15))
+                   AS BIGINT),
+                 {_FLIP_SQL}) AS phash
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, phash,
+             UNNEST([0, 1, 2, 3]) AS band_idx
+      FROM img
+    ), keyed AS (
+      SELECT doc_id, phash, band_idx,
+             (phash >> (15 * band_idx)) & 32767 AS band_val
+      FROM bands
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS hamming
+    FROM cand
+    JOIN img ha ON ha.doc_id = id_a
+    JOIN img hb ON hb.doc_id = id_b
+    WHERE bit_count(xor(ha.phash, hb.phash)) <= 3
+    """,
+    tags=("multimodal", "dedup", "image"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup via BANDED HAMMING blocking: split
+    each 60-bit pHash into 4 disjoint 15-bit bands, bucket-join on
+    (band_idx, band_val), verify candidates with an exact popcount.
+    By pigeonhole, any pair within Hamming distance t <= bands-1 = 3
+    shares at least one untouched band, so recall is EXACT for the
+    t=3 threshold — no LSH probability, no missed near-dups — while a
+    random 60-bit pair (expected distance ~30) collides on a 15-bit
+    band with p ~ 4 * 2^-15.
+
+    Scale: the band table is 4x the image count with uniform 15-bit
+    keys (widen to 2^20+ band bits for >10^8 images so per-bucket
+    fan-out stays O(dups)); ONE exchange keyed (band_idx, band_val)
+    feeds the self-join, the distinct pair set is near-dup-sized, and
+    verification joins the doc-keyed hash table twice — all integer
+    codegen (xor/shift/bit_count), no Python. The pHash itself is the
+    stubbed decode product (operators/multimodal.py gate); synthesized
+    here per doc with planted <=3-bit variants and a far decoy that
+    banding may candidate but verification must reject."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = F.conv(
+        F.substring(F.md5(F.expr("CAST(doc_id div 5 AS STRING)")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    far = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    flip = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(0).cast("bigint"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(1).cast("bigint"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(1048576).cast("bigint"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(3298534883328).cast("bigint"))
+        .otherwise(far)
+    )
+    img = docs.select(
+        "doc_id", base.bitwiseXOR(flip).alias("phash")
+    )
+    keyed = img.select(
+        "doc_id",
+        "phash",
+        F.explode(F.array([F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).select(
+        "doc_id",
+        "phash",
+        "band_idx",
+        # pyspark's shiftrightunsigned() wrapper only takes a literal
+        # shift; the SQL form accepts a column
+        F.expr("shiftrightunsigned(phash, band_idx * 15)")
+        .bitwiseAND(F.lit(32767))
+        .alias("band_val"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), "band_idx", "band_val"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = img.select(F.col("doc_id").alias("id_a"), F.col("phash").alias("pa"))
+    hb = img.select(F.col("doc_id").alias("id_b"), F.col("phash").alias("pb"))
+    hd = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .where(hd <= 3)
+        .select("id_a", "id_b", hd.cast("bigint").alias("hamming"))
+    )

@@ -474,3 +474,105 @@ def cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
         F.count_distinct("host").alias("n_hosts"),
     )
+
+
+@query(
+    "cc_anchor_text_corpus",
+    oracle=r"""
+    WITH mentions AS (
+      SELECT 'https://cdn.example.com/t/'
+               || CAST(doc_id % 61 AS VARCHAR) || '.jpg'
+               || CASE CAST((doc_id + cp) % 3 AS INT)
+                    WHEN 1 THEN '#frag'
+                    WHEN 2 THEN '?utm_source=feed'
+                    ELSE '' END AS url,
+             substr(text, 1, 24) AS anchor
+      FROM (SELECT doc_id, text,
+                   UNNEST(generate_series(1, 1 + CAST(doc_id % 2 AS INT)))
+                     AS cp
+            FROM documents)
+    ), canon AS (
+      SELECT regexp_replace(regexp_replace(url, '#.*$', '', 'g'),
+                            '\?utm_source=feed$', '', 'g') AS url,
+             anchor
+      FROM mentions
+    ), per_anchor AS (
+      SELECT url, anchor, COUNT(*) AS n FROM canon GROUP BY url, anchor
+    )
+    SELECT url,
+           CAST(SUM(n) AS BIGINT) AS n_mentions,
+           COUNT(*) AS n_unique_anchors,
+           MAX(struct_pack(n := n, anchor := anchor)).anchor AS top_anchor,
+           MAX(struct_pack(n := n, anchor := anchor)).n AS top_anchor_freq,
+           array_to_string(list_slice(list_sort(list(anchor)), 1, 8), ' | ')
+             AS anchors_sample
+    FROM per_anchor GROUP BY url
+    """,
+    tags=("layer_a", "links", "corpus"),
+)
+def cc_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus: aggregate every anchor/alt string pointing
+    at the same canonical target URL — the web-scale training signal
+    the reference's per-link (alt, url) extraction feeds but never
+    aggregates (main.py:166-176 dedups per link COPY; the anchor
+    corpus wants the per-TARGET text distribution). Mention stream is
+    derived deterministically from `documents` (many docs link the
+    same target via doc_id % 61; fragment and utm_source variants
+    exercise normalize_url, which the oracle replays on the fixture's
+    resolved cases — general regex parity is cc_dedup_normalized_url's
+    and tests/test_extraction.py's job).
+
+    Per target: total mentions, unique anchor count, the modal anchor
+    (max(struct(n, anchor)) — freq then lexicographically-last, the
+    integer-exact tie-break both engines share), and a SAMPLE of the
+    anchor set (lexicographic first 8, array_join) — capped so
+    per-URL state stays bounded when a popular URL has millions of
+    distinct anchors.
+
+    Scale: two-level aggregate on purpose. The first groupBy keys on
+    (url, anchor) — map-side partials absorb repeated identical
+    mentions AND spread a hot URL's traffic across its anchor
+    diversity, so the hot-key skew a single url-keyed exchange would
+    concentrate is diluted before the second, per-anchor-row-sized
+    url exchange. collect_list runs only over unique anchors, post
+    first-level combine."""
+    from cc2dataset_spark.functions.links import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.substring("text", 1, 24).alias("anchor"),
+        F.explode(
+            F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 2).cast("int"))
+        ).alias("cp"),
+    )
+    v = (F.col("doc_id") + F.col("cp")) % 3
+    url = F.concat(
+        F.lit("https://cdn.example.com/t/"),
+        (F.col("doc_id") % 61).cast("string"),
+        F.lit(".jpg"),
+        F.when(v == 1, F.lit("#frag"))
+        .when(v == 2, F.lit("?utm_source=feed"))
+        .otherwise(F.lit("")),
+    )
+    canon = m.select(normalize_url(url).alias("url"), "anchor")
+    per_anchor = canon.groupBy("url", "anchor").agg(F.count("*").alias("n"))
+    return (
+        per_anchor.groupBy("url")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_mentions"),
+            F.count("*").alias("n_unique_anchors"),
+            F.max(F.struct("n", "anchor")).alias("top"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("anchor")), 1, 8), " | "
+            ).alias("anchors_sample"),
+        )
+        .select(
+            "url",
+            "n_mentions",
+            "n_unique_anchors",
+            F.col("top.anchor").alias("top_anchor"),
+            F.col("top.n").alias("top_anchor_freq"),
+            "anchors_sample",
+        )
+    )
