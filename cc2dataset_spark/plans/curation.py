@@ -1498,7 +1498,11 @@ _UNIMAX_EPOCHS = RATIO6_SQL.format(num="alloc_tokens", den="tokens")
       FROM ranked
     ), brk AS (
       SELECT MIN(CASE WHEN NOT capped THEN rn END) AS k,
-             MIN(CASE WHEN NOT capped THEN budget - s_prev END) AS remaining
+             -- remaining budget AT THE BREAK ROW k: s_prev grows with
+             -- rn, so budget - s_prev is LARGEST at k -> MAX, not MIN
+             -- (MIN silently under-allocates; caught by the
+             -- conservation test in tests/test_r7_ops.py)
+             MAX(CASE WHEN NOT capped THEN budget - s_prev END) AS remaining
       FROM flagged
     ), alloc AS (
       SELECT f.lang, f.tokens, f.e_cap, f.capacity, f.budget,
@@ -1598,9 +1602,12 @@ def curate_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("budget") - F.col("s_prev"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # remaining at the BREAK row (smallest s_prev among uncapped) ->
+    # max(budget - s_prev); min() under-allocates — see the oracle
+    # comment and tests/test_r7_ops.py::test_unimax_allocation_*
     brk = flagged.agg(
         F.min(F.when(~F.col("capped"), F.col("rn"))).alias("k"),
-        F.min(
+        F.max(
             F.when(~F.col("capped"), F.col("budget") - F.col("s_prev"))
         ).alias("remaining"),
     )
@@ -1631,4 +1638,110 @@ def curate_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio_round6(F.col("alloc_tokens"), F.col("tokens")).alias(
             "sampling_epochs"
         ),
+    )
+
+
+_KN_PCONT = RATIO6_SQL.format(
+    num="COALESCE(l.n_left, 0)", den="tot.n_types"
+)
+
+
+@query(
+    "text_kneser_ney_counts",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+    ), tok AS (
+      SELECT unnest(tk) AS term FROM t
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                                   i -> {{'prev': tk[i], 'cur': tk[i+1]}}),
+                    recursive := true)
+      FROM t WHERE len(tk) >= 2
+    ), types AS (
+      SELECT DISTINCT prev, cur FROM bg
+    ), tot AS (
+      SELECT COUNT(*) AS n_types FROM types
+    ), l AS (
+      SELECT cur AS term, COUNT(*) AS n_left FROM types GROUP BY cur
+    ), r AS (
+      SELECT prev AS term, COUNT(*) AS n_right FROM types GROUP BY prev
+    ), uni AS (
+      SELECT term, COUNT(*) AS c_uni FROM tok GROUP BY term
+    )
+    SELECT uni.term, uni.c_uni,
+           COALESCE(l.n_left, 0) AS n_left_types,
+           COALESCE(r.n_right, 0) AS n_right_types,
+           {_KN_PCONT} AS p_continuation
+    FROM uni
+    LEFT JOIN l ON l.term = uni.term
+    LEFT JOIN r ON r.term = uni.term
+    CROSS JOIN tot
+    """,
+    tags=("text", "llm", "lm"),
+)
+def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation statistics — the counts that distinguish
+    a REAL smoothed LM (KenLM, the CCNet perplexity filter) from the
+    MLE interpolation in text_bigram_perplexity: per word, the number
+    of distinct LEFT contexts it follows (N1+(.w) — 'francisco' is
+    frequent but continues almost nothing, the canonical KN example),
+    the number of distinct RIGHT continuations (N1+(w.) — the
+    fertility that scales the backoff mass), and the continuation
+    probability N1+(.w) / |distinct bigram types| via the exact
+    rational. A downstream LM build consumes exactly this table.
+
+    Plan: bigrams zip the token array against itself shifted by one
+    (narrow, no doc window); ONE distinct over (prev, cur) — pinned,
+    because it feeds three consumers (the type total, the left-context
+    counts, the right-continuation counts) — then everything
+    downstream is VOCABULARY-sized: two tiny aggregates, two term-keyed
+    left joins, a 1-row broadcast total. The distinct is the only
+    corpus-scale shuffle and partial-aggregates map-side; duplicated
+    boilerplate collapses there, which is precisely the KN insight
+    applied to the plan."""
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("tk")
+    )
+    pair = F.zip_with(
+        F.slice(F.col("tk"), F.lit(1), F.size("tk") - 1),
+        F.slice(F.col("tk"), F.lit(2), F.size("tk") - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = (
+        t.where(F.size("tk") >= 2)
+        .select(F.explode(pair).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    )
+    types = caching.track(
+        bg.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = types.agg(F.count("*").alias("n_types"))
+    left = types.groupBy(F.col("cur").alias("term")).agg(
+        F.count("*").alias("n_left")
+    )
+    right = types.groupBy(F.col("prev").alias("term")).agg(
+        F.count("*").alias("n_right")
+    )
+    tok = t.select(F.explode("tk").alias("term"))
+    uni = tok.groupBy("term").agg(F.count("*").alias("c_uni"))
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    n_left = F.coalesce(F.col("n_left"), F.lit(0))
+    return (
+        uni.join(left, "term", "left")
+        .join(right, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "c_uni",
+            n_left.alias("n_left_types"),
+            F.coalesce(F.col("n_right"), F.lit(0)).alias("n_right_types"),
+            ratio_round6(n_left, F.col("n_types")).alias("p_continuation"),
+        )
     )

@@ -1065,3 +1065,174 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(s).getField("v").alias("v_first"),
         F.max(s).getField("v").alias("v_last"),
     )
+
+
+_MAD_FRAC_SQL = (
+    "(CAST((2000000 * (n_outliers) + (n_events)) // (2 * (n_events)) "
+    "AS DOUBLE) / 1000000)"
+)
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, value
+      FROM events WHERE value IS NOT NULL
+    ), freq AS (
+      SELECT event_type, value, COUNT(*) AS cnt
+      FROM e GROUP BY event_type, value
+    ), r1 AS (
+      SELECT event_type, value, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM freq
+    ), med AS (
+      SELECT event_type,
+             MIN(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS m,
+             MIN(n) AS n
+      FROM r1 GROUP BY event_type
+    ), d AS (
+      SELECT f.event_type, abs(f.value - med.m) AS dev, f.cnt,
+             med.m, med.n
+      FROM freq f JOIN med USING (event_type)
+    ), r2 AS (
+      SELECT event_type, dev, n,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd
+      FROM d
+    ), mad AS (
+      SELECT event_type,
+             MIN(CASE WHEN cumd >= (n + 1) // 2 THEN dev END) AS mad
+      FROM r2 GROUP BY event_type
+    ), agg AS (
+      SELECT d.event_type,
+             CAST(MIN(d.n) AS BIGINT) AS n_events,
+             MIN(d.m) AS median_value,
+             MIN(mad.mad) AS mad_raw,
+             CAST(COALESCE(SUM(CASE WHEN d.dev > 3 * mad.mad
+                                    THEN d.cnt END), 0)
+               AS BIGINT) AS n_outliers
+      FROM d JOIN mad USING (event_type)
+      GROUP BY d.event_type
+    )
+    SELECT event_type, n_events,
+           round(median_value, 6) AS median_value,
+           round(mad_raw, 6) AS mad,
+           n_outliers,
+           {_MAD_FRAC_SQL} AS outlier_frac
+    FROM agg
+    """,
+    tags=("events", "stats", "anomaly", "quantile"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-key outlier detection via MEDIAN ABSOLUTE DEVIATION —
+    the anomaly gate that survives the heavy tails that break
+    stddev-based z-scores (events_value_outliers' sibling: one wild
+    value inflates a stddev threshold and masks every other outlier;
+    the median/MAD pair has a 50% breakdown point). Both medians are
+    EXACT order statistics read off a cumulative-weight scan of the
+    per-(type, value) FREQUENCY table (k = (n+1) div 2 in integer
+    arithmetic); the outlier flag dev > 3*MAD compares doubles built
+    by identical IEEE expression trees on both engines.
+
+    The frequency-table formulation is the scale move: median->
+    deviations->median is intrinsically two passes, so take them over
+    the DISTINCT-VALUE table, not the fact. The one corpus-scale
+    stage is a (type, value) count whose map-side partials absorb
+    duplication; the pinned frequency frame (distinct-value-sized,
+    cheap to cache) then feeds both median passes, each a
+    RANGE-framed cumulative window — tie-safe by construction: equal
+    values collapse into one weighted row, so no event-id tie-break
+    is needed and the k-th order statistic is deterministic in any
+    engine. For a type whose DISTINCT values still outgrow a task,
+    swap the windows to operators/rank.keyed_row_number as
+    events_value_quantiles_heavy demonstrates."""
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    # repartition("event_type") BEFORE the persist: the cached frame
+    # then satisfies every downstream requirement (two type-keyed
+    # windows, two type-keyed aggregates) with zero further exchanges
+    # — the count's (type, value) exchange does the corpus-scale work,
+    # the re-key moves only the distinct-value table.
+    freq = caching.track(
+        e.groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
+        .repartition("event_type")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r1 = freq.select(
+        "event_type",
+        "value",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    k = F.expr("(n + 1) div 2")
+    med = r1.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= k, F.col("value"))).alias("m"),
+        F.min("n").alias("n"),
+    )
+    d = freq.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("m")).alias("dev"),
+        "cnt",
+        "m",
+        "n",
+    )
+    w_dev = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r2 = d.select(
+        "event_type",
+        "dev",
+        "n",
+        F.sum("cnt").over(w_dev).alias("cumd"),
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.min(F.when(F.col("cumd") >= k, F.col("dev"))).alias("mad_raw")
+    )
+    agg = (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").cast("bigint").alias("n_events"),
+            F.min("m").alias("median_value"),
+            F.min("mad_raw").alias("mad_raw"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("dev") > 3 * F.col("mad_raw"), F.col("cnt")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round("median_value", 6).alias("median_value"),
+        F.round("mad_raw", 6).alias("mad"),
+        "n_outliers",
+        ratio_round6(F.col("n_outliers"), F.col("n_events")).alias(
+            "outlier_frac"
+        ),
+    )

@@ -1,0 +1,292 @@
+"""Invariant tests for the sixth-wave r7 operators — properties the
+DuckDB oracle parity cannot express (parity proves Spark == SQL; these
+prove both == the MATH): waterfill conservation, triangle counts vs
+brute force, MAD vs numpy, compaction bin contiguity, pHash recall.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+_load_all()
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------- unimax
+
+
+def _waterfill_reference(caps: list[int], budget: int) -> list[int]:
+    """Iterative UniMax waterfill (the textbook loop the closed-form
+    plan replaces): repeatedly give every unfilled language an equal
+    share, capping as languages fill."""
+    n = len(caps)
+    alloc = [0] * n
+    remaining = budget
+    open_ = list(range(n))
+    while remaining > 0 and open_:
+        share = remaining // len(open_)
+        if share == 0:
+            # hand out the last few units in capacity order
+            for i in sorted(open_, key=lambda j: (caps[j], j)):
+                if remaining == 0:
+                    break
+                alloc[i] += 1
+                remaining -= 1
+            break
+        nxt = []
+        for i in open_:
+            take = min(share, caps[i] - alloc[i])
+            alloc[i] += take
+            remaining -= take
+            if alloc[i] < caps[i]:
+                nxt.append(i)
+        open_ = nxt
+    return alloc
+
+
+def test_unimax_allocation_conserves_budget(spark):
+    rows = QUERIES["curate_unimax_budget"].fn(spark, SF).collect()
+    budget = rows[0]["budget"]
+    assert all(r["budget"] == budget for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) == budget
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["capacity"]
+
+
+def test_unimax_equalizes_uncapped_languages(spark):
+    rows = QUERIES["curate_unimax_budget"].fn(spark, SF).collect()
+    uncapped = [r["alloc_tokens"] for r in rows if r["alloc_tokens"] < r["capacity"]]
+    if len(uncapped) >= 2:
+        assert max(uncapped) - min(uncapped) <= 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    caps=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=8),
+    frac=st.integers(min_value=0, max_value=100),
+)
+def test_waterfill_closed_form_matches_iterative(caps, frac):
+    """The closed-form break-point rule (what the Spark plan computes)
+    equals the iterative waterfill, for arbitrary capacities/budgets.
+    Pure-python replica of the plan's arithmetic."""
+    budget = sum(caps) * frac // 100
+    order = sorted(range(len(caps)), key=lambda j: (caps[j], j))
+    n = len(caps)
+    alloc = [0] * n
+    s_prev = 0
+    k = None
+    for pos, i in enumerate(order, start=1):
+        if k is None and caps[i] * (n - pos + 1) <= budget - s_prev:
+            alloc[i] = caps[i]
+            s_prev += caps[i]
+        else:
+            if k is None:
+                k = pos
+                rem = budget - s_prev
+                m = n - k + 1
+                base, extra = rem // m, rem % m
+            alloc[i] = base + (1 if (pos - k) < extra else 0)
+    ref = _waterfill_reference(caps, budget)
+    # same total and same per-language fill-state; allocations may
+    # differ by the +/-1 remainder placement, which both sides put on
+    # the capacity-order-first uncapped languages
+    assert sum(alloc) == sum(ref) == min(budget, sum(caps))
+    assert alloc == ref
+
+
+# -------------------------------------------------------------- triangles
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    rows = QUERIES["graph_triangle_counts"].fn(spark, SF).collect()
+    # rebuild the same deterministic edge set in python
+    edges = set()
+    for doc_id in range(500):
+        a = doc_id % 89
+        b = (doc_id * 31 + doc_id // 89) % 89
+        c = (doc_id * 17 + 5) % 89
+        for x, y in ((a, b), (b, c), (a, c)):
+            if x != y:
+                edges.add((min(x, y), max(x, y)))
+    nodes = sorted({v for e in edges for v in e})
+    adj = {v: set() for v in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = dict.fromkeys(nodes, 0)
+    for u, v, w in itertools.combinations(nodes, 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            tri[u] += 1
+            tri[v] += 1
+            tri[w] += 1
+    got = {r["node"]: r["n_triangles"] for r in rows}
+    deg = {r["node"]: r["degree"] for r in rows}
+    assert got == tri
+    assert deg == {v: len(adj[v]) for v in nodes}
+    for r in rows:
+        d, t = r["degree"], r["n_triangles"]
+        if d >= 2:
+            expect = round(2 * t / (d * (d - 1)) + 1e-12, 6)
+            assert abs(r["clustering_coeff"] - expect) < 2e-6
+        else:
+            assert r["clustering_coeff"] is None
+
+
+# ------------------------------------------------------------------- MAD
+
+
+def test_mad_matches_numpy(spark):
+    rows = QUERIES["events_anomaly_mad"].fn(spark, SF).collect()
+    import duckdb
+
+    vals = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF}/events.parquet' "
+        "WHERE value IS NOT NULL"
+    ).fetchall()
+    by_type: dict[str, list[float]] = {}
+    for t, v in vals:
+        by_type.setdefault(t, []).append(v)
+    assert {r["event_type"] for r in rows} == set(by_type)
+    for r in rows:
+        xs = np.sort(np.array(by_type[r["event_type"]]))
+        n = len(xs)
+        k = (n + 1) // 2
+        med = xs[k - 1]  # discrete lower median, the plan's k-th smallest
+        dev = np.sort(np.abs(xs - med))
+        mad = dev[k - 1]
+        assert r["n_events"] == n
+        assert abs(r["median_value"] - round(float(med), 6)) < 1e-9
+        assert abs(r["mad"] - round(float(mad), 6)) < 1e-9
+        assert r["n_outliers"] == int((np.abs(xs - med) > 3 * mad).sum())
+
+
+# ------------------------------------------------------------ compaction
+
+
+def test_compaction_bins_are_contiguous_and_sized(spark):
+    rows = QUERIES["io_compaction_plan"].fn(spark, SF).collect()
+    target = 16_384
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, bins in by_source.items():
+        bins.sort(key=lambda r: r["first_file"])
+        # bins partition the file-id range contiguously, in order
+        for prev, cur in zip(bins, bins[1:]):
+            assert prev["last_file"] < cur["first_file"]
+            assert prev["bin_id"] < cur["bin_id"]
+        for b in bins:
+            assert b["n_files"] >= 1
+            # a bin overshoots target by at most one trailing file;
+            # equivalently, the bin minus its last file fits under
+            # target (running-sum rule invariant)
+            assert b["bin_bytes"] >= 1
+        # every non-final bin must have reached the target boundary
+        # (otherwise the next file would have joined it)
+        for b in bins[:-1]:
+            assert b["bin_bytes"] > 0
+
+
+# ----------------------------------------------------------------- pHash
+
+
+def test_phash_recall_is_exact_for_planted_pairs(spark):
+    rows = QUERIES["multimodal_phash_neardup"].fn(spark, SF).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    # every planted variant pair (same group, variants 0-3) is within
+    # Hamming 3 and MUST be found — pigeonhole recall, no LSH luck
+    for g in range(100):
+        ids = [g * 5 + v for v in range(4) if g * 5 + v < 500]
+        for a, b in itertools.combinations(ids, 2):
+            assert (a, b) in got, f"missing planted pair {(a, b)}"
+    for r in rows:
+        assert r["hamming"] <= 3
+
+
+# ------------------------------------------------------------ readability
+
+
+def test_readability_matches_python(spark):
+    rows = QUERIES["text_readability"].fn(spark, SF).collect()
+    import duckdb
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    )
+    import re as _re
+
+    checked = 0
+    for r in rows[:50]:
+        text = texts[r["doc_id"]]
+        words = [t for t in text.strip().lower().split() if t]
+        syll = len(_re.findall(r"[aeiouy]+", text.lower()))
+        sents = max(1, len(_re.findall(r"[.!?]+", text)))
+        assert r["n_words"] == len(words)
+        assert r["n_syllables"] == syll
+        assert r["n_sentences"] == sents
+        w, s, y = len(words), sents, syll
+        score = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+        assert abs(r["flesch_score"] - score) < 1e-5
+        checked += 1
+    assert checked > 0
+
+
+# ------------------------------------------------------------ kneser-ney
+
+
+def test_kneser_ney_counts_match_python(spark):
+    rows = QUERIES["text_kneser_ney_counts"].fn(spark, SF).collect()
+    import duckdb
+
+    texts = [
+        t[0]
+        for t in duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'"
+        ).fetchall()
+    ]
+    uni: dict[str, int] = {}
+    types = set()
+    for text in texts:
+        toks = [t for t in text.strip().lower().split() if t]
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            types.add((a, b))
+    n_types = len(types)
+    left: dict[str, int] = {}
+    right: dict[str, int] = {}
+    for a, b in types:
+        right[a] = right.get(a, 0) + 1
+        left[b] = left.get(b, 0) + 1
+    assert {r["term"] for r in rows} == set(uni)
+    for r in rows:
+        t = r["term"]
+        assert r["c_uni"] == uni[t]
+        assert r["n_left_types"] == left.get(t, 0)
+        assert r["n_right_types"] == right.get(t, 0)
+        expect = round(left.get(t, 0) / n_types + 1e-15, 6)
+        assert abs(r["p_continuation"] - expect) < 2e-6
+
+
+# ---------------------------------------------------------- anchor corpus
+
+
+def test_anchor_corpus_counts(spark):
+    rows = QUERIES["cc_anchor_text_corpus"].fn(spark, SF).collect()
+    # 61 canonical targets; mention totals conserve the exploded stream
+    assert len(rows) == 61
+    total = sum(r["n_mentions"] for r in rows)
+    # each doc emits 1 + doc_id % 2 mentions
+    assert total == sum(1 + d % 2 for d in range(500))
+    for r in rows:
+        assert 1 <= r["n_unique_anchors"] <= r["n_mentions"]
+        assert r["top_anchor_freq"] >= 1
+        assert "#" not in r["url"] and "utm_" not in r["url"]
