@@ -1515,7 +1515,10 @@ _UNIMAX_EPOCHS = RATIO6_SQL.format(num="alloc_tokens", den="tokens")
              END AS alloc_tokens
       FROM flagged f CROSS JOIN brk b
     )
-    SELECT lang, tokens, e_cap, capacity, budget, alloc_tokens,
+    SELECT lang, tokens, e_cap, capacity,
+           -- SUM-derived values are HUGEINT in DuckDB; Spark: BIGINT
+           CAST(budget AS BIGINT) AS budget,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
            {_UNIMAX_EPOCHS} AS sampling_epochs
     FROM alloc
     """,

@@ -37,7 +37,10 @@ _FOOTER_BYTES = 512
                // {_TARGET_BYTES} AS bin_id
       FROM files
     )
-    SELECT source, bin_id,
+    SELECT source,
+           -- the windowed SUM is HUGEINT in DuckDB, so its // quotient
+           -- is too; Spark emits BIGINT
+           CAST(bin_id AS BIGINT) AS bin_id,
            COUNT(*) AS n_files,
            CAST(SUM(n_bytes) AS BIGINT) AS bin_bytes,
            MIN(file_id) AS first_file,

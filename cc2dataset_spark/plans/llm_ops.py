@@ -3185,3 +3185,141 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack 2009)
+_RRF_TERMS = "('spark', 'vector', 'hash')"
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                   '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM tok WHERE term IN {_RRF_TERMS} GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id, n_hits, lex_rank FROM (
+        SELECT doc_id, n_hits,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM hits
+      ) WHERE lex_rank <= 20
+    ), cos AS (
+      SELECT c.vec_id AS doc_id,
+             round(
+               list_dot_product(q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]))),
+               6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id = 0
+    ), vec AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)
+                    AS BIGINT) AS vec_rank
+        FROM cos
+      ) WHERE vec_rank <= 20
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             COALESCE(1000000000 // ({_RRF_K} + l.lex_rank), 0)
+               + COALESCE(1000000000 // ({_RRF_K} + v.vec_rank), 0)
+               AS rrf_e9
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_e9, fused_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id)
+                     AS BIGINT) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 10
+    """,
+    tags=("search", "ranking", "similarity", "llm"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via RECIPROCAL RANK FUSION (Cormack et al.
+    2009): fuse a lexical ranking (query-term hit count over
+    `documents`) with a vector ranking (exact cosine to a fixed query
+    embedding) by rrf(d) = sum over lists of 1/(60 + rank_d) — the
+    score-free fusion every hybrid search stack ships because it
+    needs NO calibration between BM25-scale and cosine-scale scores.
+    The curation use is decontamination/dedup against a benchmark:
+    lexical catches verbatim overlap, vector catches paraphrase, RRF
+    merges the evidence. The fixture's doc and vector id spaces are
+    aligned by construction (TESTDATA.md), standing in for the
+    doc->embedding foreign key a real corpus carries.
+
+    Exactness: ranks are integers, so each reciprocal is the INTEGER
+    10^9 div (60 + rank) and the fused score is an exact BIGINT — no
+    float fusion to drift between engines; ties break on doc_id.
+    Cosines round to 6dp before ranking (argmax gaps on the fixture
+    are >= 3e-5, same guarantee ann_bruteforce_topk relies on).
+
+    Scale: both input rankings are top-20 TakeOrdered-style heads —
+    the fusion full-outer join and final sort touch <= 40 rows no
+    matter the corpus size; the corpus-scale work is one term-filtered
+    aggregate (pushed filter, map-side partials) and one broadcast-
+    query cosine scan (WindowGroupLimit caps per-partition state)."""
+    from pyspark.sql import Window
+
+    from cc2dataset_spark.operators import similarity as SIM
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    hits = (
+        tok.where(F.col("term").isin("spark", "vector", "hash"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    lex = (
+        hits.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_hits").desc(), F.col("doc_id")))
+            .cast("bigint")
+            .alias("lex_rank"),
+        )
+        .where(F.col("lex_rank") <= 20)
+    )
+    vec = (
+        SIM.brute_force_topk(emb.where(F.col("vec_id") == 0), emb, k=20)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("bigint").alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 div ({_RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000000 div ({_RRF_K} + vec_rank)"), F.lit(0)
+                )
+            ).alias("rrf_e9"),
+        )
+    )
+    return fused.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf_e9").desc(), F.col("doc_id")))
+        .cast("bigint")
+        .alias("fused_rank"),
+    ).where(F.col("fused_rank") <= 10)

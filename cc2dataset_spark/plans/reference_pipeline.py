@@ -19,7 +19,7 @@ fuzzing in tests/test_properties.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.operators.extraction import extract_document_links
@@ -575,4 +575,124 @@ def cc_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top.n").alias("top_anchor_freq"),
             "anchors_sample",
         )
+    )
+
+
+@query(
+    "cc_image_text_manifest",
+    oracle=r"""
+    WITH links AS (
+      SELECT doc_id, source, substr(text, 1, 40) AS alt,
+             UNNEST(generate_series(1, 1 + CAST(doc_id % 3 AS INT))) AS cp
+      FROM documents
+    ), raw AS (
+      SELECT 'https://' || source || '-cdn.com/img/'
+               || CAST(doc_id AS VARCHAR) || '.jpg'
+               || CASE CAST((doc_id + cp) % 3 AS INT)
+                    WHEN 1 THEN '#meta'
+                    WHEN 2 THEN '?utm_campaign=x'
+                    ELSE '' END AS url,
+             alt
+      FROM links WHERE length(alt) > 0
+    ), canon AS (
+      SELECT regexp_replace(regexp_replace(url, '#.*$', '', 'g'),
+                            '\?utm_campaign=x$', '', 'g') AS nurl,
+             alt
+      FROM raw
+    ), dedup AS (
+      SELECT md5(alt || nurl) AS uid, MIN(nurl) AS url,
+             MIN(alt) AS alt, COUNT(*) AS n_copies
+      FROM canon GROUP BY md5(alt || nurl)
+    ), dom AS (
+      SELECT uid, url, alt, n_copies,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)', 2)
+               AS domain
+      FROM dedup
+    ), capped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY uid) AS rn
+      FROM dom
+    )
+    SELECT uid, url, alt, domain, n_copies,
+           CASE WHEN md5_number_lower('mm:' || uid) % 100 < 95
+                THEN 'train' ELSE 'val' END AS split
+    FROM capped WHERE rn <= 40
+    """,
+    tags=("layer_a", "multimodal", "flagship", "dedup"),
+)
+def cc_image_text_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-A capstone: the image-text TRAINING MANIFEST the reference
+    exists to feed (cc2dataset's output is (alt, url) pairs for
+    LAION-style contrastive training — main.py:166-176 stops at uid
+    dedup; this is the rest of the productionization). Chain: link
+    explode -> alt predicate -> URL canonicalization (fragment/utm
+    variants collapse, normalize_url) -> reference-parity uid =
+    md5(alt || url) dedup with copy accounting -> per-registrable-
+    domain cap (row_number <= 40 by uid order — the C4/LAION guard
+    against a single CDN dominating the corpus) -> deterministic
+    salted 95/5 train/val split (md5 bucket, content-independent,
+    resumable).
+
+    Every stage is an already-proven primitive (cc_extract_dedup_links,
+    cc_dedup_normalized_url, cc_domain_stats, curate_cap_per_source,
+    curate_train_val_split); the capstone proves they COMPOSE into one
+    plan: one uid-keyed exchange for the dedup, one domain-keyed
+    window for the cap (domain cardinality bounded; a hot CDN's rows
+    sort within one partition — cap first if a domain exceeds task
+    memory), map-side split assignment. The oracle replays the chain
+    end to end, so the manifest is value-checked row for row."""
+    from cc2dataset_spark.functions.hashes import md5_mod
+    from cc2dataset_spark.functions.links import (
+        normalize_url,
+        registrable_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        "source",
+        F.substring("text", 1, 40).alias("alt"),
+        F.explode(
+            F.sequence(F.lit(1), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+        ).alias("cp"),
+    ).where(F.length("alt") > 0)
+    v = (F.col("doc_id") + F.col("cp")) % 3
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-cdn.com/img/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".jpg"),
+        F.when(v == 1, F.lit("#meta"))
+        .when(v == 2, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit("")),
+    )
+    canon = m.select(normalize_url(url).alias("nurl"), "alt")
+    dedup = (
+        canon.groupBy(
+            F.md5(F.concat(F.col("alt"), F.col("nurl"))).alias("uid")
+        )
+        .agg(
+            F.min("nurl").alias("url"),
+            F.min("alt").alias("alt"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    dom = dedup.withColumn("domain", registrable_domain(F.col("url")))
+    capped = dom.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("domain").orderBy("uid")),
+    ).where(F.col("rn") <= 40)
+    return capped.select(
+        "uid",
+        "url",
+        "alt",
+        "domain",
+        "n_copies",
+        F.when(
+            md5_mod(F.concat(F.lit("mm:"), F.col("uid")), 100) < 95,
+            F.lit("train"),
+        )
+        .otherwise(F.lit("val"))
+        .alias("split"),
     )
