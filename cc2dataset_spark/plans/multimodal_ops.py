@@ -135,3 +135,91 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(hd <= 3)
         .select("id_a", "id_b", hd.cast("bigint").alias("hamming"))
     )
+
+
+_AUDIO_DUR = (
+    "(CAST((2000000 * (n_samples) + (sample_rate)) // (2 * (sample_rate)) "
+    "AS DOUBLE) / 1000000)"
+)
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                    ELSE 44100 END AS BIGINT) AS sample_rate,
+             n_chars * 997 AS n_samples
+      FROM documents
+    ), framed AS (
+      SELECT doc_id, sample_rate, n_samples,
+             sample_rate // 40 AS win,
+             sample_rate // 100 AS hop
+      FROM meta
+    )
+    SELECT doc_id, sample_rate, n_samples, win, hop,
+           CASE WHEN n_samples >= win
+                THEN 1 + (n_samples - win) // hop
+                ELSE 0 END AS n_frames,
+           {_AUDIO_DUR} AS duration_secs
+    FROM framed
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame-accounting over opaque audio columns: given each
+    clip's sample rate and length, the 25 ms window / 10 ms hop frame
+    grid every feature extractor (MFCC, mel, wav2vec-style chunking)
+    iterates — n_frames = 1 + (n_samples - win) div hop, the
+    off-by-one-prone formula worth one canonical implementation. The
+    decode that would READ n_samples from real headers is the sandbox-
+    gated step (operators/multimodal.py); the metadata here derives
+    deterministically from the fixture (rate keyed on doc_id, length
+    on n_chars) so the frame arithmetic — the part a cluster actually
+    distributes — is value-checked end to end.
+
+    All integer arithmetic (div floor matches DuckDB //); duration in
+    seconds via the exact rational. Zero shuffles: pure per-row
+    codegen math, scan-bound and embarrassingly parallel; the
+    downstream per-frame explode (frame_features' job) multiplies
+    rows by n_frames, so THIS table is also the cost estimator a
+    scheduler consults before launching that explode."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 16000)
+        .when(F.col("doc_id") % 3 == 1, 22050)
+        .otherwise(44100)
+        .cast("bigint")
+    )
+    meta = docs.select(
+        "doc_id",
+        rate.alias("sample_rate"),
+        (F.col("n_chars") * 997).alias("n_samples"),
+    )
+    framed = meta.select(
+        "*",
+        F.expr("sample_rate div 40").alias("win"),
+        F.expr("sample_rate div 100").alias("hop"),
+    )
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    return framed.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "win",
+        "hop",
+        F.when(
+            F.col("n_samples") >= F.col("win"),
+            F.lit(1) + F.expr("(n_samples - win) div hop"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("n_frames"),
+        ratio_round6(F.col("n_samples"), F.col("sample_rate")).alias(
+            "duration_secs"
+        ),
+    )

@@ -14,9 +14,10 @@ expression on both engines, so comparison boundaries cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.functions.numeric import RATIO6_SQL
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.plans.relational import dsum, _osum
 from cc2dataset_spark.sources.tables import load_table
@@ -732,4 +733,79 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+_SKEW_SHARE = RATIO6_SQL.format(num="f.freq", den="g.n_rows")
+_SKEW_RATIO = RATIO6_SQL.format(
+    num="f.freq * g.n_keys", den="g.n_rows"
+)
+
+
+@query(
+    "profile_key_skew",
+    oracle=f"""
+    WITH freq AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(freq) AS BIGINT) AS n_rows
+      FROM freq
+    ), ranked AS (
+      SELECT user_id, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, user_id)
+                  AS BIGINT) AS rnk
+      FROM freq
+    )
+    SELECT f.rnk, f.user_id, f.freq, g.n_keys, g.n_rows,
+           {_SKEW_SHARE} AS row_share,
+           {_SKEW_RATIO} AS skew_ratio
+    FROM ranked f CROSS JOIN g
+    WHERE f.rnk <= 10
+    """,
+    tags=("profiling", "skew", "stats"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that DECIDES the
+    mitigation (salting factor, AQE skew-join thresholds, broadcast
+    eligibility) before a 100 TB join is launched: the top-10 heaviest
+    keys of events.user_id with each key's row share and its skew
+    ratio freq * n_keys / n_rows (1.0 = perfectly uniform; the factor
+    by which the hottest reducer exceeds the average is exactly this
+    number, which is why it maps directly to the salt count
+    join_salted_skew uses).
+
+    All counts integer-exact; both ratios via the exact rational.
+    Plan: one key-keyed count with map-side partials (the only
+    corpus-scale stage), a 1-row global broadcast, and a top-10 head
+    — WindowGroupLimit bounds the rank's per-partition state, so the
+    unpartitioned ROW_NUMBER never materializes the key table in one
+    task (same argument as sort_topk_orders)."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    freq = e.groupBy("user_id").agg(F.count("*").alias("freq"))
+    g = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("freq").cast("bigint").alias("n_rows"),
+    )
+    ranked = freq.select(
+        "user_id",
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
+        .cast("bigint")
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 10)
+    return ranked.crossJoin(F.broadcast(g)).select(
+        "rnk",
+        "user_id",
+        "freq",
+        "n_keys",
+        "n_rows",
+        ratio_round6(F.col("freq"), F.col("n_rows")).alias("row_share"),
+        ratio_round6(
+            F.col("freq") * F.col("n_keys"), F.col("n_rows")
+        ).alias("skew_ratio"),
     )

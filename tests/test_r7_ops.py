@@ -290,3 +290,81 @@ def test_anchor_corpus_counts(spark):
         assert 1 <= r["n_unique_anchors"] <= r["n_mentions"]
         assert r["top_anchor_freq"] >= 1
         assert "#" not in r["url"] and "utm_" not in r["url"]
+
+
+# -------------------------------------------------------------- manifest
+
+
+def test_image_text_manifest_invariants(spark):
+    import hashlib
+
+    rows = QUERIES["cc_image_text_manifest"].fn(spark, SF).collect()
+    per_domain: dict[str, int] = {}
+    for r in rows:
+        per_domain[r["domain"]] = per_domain.get(r["domain"], 0) + 1
+        assert 1 <= r["n_copies"] <= 3
+        assert r["split"] in ("train", "val")
+        # reference uid semantics: md5(alt || canonical_url)
+        assert (
+            hashlib.md5((r["alt"] + r["url"]).encode()).hexdigest()
+            == r["uid"]
+        )
+        assert r["url"].startswith("https://") and "-cdn.com/img/" in r["url"]
+        assert "#" not in r["url"] and "utm_" not in r["url"]
+    assert max(per_domain.values()) <= 40
+    # the 95/5 split should produce both classes at fixture size
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val"}
+
+
+# ------------------------------------------------------------------- rrf
+
+
+def test_rrf_scores_recompute_from_ranks(spark):
+    rows = QUERIES["search_hybrid_rrf"].fn(spark, SF).collect()
+    assert [r["fused_rank"] for r in sorted(rows, key=lambda r: r["fused_rank"])] == list(range(1, len(rows) + 1))
+    assert len(rows) == 10
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] is not None:
+            expect += 1_000_000_000 // (60 + r["lex_rank"])
+        if r["vec_rank"] is not None:
+            expect += 1_000_000_000 // (60 + r["vec_rank"])
+        assert r["rrf_e9"] == expect
+        assert r["lex_rank"] is not None or r["vec_rank"] is not None
+
+
+# ------------------------------------------------------------------ skew
+
+
+def test_key_skew_recomputes(spark):
+    import duckdb
+
+    rows = QUERIES["profile_key_skew"].fn(spark, SF).collect()
+    freqs = dict(
+        duckdb.sql(
+            f"SELECT user_id, COUNT(*) FROM '{SF}/events.parquet' "
+            "GROUP BY user_id"
+        ).fetchall()
+    )
+    n_rows = sum(freqs.values())
+    n_keys = len(freqs)
+    top = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["user_id"], r["freq"]) for r in sorted(rows, key=lambda r: r["rnk"])] == top
+    for r in rows:
+        assert r["n_keys"] == n_keys and r["n_rows"] == n_rows
+        assert abs(r["skew_ratio"] - round(r["freq"] * n_keys / n_rows + 1e-12, 6)) < 2e-6
+
+
+# ----------------------------------------------------------------- audio
+
+
+def test_audio_frames_formula(spark):
+    rows = QUERIES["multimodal_audio_frames"].fn(spark, SF).collect()
+    for r in rows[:100]:
+        win, hop = r["sample_rate"] // 40, r["sample_rate"] // 100
+        assert (r["win"], r["hop"]) == (win, hop)
+        ns = r["n_samples"]
+        expect = 1 + (ns - win) // hop if ns >= win else 0
+        assert r["n_frames"] == expect
+        assert abs(r["duration_secs"] - round(ns / r["sample_rate"] + 1e-12, 6)) < 2e-6

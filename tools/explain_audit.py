@@ -130,6 +130,8 @@ AUDITED = [
     "events_anomaly_mad",
     "cc_image_text_manifest",
     "search_hybrid_rrf",
+    "profile_key_skew",
+    "multimodal_audio_frames",
 ]
 
 
