@@ -17,8 +17,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -286,4 +288,79 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType=RUNNING_TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+HEAVY_HITTERS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("item", StringType()),
+        StructField("mg_count", LongType()),
+        StructField("n_processed", LongType()),
+    ]
+)
+
+_HEAVY_HITTERS_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def heavy_hitters_stateful(
+    events: DataFrame, k: int = 8, item_col: str = "user_id"
+) -> DataFrame:
+    """Streaming MISRA-GRIES heavy hitters per event_type — the
+    streaming twin of the batch two-pass MG in text_heavy_hitter_words
+    (plans/llm_ops.py), carried ACROSS micro-batches in k-bounded
+    state: per key, at most k (item, count) counters regardless of
+    stream length, folded batch by batch with the classic
+    increment/insert/decrement-all rule.
+
+    The MG guarantee survives batch boundaries because the state IS
+    the single-pass summary: after n items, every item with true
+    frequency > n/(k+1) is guaranteed present in the counters, and
+    each counter underestimates its item's true count by at most
+    n/(k+1) (Misra & Gries 1982) — the streaming test asserts exactly
+    these two bounds against an exact batch recount rather than exact
+    equality, because MG candidates are legitimately order-dependent.
+
+    Update-mode semantics: each batch emits the CURRENT counter set of
+    every key the batch touched (plus n_processed, the denominator of
+    the error bound); the last emission per (event_type, item) is the
+    final summary. Unlike the batch twin there is no second exact
+    pass here — at 100 TB the streaming side ships candidates and the
+    batch side verifies them, which is the standard split."""
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        items, counts, n = (
+            state.get if state.exists else ([], [], 0)
+        )
+        mg = dict(zip(list(items), list(counts)))
+        for pdf in pdfs:
+            for it in pdf[item_col].astype(str):
+                n += 1
+                if it in mg:
+                    mg[it] += 1
+                elif len(mg) < k:
+                    mg[it] = 1
+                else:
+                    # decrement-all; drop zeros
+                    mg = {i: c - 1 for i, c in mg.items() if c > 1}
+        state.update((list(mg.keys()), list(mg.values()), n))
+        yield pd.DataFrame(
+            [(key[0], it, c, n) for it, c in sorted(mg.items())],
+            columns=["event_type", "item", "mg_count", "n_processed"],
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=HEAVY_HITTERS_SCHEMA,
+        stateStructType=_HEAVY_HITTERS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

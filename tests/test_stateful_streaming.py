@@ -267,3 +267,77 @@ def test_transform_with_state_twin(spark, sf_dir):
         .collect()
     }
     assert set(got) == set(want)
+
+
+def test_heavy_hitters_stateful_guarantee_across_batches(
+    spark, sf_dir, tmp_path
+):
+    """Streaming Misra-Gries state carried across TWO micro-batches
+    satisfies the MG guarantee vs an exact batch recount: every true
+    heavy hitter (freq > n/(k+1)) is among the final candidates, and
+    every candidate count underestimates by at most n/(k+1). Exact
+    equality is NOT asserted — MG candidates are order-dependent by
+    design; the bounds are the contract."""
+    import os
+
+    from cc2dataset_spark.streaming.stateful import heavy_hitters_stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    k = 8
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    cut = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    feed = str(tmp_path / "hh_feed")
+    os.makedirs(feed)
+    for i, part in enumerate(
+        (events.where(F.col("event_id") <= cut),
+         events.where(F.col("event_id") > cut))
+    ):
+        p = f"{feed}/part{i}.parquet"
+        pdf = part.toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        heavy_hitters_stateful(stream, k=k)
+        .writeStream.format("memory")
+        .queryName("t_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_hh").collect()
+    # last emission per (event_type, item): the one with max n_processed
+    final: dict[str, dict[str, int]] = {}
+    n_final: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: r.n_processed):
+        final.setdefault(r.event_type, {})
+        if r.n_processed >= n_final.get(r.event_type, 0):
+            if r.n_processed > n_final.get(r.event_type, 0):
+                final[r.event_type] = {}
+                n_final[r.event_type] = r.n_processed
+            final[r.event_type][r.item] = r.mg_count
+    exact = {}
+    for r in (
+        events.groupBy("event_type", "user_id").count().collect()
+    ):
+        exact.setdefault(r.event_type, {})[str(r.user_id)] = r["count"]
+    for etype, true_counts in exact.items():
+        n = sum(true_counts.values())
+        assert n_final[etype] == n  # no rows lost across batches
+        bound = n / (k + 1)
+        cands = final[etype]
+        assert len(cands) <= k
+        for item, true_c in true_counts.items():
+            if true_c > bound:
+                assert item in cands, (etype, item, true_c, bound)
+        for item, mg_c in cands.items():
+            true_c = true_counts.get(item, 0)
+            assert mg_c <= true_c <= mg_c + bound
