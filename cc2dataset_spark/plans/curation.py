@@ -1748,3 +1748,116 @@ def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio_round6(n_left, F.col("n_types")).alias("p_continuation"),
         )
     )
+
+
+_CALIB_PCT = RATIO6_SQL.format(num="rn - 1", den="n - 1")
+
+
+@query(
+    "curate_score_calibration",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]',
+                                                  '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS punct_ratio
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             least(len(toks) / 64.0, 1.0) AS len_score,
+             least(punct_ratio * 4.0, 1.0) AS punct_penalty,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_aggregate(list_transform(toks,
+                                                          x -> length(x)),
+                                           'sum') AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mwl
+      FROM t
+    ), scored AS (
+      SELECT doc_id, source,
+             round(len_score * (1.0 - punct_penalty * 0.5)
+                   * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                           THEN 1.0 ELSE 0.5 END),
+                   6) AS quality
+      FROM m
+    ), ranked AS (
+      SELECT doc_id, source, quality,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY quality, doc_id)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, quality,
+           -- a single-doc source has no rank spread: pct defined 1.0
+           -- (the doc is its own top), guarding the n-1 denominator
+           CASE WHEN n > 1 THEN {_CALIB_PCT} ELSE 1.0 END
+             AS pct_in_source,
+           CASE WHEN 10 * (rn - 1) >= 9 * (n - 1) THEN 'head'
+                WHEN 2 * (rn - 1) >= (n - 1) THEN 'mid'
+                ELSE 'tail' END AS tier
+    FROM ranked
+    """,
+    tags=("curation", "quality", "calibration", "window"),
+)
+def curate_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUANTILE CALIBRATION of the quality score — the
+    source-bias remover: a raw threshold keeps different fractions of
+    different sources (a clean encyclopedia source saturates the
+    heuristic; a forum source never reaches it), so curation pipelines
+    re-express each document's score as its PERCENTILE WITHIN ITS OWN
+    SOURCE and gate on that (equal-rate selection per source; the same
+    move as CCNet's per-language perplexity buckets, applied across
+    sources). Tiers: head = top 10%, mid = top half, tail = rest.
+
+    Exactness: the percentile is (rn-1)/(n-1) on an (score, doc_id)
+    total order — integer rank arithmetic through the exact rational;
+    the tier boundaries are INTEGER cross-multiplications
+    (10*(rn-1) >= 9*(n-1)), so no float ever decides a tier, and the
+    score itself is the shared 6dp quality formula
+    (functions/text.quality_score_from_tokens — one source of truth
+    with text_quality_scores and the curation gates).
+
+    Plan: one narrow scan + ONE source-keyed window exchange carrying
+    both the rank and the partition count (two window specs, same
+    partitioning). Per-source window state is the 100 TB caveat —
+    for a source whose rows outgrow a task, swap to
+    operators/rank.keyed_row_number, as events_value_quantiles_heavy
+    demonstrates."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.quality_score_from_tokens("text", T.tokens("text")).alias(
+            "quality"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("source"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    rn1, n1 = F.col("rn") - 1, F.col("n") - 1
+    return ranked.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(F.col("n") > 1, ratio_round6(rn1, n1))
+        .otherwise(F.lit(1.0))
+        .alias("pct_in_source"),
+        F.when(F.lit(10) * rn1 >= F.lit(9) * n1, "head")
+        .when(F.lit(2) * rn1 >= n1, "mid")
+        .otherwise("tail")
+        .alias("tier"),
+    )

@@ -371,3 +371,120 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clustering_coeff"),
     )
+
+
+_DEG_SHARE = RATIO6_SQL.format(num="n_nodes", den="tot.n")
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id % 293 AS a,
+             (doc_id * 31 + 7) % 293 AS b,
+             100 + (doc_id * 13) % 7 AS h
+      FROM documents
+    ), mention AS (
+      SELECT a AS x, b AS y FROM raw
+      UNION ALL SELECT a, h FROM raw
+    ), e AS (
+      SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v
+      FROM mention WHERE x <> y
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node
+    ), binned AS (
+      SELECT CAST(length(bin(degree)) AS BIGINT) AS log2_bucket,
+             node, degree
+      FROM deg
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM deg
+    )
+    SELECT log2_bucket,
+           CAST(1 << (log2_bucket - 1) AS BIGINT) AS bucket_min_degree,
+           COUNT(*) AS n_nodes,
+           MIN(degree) AS min_degree,
+           MAX(degree) AS max_degree,
+           {_DEG_SHARE} AS node_share
+    FROM binned CROSS JOIN tot
+    GROUP BY log2_bucket, tot.n
+    """,
+    tags=("graph", "profiling", "stats"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree histogram of the link graph — the power-law
+    profile that tells a 100 TB graph job what it is about to shuffle:
+    a heavy log-log tail means hub keys, which means the degree
+    orientation in graph_triangle_counts and the salting in
+    join_salted_skew are load-bearing, and this table is the evidence.
+    Buckets are powers of two: bucket k holds degrees in
+    [2^(k-1), 2^k), keyed by the INTEGER bit length of the degree —
+    length(bin(degree)) is identical in Spark and DuckDB, so the
+    binning needs no float log2 (whose libm rounding at exact powers
+    of two differs between engines — the classic histogram edge bug).
+
+    The edge construction is deliberately HUB-SKEWED (each document
+    contributes one sparse edge over a 293-node space plus one edge
+    into a 7-node hub set), so the histogram genuinely spans buckets
+    — a star-plus-mesh shape, the toy version of a real web graph's
+    power law; the triangle query's near-regular construction would
+    collapse this histogram to one row. Node shares via the exact
+    rational; the histogram is bit-length-bucket cardinality — at
+    most 64 rows no matter the graph.
+
+    Plan: the distinct edge set and the node-keyed degree count are
+    the corpus-scale stages (both map-side combined); the histogram
+    aggregate runs on node-count rows and the total is a 1-row
+    broadcast."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select(
+        (F.col("doc_id") % 293).alias("a"),
+        ((F.col("doc_id") * 31 + 7) % 293).alias("b"),
+        (F.lit(100) + (F.col("doc_id") * 13) % 7).alias("h"),
+    )
+    mention = raw.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).unionAll(raw.select(F.col("a").alias("x"), F.col("h").alias("y")))
+    e = (
+        mention.where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    binned = deg.select(
+        F.length(F.bin(F.col("degree"))).cast("bigint").alias(
+            "log2_bucket"
+        ),
+        "node",
+        "degree",
+    )
+    tot = deg.agg(F.count("*").alias("n"))
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("log2_bucket", "n")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .select(
+            "log2_bucket",
+            F.expr("CAST(1 << (log2_bucket - 1) AS BIGINT)").alias(
+                "bucket_min_degree"
+            ),
+            "n_nodes",
+            "min_degree",
+            "max_degree",
+            ratio_round6(F.col("n_nodes"), F.col("n")).alias("node_share"),
+        )
+    )

@@ -132,6 +132,8 @@ AUDITED = [
     "search_hybrid_rrf",
     "profile_key_skew",
     "multimodal_audio_frames",
+    "curate_score_calibration",
+    "graph_degree_distribution",
 ]
 
 
