@@ -1861,3 +1861,118 @@ def curate_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("tier"),
     )
+
+
+_ZIPF_HEAD = 100  # fit over the top-R ranks (the power-law head)
+
+
+@query(
+    "text_zipf_fit",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok GROUP BY term
+    ), ranked AS (
+      SELECT freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term)
+                  AS BIGINT) AS rnk
+      FROM tf
+    ), pts AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000000)
+                  AS DECIMAL(19,0)) AS x9,
+             CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000000)
+                  AS DECIMAL(19,0)) AS y9
+      FROM ranked WHERE rnk <= {_ZIPF_HEAD}
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x9) AS DOUBLE) AS sx,
+             CAST(SUM(y9) AS DOUBLE) AS sy,
+             CAST(SUM(x9 * x9) AS DOUBLE) AS sxx,
+             CAST(SUM(x9 * y9) AS DOUBLE) AS sxy,
+             CAST(SUM(y9 * y9) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n / 1000000000, 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS r_squared
+    FROM s
+    """,
+    tags=("text", "profiling", "vocab", "regression"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the vocabulary head: least-squares slope of
+    ln(freq) on ln(rank) for the top-100 terms — the power-law health
+    number that pairs with text_vocab_stats (a natural corpus sits
+    near slope -1; template/boilerplate flooding flattens the head,
+    spam token-salad steepens it; R^2 says whether a line is even the
+    right model). Fit over the HEAD on purpose: the rank tail of any
+    finite corpus bends down (hapax plateau) and would bias the slope
+    every Zipf plot in the literature truncates away.
+
+    Cross-engine float discipline: each ln() quantizes to an exact
+    INTEGER floor(ln*1e9) (a boundary flip needs ln within 1e-16 of a
+    1e-9 grid line) held as DECIMAL(19,0); all five regression sums —
+    including the PRODUCTS, which is why the grid is integer: a
+    DECIMAL(38,18)^2 sum overflows DuckDB's HUGEINT accumulator — are
+    exact DECIMAL(38,0) arithmetic, so partial-aggregate ORDER cannot
+    matter. One well-defined decimal->double cast per sum, then the
+    closed-form slope/intercept/R^2 are identical IEEE expressions on
+    both engines (the 1e9 scale cancels in slope and R^2; the
+    intercept divides it back), rounded to 6. Ranks are integers
+    (freq desc, term tie-break) so x is deterministic by
+    construction.
+
+    Plan: one (term) count with map-side partials — the only
+    corpus-scale stage — then a top-100 head (WindowGroupLimit) and a
+    1-row regression aggregate. The unpartitioned rank window is the
+    documented vocabulary-sized exception (bounded by distinct terms,
+    further cut to 100 rows by the group limit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count("*").alias("freq"))
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("term")))
+        .cast("bigint")
+        .alias("rnk"),
+    ).where(F.col("rnk") <= _ZIPF_HEAD)
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1e9)
+        .cast("decimal(19,0)")
+        .alias("x9"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1e9)
+        .cast("decimal(19,0)")
+        .alias("y9"),
+    )
+    x9, y9 = F.col("x9"), F.col("y9")
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x9).cast("double").alias("sx"),
+        F.sum(y9).cast("double").alias("sy"),
+        F.sum(x9 * x9).cast("double").alias("sxx"),
+        F.sum(x9 * y9).cast("double").alias("sxy"),
+        F.sum(y9 * y9).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n / F.lit(1e9), 6).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )

@@ -134,6 +134,7 @@ AUDITED = [
     "multimodal_audio_frames",
     "curate_score_calibration",
     "graph_degree_distribution",
+    "text_zipf_fit",
 ]
 
 
