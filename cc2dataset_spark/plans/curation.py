@@ -1976,3 +1976,160 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+_REPORT_REMOVED = RATIO6_SQL.format(
+    num="docs_in - docs_out", den="docs_in"
+)
+_REPORT_CUM = RATIO6_SQL.format(num="docs_out", den="n0")
+
+
+@query(
+    "curate_dedup_report",
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000000, text, lang
+      FROM documents WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id + 200000000, substr(text, 1, 80), lang
+      FROM documents WHERE doc_id % 7 = 0
+    ), base AS (
+      SELECT text, lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]',
+                                                  '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS punct
+      FROM corpus
+    ), s1 AS (
+      SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      FROM base
+      WHERE n_tok BETWEEN 20 AND 1000 AND punct < 0.1
+        AND lang IN ('en', 'es', 'fr', 'de')
+    ), d AS (
+      SELECT DISTINCT t FROM s1
+    ), r AS (
+      SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS rn FROM d
+    ), drop3 AS (
+      SELECT COUNT(*) AS nd
+      FROM r a JOIN r b ON b.rn = a.rn + 1
+      WHERE starts_with(b.t, a.t) AND b.t <> a.t
+    ), c AS (
+      SELECT (SELECT COUNT(*) FROM corpus) AS n0,
+             (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM d) AS n2,
+             (SELECT COUNT(*) FROM d) - (SELECT nd FROM drop3) AS n3
+    ), stages AS (
+      SELECT '00_raw' AS stage, n0 AS docs_in, n0 AS docs_out, n0 FROM c
+      UNION ALL
+      SELECT '10_quality_gate', n0, n1, n0 FROM c
+      UNION ALL
+      SELECT '20_exact_text', n1, n2, n0 FROM c
+      UNION ALL
+      SELECT '30_truncated_prefix', n2, n3, n0 FROM c
+    )
+    SELECT stage, docs_in, docs_out,
+           docs_in - docs_out AS removed,
+           {_REPORT_REMOVED} AS removal_frac,
+           {_REPORT_CUM} AS cumulative_kept_frac
+    FROM stages
+    """,
+    tags=("curation", "dedup", "report"),
+)
+def curate_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEDUP FUNNEL TABLE every dataset paper publishes: documents
+    in/out, removed count, removal fraction, and cumulative kept
+    fraction for each curation stage — here C4-style quality gate
+    (token band + punctuation + language allowlist), exact-text dedup
+    (normalized-whitespace lowercase identity), and truncated-prefix
+    removal (the lexicographic-adjacency pass). The fixture corpus is
+    augmented with planted verbatim copies (doc_id % 9) and 80-char
+    truncations (doc_id % 7) so every stage has real removals to
+    account for; each stage's MECHANISM is an already-proven operator
+    (curate_quality_filter, dedup_exact_min_survivor,
+    dedup_truncated_docs) — this query proves the ACCOUNTING composes.
+
+    All counts integer-exact; fractions via the exact rational. Plan:
+    three stage-count aggregates (each map-side combined) + the
+    range-partitioned global rank from dedup_truncated_docs for the
+    adjacency count; the final report is a 4-row stack over one
+    crossJoined count row. A stage's docs_out never feeds a
+    re-materialization — the next stage derives from the same lazy
+    lineage, so the corpus scans once per stage, not once per
+    metric."""
+    from cc2dataset_spark.operators.rank import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    corpus = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 100000000).alias("doc_id"),
+                "text",
+                "lang",
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000000).alias("doc_id"),
+                F.substring("text", 1, 80).alias("text"),
+                "lang",
+            )
+        )
+    )
+    kept = corpus.where(
+        T.token_count("text").between(20, 1000)
+        & (T.punct_ratio("text") < 0.1)
+        & F.col("lang").isin("en", "es", "fr", "de")
+    )
+    norm = kept.select(
+        F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("t")
+    )
+    distinct_t = norm.distinct()
+    ranked = global_row_number(distinct_t, order_by=["t"], rank_col="rn")
+    a = ranked.select(F.col("t").alias("ta"), "rn")
+    b = ranked.select(F.col("t").alias("tb"), (F.col("rn") - 1).alias("rn"))
+    drop3 = (
+        a.join(b, "rn")
+        .where(
+            F.col("tb").startswith(F.col("ta"))
+            & (F.col("tb") != F.col("ta"))
+        )
+        .agg(F.count("*").alias("nd"))
+    )
+    counts = (
+        corpus.agg(F.count("*").alias("n0"))
+        .crossJoin(F.broadcast(kept.agg(F.count("*").alias("n1"))))
+        .crossJoin(F.broadcast(distinct_t.agg(F.count("*").alias("n2"))))
+        .crossJoin(F.broadcast(drop3))
+        .select("n0", "n1", "n2", (F.col("n2") - F.col("nd")).alias("n3"))
+    )
+    stages = counts.select(
+        F.expr(
+            "stack(4, "
+            "'00_raw', n0, n0, "
+            "'10_quality_gate', n0, n1, "
+            "'20_exact_text', n1, n2, "
+            "'30_truncated_prefix', n2, n3) AS (stage, docs_in, docs_out)"
+        ),
+        "n0",
+    )
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    return stages.select(
+        "stage",
+        "docs_in",
+        "docs_out",
+        (F.col("docs_in") - F.col("docs_out")).alias("removed"),
+        ratio_round6(
+            F.col("docs_in") - F.col("docs_out"), F.col("docs_in")
+        ).alias("removal_frac"),
+        ratio_round6(F.col("docs_out"), F.col("n0")).alias(
+            "cumulative_kept_frac"
+        ),
+    )
