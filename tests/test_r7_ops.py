@@ -368,3 +368,128 @@ def test_audio_frames_formula(spark):
         expect = 1 + (ns - win) // hop if ns >= win else 0
         assert r["n_frames"] == expect
         assert abs(r["duration_secs"] - round(ns / r["sample_rate"] + 1e-12, 6)) < 2e-6
+
+
+# ------------------------------------------------------------ calibration
+
+
+def test_score_calibration_percentiles_recompute(spark):
+    rows = QUERIES["curate_score_calibration"].fn(spark, SF).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: (r["quality"], r["doc_id"]))
+        n = len(rs)
+        for i, r in enumerate(rs):
+            expect = round(i / (n - 1) + 1e-12, 6) if n > 1 else 1.0
+            assert abs(r["pct_in_source"] - expect) < 2e-6
+            tier = (
+                "head" if 10 * i >= 9 * (n - 1)
+                else "mid" if 2 * i >= (n - 1)
+                else "tail"
+            )
+            assert r["tier"] == tier
+        # equal-rate selection: every source has ~10% head
+        n_head = sum(1 for r in rs if r["tier"] == "head")
+        assert 0 < n_head <= max(1, n // 5)
+
+
+# ------------------------------------------------------------ degree dist
+
+
+def test_degree_distribution_recounts(spark):
+    rows = QUERIES["graph_degree_distribution"].fn(spark, SF).collect()
+    edges = set()
+    for doc_id in range(500):
+        pairs = [
+            (doc_id % 293, (doc_id * 31 + 7) % 293),
+            (doc_id % 293, 100 + (doc_id * 13) % 7),
+        ]
+        for x, y in pairs:
+            if x != y:
+                edges.add((min(x, y), max(x, y)))
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    buckets: dict[int, list[int]] = {}
+    for d in deg.values():
+        buckets.setdefault(d.bit_length(), []).append(d)
+    assert {r["log2_bucket"] for r in rows} == set(buckets)
+    assert len(rows) >= 3  # the hub-skewed construction must spread
+    for r in rows:
+        ds = buckets[r["log2_bucket"]]
+        assert r["n_nodes"] == len(ds)
+        assert r["min_degree"] == min(ds)
+        assert r["max_degree"] == max(ds)
+        assert r["bucket_min_degree"] == 1 << (r["log2_bucket"] - 1)
+
+
+# ------------------------------------------------------------------ zipf
+
+
+def test_zipf_fit_matches_numpy(spark):
+    import duckdb
+
+    row = QUERIES["text_zipf_fit"].fn(spark, SF).collect()[0]
+    freqs = [
+        f
+        for (f,) in duckdb.sql(
+            rf"""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                       '\s+'),
+                                    x -> x <> '')) AS term
+          FROM '{SF}/documents.parquet')
+        SELECT COUNT(*) AS f FROM tok GROUP BY term
+        ORDER BY f DESC LIMIT 100
+        """
+        ).fetchall()
+    ]
+    import math
+
+    # replicate the integer ln-grid the plan uses
+    xs = [math.floor(math.log(i + 1) * 1e9) / 1e9 for i in range(len(freqs))]
+    ys = [math.floor(math.log(f) * 1e9) / 1e9 for f in freqs]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert row["n_points"] == n
+    assert abs(row["zipf_slope"] - slope) < 1e-4
+    assert -3 < row["zipf_slope"] < 0  # freq non-increasing in rank
+    assert 0 <= row["r_squared"] <= 1
+
+
+# ---------------------------------------------------------- dedup report
+
+
+def test_dedup_report_stage_arithmetic(spark):
+    rows = {
+        r["stage"]: r
+        for r in QUERIES["curate_dedup_report"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {
+        "00_raw",
+        "10_quality_gate",
+        "20_exact_text",
+        "30_truncated_prefix",
+    }
+    n0 = rows["00_raw"]["docs_in"]
+    # stages chain: each stage's docs_in == previous stage's docs_out
+    order = ["00_raw", "10_quality_gate", "20_exact_text",
+             "30_truncated_prefix"]
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur]["docs_in"] == rows[prev]["docs_out"]
+    for r in rows.values():
+        assert r["removed"] == r["docs_in"] - r["docs_out"]
+        assert 0 <= r["docs_out"] <= r["docs_in"] <= n0 + 1_000_000
+        assert abs(
+            r["cumulative_kept_frac"]
+            - round(r["docs_out"] / n0 + 1e-12, 6)
+        ) < 2e-6
+    # every stage removed something on the planted fixture
+    for s in order[1:]:
+        assert rows[s]["removed"] > 0
