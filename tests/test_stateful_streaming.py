@@ -341,3 +341,76 @@ def test_heavy_hitters_stateful_guarantee_across_batches(
         for item, mg_c in cands.items():
             true_c = true_counts.get(item, 0)
             assert mg_c <= true_c <= mg_c + bound
+
+
+def test_heavy_hitters_state_survives_restart(spark, sf_dir, tmp_path):
+    """The MG counters must carry across a query RESTART from the
+    checkpoint: feeding the early events, stopping, then feeding the
+    late events from the same checkpoint must produce a final summary
+    that (a) accounts for EVERY row (n_processed == exact count per
+    type — rows lost at the restart boundary would show here) and
+    (b) still satisfies the MG containment/undercount bounds."""
+    from pyspark.sql import Window
+
+    from cc2dataset_spark.streaming.stateful import (
+        foreach_batch_writer,
+        heavy_hitters_stateful,
+    )
+
+    k = 8
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    src_dir = str(tmp_path / "hh_src")
+    out_dir = str(tmp_path / "hh_out")
+    ckpt = str(tmp_path / "hh_ckpt")
+    cut = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    schema = events.schema
+
+    def run_from_checkpoint():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            heavy_hitters_stateful(stream, k=k)
+            .writeStream.foreachBatch(foreach_batch_writer(out_dir))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    events.where(F.col("event_id") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_from_checkpoint()
+    events.where(F.col("event_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_from_checkpoint()
+
+    out = spark.read.parquet(out_dir)
+    latest = Window.partitionBy("event_type").orderBy(
+        F.col("batch_id").desc(), F.col("n_processed").desc()
+    )
+    top_batch = (
+        out.withColumn("rn", F.rank().over(latest)).where("rn = 1")
+    )
+    final: dict[str, dict[str, int]] = {}
+    n_final: dict[str, int] = {}
+    for r in top_batch.collect():
+        final.setdefault(r.event_type, {})[r.item] = r.mg_count
+        n_final[r.event_type] = r.n_processed
+    exact: dict[str, dict[str, int]] = {}
+    for r in events.groupBy("event_type", "user_id").count().collect():
+        exact.setdefault(r.event_type, {})[str(r.user_id)] = r["count"]
+    for etype, true_counts in exact.items():
+        n = sum(true_counts.values())
+        assert n_final[etype] == n, (etype, n_final[etype], n)
+        bound = n / (k + 1)
+        cands = final[etype]
+        assert 0 < len(cands) <= k
+        for item, true_c in true_counts.items():
+            if true_c > bound:
+                assert item in cands
+        for item, mg_c in cands.items():
+            assert mg_c <= true_counts.get(item, 0) <= mg_c + bound
