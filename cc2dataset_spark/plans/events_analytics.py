@@ -1236,3 +1236,120 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_frac"
         ),
     )
+
+
+_LATE_SHARE = (
+    "(CAST((2000000 * (n_events) + (n_total)) // (2 * (n_total)) "
+    "AS DOUBLE) / 1000000)"
+)
+
+
+@query(
+    "events_lateness_profile",
+    oracle=f"""
+    WITH jit AS (
+      SELECT event_type, ts,
+             event_id + (event_id % 7) * 40 AS arrival_key,
+             event_id
+      FROM events
+    ), arr AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY event_type
+               ORDER BY arrival_key, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+      FROM jit
+    ), late AS (
+      SELECT event_type,
+             date_diff('microsecond', ts, rmax) // 1000000 AS late_secs
+      FROM arr
+    ), binned AS (
+      SELECT event_type, late_secs,
+             CASE WHEN late_secs = 0 THEN 0
+                  ELSE CAST(length(bin(late_secs)) AS BIGINT) END
+               AS late_bucket
+      FROM late
+    ), cells AS (
+      SELECT event_type, late_bucket,
+             COUNT(*) AS n_events,
+             MIN(late_secs) AS min_late_secs,
+             MAX(late_secs) AS max_late_secs
+      FROM binned GROUP BY event_type, late_bucket
+    ), totals AS (
+      SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_total
+      FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, c.late_bucket, c.n_events,
+           c.min_late_secs, c.max_late_secs,
+           {_LATE_SHARE} AS share
+    FROM cells c JOIN totals ON totals.event_type = c.event_type
+    """,
+    tags=("events", "streaming", "profiling", "watermark"),
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness histogram — the measurement that SETS a
+    withWatermark threshold instead of guessing it: for each event,
+    lateness = (max event time seen so far in arrival order) - its own
+    event time, log-binned by power-of-two seconds per event type. A
+    watermark of 2^k seconds drops exactly the events in buckets > k —
+    so this table IS the watermark-vs-data-loss trade-off curve the
+    streaming queries (streaming/windows.py) need tuned. Arrival order
+    on a real bus is the log offset; the fixture's event_ids are
+    perfectly time-ordered (zero lateness everywhere — a degenerate
+    histogram), so a deterministic jitter permutation
+    (event_id + (event_id % 7) * 40, replayed in the oracle) stands in
+    for the mostly-ordered-with-local-reordering arrival a real
+    ingestion log shows.
+
+    Exactness: the running max rides ONE type-keyed window exchange;
+    lateness diffs in MICROSECONDS (timestampdiff is tz-free on NTZ
+    and matches DuckDB's date_diff exactly — the millisecond variants
+    count boundary crossings differently) then integer-div to
+    seconds; buckets by integer bit length (length(bin(s)) — the same
+    no-float-log2 move as graph_degree_distribution, with an explicit
+    0 bucket for in-order events); shares via the exact rational.
+    Downstream of the one exchange everything is
+    (type x <=64 buckets)-sized."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        (F.col("event_id") + (F.col("event_id") % 7) * 40).alias(
+            "arrival_key"
+        ),
+    )
+    # SQL-expr window: timestampdiff needs the running max inline
+    late = e.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, ts, "
+            "max(ts) OVER (PARTITION BY event_type "
+            "ORDER BY arrival_key, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+            "div 1000000"
+        ).alias("late_secs"),
+    )
+    binned = late.select(
+        "event_type",
+        "late_secs",
+        F.when(F.col("late_secs") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.length(F.bin(F.col("late_secs"))).cast("bigint"))
+        .alias("late_bucket"),
+    )
+    cells = binned.groupBy("event_type", "late_bucket").agg(
+        F.count("*").alias("n_events"),
+        F.min("late_secs").alias("min_late_secs"),
+        F.max("late_secs").alias("max_late_secs"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("n_total")
+    )
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "late_bucket",
+        "n_events",
+        "min_late_secs",
+        "max_late_secs",
+        ratio_round6(F.col("n_events"), F.col("n_total")).alias("share"),
+    )

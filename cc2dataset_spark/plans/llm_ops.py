@@ -3323,3 +3323,88 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fused_rank"),
     ).where(F.col("fused_rank") <= 10)
+
+
+_CONF_FRAC = RATIO6_SQL.format(num="n", den="n_actual")
+
+
+@query(
+    "curate_langid_confusion",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split_regex(lower(text),
+                                                          '\s+'),
+                                       x -> x <> '')) AS t
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             len(list_intersect(t, {_MARKER_SQL['en']})) AS s_en,
+             len(list_intersect(t, {_MARKER_SQL['es']})) AS s_es,
+             len(list_intersect(t, {_MARKER_SQL['fr']})) AS s_fr,
+             len(list_intersect(t, {_MARKER_SQL['de']})) AS s_de,
+             len(list_intersect(t, {_MARKER_SQL['zh']})) AS s_zh
+      FROM toks
+    ), pred AS (
+      SELECT lang AS actual,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0
+                    THEN 'und'
+                  WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                  WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+                  WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+                  WHEN s_de >= s_zh THEN 'de'
+                  ELSE 'zh' END AS predicted
+      FROM s
+    ), cells AS (
+      SELECT actual, predicted, COUNT(*) AS n
+      FROM pred GROUP BY actual, predicted
+    ), totals AS (
+      SELECT actual, CAST(SUM(n) AS BIGINT) AS n_actual
+      FROM cells GROUP BY actual
+    )
+    SELECT c.actual, c.predicted, c.n, t.n_actual,
+           {_CONF_FRAC} AS row_frac
+    FROM cells c JOIN totals t ON t.actual = c.actual
+    """,
+    tags=("text", "curation", "eval", "langid"),
+)
+def curate_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-overlap language classifier
+    against the fixture's labeled lang — the MODEL-EVAL table a
+    curation pipeline maintains for every heuristic gate it trusts
+    (lang-id especially: a classifier that silently confuses es/fr
+    reshapes the language mix that curate_mix_languages and
+    curate_unimax_budget then allocate on). Each row is one
+    (actual, predicted) cell with its count and its row-normalized
+    fraction (recall sits on the diagonal cells).
+
+    Exactness: counts are BIGINTs, fractions via the exact rational;
+    the classifier itself is the SAME flat-cascade expression
+    text_lang_id proves (lang_id_from_tokens — ties break by the
+    documented en>es>fr>de>zh cascade order, identical in the SQL
+    replay). Plan: one tokenizer scan, a (actual, predicted) count
+    with map-side partials, and a languages^2-sized totals join —
+    nothing downstream of the scan exceeds |langs|^2 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select(
+        F.col("lang").alias("actual"),
+        F.array_distinct(T.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    pred = tokenized.select(
+        "actual", T.lang_id_from_tokens(F.col("t")).alias("predicted")
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count("*").alias("n")
+    )
+    totals = cells.groupBy("actual").agg(
+        F.sum("n").cast("bigint").alias("n_actual")
+    )
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    return cells.join(F.broadcast(totals), "actual").select(
+        "actual",
+        "predicted",
+        "n",
+        "n_actual",
+        ratio_round6(F.col("n"), F.col("n_actual")).alias("row_frac"),
+    )
