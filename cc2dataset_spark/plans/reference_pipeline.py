@@ -696,3 +696,119 @@ def cc_image_text_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("val"))
         .alias("split"),
     )
+
+
+_PARAM_UNIQ = (
+    "(CAST((2000000 * (n_values) + (n_links)) // (2 * (n_links)) "
+    "AS DOUBLE) / 1000000)"
+)
+
+
+@query(
+    "cc_url_param_stats",
+    oracle=rf"""
+    WITH links AS (
+      SELECT doc_id, source,
+             'https://' || source || '-shop.com/p/'
+               || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR)
+               || '&utm_source=s' || CAST(doc_id % 3 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '&page=' || CAST(doc_id % 7 AS VARCHAR)
+                       ELSE '' END AS url
+      FROM documents
+    ), kv AS (
+      SELECT source || '-shop.com' AS domain,
+             unnest(string_split(regexp_extract(url, '\?(.*)$', 1), '&'))
+               AS pair
+      FROM links
+    ), parsed AS (
+      SELECT domain,
+             split_part(pair, '=', 1) AS param,
+             split_part(pair, '=', 2) AS value
+      FROM kv WHERE pair <> ''
+    ), agg AS (
+      SELECT param,
+             CAST(COUNT(*) AS BIGINT) AS n_links,
+             CAST(COUNT(DISTINCT value) AS BIGINT) AS n_values,
+             CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains
+      FROM parsed GROUP BY param
+    )
+    SELECT param, n_links, n_values, n_domains,
+           {_PARAM_UNIQ} AS uniqueness,
+           n_values * 10 >= n_links * 9 AS strip_candidate
+    FROM agg
+    """,
+    tags=("layer_a", "links", "profiling"),
+)
+def cc_url_param_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-parameter profile of the link stream — the DATA-DRIVEN way
+    to build normalize_url's strip list instead of hardcoding utm_*:
+    a parameter whose value is unique per link (uniqueness ~ 1.0:
+    session ids, click ids, cache busters) splits identical targets
+    into millions of spurious uids and is a STRIP CANDIDATE; a
+    parameter with few distinct values (page=, lang=) is semantic
+    routing and must be kept. The fixture plants one of each shape
+    (per-link id=, 3-value utm_source=, 7-value page= on half the
+    links) so both verdicts are exercised.
+
+    The candidate flag is an integer cross-multiplication
+    (n_values*10 >= n_links*9, i.e. uniqueness >= 0.9) — no float
+    decides it; uniqueness itself reports via the exact rational.
+
+    Scale: parse is pure codegen (regexp + split + split_part per
+    link), then ONE param-keyed aggregate whose two count-distincts
+    share the key — param cardinality is tiny (thousands), but a
+    hot param (id= on every link) concentrates on one reducer, so at
+    100 TB the distinct counts should switch to approx_count_distinct
+    or a two-level (param, value-hash-bucket) pre-aggregate; the
+    exact form here is the oracle-checkable ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-shop.com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_source=s"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("&page="), (F.col("doc_id") % 7).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    links = docs.select(
+        F.concat(F.col("source"), F.lit("-shop.com")).alias("domain"),
+        url.alias("url"),
+    )
+    kv = links.select(
+        "domain",
+        F.explode(
+            F.split(F.regexp_extract("url", r"\?(.*)$", 1), "&")
+        ).alias("pair"),
+    ).where(F.col("pair") != "")
+    parsed = kv.select(
+        "domain",
+        F.split_part(F.col("pair"), F.lit("="), F.lit(1)).alias("param"),
+        F.split_part(F.col("pair"), F.lit("="), F.lit(2)).alias("value"),
+    )
+    agg = parsed.groupBy("param").agg(
+        F.count("*").alias("n_links"),
+        F.count_distinct("value").alias("n_values"),
+        F.count_distinct("domain").alias("n_domains"),
+    )
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    return agg.select(
+        "param",
+        "n_links",
+        "n_values",
+        "n_domains",
+        ratio_round6(F.col("n_values"), F.col("n_links")).alias(
+            "uniqueness"
+        ),
+        (F.col("n_values") * 10 >= F.col("n_links") * 9).alias(
+            "strip_candidate"
+        ),
+    )

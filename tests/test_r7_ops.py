@@ -493,3 +493,60 @@ def test_dedup_report_stage_arithmetic(spark):
     # every stage removed something on the planted fixture
     for s in order[1:]:
         assert rows[s]["removed"] > 0
+
+
+# --------------------------------------------------------- lang-id eval
+
+
+def test_langid_confusion_shares_and_accuracy(spark):
+    rows = QUERIES["curate_langid_confusion"].fn(spark, SF).collect()
+    by_actual: dict[str, list] = {}
+    for r in rows:
+        by_actual.setdefault(r["actual"], []).append(r)
+    for actual, rs in by_actual.items():
+        n_actual = rs[0]["n_actual"]
+        assert sum(r["n"] for r in rs) == n_actual
+        assert all(r["n_actual"] == n_actual for r in rs)
+        # row fractions sum to ~1 (each rounds to 6dp independently)
+        assert abs(sum(r["row_frac"] for r in rs) - 1.0) < 1e-4
+    # The fixture's TEXT is English-ish Spark vocabulary for every
+    # lang LABEL — and the matrix must expose exactly that
+    # label/content disconnect (that exposure is the point of the
+    # eval table): en recall is high, and the off-diagonal mass of
+    # every other label lands on 'en' or 'und', never on a third
+    # language.
+    en = {r["predicted"]: r for r in by_actual["en"]}
+    assert en["en"]["row_frac"] > 0.8
+    for actual, rs in by_actual.items():
+        if actual == "en":
+            continue
+        assert {r["predicted"] for r in rs} <= {"en", "und", actual}
+
+
+# ------------------------------------------------------------- lateness
+
+
+def test_lateness_profile_spreads_and_conserves(spark):
+    import duckdb
+
+    rows = QUERIES["events_lateness_profile"].fn(spark, SF).collect()
+    n_by_type = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(*) FROM '{SF}/events.parquet' "
+            "GROUP BY event_type"
+        ).fetchall()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(by_type) == set(n_by_type)
+    for etype, rs in by_type.items():
+        assert sum(r["n_events"] for r in rs) == n_by_type[etype]
+        # the jitter permutation must spread the histogram
+        assert len(rs) >= 3
+        for r in rs:
+            if r["late_bucket"] == 0:
+                assert r["min_late_secs"] == r["max_late_secs"] == 0
+            else:
+                lo, hi = 1 << (r["late_bucket"] - 1), (1 << r["late_bucket"]) - 1
+                assert lo <= r["min_late_secs"] <= r["max_late_secs"] <= hi
