@@ -550,3 +550,75 @@ def test_lateness_profile_spreads_and_conserves(spark):
             else:
                 lo, hi = 1 << (r["late_bucket"] - 1), (1 << r["late_bucket"]) - 1
                 assert lo <= r["min_late_secs"] <= r["max_late_secs"] <= hi
+
+
+# ------------------------------------------------------------ plan shapes
+
+
+def _formatted_plan(spark, name):
+    import contextlib
+    import io
+
+    df = QUERIES[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# query -> substrings its physical plan MUST contain
+_SHAPE_MARKERS = {
+    # banded hamming: integer popcount verify, no Python anywhere
+    "multimodal_phash_neardup": ["bit_count"],
+    # the rank<=10 head collapses all the way to TakeOrderedAndProject
+    "profile_key_skew": ["TakeOrderedAndProject"],
+    "text_zipf_fit": [],
+    "search_hybrid_rrf": ["WindowGroupLimit"],
+    # one-exchange designs ride a pinned/cached partitioning
+    "events_anomaly_mad": ["InMemoryTableScan"],
+    "text_kneser_ney_counts": ["InMemoryTableScan"],
+    "graph_triangle_counts": ["InMemoryTableScan"],
+    "curate_unimax_budget": ["InMemoryTableScan"],
+    # pure scan math: no exchange at all
+    "text_readability": [],
+    "multimodal_audio_frames": [],
+    # full-output window op: no limit exists, so no group limit applies
+    "curate_score_calibration": [],
+    "io_compaction_plan": [],
+    "cc_anchor_text_corpus": [],
+    "graph_degree_distribution": [],
+    "cc_image_text_manifest": [],
+    "cc_url_param_stats": ["Expand"],
+    "curate_langid_confusion": [],
+    "events_lateness_profile": [],
+    "curate_dedup_report": [],
+    "text_vocab_stats": [],
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SHAPE_MARKERS))
+def test_r7_plan_shapes(spark, name):
+    """The sixth-wave ops must stay JVM-side and join-safe: no
+    cartesian product outside an explicit broadcast of a 1-row/tiny
+    frame, no row-at-a-time Python eval anywhere, plus per-query
+    markers (group-limited top-k heads, pinned caches for
+    multi-consumer frames, integer popcount verify)."""
+    p = _formatted_plan(spark, name)
+    assert "CartesianProduct" not in p, name
+    # BatchEvalPython = row-at-a-time Python UDF; ArrowEval (pandas)
+    # is also absent in this cohort — every op is pure Column algebra
+    assert "BatchEvalPython" not in p, name
+    assert "ArrowEvalPython" not in p, name
+    for marker in _SHAPE_MARKERS[name]:
+        assert marker in p, (name, marker)
+
+
+def test_r7_zero_exchange_ops(spark):
+    """The two pure-row-math ops must plan ZERO exchanges — any
+    exchange appearing here means someone broke the scan-bound
+    contract their SCALE.md rows advertise."""
+    import re
+
+    for name in ("text_readability", "multimodal_audio_frames"):
+        p = _formatted_plan(spark, name)
+        assert not re.search(r"(?<![A-Za-z])Exchange[^\n(]*\(\d+\)", p), name
