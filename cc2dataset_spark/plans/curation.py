@@ -2133,3 +2133,172 @@ def curate_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_kept_frac"
         ),
     )
+
+
+_NOVELTY = RATIO6_SQL.format(num="COALESCE(n_novel, 0)", den="n_pairs")
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+    ), bg AS (
+      SELECT DISTINCT doc_id, prev, cur FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> {{'prev': tk[i],
+                                            'cur': tk[i+1]}}),
+                      recursive := true)
+        FROM t WHERE len(tk) >= 2
+      )
+    ), per_bucket AS (
+      SELECT doc_id // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM bg GROUP BY doc_id // 50
+    ), firsts AS (
+      SELECT first_doc // 50 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM (SELECT prev, cur, MIN(doc_id) AS first_doc
+            FROM bg GROUP BY prev, cur)
+      GROUP BY first_doc // 50
+    )
+    SELECT CAST(p.bucket AS BIGINT) AS bucket, p.n_pairs,
+           CAST(COALESCE(f.n_novel, 0) AS BIGINT) AS n_novel,
+           {_NOVELTY} AS novelty
+    FROM per_bucket p LEFT JOIN firsts f ON f.bucket = p.bucket
+    """,
+    tags=("text", "curation", "profiling", "dedup"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-decay curve: for each 50-doc ingestion bucket, the
+    fraction of its distinct (doc, bigram) pairs whose bigram has
+    NEVER appeared in an earlier document — the "how much new content
+    does each crawl increment actually add" monitor that tells a
+    pipeline when additional data stops buying coverage (novelty
+    collapsing toward 0 = the crawl is re-reading itself; Lee 2022's
+    dedup-improves-LMs result is this curve's consequence).
+
+    Join-free formulation: a bigram type contributes exactly ONE
+    novel pair — in the bucket of its min doc_id — so per-bucket
+    novelty is two aggregates (distinct pair count per bucket;
+    first-seen type count per bucket of min-doc) and a bucket-keyed
+    left join of two TINY frames. No corpus-scale join-back of the
+    first-occurrence table, which is what the naive per-pair novel
+    flag would do.
+
+    Integer-exact counts, exact-rational novelty. Scale: the distinct
+    (doc, prev, cur) dedup is the corpus-scale stage (map-side
+    partials absorb duplication); both aggregates ride it; output is
+    bucket-count-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("tk")
+    ).where(F.size("tk") >= 2)
+    pair = F.zip_with(
+        F.slice(F.col("tk"), F.lit(1), F.size("tk") - 1),
+        F.slice(F.col("tk"), F.lit(2), F.size("tk") - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+
+    bg = caching.track(
+        t.select("doc_id", F.explode(pair).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.prev").alias("prev"),
+            F.col("p.cur").alias("cur"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    per_bucket = bg.groupBy(
+        F.expr("doc_id div 50").alias("bucket")
+    ).agg(F.count("*").alias("n_pairs"))
+    firsts = (
+        bg.groupBy("prev", "cur")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.expr("first_doc div 50").alias("bucket"))
+        .agg(F.count("*").alias("n_novel"))
+    )
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    nn = F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint")
+    return per_bucket.join(firsts, "bucket", "left").select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_pairs",
+        nn.alias("n_novel"),
+        ratio_round6(nn, F.col("n_pairs")).alias("novelty"),
+    )
+
+
+# Placeholder policy blocklist over the fixture vocabulary — the C4
+# "badwords" MECHANISM with neutral stand-in terms; production swaps
+# the tuple for the real policy list exactly like TWO_LABEL_SUFFIXES
+# stands in for the PSL (functions/links.py).
+_BLOCKLIST = ("slow", "crash", "stale")
+_BLOCKLIST_SQL = "('slow', 'crash', 'stale')"
+_BLOCK_RATE = RATIO6_SQL.format(num="n_flagged", den="n_docs")
+
+
+@query(
+    "curate_blocklist_filter",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS term
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(CASE WHEN term IN {_BLOCKLIST_SQL} THEN 1 END)
+               AS BIGINT) AS n_hits
+      FROM tok GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN n_hits > 0 THEN 1 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           {_BLOCK_RATE} AS flag_rate
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("curation", "policy", "filter"),
+)
+def curate_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist gating — the C4 badwords filter's mechanism
+    (docs containing any blocklisted token are dropped wholesale; C4
+    §2.2 removed ~7% of tokens this way), reported per language as
+    docs/flagged/hit-count/flag-rate so the policy owner sees the
+    removal volume BEFORE committing the drop. The list here is a
+    neutral fixture-vocabulary stand-in (same placeholder convention
+    as the PSL suffix tuple); production broadcasts the real list.
+
+    All counts integer-exact, rate via the exact rational. Plan: one
+    tokenize+explode scan with the blocklist test INLINE in the
+    aggregate (a 3-term IN-list is a codegen predicate — a real
+    ~400-term list broadcasts and joins instead), a doc-keyed count
+    with map-side partials, then a lang-sized rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    per_doc = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.when(F.col("term").isin(*_BLOCKLIST), 1))
+        .cast("bigint")
+        .alias("n_hits")
+    )
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("n_hits") > 0, 1))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("n_hits").cast("bigint").alias("total_hits"),
+        ratio_round6(
+            F.count(F.when(F.col("n_hits") > 0, 1)),
+            F.count("*"),
+        ).alias("flag_rate"),
+    )

@@ -1353,3 +1353,119 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_late_secs",
         ratio_round6(F.col("n_events"), F.col("n_total")).alias("share"),
     )
+
+
+_CONC_SHARE = (
+    "(CAST((2000000 * (n_events) + (n_total)) // (2 * (n_total)) "
+    "AS DOUBLE) / 1000000)"
+)
+_CONC_CUM = (
+    "(CAST((2000000 * (cum_events) + (n_total)) // (2 * (n_total)) "
+    "AS DOUBLE) / 1000000)"
+)
+
+
+@query(
+    "events_user_concentration",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_users_total
+      FROM per_user
+    ), deciled AS (
+      SELECT ((rn - 1) * 10) // n_users_total + 1 AS decile, n
+      FROM ranked
+    ), cells AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS n_events
+      FROM deciled GROUP BY decile
+    ), tot AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM cells
+    ), cum AS (
+      SELECT decile, n_users, n_events, n_total,
+             CAST(SUM(n_events) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_events
+      FROM cells CROSS JOIN tot
+    )
+    SELECT decile, n_users, n_events,
+           {_CONC_SHARE} AS events_share,
+           {_CONC_CUM} AS cum_events_share
+    FROM cum
+    """,
+    tags=("events", "profiling", "stats", "skew"),
+)
+def events_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto) curve: rank users by event
+    volume, cut into deciles, report each decile's share and the
+    cumulative share — the "top 10% of users generate X% of events"
+    table that complements profile_key_skew (that op names the
+    heaviest KEYS; this one characterizes the whole distribution,
+    which is what decides whether user-keyed state — sessionizers,
+    funnels, per-user windows — needs the heavy-tail rank path or
+    not).
+
+    Integer-exact throughout: decile = ((rank-1)*10) div n_users
+    (equal-count cuts, remainder spilling to early deciles — the
+    deterministic convention both engines share), shares via the
+    exact rational over the cumulative BIGINT sums.
+
+    Plan: one user-keyed count (map-side partials) is the only
+    corpus-scale stage; the rank runs over the USER table (the
+    unpartitioned window is the documented key-cardinality exception
+    — swap to operators/rank.global_row_number when the user table
+    outgrows a task, as dedup_truncated_docs demonstrates); the
+    decile rollup and cumulative window touch 10 rows."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    ranked = per_user.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("user_id")))
+        .cast("bigint")
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias(
+            "n_users_total"
+        ),
+    )
+    deciled = ranked.select(
+        F.expr("((rn - 1) * 10) div n_users_total + 1")
+        .cast("bigint")
+        .alias("decile"),
+        "n",
+    )
+    cells = deciled.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    tot = cells.agg(F.sum("n_events").cast("bigint").alias("n_total"))
+    cum = cells.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.sum("n_events")
+        .over(
+            Window.orderBy("decile").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint")
+        .alias("cum_events"),
+    )
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
+    return cum.select(
+        "decile",
+        "n_users",
+        "n_events",
+        ratio_round6(F.col("n_events"), F.col("n_total")).alias(
+            "events_share"
+        ),
+        ratio_round6(F.col("cum_events"), F.col("n_total")).alias(
+            "cum_events_share"
+        ),
+    )

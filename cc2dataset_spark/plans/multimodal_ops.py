@@ -223,3 +223,82 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_secs"
         ),
     )
+
+
+_CAP_DIGIT_SHARE = (
+    "(CAST((2000000 * (n_digits) + (n_chars)) // (2 * (n_chars)) "
+    "AS DOUBLE) / 1000000)"
+)
+
+
+@query(
+    "multimodal_caption_stats",
+    oracle=f"""
+    WITH caps AS (
+      SELECT doc_id,
+             substr(text, 1, 60) AS caption
+      FROM documents
+    ), m AS (
+      SELECT doc_id, caption,
+             CAST(length(caption) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split_regex(trim(caption),
+                                                     '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(caption, '[^0-9]', '', 'g'))
+               AS BIGINT) AS n_digits
+      FROM caps
+    )
+    SELECT doc_id, n_chars, n_words, n_digits,
+           {_CAP_DIGIT_SHARE} AS digit_share,
+           n_words >= 3 AND n_words <= 32
+             AND 10 * n_digits < 3 * n_chars AS keep
+    FROM m WHERE n_chars > 0
+    """,
+    tags=("multimodal", "image", "curation", "caption"),
+)
+def multimodal_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-quality gates for image-text pairs — the LAION-style
+    filter battery applied to the TEXT side of the pair (the image
+    side is pHash/dims territory): word-count band (3..32 — one-word
+    alt text is a filename, 50-word alt text is article boilerplate)
+    and digit-density cap (digit-heavy captions are SKUs/timestamps,
+    useless as contrastive supervision). Captions here are the
+    fixture's alt-text stand-in (the same substr the manifest's
+    anchor stream uses).
+
+    The keep flag is decided by INTEGER comparisons only
+    (10*digits < 3*chars, i.e. digit share < 0.3); digit_share
+    reports via the exact rational. Zero shuffles — pure per-row
+    codegen over a two-column scan; at 100 TB this gate belongs
+    FUSED into the manifest build's first projection, which is
+    exactly what a narrow all-Column formulation makes Catalyst do
+    for free."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+    from cc2dataset_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    caps = docs.select(
+        "doc_id", F.substring("text", 1, 60).alias("caption")
+    )
+    m = caps.select(
+        "doc_id",
+        F.length("caption").cast("bigint").alias("n_chars"),
+        F.size(T.tokens("caption")).cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace("caption", r"[^0-9]", ""))
+        .cast("bigint")
+        .alias("n_digits"),
+    ).where(F.col("n_chars") > 0)
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_digits",
+        ratio_round6(F.col("n_digits"), F.col("n_chars")).alias(
+            "digit_share"
+        ),
+        (
+            (F.col("n_words") >= 3)
+            & (F.col("n_words") <= 32)
+            & (F.lit(10) * F.col("n_digits") < F.lit(3) * F.col("n_chars"))
+        ).alias("keep"),
+    )
