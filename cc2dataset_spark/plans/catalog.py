@@ -79,72 +79,71 @@ def query(
 # stays covered by the local oracle suite (tests/test_oracle.py), which
 # runs ALL oracle-backed queries every CI pass.
 #
-# Round-6 window: the 20 r5 debuts that had never received a driver row
-# rotate IN (13 LLM-ops/events/as-of operators + the 7 remaining TPC-H
-# fill-ins q7/q9/q11/q12/q15/q16/q20); ceded are 12 slots green in 4-5
-# consecutive rounds and 8 once-green r5 slots whose family stays
-# represented. events_sessionize stays — its r5 red was an oracle
-# HUGEINT cast bug (fixed; see events_analytics.py) and it needs its
-# first green.
+# Round-8 window: all 50 slots are debuts (policy rules 1+5). The r7
+# registration wave left a 55-query never-driver-checked backlog
+# (48 queued for r8 + 7 for r9); this window drains the entire r8
+# queue in registration order plus the first two of the r9 queue,
+# leaving 5 debuts for r9 and zero catalog growth this round. The
+# re-confirmation backlog (last-green-r4 cohort onward) gets the full
+# r9+ windows once the debut backlog is zero. Every name below was
+# green in the judge-run full driver simulation at sf0.01 AND the
+# end-of-r7 sf0.1 sweep, so each enters its debut already proven at
+# 10x the driver's scale.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r7 debut queue (ROTATION.md policy rule 5 — the seven r6
-    # registrations that queued when the r6 window had no cedable
-    # slots; each must earn its first driver green this round)
-    "cc_dedup_normalized_url",
-    "text_bigram_perplexity",
-    "dedup_winnow_overlap",
-    "dedup_bloom_prefilter",
-    "profile_lineitem_columns",
-    "events_value_quantiles",
-    "dedup_sorted_neighborhood",
-    # re-confirmation, oldest-green first (policy rule 3): the 24
-    # queries whose only driver green is round 1
-    "agg_distinct_counts",
-    "agg_minmax_by",
-    "rollup_order_status",
-    "cube_returns",
-    "q5_local_supplier_volume",
-    "join_outer_order_counts",
-    "subquery_in_negative_balance",
-    "window_running_value",
-    "window_lag_gap",
-    "window_rank_dense_ntile",
-    "window_first_last_nth",
-    "setop_union_distinct_keys",
-    "scalar_json_dates",
-    "scalar_math_lineitem",
-    "scalar_regex_extract",
-    "filter_pushdown_orders",
-    "agg_percentiles_price",
-    "histogram_totalprice",
-    "agg_filtered_conditional",
-    "sample_deterministic",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "explode_outer_long_words",
-    "q2_min_cost_supplier",
-    # re-confirmation: 19 of the last-green-r4 cohort, chosen so every
-    # operator family keeps a live row (text, dedup, curation, ANN,
-    # multimodal, events, TPC-H core, join variants, top-k, set ops)
-    "text_token_stats",
-    "text_quality_scores",
-    "dedup_fingerprint_documents",
-    "dedup_embedding_cosine",
-    "curate_quality_filter",
-    "ann_bruteforce_topk",
-    "multimodal_binary_stats",
-    "events_tumbling_10m",
-    "events_session_30m",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "join_broadcast_geo",
-    "join_semi_big_spenders",
-    "join_anti_no_orders",
-    "join_range_shipments",
-    "join_asof_last_order",
-    "window_topk_orders_per_cust",
-    "sort_topk_orders",
-    "setop_nation_coverage",
+    # r8 debut queue (the 48 r7 registrations queued under policy
+    # rule 5, in registration order — see ROTATION.md)
+    "events_value_quantiles_heavy",
+    "dedup_prefix_jaccard",
+    "curate_gopher_rules",
+    "dedup_edit_distance_sources",
+    "events_scd2_event_type",
+    "dedup_ngram_span_coverage",
+    "curate_dsir_weights",
+    "events_markov_transitions",
+    "text_collocation_lift",
+    "sample_weighted_tickets",
+    "multimodal_cdc_chunks",
+    "join_interval_busy_hours",
+    "sketch_kmv_distinct_users",
+    "events_quantile_sketch_bottomk",
+    "er_snm_cluster_survivors",
+    "text_heavy_hitter_words",
+    "curate_pack_sequences",
+    "sample_stratified_per_lang",
+    "text_bm25_topk",
+    "events_time_weighted_avg",
+    "sketch_kmv_setops",
+    "join_salted_skew",
+    "multimodal_image_dims",
+    "dedup_cluster_best_quality",
+    "curate_boilerplate_prefix",
+    "text_unicode_nfc",
+    "events_m4_downsample",
+    "profile_cross_source_overlap",
+    "curate_dedup_paragraphs",
+    "cc_domain_stats",
+    "dedup_truncated_docs",
+    "text_vocab_stats",
+    "cc_anchor_text_corpus",
+    "graph_triangle_counts",
+    "multimodal_phash_neardup",
+    "io_compaction_plan",
+    "text_readability",
+    "curate_unimax_budget",
+    "text_kneser_ney_counts",
+    "events_anomaly_mad",
+    "cc_image_text_manifest",
+    "search_hybrid_rrf",
+    "profile_key_skew",
+    "multimodal_audio_frames",
+    "curate_score_calibration",
+    "graph_degree_distribution",
+    "text_zipf_fit",
+    "curate_dedup_report",
+    # head of the r9 debut queue (policy rule 5, registration order) —
+    # pulled forward into the two remaining slots
+    "curate_langid_confusion",
+    "events_lateness_profile",
 )
 
 
@@ -184,30 +183,33 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    # imports for side effect of @query registration; priority families
-    # first so even raw registration order puts them up front
-    try:
-        from cc2dataset_spark.plans import reference_pipeline  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from cc2dataset_spark.plans import llm_ops  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from cc2dataset_spark.plans import windows_streaming  # noqa: F401
-    except ImportError:
-        pass
+    # imports for side effect of @query registration. These
+    # modules have no optional deps, so an ImportError here is a broken
+    # registration module — let it propagate (a swallowed failure would
+    # silently shrink the catalog; only DRIVER_PRIORITY names would
+    # fail loudly via _ordered()'s KeyError).
     from cc2dataset_spark.plans import (  # noqa: F401
         curation,
         events_analytics,
         graph_ops,
         io_ops,
+        llm_ops,
         multimodal_ops,
+        reference_pipeline,
         relational,
         relational2,
         relational3,
         relational4,
+        windows_streaming,
     )
 
     _LOADED = True
+    # Backstop against a partial registration sneaking through (e.g. a
+    # module that imports fine but whose decorators were edited out):
+    # the catalog must never silently shrink below the driver window
+    # plus the established layer-B families.
+    if len(QUERIES) < len(DRIVER_PRIORITY):
+        raise RuntimeError(
+            f"catalog shrank: {len(QUERIES)} registered queries < "
+            f"{len(DRIVER_PRIORITY)} driver-window slots"
+        )
