@@ -41,6 +41,35 @@ def md5_number_lower(col: Column | str) -> Column:
     return F.conv(rev, 16, 10).cast("decimal(20,0)")
 
 
+def md5_long63(col: Column | str) -> Column:
+    """Lower 63 bits of md5(col) as signed BIGINT — the 8-byte shuffle
+    key form of :func:`md5_number_lower` (DECIMAL(20,0) join/sort keys
+    fall off the Tungsten long fast path; a BIGINT stays on it).
+
+    value = md5_number_lower(col) % 2^63, i.e. (hi % 2^31)*2^32 + lo
+    with hi/lo the big/little 4-byte halves of the little-endian lower
+    digest — always non-negative and exact in BIGINT. DuckDB twin when
+    an oracle must replay it:
+    ``CAST(md5_number_lower(s) % 9223372036854775808 AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_long63_from_hex(F.md5(c))
+
+
+def md5_long63_from_hex(hx: Column) -> Column:
+    """:func:`md5_long63` given an already-computed md5 HEX column —
+    same no-CSE-in-HOF-lambdas rationale as :func:`md5_mod_from_hex`:
+    hash an array as ``transform(transform(sh, md5), md5_long63_from_hex)``
+    so md5 runs once per element."""
+    hi = F.conv(
+        F.concat(*[F.substring(hx, 31 - 2 * i, 2) for i in range(4)]), 16, 10
+    ).cast("bigint")
+    lo = F.conv(
+        F.concat(*[F.substring(hx, 23 - 2 * i, 2) for i in range(4)]), 16, 10
+    ).cast("bigint")
+    return F.pmod(hi, F.lit(1 << 31)) * F.lit(1 << 32) + lo
+
+
 def md5_mod(col: Column | str, p: int) -> Column:
     """``md5_number_lower(col) % p`` in pure BIGINT arithmetic (hot-path
     form for per-shingle hashing: DECIMAL(20,0) pmod falls out of the

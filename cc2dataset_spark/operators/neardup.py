@@ -410,6 +410,7 @@ def prefix_filter_jaccard_pairs(
     shingle_words: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    grid_b: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard via PREFIX FILTERING (the
     AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
@@ -423,27 +424,77 @@ def prefix_filter_jaccard_pairs(
     prefixes hold each doc's RAREST shingles, so the join's per-key
     fan-out is biased to df~1 keys: boilerplate n-grams that detonate
     the naive shingle join sit at the END of the order and never enter
-    a prefix. Exact result, no dropped shingles, no recall loss.
+    a prefix. No dropped shingles, no recall loss; "exact" is over
+    64-bit md5 shingle fingerprints (functions/hashes.md5_long63), so
+    a wrong pair needs an md5-64 collision inside one pair's shingle
+    union — ~U^2/2^64 for a U-shingle corpus, deterministic, and the
+    same fingerprint-exactness contract as the MinHash verifier.
 
-    Plan: one shingle-keyed exchange serves the df count and the
-    df-annotation join; the per-doc prefix trim is a bounded window
-    (partition = one doc's shingles); candidates self-join on prefix
-    shingles only; verification re-reads the persisted shingle-set
-    frame (array_intersect on the candidate pairs, same as the
-    MinHash verifier). threshold = threshold_num/threshold_den kept
-    rational so the prefix arithmetic is integer-exact in any engine.
+    Shuffle discipline (every byte that moves is an 8-byte fingerprint
+    or a doc id, never a raw shingle string):
+    - shingles fold to BIGINT BEFORE the first exchange, so the
+      df-count, df-annotation join, prefix window, and candidate
+      self-join all move 8-byte keys;
+    - candidate generation is SIZE-ASYMMETRIC (PPJoin): order docs by
+      (|x|, id); the smaller side of a pair only indexes its
+      (|x| - ceil(2t/(1+t)|x|) + 1)-prefix — valid because the length
+      filter guarantees |y| <= |x|/t, hence required overlap
+      a = ceil(t/(1+t)(|x|+|y|)) >= ceil(2t/(1+t)|x|) — measured ~1.5x
+      fewer candidates than symmetric prefixes at sf0.1;
+    - the PPJoin POSITIONAL filter drops join rows whose match
+      positions cap the overlap below a: for a common token at
+      (i, j), c <= min(i,j) + min(|x|-i, |y|-j); a true pair's
+      guaranteed in-prefix common token always passes, so keeping
+      pairs with ANY passing row is lossless;
+    - verification is a FRAGMENT-REPLICATE GRID join (the classic
+      theta-join grid): pairs hash to a (B x B) cell by (id_x, id_y);
+      each doc's fingerprint array replicates to at most B cells per
+      side — O(docs x B), NOT O(pairs) — and both grid joins run on
+      one cell-keyed exchange (subset co-partitioning,
+      spark.sql.requireAllClusterKeysForCoPartition=false, set here at
+      runtime; semantics-preserving — it only lets Catalyst RECOGNIZE
+      that two sides hash-partitioned on the same key subset are
+      co-located). The naive ship-arrays-per-pair verifier measured
+      274 MB on this stage at sf0.1 (886 B/candidate); the grid moves
+      ~O(docs x B) array bytes + O(pairs) 16-byte rows. B defaults to
+      ~sqrt(parallelism) (the fragment-replicate optimum shape): cells
+      = B^2 >= cores for full parallelism, replication grows only as
+      sqrt(cluster size).
+
+    threshold = threshold_num/threshold_den kept rational so prefix
+    arithmetic is integer-exact in any engine.
     """
+    import math
+
     from pyspark.storagelevel import StorageLevel
 
     from cc2dataset_spark import caching
+    from cc2dataset_spark.functions.hashes import md5_long63_from_hex
 
     t_n, t_d = threshold_num, threshold_den
+    spark = df.sparkSession
+    if grid_b is None:
+        grid_b = max(2, math.isqrt(spark.sparkContext.defaultParallelism - 1) + 1)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Runtime-settable, semantics-preserving (see docstring); required
+    # for the grid joins to share one cell exchange.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+
+    # md5 materialized once per shingle (transform-of-transform: no CSE
+    # inside HOF lambdas — see hashes.md5_long63_from_hex); distinct
+    # AFTER hashing so sizes stay self-consistent with the fingerprint
+    # sets the verifier intersects.
     base = caching.track(
         spread_small_input(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col).alias("did"),
             F.array_distinct(
-                word_shingles(text_col, shingle_words)
+                F.transform(
+                    F.transform(
+                        word_shingles(text_col, shingle_words), F.md5
+                    ),
+                    md5_long63_from_hex,
+                )
             ).alias("sh"),
         )
         .where(F.size("sh") > 0)
@@ -460,10 +511,16 @@ def prefix_filter_jaccard_pairs(
     # shuffle-hash: the join then shares the shingle-keyed exchange.
     dfc = ex.groupBy("s").agg(F.count("*").alias("df_"))
     exdf = ex.join(dfc.hint("shuffle_hash"), "s")
-    # p = n - ceil(t*n) + 1, integer-exact: ceil(a/b) = (a+b-1) div b
+    # probe prefix p = n - ceil(t*n) + 1; index prefix
+    # q = n - ceil(2t/(1+t)*n) + 1; ceil(a/b) = (a+b-1) div b
     p = (
         F.col("n")
         - F.expr(f"(n * {t_n} + {t_d} - 1) div {t_d}")
+        + F.lit(1)
+    )
+    q = (
+        F.col("n")
+        - F.expr(f"(n * {2 * t_n} + {t_n + t_d} - 1) div {t_n + t_d}")
         + F.lit(1)
     )
     w = Window.partitionBy("did").orderBy("df_", "s")
@@ -472,51 +529,117 @@ def prefix_filter_jaccard_pairs(
     # stage reuse) instead of each re-running the df join + window —
     # the sides otherwise canonicalize differently and the whole
     # prefix pipeline executes twice (measured ~2x stage time).
-    prefix = (
+    # Persisted: the x and y sides read it with DIFFERENT column
+    # prunings (x needs q, y doesn't), which canonicalizes to two
+    # different exchange subplans — AQE stage reuse does NOT fire and
+    # the whole exploded pipeline would execute once per side
+    # (measured: 6 copies of the 260k-row exploded exchange before
+    # this persist + the cands one below).
+    prefix = caching.track(
         exdf.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= p)
-        .select("did", "s", "n")
+        .select("did", "s", "n", "rn", q.alias("q"))
         .repartition("s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = prefix.select(F.col("did").alias("id_a"), "s", F.col("n").alias("na"))
-    b = prefix.select(F.col("did").alias("id_b"), "s", F.col("n").alias("nb"))
-    # LENGTH FILTER (AllPairs): J(x,y) <= min(|x|,|y|)/max(|x|,|y|)
-    # (c <= min and the union >= max), so J >= t_n/t_d requires
-    # t_d*min >= t_n*max — integer-exact and LOSSLESS. Applied inside
-    # the candidate join, it prunes the verification volume before the
-    # expensive array_intersect pass (measured 24% of candidates at
-    # the fixture's near-uniform doc sizes; far more on real corpora
-    # with length spread).
-    cands = (
-        a.join(b.hint("shuffle_hash"), "s")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (
-                F.lit(t_d) * F.least("na", "nb")
-                >= F.lit(t_n) * F.greatest("na", "nb")
-            )
-        )
-        .select("id_a", "id_b")
+    # x = indexed (smaller) side, trimmed to the short prefix; y =
+    # probing side with the full prefix. Canonical roles by (n, id)
+    # mean each unordered pair is generated under exactly one role
+    # assignment — no double counting, no missed orientation.
+    x = prefix.where(F.col("rn") <= F.col("q")).select(
+        F.col("did").alias("id_x"),
+        "s",
+        F.col("n").alias("nx"),
+        F.col("rn").alias("ix"),
+    )
+    y = prefix.select(
+        F.col("did").alias("id_y"),
+        "s",
+        F.col("n").alias("ny"),
+        F.col("rn").alias("iy"),
+    )
+    canonical = (F.col("nx") < F.col("ny")) | (
+        (F.col("nx") == F.col("ny")) & (F.col("id_x") < F.col("id_y"))
+    )
+    # LENGTH FILTER (AllPairs): J >= t_n/t_d requires
+    # t_d*min(|x|,|y|) >= t_n*max — integer-exact, LOSSLESS, and the
+    # precondition for the asymmetric index prefix above.
+    length_ok = F.lit(t_d) * F.col("nx") >= F.lit(t_n) * F.col("ny")
+    # required overlap a = ceil(t/(1+t)(nx+ny)), integer-exact
+    req = F.expr(
+        f"((nx + ny) * {t_n} + {t_n + t_d} - 1) div {t_n + t_d}"
+    )
+    positional = (
+        F.least("ix", "iy")
+        + F.least(F.col("nx") - F.col("ix"), F.col("ny") - F.col("iy"))
+    ) >= req
+    # Fragment-replicate grid verification. Routing hash is xxhash64
+    # (pure routing, cannot change the output — hashes.py policy).
+    # The pair stream is routed to its grid cell BEFORE dedup: cell is
+    # a function of (id_x, id_y), so all copies of a pair land in one
+    # partition and — with subset clustering (the default
+    # requireAllClusterKeysForDistribution=false) — the dropDuplicates
+    # AND both per-side cell-map distincts below run WITHOUT further
+    # exchanges. The pair stream crosses the wire exactly once
+    # (measured: the dedup-then-route formulation shipped it twice —
+    # 362 MB + 390 MB at the 10x probe — plus two 80-90 MB
+    # partial-distinct exchanges for the cell maps).
+    cell = (
+        F.pmod(F.xxhash64("id_x"), F.lit(grid_b)) * grid_b
+        + F.pmod(F.xxhash64("id_y"), F.lit(grid_b))
+    )
+    # Persisted: consumed three times below (pair probe + both
+    # per-side replication maps); without it each consumer re-runs
+    # the full candidate join.
+    cp = caching.track(
+        x.join(y.hint("shuffle_hash"), "s")
+        .where(canonical & length_ok & positional)
+        .select("id_x", "id_y", cell.alias("cell"))
+        .repartition(nparts, F.col("cell"))
+        .dropDuplicates(["cell", "id_x", "id_y"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rep_x = (
+        cp.select("id_x", "cell")
         .distinct()
-    )
-    sa = base.select(F.col("did").alias("id_a"), F.col("sh").alias("sha"))
-    sb = base.select(F.col("did").alias("id_b"), F.col("sh").alias("shb"))
-    # Pin the verification joins to shuffle-hash: BOTH sides are
-    # corpus-scale under adversarial duplication (the shingle-set
-    # frame always, the candidate set quadratically in the dup
-    # factor), and the cached frame's columnar-compressed size
-    # estimate tempts AQE into a driver-heap-sized broadcast — the
-    # measured failure mode of the 10x near-copy probe (SCALE.md).
-    # Same mitigation as operators/graph.py's pinned joins.
-    sized = (
-        cands.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("sha", "shb")).alias("c"),
-            (F.size("sha") + F.size("shb")).alias("ab"),
+        .join(
+            base.select(
+                F.col("did").alias("id_x"), F.col("sh").alias("shx")
+            ).hint("shuffle_hash"),
+            "id_x",
         )
+    )
+    rep_y = (
+        cp.select("id_y", "cell")
+        .distinct()
+        .join(
+            base.select(
+                F.col("did").alias("id_y"), F.col("sh").alias("shy")
+            ).hint("shuffle_hash"),
+            "id_y",
+        )
+    )
+    # Explicit repartition on cell alone: with subset co-partitioning
+    # enabled, BOTH grid joins are satisfied by the cell exchanges —
+    # the pair+array intermediate is re-sorted locally, never
+    # re-shuffled (the whole point: its width is one fingerprint array
+    # per row). shuffle_hash on the rep sides: at corpus scale they
+    # are O(docs x B) — never a broadcast candidate.
+    ver = (
+        cp.join(
+            rep_x.repartition(nparts, F.col("cell")).hint("shuffle_hash"),
+            ["cell", "id_x"],
+        )
+        .join(
+            rep_y.repartition(nparts, F.col("cell")).hint("shuffle_hash"),
+            ["cell", "id_y"],
+        )
+    )
+    sized = ver.select(
+        "id_x",
+        "id_y",
+        F.size(F.array_intersect("shx", "shy")).alias("c"),
+        (F.size("shx") + F.size("shy")).alias("ab"),
     )
     # EXACT integer threshold predicate: J = c/(ab-c) >= t_n/t_d
     # <=> t_d*c >= t_n*(ab-c) — never the rounded jaccard vs a float
@@ -526,7 +649,11 @@ def prefix_filter_jaccard_pairs(
     jac = ratio_round6(F.col("c"), F.col("ab") - F.col("c"))
     return sized.where(
         F.lit(t_d) * F.col("c") >= F.lit(t_n) * (F.col("ab") - F.col("c"))
-    ).select("id_a", "id_b", jac.alias("jaccard"))
+    ).select(
+        F.least("id_x", "id_y").alias("id_a"),
+        F.greatest("id_x", "id_y").alias("id_b"),
+        jac.alias("jaccard"),
+    )
 
 
 def embedding_neardup_pairs_blocked(
