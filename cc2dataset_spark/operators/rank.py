@@ -113,13 +113,20 @@ def keyed_row_number(
     Plan: ONE range exchange on ``(keys..., order_by...)`` — the range
     sampler splits a hot key across as many partitions as its volume
     demands, so no task ever holds more than one partition's rows of
-    it — then a per-(partition, key) count collected to the driver
-    (bounded by #partitions + #keys-present: keys are contiguous in
-    range order, so each partition adds at most one straddling key),
-    prefix-summed per key in partition order, and broadcast-joined
-    back onto the ranged frame where a within-(partition, key)
-    row_number adds the offset. Same boundary-pinning persist contract
-    as global_row_number (registered with cc2dataset_spark.caching).
+    it — then a per-(partition, key) count frame (bounded by
+    #partitions + #keys-present: keys are contiguous in range order,
+    so each partition adds at most one straddling key) prefix-summed
+    per key in partition order WITH A WINDOW OVER THE COUNTS FRAME —
+    never a driver collect, so there is no key-cardinality ceiling
+    (per-user keys at 10^8-10^9 distinct values stay fully
+    distributed; each key's window partition holds at most #partitions
+    rows by the contiguity argument). The offsets join back onto the
+    ranged frame on (_pid, keys) — the SAME clustering the final
+    row_number window needs, so when AQE plans it as a shuffle join
+    the exchange is the one the window required anyway, and when the
+    offsets frame is tiny AQE broadcasts it. Same boundary-pinning
+    persist contract as global_row_number (registered with
+    cc2dataset_spark.caching).
 
     ``order_by`` plus ``keys`` must be a total order (include a unique
     tiebreak) for reproducibility.
@@ -140,23 +147,30 @@ def keyed_row_number(
             StorageLevel.MEMORY_AND_DISK
         )
     )
-    counts = ranged.groupBy("_pid", *keys).count().collect()
-    totals: dict[tuple, int] = {}
-    off_rows = []
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        kt = tuple(row[k] for k in keys)
-        off_rows.append((row["_pid"], *kt, totals.get(kt, 0)))
-        totals[kt] = totals.get(kt, 0) + row["count"]
-    spark = df.sparkSession
-    off_schema = (
-        ranged.select("_pid", *keys)
-        .withColumn("_offset", F.lit(0).cast("bigint"))
-        .withColumn("_ktotal", F.lit(0).cast("bigint"))
-        .schema
-    )
-    off_df = spark.createDataFrame(
-        [(*r, totals[tuple(r[1 : 1 + len(keys)])]) for r in off_rows],
-        off_schema,
+    counts = ranged.groupBy("_pid", *keys).count()
+    wk = Window.partitionBy(*keys).orderBy("_pid")
+    # Columns renamed with an _off_ prefix: off_df derives from ranged
+    # (a self-join), and prefixed names sidestep ambiguous-attribute
+    # resolution without relying on DataFrame-identity disambiguation.
+    off_df = counts.select(
+        F.col("_pid").alias("_off_pid"),
+        *[F.col(k).alias(f"_off_{k}") for k in keys],
+        F.coalesce(
+            F.sum("count").over(
+                wk.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("_offset"),
+        F.sum("count")
+        .over(
+            wk.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("_ktotal"),
     )
     w = Window.partitionBy("_pid", *keys).orderBy(*ocols)
     # eqNullSafe, not a name-list equi-join: a NULL key forms its own
@@ -164,13 +178,12 @@ def keyed_row_number(
     # PARTITION BY treats NULL as a partition), so the offset join
     # must match NULL keys too — a plain EqualTo would silently drop
     # every NULL-key row from the output.
-    cond = ranged["_pid"] == off_df["_pid"]
+    cond = F.col("_pid") == F.col("_off_pid")
     for k in keys:
-        cond = cond & ranged[k].eqNullSafe(off_df[k])
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_off_{k}"))
     out = (
-        ranged.join(F.broadcast(off_df), cond)
-        .drop(off_df["_pid"])
-        .drop(*[off_df[k] for k in keys])
+        ranged.join(off_df, cond)
+        .drop("_off_pid", *[f"_off_{k}" for k in keys])
         .withColumn(
             rank_col,
             (F.col("_offset") + F.row_number().over(w)).cast("bigint"),

@@ -212,3 +212,41 @@ def test_keyed_row_number_keeps_null_keys(spark):
     assert got[4] == (1, 2) and got[3] == (2, 2)  # NULL group ranks
     assert got[2] == (1, 2) and got[1] == (2, 2)
     assert got[5] == (1, 1)
+
+
+def test_keyed_row_number_high_cardinality_no_driver_collect(spark):
+    """Per-user-style keys: cardinality comparable to the row count.
+    The r7 implementation collect()ed one driver row per (partition,
+    key) — a driver OOM at 10^8+ keys; the windowed-offsets rewrite
+    must stay correct with #keys ~ #rows and agree with the plain
+    PARTITION BY window twin value-for-value."""
+    from pyspark.sql import Window as W
+
+    from cc2dataset_spark.operators.rank import keyed_row_number
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("rid"),
+            (F.col("id") % 6_000).alias("user_id"),  # ~6k distinct keys
+            (F.pmod(F.xxhash64("id"), F.lit(1000))).alias("v"),
+        )
+    )
+    got = keyed_row_number(
+        df, ["user_id"], ["v", "rid"], "rn", "kt", num_partitions=16
+    )
+    twin = df.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy("v", "rid")),
+    ).withColumn(
+        "kt",
+        F.count("*").over(
+            W.partitionBy("user_id").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ),
+    )
+    a = {(r.rid, r.rn, r.kt) for r in got.collect()}
+    b = {(r.rid, r.rn, r.kt) for r in twin.collect()}
+    assert a == b
