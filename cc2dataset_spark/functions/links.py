@@ -202,11 +202,16 @@ def normalize_url(col: Column | str) -> Column:
     # Split at the first '?': utm params can only live in the query.
     path_part = F.regexp_extract(rest, r"^([^?]*)", 1)
     q = F.substr(rest, F.length(path_part) + F.lit(1))
-    # Each param is anchored to its own [?&] delimiter, so consecutive
-    # utm params each match and 'xutm_source' never does.  Inside the
-    # query slice '&' is always a delimiter, so '[^&#]' safely eats a
-    # value containing a literal '?'.
-    q = F.regexp_replace(q, r"[?&]utm_[^&#]*", "")
+    # Each param is anchored to its own delimiter, so consecutive
+    # utm params each match (one non-overlapping pass sees both the
+    # leading '?utm_' and every '&utm_') and 'xutm_source' never does.
+    # Only the string-LEADING '?' is a delimiter: a literal '?' inside
+    # a param value ('?a=1?utm_x=2' — the tail is part of a's value,
+    # RFC 3986 allows raw '?' in queries) must not start a match, so
+    # the alternation is (^\?|&), not [?&]. Inside the query slice '&'
+    # is always a delimiter, so '[^&#]' safely eats a value containing
+    # a literal '?'.
+    q = F.regexp_replace(q, r"(^\?|&)utm_[^&#]*", "")
     q = F.regexp_replace(q, r"^&", "?")
     q = F.regexp_replace(q, r"\?&", "?")
     q = F.regexp_replace(q, r"[?&]$", "")

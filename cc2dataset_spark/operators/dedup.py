@@ -155,11 +155,21 @@ def bloom_prefilter(
     the bitmap outgrows a broadcast.
 
     **Cardinality.** Output cardinality and multiplicity equal the
-    input's — no unique-id requirement on ``batch``: the bool_and
-    rollup groups by every batch column, and each input duplicate
-    contributes exactly k probe rows (the word table is unique per
-    (shard, w), so the left join never multiplies), so multiplicity is
-    recovered as count(*)/k and re-expanded after the rollup. Still
+    input's — no unique-id requirement on ``batch``: each input row is
+    tagged with a positional row id BEFORE the k-way probe explode,
+    and the bool_and rollup groups by that id (plus the batch columns,
+    which are constant within a group), so every physical input row —
+    duplicates included — yields exactly one output row. No
+    collapse-and-re-expand: the previous groupBy-all-columns +
+    explode(array_repeat(1, n)) formulation materialized one in-memory
+    array sized by a row's duplicate count, a single-task allocation
+    hazard under the heavy-duplication regime (hot boilerplate
+    fingerprints) this prefilter exists for. The row id is
+    position-derived (monotonically_increasing_id), deterministic
+    under task retry for deterministic input partitions — same class
+    as pipeline.py's scatter key — and the k probe rows of each id
+    stay in their source partition (explode is narrow), so map-side
+    partial aggregation collapses them before the exchange: still
     exactly ONE batch-scale shuffle.
 
     Fully distributed AND cross-engine-replayable: probe positions are
@@ -203,7 +213,10 @@ def bloom_prefilter(
     )
     if n_shards * m_bits <= broadcast_max_bits:
         words = F.broadcast(words)
-    probes = sharded_positions(batch, batch.columns).join(
+    tagged = batch.withColumn("_bloom_rid", F.monotonically_increasing_id())
+    probes = sharded_positions(
+        tagged, ["_bloom_rid", *batch.columns]
+    ).join(
         words,
         (F.col("shard") == F.col("w_shard"))
         & (F.expr("pos div 32") == F.col("w")),
@@ -215,17 +228,11 @@ def bloom_prefilter(
         ),
         F.lit(False),
     )
-    flagged = probes.groupBy(*[batch[c] for c in batch.columns]).agg(
-        F.bool_and(bit_set).alias("bloom_maybe"),
-        (F.count("*") / F.lit(k)).cast("int").alias("_bloom_n"),
+    return (
+        probes.groupBy("_bloom_rid", *[batch[c] for c in batch.columns])
+        .agg(F.bool_and(bit_set).alias("bloom_maybe"))
+        .drop("_bloom_rid")
     )
-    return flagged.select(
-        *batch.columns,
-        "bloom_maybe",
-        F.explode(F.array_repeat(F.lit(1), F.col("_bloom_n"))).alias(
-            "_bloom_rep"
-        ),
-    ).drop("_bloom_rep")
 
 
 def dedup_paragraphs(

@@ -46,16 +46,16 @@ def query(
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
 
-        # Building a query first releases the PREVIOUS query's tracked
-        # caches (see cc2dataset_spark/caching.py): every production
-        # path builds-then-collects one query at a time, so this is
-        # the earliest point the previous caches are provably dead.
-        # The registry holds the wrapped fn; the module-level name
-        # stays the raw fn so intra-module composition doesn't
-        # double-release.
+        # Building a query advances the cache generation (see
+        # cc2dataset_spark/caching.py): tracked persists are released
+        # only when they fall RELEASE_DEPTH (default 2) builds behind,
+        # so build-then-collect AND build-two-then-join/compare both
+        # compute against live pins. The registry holds the wrapped
+        # fn; the module-level name stays the raw fn so intra-module
+        # composition doesn't advance the generation mid-query.
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            caching.release_all()
+            caching.advance_generation()
             return fn(spark, sf_dir)
 
         QUERIES[name] = Query(

@@ -254,7 +254,7 @@ def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
                   regexp_replace(
                     regexp_replace(
                       regexp_replace(substr(rest, length(path_part) + 1),
-                                     '[?&]utm_[^&#]*', '', 'g'),
+                                     '(^\?|&)utm_[^&#]*', '', 'g'),
                       '^&', '?', 'g'),
                     '\?&', '?', 'g'),
                   '[?&]$', '', 'g')

@@ -52,12 +52,30 @@ class _ShardCommit(WriterCommitMessage):
 
 
 class _JsonlShardWriter(DataSourceWriter):
-    def __init__(self, options: dict, schema) -> None:
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("jsonl_shard sink needs option 'path'")
         self.path = path
         self.cols = schema.fieldNames()
+        self.overwrite = overwrite
+        # Fail fast on the driver in append/default mode: committing
+        # into a directory holding parts from a previous, LARGER run
+        # would leave stale part-NNNNN files beyond len(messages) —
+        # _MANIFEST.json totals would disagree with a directory glob
+        # and a non-manifest reader double-counts rows.
+        if not overwrite and os.path.isdir(path):
+            stale = [
+                f
+                for f in os.listdir(path)
+                if f.startswith("part-") and f.endswith(".jsonl")
+            ]
+            if stale:
+                raise FileExistsError(
+                    f"jsonl_shard target {path!r} already holds "
+                    f"{len(stale)} part file(s); use mode('overwrite') "
+                    "to replace them"
+                )
 
     def write(self, iterator) -> _ShardCommit:
         tmp_dir = os.path.join(self.path, "_tmp")
@@ -73,6 +91,19 @@ class _JsonlShardWriter(DataSourceWriter):
         return _ShardCommit(temp, n)
 
     def commit(self, messages) -> None:
+        # Overwrite happens at the commit point, not at write start:
+        # a failed job aborts with the previous output intact, and the
+        # stale-part hazard (old run larger than this one) is cleared
+        # in the same exactly-once step that renames the new parts.
+        if self.overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if (
+                    f.startswith("part-") and f.endswith(".jsonl")
+                ) or f == "_MANIFEST.json":
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
         total = 0
         for i, m in enumerate(messages):
             final = os.path.join(self.path, f"part-{i:05d}.jsonl")
@@ -125,4 +156,4 @@ class JsonlShardDataSource(DataSource):
         return "jsonl_shard"
 
     def writer(self, schema, overwrite: bool) -> _JsonlShardWriter:
-        return _JsonlShardWriter(self.options, schema)
+        return _JsonlShardWriter(self.options, schema, overwrite)

@@ -66,3 +66,42 @@ def test_shards_follow_partitioning(registered, sf_dir, tmp_path):
     ).save()
     parts = [p for p in os.listdir(out) if p.startswith("part-")]
     assert len(parts) == 4
+
+
+def test_overwrite_clears_stale_parts(registered, sf_dir, tmp_path):
+    """A second, SMALLER overwrite run must not leave part files from
+    the first run behind: manifest totals and a directory glob must
+    agree (the r7 ADVICE stale-part finding)."""
+    spark = registered
+    out = str(tmp_path / "shards_ow")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs.repartition(6).write.format("jsonl_shard").option(
+        "path", out
+    ).mode("append").save()
+    first_parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(first_parts) == 6
+
+    small = docs.limit(5).repartition(2)
+    small.write.format("jsonl_shard").option("path", out).mode(
+        "overwrite"
+    ).save()
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert len(parts) == manifest["files"]
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == manifest["rows"] == 5
+
+
+def test_append_into_dirty_dir_fails_fast(registered, sf_dir, tmp_path):
+    """Without overwrite, committing over existing parts would let a
+    non-manifest reader double-count — refuse up front."""
+    spark = registered
+    out = str(tmp_path / "shards_dirty")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(3)
+    docs.write.format("jsonl_shard").option("path", out).mode(
+        "append"
+    ).save()
+    with pytest.raises(Exception, match="part file"):
+        docs.write.format("jsonl_shard").option("path", out).mode(
+            "append"
+        ).save()
