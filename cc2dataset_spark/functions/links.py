@@ -13,6 +13,8 @@ split/union plan rather than a per-row conditional (a Python UDF inside
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -218,33 +220,82 @@ def normalize_url(col: Column | str) -> Column:
     return F.concat(p, path_part, q)
 
 
-# Two-label public suffixes recognized by registrable_domain. A full
-# Public Suffix List is ~10k entries and changes monthly — production
-# swaps this tuple for a broadcast of the PSL file; the extraction
-# logic (and its DuckDB twin in cc_domain_stats' oracle) is unchanged.
-TWO_LABEL_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "or.jp", "ne.jp",
-    "com.br", "com.cn", "com.mx", "co.in", "co.za", "co.nz",
-)
+@functools.cache
+def load_public_suffix_rules() -> dict:
+    """Parse the checked-in Public Suffix List snapshot
+    (cc2dataset_spark/data/public_suffix_snapshot.dat — standard
+    publicsuffix.org format: '//' comments, '*.' wildcard labels, '!'
+    exception rules; the file documents that it is the ICANN-section
+    multi-label SUBSET, and production swaps in the full list
+    unchanged). Returns::
+
+        {"exact": {k: frozenset(rule)},      # k = label count
+         "wild_base": {k: frozenset(base)},  # '*.base'; k counts the *
+         "exc": {k: frozenset(rule)},        # '!' stripped
+         "max_k": int}
+
+    Single-label rules are dropped at parse time: the PSL default rule
+    '*' already makes every bare TLD a public suffix, which is the
+    expression's fallback (registrable = last two labels), so listing
+    them would be dead weight in the generated isin sets.
+    """
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "public_suffix_snapshot.dat",
+    )
+    exact: dict[int, set] = {}
+    wild: dict[int, set] = {}
+    exc: dict[int, set] = {}
+    with open(path, encoding="utf8") as f:
+        for line in f:
+            rule = line.strip().lower()
+            if not rule or rule.startswith("//"):
+                continue
+            if rule.startswith("!"):
+                rule = rule[1:]
+                k = rule.count(".") + 1
+                if k >= 2:
+                    exc.setdefault(k, set()).add(rule)
+            elif rule.startswith("*."):
+                base = rule[2:]
+                k = base.count(".") + 2  # the * consumes one label
+                wild.setdefault(k, set()).add(base)
+            else:
+                k = rule.count(".") + 1
+                if k >= 2:
+                    exact.setdefault(k, set()).add(rule)
+    max_k = max([1, *exact, *wild, *exc])
+    return {
+        "exact": {k: frozenset(v) for k, v in exact.items()},
+        "wild_base": {k: frozenset(v) for k, v in wild.items()},
+        "exc": {k: frozenset(v) for k, v in exc.items()},
+        "max_k": max_k,
+    }
 
 
 def registrable_domain(col: Column | str) -> Column:
-    """eTLD+1-style registrable domain of a URL — the per-domain
-    aggregation key of C4/RefinedWeb-style curation (domain blocklists,
-    per-domain caps, domain quality priors). Lowercased host (no port,
-    no userinfo-free schemes assumed), then the last TWO labels —
-    except when those two labels form a known two-label public suffix
-    (co.uk, com.au, ...), where the last THREE labels are registrable.
-    Hosts with fewer labels than that pass through whole; a trailing
-    root dot is stripped. A relative URL (no authority) yields '';
-    NULL propagates (standard SQL null semantics).
+    """eTLD+1 registrable domain of a URL — the per-domain aggregation
+    key of C4/RefinedWeb-style curation (domain blocklists, per-domain
+    caps, domain quality priors). Implements the Public Suffix List
+    algorithm against the checked-in snapshot
+    (:func:`load_public_suffix_rules`) as a GENERATED EXPRESSION:
+    exception rules prevail, else the longest matching rule (exact or
+    '*.'-wildcard), else the default '*' rule (bare TLD is the public
+    suffix); registrable domain = public suffix + one label. Hosts
+    with no more labels than their public suffix pass through whole; a
+    trailing root dot is stripped; a relative URL (no authority)
+    yields ''; NULL propagates.
 
-    Pure codegen: one regexp_extract for the host, array slicing from
-    the end for the label take — no UDF, and every step has a verbatim
-    DuckDB twin (string_split + negative list_slice), so per-domain
-    stats are SQL-checkable."""
+    Generated-expression over broadcast-join tradeoff: the rule sets
+    compile to literal ``isin`` hash sets per suffix length — zero
+    joins, zero shuffles, whole-stage codegen, and the full 10k-rule
+    PSL is still only a few hundred KB of literals. The same snapshot
+    generates the DuckDB twin (:func:`registrable_domain_sql`), so
+    per-domain stats stay SQL-checkable from one source of truth."""
+    rules = load_public_suffix_rules()
     c = F.col(col) if isinstance(col, str) else col
     host = F.lower(
         F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)", 2)
@@ -252,11 +303,71 @@ def registrable_domain(col: Column | str) -> Column:
     host = F.regexp_replace(host, r"\.$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.array_join(F.slice(labels, -2, 2), ".")
-    last3 = F.array_join(F.slice(labels, -3, 3), ".")
-    is_2suffix = last2.isin(*TWO_LABEL_SUFFIXES)
+
+    def lastk(k: int) -> Column:
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    # public-suffix label count: exceptions first (any match -> k-1),
+    # then longest normal rule (exact or wildcard, k desc), else the
+    # default '*' rule (ps = 1).
+    ps = F.lit(1)
+    for k in sorted(rules["exact"].keys() | rules["wild_base"].keys()):
+        cond = None
+        if k in rules["exact"]:
+            cond = lastk(k).isin(*sorted(rules["exact"][k]))
+        if k in rules["wild_base"]:
+            wcond = (n >= k) & lastk(k - 1).isin(
+                *sorted(rules["wild_base"][k])
+            )
+            cond = wcond if cond is None else (cond | wcond)
+        ps = F.when(cond, F.lit(k)).otherwise(ps)
+    for k in sorted(rules["exc"]):
+        ps = F.when(
+            lastk(k).isin(*sorted(rules["exc"][k])), F.lit(k - 1)
+        ).otherwise(ps)
+    out = F.when(n <= ps, host)
+    for p in range(1, rules["max_k"] + 1):
+        out = out.when(ps == p, lastk(p + 1))
+    return out.otherwise(host)
+
+
+def registrable_domain_sql(host_expr: str) -> str:
+    """DuckDB twin of :func:`registrable_domain`'s suffix logic,
+    generated from the SAME snapshot: a CASE expression string over a
+    pre-split label list. ``host_expr`` must be a SQL expression
+    yielding the lowercased, root-dot-stripped host. Used by the
+    cc_domain_stats oracle so Spark and the oracle can never drift to
+    different rule sets."""
+    rules = load_public_suffix_rules()
+    p = f"string_split({host_expr}, '.')"
+
+    def lastk(k: int) -> str:
+        return f"array_to_string({p}[-{k}:], '.')"
+
+    def in_list(vals) -> str:
+        return "(" + ", ".join(f"'{v}'" for v in sorted(vals)) + ")"
+
+    ps = "1"
+    for k in sorted(rules["exact"].keys() | rules["wild_base"].keys()):
+        conds = []
+        if k in rules["exact"]:
+            conds.append(f"{lastk(k)} IN {in_list(rules['exact'][k])}")
+        if k in rules["wild_base"]:
+            conds.append(
+                f"(len({p}) >= {k} AND "
+                f"{lastk(k - 1)} IN {in_list(rules['wild_base'][k])})"
+            )
+        ps = f"CASE WHEN {' OR '.join(conds)} THEN {k} ELSE {ps} END"
+    for k in sorted(rules["exc"]):
+        ps = (
+            f"CASE WHEN {lastk(k)} IN {in_list(rules['exc'][k])} "
+            f"THEN {k - 1} ELSE {ps} END"
+        )
+    branches = "".join(
+        f" WHEN ({ps}) = {q} THEN {lastk(q + 1)}"
+        for q in range(1, rules["max_k"] + 1)
+    )
     return (
-        F.when(n <= 2, host)
-        .when(is_2suffix & (n >= 3), last3)
-        .otherwise(last2)
+        f"CASE WHEN len({p}) <= ({ps}) THEN {host_expr}{branches} "
+        f"ELSE {host_expr} END"
     )

@@ -327,21 +327,33 @@ def image_dims(payload) -> "F.Column":
       little-endian u16s at bytes 6 and 8. Exact.
     - **JPEG** (ISO 10918 / JFIF): dimensions live in the first SOF
       frame header, which sits at a VARIABLE offset behind app/comment
-      segments. This parser locates the first baseline/progressive SOF
-      marker (FFC0/FFC1/FFC2) at an even byte boundary and reads the
-      big-endian height/width at +5/+7 past it. Heuristic, not a full
-      segment walk: a marker-looking byte pair inside an earlier
-      segment's payload would mislead it — fine for header-leading
-      payloads (every camera/encoder JFIF/EXIF layout), documented
-      here for honesty. The full walk needs stateful iteration —
-      operators/multimodal.decode_media's batch kernel is the place it
-      would live, behind the same codec gate as pixel decode.
+      segments. This parser runs a REAL marker-length segment walk
+      (r8; the r7 even-boundary first-SOF scan could read a
+      marker-lookalike inside an APPn/EXIF payload as the frame
+      header): starting after SOI, each step reads the 2-byte marker,
+      skips standalone markers (TEM, RSTn) and padding FF fill bytes,
+      hops over every lengthed segment by its big-endian length field,
+      stops at SOS/EOI or any malformed byte (no 0xFF where a marker
+      must start, length < 2, truncation), and records the position
+      of the first true SOF marker (C0-C3, C5-C7, C9-CB, CD-CF —
+      every frame type, not just baseline/progressive). The walk is a
+      bounded ``F.aggregate`` fold (64 segments — far beyond any real
+      header; deeper headers yield NULL, never a guess) with the hex
+      twin carried in the accumulator struct so the payload is hexed
+      exactly once per row (outer expressions are re-evaluated per
+      reference inside HOF lambdas — see functions/hashes.py).
 
     Returns a struct (format string, width, height) — nulls when the
-    payload matches no signature (or no SOF is found), never a wrong
-    number. Input slicing happens on the hex TWIN of the payload so
-    the identical arithmetic replays in DuckDB (hex → substr →
-    CAST('0x…')) for the oracle row.
+    payload matches no signature (or the walk finds no SOF), never a
+    wrong number: a lookalike inside a segment payload is jumped over
+    by construction (pinned by the adversarial crafted-JPEG tests in
+    tests/test_llm_ops.py). Input slicing happens on the hex TWIN of
+    the payload so the arithmetic replays in DuckDB (hex → substr →
+    CAST('0x…')) for the oracle row; on header-leading payloads (the
+    fixture synthesizes spec-correct headers with the true SOF first)
+    the walk lands on the same offset as the oracle's first-SOF
+    arithmetic, so the driver row stays value-exact while the unit
+    tests pin the adversarial superiority.
     """
     col = F.col(payload) if isinstance(payload, str) else payload
     hx = F.upper(F.hex(col))
@@ -360,18 +372,70 @@ def image_dims(payload) -> "F.Column":
     is_png = hx.startswith("89504E470D0A1A0A")
     is_gif = hx.startswith("474946383961") | hx.startswith("474946383761")
     is_jpg = hx.startswith("FFD8")
-    # first SOF0/1/2 marker at an even byte boundary (odd 1-based hex
-    # index); least(nonzero) of the three candidate positions
-    sof_candidates = F.array(
-        *[
-            F.when(
-                (F.locate(m, hx) > 0) & (F.locate(m, hx) % 2 == 1),
-                F.locate(m, hx),
+
+    # JPEG segment walk. Accumulator: (h = hex twin, evaluated once;
+    # pos = 1-based hex-char index of the next marker's FF, -1 = walk
+    # terminated; sof = found SOF marker position or NULL). All
+    # positions/lengths in HEX CHARS (2 per byte).
+    _SOF_MARKERS = [
+        "C0", "C1", "C2", "C3", "C5", "C6", "C7",
+        "C9", "CA", "CB", "CD", "CE", "CF",
+    ]
+    _STANDALONE = ["01", "D0", "D1", "D2", "D3", "D4", "D5", "D6", "D7", "D8"]
+
+    def _walk_step(acc, _):
+        h, pos, sof = acc["h"], acc["pos"], acc["sof"]
+        ff = F.substring(h, pos, 2)
+        mk = F.substring(h, pos + 2, 2)
+        seglen = F.conv(F.substring(h, pos + 4, 4), 16, 10).cast("int")
+        halt = F.struct(
+            h.alias("h"),
+            F.lit(-1).alias("pos"),
+            F.lit(None).cast("int").alias("sof"),
+        )
+
+        def adv(p):
+            return F.struct(
+                h.alias("h"),
+                p.cast("int").alias("pos"),
+                F.lit(None).cast("int").alias("sof"),
             )
-            for m in ("FFC0", "FFC1", "FFC2")
-        ]
+
+        return (
+            F.when(sof.isNotNull() | (pos < 0), acc)  # finished
+            .when(mk.isNull() | (ff != "FF"), halt)  # truncated/corrupt
+            .when(mk == "FF", adv(pos + 2))  # fill byte
+            .when(
+                mk.isin(*_SOF_MARKERS),
+                F.struct(
+                    h.alias("h"),
+                    pos.alias("pos"),
+                    pos.cast("int").alias("sof"),
+                ),
+            )
+            .when(mk.isin(*_STANDALONE), adv(pos + 4))  # TEM/RSTn/SOI
+            .when(mk.isin("D9", "DA"), halt)  # EOI / SOS: no SOF seen
+            .when(seglen.isNull() | (seglen < 2), halt)  # bad length
+            # hop: 4 marker chars + 2*L chars (L counts its own 2
+            # length bytes plus the payload)
+            .otherwise(adv(pos + 4 + seglen * 2))
+        )
+
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.struct(
+            hx.alias("h"),
+            F.lit(5).cast("int").alias("pos"),  # first marker after FFD8
+            F.lit(None).cast("int").alias("sof"),
+        ),
+        _walk_step,
     )
-    sof = F.array_min(F.filter(sof_candidates, lambda p: p.isNotNull()))
+    raw_sof = walked["sof"]
+    # SOF frame header must be complete: FFCx(4) LL(4) precision(2)
+    # height(4) width(4) -> 17 chars past sof must exist
+    sof = F.when(
+        raw_sof.isNotNull() & (F.length(hx) >= raw_sof + 17), raw_sof
+    )
     fmt = (
         F.when(is_png, F.lit("png"))
         .when(is_gif, F.lit("gif"))

@@ -2235,8 +2235,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Placeholder policy blocklist over the fixture vocabulary — the C4
 # "badwords" MECHANISM with neutral stand-in terms; production swaps
-# the tuple for the real policy list exactly like TWO_LABEL_SUFFIXES
-# stands in for the PSL (functions/links.py).
+# the tuple for the real policy list exactly like the checked-in PSL
+# snapshot stands in for the full publicsuffix.org list
+# (functions/links.load_public_suffix_rules).
 _BLOCKLIST = ("slow", "crash", "stale")
 _BLOCKLIST_SQL = "('slow', 'crash', 'stale')"
 _BLOCK_RATE = RATIO6_SQL.format(num="n_flagged", den="n_docs")

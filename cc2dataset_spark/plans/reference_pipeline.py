@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.functions.links import registrable_domain_sql
 from cc2dataset_spark.operators.extraction import extract_document_links
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
@@ -363,16 +364,22 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cc_domain_stats",
+    # The suffix CASE below is GENERATED from the checked-in PSL
+    # snapshot (functions/links.registrable_domain_sql) — the same
+    # file the Spark expression compiles from, so the two sides can
+    # never drift to different rule sets.
     oracle=r"""
     WITH l AS (
       SELECT doc_id,
              'https://' ||
-             CASE CAST(doc_id % 5 AS INT)
+             CASE CAST(doc_id % 7 AS INT)
                WHEN 0 THEN 'img.' || source || '.co.uk'
                WHEN 1 THEN source || '.com'
                WHEN 2 THEN 'cdn.static.' || source || '.org'
                WHEN 3 THEN 'a.' || source || '.com.au'
-               ELSE source || '.io'
+               WHEN 4 THEN 'assets.' || source || '.city.kawasaki.jp'
+               WHEN 5 THEN 'www.' || source || '.kawasaki.jp'
+             ELSE source || '.gov.uk'
              END || '/' || CAST(doc_id AS VARCHAR) || '.jpg' AS url
       FROM documents,
            (SELECT unnest(generate_series(1, 2)) AS c)
@@ -383,36 +390,29 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)', 2)),
                '\.$', '') AS host
       FROM l
-    ), d AS (
-      SELECT doc_id, url, host,
-             string_split(host, '.') AS p,
-             array_to_string(string_split(host, '.')[-2:], '.') AS last2,
-             array_to_string(string_split(host, '.')[-3:], '.') AS last3
-      FROM h
     )
-    SELECT CASE WHEN len(p) <= 2 THEN host
-                WHEN last2 IN ('co.uk','org.uk','ac.uk','gov.uk',
-                               'com.au','net.au','org.au',
-                               'co.jp','or.jp','ne.jp',
-                               'com.br','com.cn','com.mx',
-                               'co.in','co.za','co.nz')
-                     AND len(p) >= 3 THEN last3
-                ELSE last2 END AS domain,
+    SELECT __PSL_CASE__ AS domain,
            COUNT(*) AS n_links,
            COUNT(DISTINCT doc_id) AS n_docs,
            COUNT(DISTINCT host) AS n_hosts
-    FROM d GROUP BY 1
-    """,
+    FROM h GROUP BY 1
+    """.replace("__PSL_CASE__", registrable_domain_sql("host")),
     tags=("layer_a", "curation", "domains"),
 )
 def cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain link statistics
-    (functions/links.registrable_domain) — the aggregation key of
+    (functions/links.registrable_domain, the checked-in PSL snapshot
+    compiled to a generated expression) — the aggregation key of
     C4/RefinedWeb-style domain curation (blocklists, per-domain caps,
     domain quality priors). Hosts are synthesized with subdomain depth
-    and two-label public suffixes (img.*.co.uk, a.*.com.au, ...) so
-    the eTLD+1 take is exercised, not vacuous; even doc_ids emit a
-    second link so n_links genuinely exceeds n_docs.
+    and the full PSL rule taxonomy — two-label exact suffixes
+    (img.*.co.uk, a.*.com.au, *.gov.uk), a WILDCARD-suffix city block
+    (www.*.kawasaki.jp: '*.kawasaki.jp' makes the third label part of
+    the public suffix) and its EXCEPTION (assets.*.city.kawasaki.jp:
+    '!city.kawasaki.jp' makes city.kawasaki.jp itself registrable) —
+    so the eTLD+1 take exercises every rule class, not just the happy
+    path; even doc_ids emit a second link so n_links genuinely
+    exceeds n_docs.
 
     Plan: pure-codegen URL synthesis + host/domain regex chain, then
     ONE domain-keyed aggregate. The two exact distincts share the
@@ -424,19 +424,29 @@ def cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     host = (
         F.when(
-            F.col("doc_id") % 5 == 0,
+            F.col("doc_id") % 7 == 0,
             F.concat(F.lit("img."), F.col("source"), F.lit(".co.uk")),
         )
-        .when(F.col("doc_id") % 5 == 1, F.concat(F.col("source"), F.lit(".com")))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.col("source"), F.lit(".com")))
         .when(
-            F.col("doc_id") % 5 == 2,
+            F.col("doc_id") % 7 == 2,
             F.concat(F.lit("cdn.static."), F.col("source"), F.lit(".org")),
         )
         .when(
-            F.col("doc_id") % 5 == 3,
+            F.col("doc_id") % 7 == 3,
             F.concat(F.lit("a."), F.col("source"), F.lit(".com.au")),
         )
-        .otherwise(F.concat(F.col("source"), F.lit(".io")))
+        .when(
+            F.col("doc_id") % 7 == 4,
+            F.concat(
+                F.lit("assets."), F.col("source"), F.lit(".city.kawasaki.jp")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 5,
+            F.concat(F.lit("www."), F.col("source"), F.lit(".kawasaki.jp")),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".gov.uk")))
     )
     links = (
         docs.select(

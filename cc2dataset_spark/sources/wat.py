@@ -134,18 +134,54 @@ CC_S3_GLOB = "s3://commoncrawl/crawl-data/*/wat.paths.gz"
 CC_HTTP_PREFIX = "https://data.commoncrawl.org/"
 
 
+def crawl_links_from_get_started_html(html: str) -> list[str]:
+    """Extract per-crawl ``wat.paths.gz`` index URLs from the
+    commoncrawl.org *get-started* page HTML — the reference's http
+    discovery semantics (main.py:215-228), re-expressed as a PURE
+    function over the page text so it is unit-testable offline against
+    a checked-in HTML fixture (tests/fixtures/cc_get_started.html);
+    only the live fetch needs network.
+
+    Per the reference's contract: lines are pre-stripped of a
+    ``[WARC] `` prefix; a line participates iff it mentions an
+    ``<li>s3://commoncrawl/crawl-data/`` entry; the first
+    space-delimited token is kept; the s3 bucket prefix rewrites to
+    the public https gateway (``https://data.commoncrawl.org/``);
+    ``<wbr>`` soft-break tags the site injects into long paths are
+    removed; and ``/wat.paths.gz`` is appended with a ``//wat`` →
+    ``/wat`` collapse so entries with and without a trailing slash
+    both resolve."""
+    out = []
+    for raw in html.splitlines():
+        line = raw.replace("[WARC] ", "")
+        if "<li>s3://commoncrawl/crawl-data/" not in line:
+            continue
+        tok = line.split(" ")[0]
+        tok = tok.replace(
+            "<li>s3://commoncrawl/", CC_HTTP_PREFIX
+        ).replace("<wbr>", "")
+        out.append((tok + "/wat.paths.gz").replace("//wat", "/wat"))
+    return out
+
+
 def get_cc_wat_index_links(source_cc_protocol: str = "s3") -> list[str]:
     """List crawl-index files (S1/S2, main.py:209-228). Driver-side
     metadata operation; requires fsspec+s3fs at call time.
 
-    DELIBERATE divergence from the reference on the http path: the
-    reference scrapes the commoncrawl.org get-started HTML page
-    (main.py:215-228, brittle against site redesigns); we read the
-    machine-readable collinfo.json index instead. The crawl-id set can
-    therefore differ from the scrape (collinfo lists every indexed
-    crawl, newest first) — callers selecting "the last N crawls" get
-    the same semantics, but the raw ordering is collinfo's, not the
-    HTML page's."""
+    Three protocols:
+
+    - ``s3``: glob the bucket (reference parity).
+    - ``http``: DELIBERATE divergence from the reference — read the
+      machine-readable collinfo.json index instead of scraping the
+      get-started HTML page (brittle against site redesigns). The
+      crawl-id set can therefore differ from the scrape (collinfo
+      lists every indexed crawl, newest first) — callers selecting
+      "the last N crawls" get the same semantics, but the raw ordering
+      is collinfo's, not the HTML page's.
+    - ``http-scrape``: the reference's exact HTML-rewrite path
+      (:func:`crawl_links_from_get_started_html` — the parse logic is
+      offline-tested; only this fetch needs network), for when
+      byte-parity with the reference's discovery matters."""
     import fsspec
 
     if source_cc_protocol == "s3":
@@ -159,6 +195,12 @@ def get_cc_wat_index_links(source_cc_protocol: str = "s3") -> list[str]:
         return [
             CC_HTTP_PREFIX + f"crawl-data/{c['id']}/wat.paths.gz" for c in crawls
         ]
+    if source_cc_protocol == "http-scrape":
+        fs, p = fsspec.core.url_to_fs(
+            "https://commoncrawl.org/the-data/get-started/"
+        )
+        html = fs.open(p).read().decode("utf8")
+        return crawl_links_from_get_started_html(html)
     raise ValueError(f"Unknown protocol {source_cc_protocol}")
 
 

@@ -109,8 +109,10 @@ def test_normalize_url_cases(spark):
 
 
 def test_registrable_domain_cases(spark):
-    """eTLD+1 take: subdomains stripped, two-label public suffixes
-    keep three labels, ports/userinfo/trailing-dot handled, short and
+    """eTLD+1 take against the checked-in PSL snapshot: subdomains
+    stripped, multi-label public suffixes keep the extra labels,
+    wildcard rules consume a label, exception rules override their
+    wildcard, ports/userinfo/trailing-dot handled, short and
     authority-less inputs degrade gracefully."""
     from cc2dataset_spark.functions.links import registrable_domain
 
@@ -124,6 +126,27 @@ def test_registrable_domain_cases(spark):
         "HTTPS://WWW.EXAMPLE.COM/": "example.com",
         "relative/path": "",
         "https://co.uk/": "co.uk",  # bare suffix: too few labels
+        # gov.uk-class exact two-label suffix (the r7 verdict's ask)
+        "https://www.hmrc.gov.uk/": "hmrc.gov.uk",
+        "https://council.police.uk/a": "council.police.uk",
+        # ccTLD second-level from the wider snapshot
+        "https://shop.megamart.co.kr/": "megamart.co.kr",
+        "https://x.y.state.gov.au/": "state.gov.au",
+        # WILDCARD rule *.kawasaki.jp: the third-from-right label is
+        # part of the public suffix, so four labels are registrable
+        "https://www.foo.kawasaki.jp/": "www.foo.kawasaki.jp",
+        "https://a.b.foo.kawasaki.jp/": "b.foo.kawasaki.jp",
+        # host IS the wildcard public suffix: passes through whole
+        "https://foo.kawasaki.jp/": "foo.kawasaki.jp",
+        # EXCEPTION rule !city.kawasaki.jp overrides the wildcard:
+        # city.kawasaki.jp itself is registrable
+        "https://assets.city.kawasaki.jp/": "city.kawasaki.jp",
+        "https://city.kawasaki.jp/": "city.kawasaki.jp",
+        # classic *.ck wildcard with !www.ck exception
+        "https://shop.coral.ck/": "shop.coral.ck",
+        "https://pages.www.ck/": "www.ck",
+        # unknown TLD falls back to the PSL default '*' rule
+        "https://deep.sub.example.io/": "example.io",
     }
     df = spark.createDataFrame([(k,) for k in cases], ["url"])
     got = {

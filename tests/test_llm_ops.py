@@ -1118,3 +1118,62 @@ def test_truncated_docs_adjacency_is_complete(spark, monkeypatch):
     assert all(d != 4 for d, _ in got)   # earlier dup copy: exact-dup domain
     assert all(d != 2 for d, _ in got)   # "alpha beta" not a prefix of "alpha cat"
     assert all(d != 11 for d, _ in got)  # nothing contains "omega"
+
+
+def test_image_dims_segment_walk_adversarial(spark):
+    """The r7 verdict's crafted adversary: a marker-lookalike (FFC0 /
+    FFC1 bytes) INSIDE an earlier APPn/EXIF payload must not be read
+    as the frame header — the marker-length walk hops the whole
+    segment and lands on the true SOF. Also pins: lookalike at an
+    even boundary (the r7 heuristic's blind spot was alignment-only),
+    fill bytes before markers, RSTn-class standalone markers, and
+    SOS-before-SOF returning NULL rather than scanning entropy data."""
+    import struct
+
+    from cc2dataset_spark.operators.multimodal import image_dims
+
+    # APP1 (EXIF-style) payload containing FFC0 0011 08 + fake dims at
+    # an EVEN byte offset, then the true SOF0 with different dims.
+    fake_sof = b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 9999, 8888)
+    app1_payload = b"Exif\x00\x00" + fake_sof + b"pad"
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(app1_payload)) + app1_payload
+    true_sof = (
+        b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 480, 640) + b"\x03"
+    )
+    adversarial = b"\xff\xd8" + app1 + true_sof + b"entropy"
+
+    # same adversary but with a lookalike FFC1 one byte EARLIER (odd
+    # boundary) AND one at even boundary — both must be jumped
+    app2_payload = b"x\xff\xc1\x00\x11\x08ABCD\xff\xc2\x00\x11\x08EFGH"
+    app2 = b"\xff\xee" + struct.pack(">H", 2 + len(app2_payload)) + app2_payload
+    adversarial2 = b"\xff\xd8" + app2 + true_sof
+
+    # fill bytes (padding FFs) before a marker are legal
+    padded = b"\xff\xd8\xff\xff\xff" + true_sof[1:]
+
+    # SOS before any SOF: the walk must stop, not scan entropy data
+    # (which here contains a tempting FFC0 lookalike)
+    sos_first = (
+        b"\xff\xd8"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + fake_sof
+    )
+
+    # a lookalike that the walk reaches but whose length field would
+    # run past the end of the payload -> malformed -> NULL
+    truncated_seg = b"\xff\xd8\xff\xe0\xff\xff"
+
+    rows = [
+        (1, adversarial, ("jpeg", 640, 480)),
+        (2, adversarial2, ("jpeg", 640, 480)),
+        (3, padded, ("jpeg", 640, 480)),
+        (4, sos_first, (None, None, None)),
+        (5, truncated_seg, (None, None, None)),
+    ]
+    df = spark.createDataFrame([(i, p) for i, p, _ in rows], ["i", "payload"])
+    got = {
+        r.i: (r.d.format, r.d.width, r.d.height)
+        for r in df.select("i", image_dims("payload").alias("d")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)

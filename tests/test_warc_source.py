@@ -146,3 +146,27 @@ def test_file_tier_drops_already_extracted_records(spark, tmp_path):
     assert read_wat_archives(spark, [fb]).count() == 2
     # both files in one scan: only file B's records survive
     assert read_wat_archives(spark, [fa, fb]).count() == 2
+
+
+def test_http_scrape_discovery_rewrite_offline():
+    """S1/S2 http-scrape discovery, offline: the get-started HTML
+    rewrite (reference main.py:215-228 semantics) against a checked-in
+    page fixture — '[WARC] ' prefixes stripped, <wbr> soft breaks
+    removed, first space-token taken, s3 bucket prefix rewritten to
+    the https gateway, trailing-slash entries collapsing //wat, and
+    non-crawl bullets ignored. Only the live fetch stays env-gated."""
+    import os
+
+    from cc2dataset_spark.sources.wat import crawl_links_from_get_started_html
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "cc_get_started.html"
+    )
+    html = open(fixture, encoding="utf8").read()
+    got = crawl_links_from_get_started_html(html)
+    assert got == [
+        "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-50/wat.paths.gz",
+        "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-40/wat.paths.gz",
+        "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-23/wat.paths.gz",
+        "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-14/wat.paths.gz",
+    ]
