@@ -156,3 +156,68 @@ def test_registrable_domain_cases(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_registrable_domain_matches_python_psl_reference(spark):
+    """Property check: the generated isin-expression implements the
+    PSL algorithm. An independent pure-Python evaluator (exceptions
+    prevail, else longest matching rule with '*' wildcards, else the
+    default '*' rule; registrable = public suffix + one label) runs
+    over hosts synthesized from every rule CLASS in the snapshot plus
+    unknown TLDs, at depths 0-3."""
+    from cc2dataset_spark.functions.links import (
+        load_public_suffix_rules,
+        registrable_domain,
+    )
+
+    rules = load_public_suffix_rules()
+
+    def py_ps_count(labels):
+        best = 1
+        for k, ruleset in rules["exact"].items():
+            if len(labels) >= k and ".".join(labels[-k:]) in ruleset:
+                best = max(best, k)
+        for k, bases in rules["wild_base"].items():
+            if len(labels) >= k and ".".join(labels[-(k - 1):]) in bases:
+                best = max(best, k)
+        for k, excs in rules["exc"].items():
+            if len(labels) >= k and ".".join(labels[-k:]) in excs:
+                return k - 1
+        return best
+
+    def py_domain(host):
+        labels = host.split(".")
+        ps = py_ps_count(labels)
+        if len(labels) <= ps:
+            return host
+        return ".".join(labels[-(ps + 1):])
+
+    # sample suffixes across classes: exact per length, wildcard bases
+    # (with a label filled for the *), exception rules, unknown TLDs
+    suffixes = []
+    for k in sorted(rules["exact"]):
+        suffixes.extend(sorted(rules["exact"][k])[:8])
+    for k in sorted(rules["wild_base"]):
+        for base in sorted(rules["wild_base"][k])[:6]:
+            suffixes.append("anylabel." + base)
+            suffixes.append(base)  # host AT the wildcard base
+    for k in sorted(rules["exc"]):
+        suffixes.extend(sorted(rules["exc"][k])[:6])
+    suffixes += ["dev", "example.unknowntld", "io"]
+
+    hosts = []
+    for i, suf in enumerate(suffixes):
+        depth = i % 4
+        prefix = ".".join(f"l{j}" for j in range(depth))
+        hosts.append(f"{prefix}.{suf}".strip("."))
+    urls = [f"https://{h}/p" for h in hosts]
+    df = spark.createDataFrame([(u, h) for u, h in zip(urls, hosts)],
+                               ["url", "host"])
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registrable_domain("url").alias("d")
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == py_domain(h), (h, got[h], py_domain(h))

@@ -49,6 +49,34 @@ def test_md5_number_lower_matches_duckdb(spark, strings):
         assert modp == want % P, (s, modp, want % P)
 
 
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+        ),
+        min_size=1,
+        max_size=24,
+        unique=True,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_md5_long63_matches_duckdb_twin(spark, strings):
+    """md5_long63 == CAST(md5_number_lower(s) % 2^63 AS BIGINT) — the
+    DuckDB twin its docstring promises — and always non-negative (a
+    valid Tungsten-long join/sort key)."""
+    from cc2dataset_spark.functions.hashes import md5_long63
+
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    got = {
+        r.s: int(r.h)
+        for r in df.select("s", md5_long63(F.col("s")).alias("h")).collect()
+    }
+    for s, full in zip(strings, _duck_lower64(strings)):
+        want = int(full) % (1 << 63)
+        assert got[s] == want, (s, got[s], want)
+        assert 0 <= got[s] < 1 << 63
+
+
 def test_md5_mod_rejects_wide_modulus():
     with pytest.raises(ValueError):
         md5_mod(F.lit("x"), 1 << 31)
