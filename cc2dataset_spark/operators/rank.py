@@ -34,10 +34,12 @@ def global_row_number(
     arbitrarily and the result would not be reproducible.
 
     Plan: range exchange on the order key (the sampler handles skew),
-    a per-partition count collected to the driver (bounded by the
-    partition count, same class as the IVF centroid seed), and one
-    within-partition sort+row_number with the partition's prefix-sum
-    offset added. No stage ever holds more than one partition's rows.
+    a per-partition count frame (bounded by the partition count)
+    prefix-summed with a single-partition window — ≤ #partitions rows,
+    never a driver collect — joined back on _pid (AQE broadcasts the
+    tiny offsets side), and one within-partition sort+row_number with
+    the partition's prefix-sum offset added. No stage ever holds more
+    than one partition's rows.
 
     The returned frame is backed by a persisted intermediate (see the
     boundary-pinning comment below) that must outlive every action on
@@ -67,29 +69,29 @@ def global_row_number(
             StorageLevel.MEMORY_AND_DISK
         )
     )
-    counts = dict(
-        ranged.groupBy("_pid").count().select("_pid", "count").collect()
+    # Prefix-sum the per-partition counts with a single-partition
+    # window over the ≤ #partitions-row counts frame (no driver
+    # collect, no extra job); _off_ prefix sidesteps self-join
+    # attribute ambiguity (off_df derives from ranged).
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
+        ranged.groupBy("_pid")
+        .count()
+        .select(
+            F.col("_pid").alias("_off_pid"),
+            F.coalesce(F.sum("count").over(wp), F.lit(0))
+            .cast("bigint")
+            .alias("_offset"),
+        )
     )
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_col = F.element_at(
-        F.create_map(
-            *[
-                x
-                for pid in sorted(offsets)
-                for x in (F.lit(pid), F.lit(offsets[pid]))
-            ]
-        ),
-        F.col("_pid"),
-    ) if offsets else F.lit(0)
     w = Window.partitionBy("_pid").orderBy(*cols)
     out = (
-        ranged.withColumn(
-            rank_col, (offset_col + F.row_number().over(w)).cast("bigint")
+        ranged.join(off_df, F.col("_pid") == F.col("_off_pid"))
+        .withColumn(
+            rank_col,
+            (F.col("_offset") + F.row_number().over(w)).cast("bigint"),
         )
-        .drop("_pid")
+        .drop("_pid", "_off_pid", "_offset")
     )
     out._pinned_intermediates = [ranged]  # released via release()
     return out
@@ -211,16 +213,18 @@ def global_running_sum(
     through one task.
 
     Plan: one range exchange on the order key, a per-partition SUM
-    collected to the driver (bounded by the partition count), and a
+    frame (bounded by the partition count) prefix-summed with a
+    single-partition window — never a driver collect — joined back on
+    _pid (AQE broadcasts the tiny offsets side), and a
     within-partition cumulative window with the partition's prefix-sum
     offset added. Same boundary-pinning persist contract as
-    :func:`global_row_number` (the counts job and the final job must
-    see identical range boundaries); the pinned frame registers with
-    cc2dataset_spark.caching so the @query wrapper releases it.
+    :func:`global_row_number` (the offsets branch and the final job
+    must see identical range boundaries); the pinned frame registers
+    with cc2dataset_spark.caching so the @query wrapper releases it.
 
     ``order_by`` must be a total order (unique tiebreak) and
-    ``value_col`` must be integral (the driver-side prefix fold is
-    exact Python int arithmetic; float partials would reorder).
+    ``value_col`` must be integral (the prefix fold is exact BIGINT
+    arithmetic; float partials would reorder).
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if num_partitions is None:
@@ -236,39 +240,39 @@ def global_running_sum(
             StorageLevel.MEMORY_AND_DISK
         )
     )
-    sums = dict(
+    # Single-partition window over the ≤ #partitions-row sums frame —
+    # no driver collect; NULL partial sums (all-null partitions)
+    # contribute 0 like the old Python fold's `or 0`.
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = (
         ranged.groupBy("_pid")
-        .agg(F.sum(F.col(value_col)).cast("bigint").alias("_s"))
-        .select("_pid", "_s")
-        .collect()
-    )
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid] or 0
-    offset_col = (
-        F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for pid in sorted(offsets)
-                    for x in (F.lit(pid), F.lit(offsets[pid]))
-                ]
-            ),
-            F.col("_pid"),
+        .agg(
+            F.coalesce(F.sum(F.col(value_col)), F.lit(0))
+            .cast("bigint")
+            .alias("_s")
         )
-        if offsets
-        else F.lit(0)
+        .select(
+            F.col("_pid").alias("_off_pid"),
+            F.coalesce(F.sum("_s").over(wp), F.lit(0))
+            .cast("bigint")
+            .alias("_offset"),
+        )
     )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = ranged.withColumn(
-        sum_col,
-        (offset_col + F.sum(F.col(value_col)).over(w)).cast("bigint"),
-    ).drop("_pid")
+    out = (
+        ranged.join(off_df, F.col("_pid") == F.col("_off_pid"))
+        .withColumn(
+            sum_col,
+            (F.col("_offset") + F.sum(F.col(value_col)).over(w)).cast(
+                "bigint"
+            ),
+        )
+        .drop("_pid", "_off_pid", "_offset")
+    )
     out._pinned_intermediates = [ranged]
     return out
 

@@ -21,6 +21,7 @@ def _n_cached(spark) -> int:
 
 
 def test_track_and_release_all(spark):
+    caching.release_all()  # hermetic under any test ordering
     df = spark.range(100).persist()
     caching.track(df)
     df.count()
