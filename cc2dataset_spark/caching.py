@@ -61,11 +61,18 @@ def advance_generation() -> None:
 
 
 def set_release_depth(depth: int) -> None:
-    """Raise/lower how many query generations stay pinned (min 1)."""
+    """Raise/lower how many query generations stay pinned (min 1).
+    Lowering takes effect IMMEDIATELY — already-overdue generations
+    are released now, not at the next build (a consumer lowering the
+    depth to reclaim executor memory before a build-free final action
+    would otherwise wait on an advance_generation that never comes)."""
     global RELEASE_DEPTH
     if depth < 1:
         raise ValueError(f"release depth must be >= 1, got {depth}")
     RELEASE_DEPTH = depth
+    while len(_GENERATIONS) > depth:
+        for df in _GENERATIONS.pop(0):
+            df.unpersist()
 
 
 def release_all() -> None:

@@ -61,13 +61,22 @@ def md5_long63_from_hex(hx: Column) -> Column:
     same no-CSE-in-HOF-lambdas rationale as :func:`md5_mod_from_hex`:
     hash an array as ``transform(transform(sh, md5), md5_long63_from_hex)``
     so md5 runs once per element."""
+    hi, lo = _lower64_halves(hx)
+    return F.pmod(hi, F.lit(1 << 31)) * F.lit(1 << 32) + lo
+
+
+def _lower64_halves(hx: Column) -> tuple[Column, Column]:
+    """(hi, lo) 32-bit halves of the little-endian lower-64 md5 value,
+    each as BIGINT — the byte-index arithmetic (hex chars 31-2i /
+    23-2i) encoding md5_number_lower's layout lives HERE only, so the
+    cross-engine twins cannot drift between the callers."""
     hi = F.conv(
         F.concat(*[F.substring(hx, 31 - 2 * i, 2) for i in range(4)]), 16, 10
     ).cast("bigint")
     lo = F.conv(
         F.concat(*[F.substring(hx, 23 - 2 * i, 2) for i in range(4)]), 16, 10
     ).cast("bigint")
-    return F.pmod(hi, F.lit(1 << 31)) * F.lit(1 << 32) + lo
+    return hi, lo
 
 
 def md5_mod(col: Column | str, p: int) -> Column:
@@ -99,10 +108,5 @@ def md5_mod_from_hex(hx: Column, p: int) -> Column:
     ``transform(transform(sh, md5), h -> md5_mod_from_hex(h, p))`` —
     so md5 runs exactly once per element.
     """
-    hi = F.conv(
-        F.concat(*[F.substring(hx, 31 - 2 * i, 2) for i in range(4)]), 16, 10
-    ).cast("bigint")
-    lo = F.conv(
-        F.concat(*[F.substring(hx, 23 - 2 * i, 2) for i in range(4)]), 16, 10
-    ).cast("bigint")
+    hi, lo = _lower64_halves(hx)
     return F.pmod(hi * F.lit((1 << 32) % p) + lo, F.lit(p))

@@ -325,10 +325,14 @@ def registrable_domain(col: Column | str) -> Column:
         ps = F.when(
             lastk(k).isin(*sorted(rules["exc"][k])), F.lit(k - 1)
         ).otherwise(ps)
-    out = F.when(n <= ps, host)
-    for p in range(1, rules["max_k"] + 1):
-        out = out.when(ps == p, lastk(p + 1))
-    return out.otherwise(host)
+    # Column-typed slice keeps the ps CASE tree embedded twice (guard +
+    # take) instead of max_k+1 times: Catalyst duplicates rather than
+    # shares subtrees, and after the documented production swap to the
+    # full ~10k-rule PSL each ps copy is ~10k literals.
+    take = ps + F.lit(1)
+    return F.when(n <= ps, host).otherwise(
+        F.array_join(F.slice(labels, -take, take), ".")
+    )
 
 
 def registrable_domain_sql(host_expr: str) -> str:

@@ -421,7 +421,31 @@ def image_dims(payload) -> "F.Column":
             .otherwise(adv(pos + 4 + seglen * 2))
         )
 
-    walked = F.aggregate(
+    def _walk_finish(acc):
+        # The WHOLE jpeg result struct is built here, inside the
+        # aggregate's finish lambda, so the 64-step fold appears
+        # exactly ONCE in the expression tree — referencing the walk's
+        # sof from several outer columns would embed (and re-evaluate)
+        # the entire fold per reference (ArrayAggregate is
+        # CodegenFallback, and outer subtrees duplicate per reference
+        # — the functions/hashes.py model). SOF frame header must be
+        # complete: FFCx(4) LL(4) precision(2) height(4) width(4) ->
+        # 17 chars past sof must exist.
+        h, sof = acc["h"], acc["sof"]
+        ok = sof.isNotNull() & (F.length(h) >= sof + 17)
+        return F.struct(
+            F.when(ok, F.lit("jpeg"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("format"),
+            F.when(
+                ok, F.conv(F.substring(h, sof + 14, 4), 16, 10).cast("int")
+            ).alias("width"),
+            F.when(
+                ok, F.conv(F.substring(h, sof + 10, 4), 16, 10).cast("int")
+            ).alias("height"),
+        )
+
+    jpeg_struct = F.aggregate(
         F.sequence(F.lit(1), F.lit(64)),
         F.struct(
             hx.alias("h"),
@@ -429,31 +453,32 @@ def image_dims(payload) -> "F.Column":
             F.lit(None).cast("int").alias("sof"),
         ),
         _walk_step,
+        _walk_finish,
     )
-    raw_sof = walked["sof"]
-    # SOF frame header must be complete: FFCx(4) LL(4) precision(2)
-    # height(4) width(4) -> 17 chars past sof must exist
-    sof = F.when(
-        raw_sof.isNotNull() & (F.length(hx) >= raw_sof + 17), raw_sof
+    null_struct = F.struct(
+        F.lit(None).cast("string").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
     )
-    fmt = (
-        F.when(is_png, F.lit("png"))
-        .when(is_gif, F.lit("gif"))
-        .when(is_jpg & sof.isNotNull(), F.lit("jpeg"))
-        .otherwise(F.lit(None).cast("string"))
-    )
-    width = (
-        F.when(is_png, be(33, 8))
-        .when(is_gif, le16(13))
-        .when(is_jpg & sof.isNotNull(), F.conv(F.substring(hx, sof + 14, 4), 16, 10).cast("int"))
-        .otherwise(F.lit(None).cast("int"))
-    )
-    height = (
-        F.when(is_png, be(41, 8))
-        .when(is_gif, le16(17))
-        .when(is_jpg & sof.isNotNull(), F.conv(F.substring(hx, sof + 10, 4), 16, 10).cast("int"))
-        .otherwise(F.lit(None).cast("int"))
-    )
-    return F.struct(
-        fmt.alias("format"), width.alias("width"), height.alias("height")
+    # CaseWhen evaluates only the matched branch's VALUE, so png/gif/
+    # non-image rows never run the walk at all.
+    return (
+        F.when(
+            is_png,
+            F.struct(
+                F.lit("png").alias("format"),
+                be(33, 8).alias("width"),
+                be(41, 8).alias("height"),
+            ),
+        )
+        .when(
+            is_gif,
+            F.struct(
+                F.lit("gif").alias("format"),
+                le16(13).alias("width"),
+                le16(17).alias("height"),
+            ),
+        )
+        .when(is_jpg, jpeg_struct)
+        .otherwise(null_struct)
     )

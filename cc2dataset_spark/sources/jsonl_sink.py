@@ -95,6 +95,12 @@ class _JsonlShardWriter(DataSourceWriter):
         # a failed job aborts with the previous output intact, and the
         # stale-part hazard (old run larger than this one) is cleared
         # in the same exactly-once step that renames the new parts.
+        # Removal failures must FAIL the commit (only a concurrent
+        # already-gone file is tolerable): swallowing one (NFS ESTALE,
+        # a reader's lock) would leave a stale part beyond the new
+        # len(messages) and re-create the exact double-count hazard
+        # overwrite exists to prevent — with the manifest asserting a
+        # smaller total than a directory glob sees.
         if self.overwrite and os.path.isdir(self.path):
             for f in os.listdir(self.path):
                 if (
@@ -102,7 +108,7 @@ class _JsonlShardWriter(DataSourceWriter):
                 ) or f == "_MANIFEST.json":
                     try:
                         os.remove(os.path.join(self.path, f))
-                    except OSError:
+                    except FileNotFoundError:
                         pass
         total = 0
         for i, m in enumerate(messages):

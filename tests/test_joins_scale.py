@@ -326,31 +326,6 @@ def test_r7_ops_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
-
-def test_prefix_jaccard_grid_verification_shape(spark, sf_dir):
-    """The fragment-replicate grid verifier must not re-shuffle the
-    pair+fingerprint-array intermediate: in the FINAL adaptive plan the
-    two grid joins run on the single cell-keyed exchange (subset
-    co-partitioning), so no executed Exchange is hash-partitioned on
-    the full (cell, id) key pair. The conservative pre-AQE initial
-    plan DOES contain such exchanges — runtime stage planning elides
-    them — hence the assertion runs on the post-collect executed plan,
-    final section only."""
-    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
-
-    _load_all()
-    df = QUERIES["dedup_prefix_jaccard"].fn(spark, sf_dir)
-    df.collect()
-    full = df._jdf.queryExecution().executedPlan().toString()
-    final = full.split("== Initial Plan ==")[0]
-    import re
-
-    stripped = re.sub(r"#\d+L?", "", final)
-    assert "ShuffledHashJoin [cell, id_x]" in stripped, stripped[:4000]
-    assert "ShuffledHashJoin [cell, id_y]" in stripped, stripped[:4000]
-    assert "Exchange hashpartitioning(cell, id_x" not in stripped, stripped
-    assert "Exchange hashpartitioning(cell, id_y" not in stripped, stripped
-
     # gopher rules: one explode + ONE doc_id-keyed aggregate — a
     # single exchange below the scan. Count tree nodes ("Exchange (n)")
     # not raw mentions: formatted explain prints each node twice.
@@ -371,6 +346,31 @@ def test_prefix_jaccard_grid_verification_shape(spark, sf_dir):
     df = QUERIES["events_value_quantiles_heavy"].fn(spark, sf_dir)
     p = _formatted_plan(df)
     assert "BroadcastHashJoin" in p, p
+
+
+def test_prefix_jaccard_grid_verification_shape(spark, sf_dir):
+    """The fragment-replicate grid verifier must not re-shuffle the
+    pair+fingerprint-array intermediate: in the FINAL adaptive plan the
+    two grid joins run on the single cell-keyed exchange (subset
+    co-partitioning), so no executed Exchange is hash-partitioned on
+    the full (cell, id) key pair. The conservative pre-AQE initial
+    plan DOES contain such exchanges — runtime stage planning elides
+    them — hence the assertion runs on the post-collect executed plan,
+    final section only."""
+    import re
+
+    from cc2dataset_spark.plans.catalog import QUERIES, _load_all
+
+    _load_all()
+    df = QUERIES["dedup_prefix_jaccard"].fn(spark, sf_dir)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    final = full.split("== Initial Plan ==")[0]
+    stripped = re.sub(r"#\d+L?", "", final)
+    assert "ShuffledHashJoin [cell, id_x]" in stripped, stripped[:4000]
+    assert "ShuffledHashJoin [cell, id_y]" in stripped, stripped[:4000]
+    assert "Exchange hashpartitioning(cell, id_x" not in stripped, stripped
+    assert "Exchange hashpartitioning(cell, id_y" not in stripped, stripped
 
 
 def test_r7b_ops_plan_shapes(spark, sf_dir):
