@@ -1177,3 +1177,27 @@ def test_image_dims_segment_walk_adversarial(spark):
     }
     for i, _, want in rows:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_image_dims_segment_walk_budget(spark):
+    """The walk's 64-segment budget: a deep-but-sane header (50 COM
+    segments before SOF) parses; a pathological one (80 segments,
+    beyond budget) yields NULL — never a guess."""
+    import struct
+
+    from cc2dataset_spark.operators.multimodal import image_dims
+
+    com = b"\xff\xfe\x00\x04xy"  # COM segment, length 4 (2 payload)
+    true_sof = (
+        b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 480, 640) + b"\x03"
+    )
+    deep_ok = b"\xff\xd8" + com * 50 + true_sof
+    too_deep = b"\xff\xd8" + com * 80 + true_sof
+    rows = [(1, deep_ok, ("jpeg", 640, 480)), (2, too_deep, (None, None, None))]
+    df = spark.createDataFrame([(i, p) for i, p, _ in rows], ["i", "payload"])
+    got = {
+        r.i: (r.d.format, r.d.width, r.d.height)
+        for r in df.select("i", image_dims("payload").alias("d")).collect()
+    }
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
