@@ -23,24 +23,29 @@ RATIO6_SCALE = 1_000_000
 def ratio_round6(num: Column, den: Column) -> Column:
     """``round(num / den, 6)`` (round-half-up, the exact rational —
     not the double) for BIGINT ``num``/``den`` with ``den > 0``:
-    ``floor((2*10^6*num + den) / (2*den)) / 10^6``.
+    ``(2*10^6*num + den) div (2*den) / 10^6``.
 
-    Exactness bound: ``n = 2*10^6*num + den`` must stay below 2^53,
-    i.e. ``num <~ 4.5e9`` (NOT 2^63 — the integer division is
-    computed as ``(n - pmod(n, d)) / d`` and the subtraction only
-    makes the double division exact while ``n - pmod(n, d)``, an
-    exact multiple of d, is itself representable below 2^53; above
-    that the double path can sit 1 ulp low and truncate to q-1 while
-    DuckDB's pure-BIGINT ``//`` stays exact). Shingle/fingerprint/
-    token counts are bounded by document size — orders of magnitude
-    under the 4.5e9 ceiling; for genuinely larger numerators route
-    through DECIMAL arithmetic instead of this primitive.
+    The integer quotient is Spark's ``div`` (IntegralDivide) — pure
+    BIGINT, whole-stage codegen, exact wherever ``n = 2*10^6*num +
+    den`` fits a BIGINT, i.e. ``num <~ 4.6e12`` (r8: the previous
+    formulation divided in DOUBLE, which silently truncated to q-1
+    above ~4.5e9 while DuckDB's BIGINT ``//`` stayed exact). Past the
+    BIGINT ceiling BOTH engines now fail loudly (Spark 4 defaults
+    ANSI on → ARITHMETIC_OVERFLOW; DuckDB raises on BIGINT overflow)
+    rather than drift — for numerators that can genuinely exceed
+    ~4.6e12 (corpus-total token budgets at 100 TB) use
+    :func:`ratio_round6_big`, the DECIMAL(38) twin.
 
     SQL twin: :data:`RATIO6_SQL` (str.format with num/den fragments).
+
+    Inputs are widened to BIGINT here: callers routinely pass
+    INT-typed counts (``F.size``), and ``2*10^6 * int32`` overflows —
+    loudly under ANSI — for any count above 1073.
     """
+    num, den = num.cast("bigint"), den.cast("bigint")
     n = F.lit(2 * RATIO6_SCALE) * num + den
     d = F.lit(2) * den
-    q = ((n - F.pmod(n, d)) / d).cast("bigint")
+    q = F.call_function("div", n, d)
     return q.cast("double") / F.lit(float(RATIO6_SCALE))
 
 
@@ -48,4 +53,27 @@ def ratio_round6(num: Column, den: Column) -> Column:
 RATIO6_SQL = (
     "(CAST((2000000 * ({num}) + ({den})) // (2 * ({den})) AS DOUBLE)"
     " / 1000000)"
+)
+
+
+def ratio_round6_big(num: Column, den: Column) -> Column:
+    """:func:`ratio_round6` for numerators beyond the BIGINT ceiling
+    (``num`` up to ~10^31): the identical round-half-up rational in
+    DECIMAL(38,0) arithmetic. Off the Tungsten long fast path — use
+    only where the magnitude demands it (per-language token budgets at
+    100 TB reach ~10^13, where the fast path's ``2*10^6*num`` would
+    wrap). SQL twin: :data:`RATIO6_BIG_SQL` (HUGEINT ``//``)."""
+    n = (F.lit(2 * RATIO6_SCALE) * num.cast("decimal(38,0)") + den).cast(
+        "decimal(38,0)"
+    )
+    d = (F.lit(2) * den).cast("decimal(38,0)")
+    q = F.call_function("div", n, d)
+    return q.cast("double") / F.lit(float(RATIO6_SCALE))
+
+
+# DuckDB twin of ratio_round6_big — HUGEINT keeps the product exact
+# far past the BIGINT ceiling; `//` floor division matches div.
+RATIO6_BIG_SQL = (
+    "(CAST((2000000 * CAST(({num}) AS HUGEINT) + ({den}))"
+    " // (2 * CAST(({den}) AS HUGEINT)) AS DOUBLE) / 1000000)"
 )

@@ -86,8 +86,16 @@ def misra_gries_candidates(
 ) -> DataFrame:
     """Per-partition Misra-Gries summary (Misra & Gries 1982) over a
     single-column item stream: returns a DISTINCT superset of every
-    item whose GLOBAL frequency exceeds n/k, using at most ``k``
-    counters per partition and never shuffling the stream.
+    NON-NULL item whose GLOBAL frequency exceeds n/k, keeping the
+    counter dict bounded by ``k`` + one Arrow batch's distinct count
+    per partition — the prune runs after each batch merge, so the
+    transient bound is batch-sized, not k (size ``k`` against executor
+    memory with the ~10k-row default Arrow batch in mind, or lower
+    spark.sql.execution.arrow.maxRecordsPerBatch for ultra-wide
+    columns) — and never shuffling the stream. NULL items are
+    EXCLUDED by contract (pandas value_counts drops them): a NULL
+    group's frequency is a one-line exact aggregate if a caller needs
+    it, and "heaviest item" questions are about values.
 
     Guarantee (why the superset is sound): within a partition holding
     n_i items, MG undercounts any item by at most n_i/(k+1), so an

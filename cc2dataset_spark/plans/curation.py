@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from cc2dataset_spark.functions import text as T
 from cc2dataset_spark.functions.hashes import md5_mod
-from cc2dataset_spark.functions.numeric import RATIO6_SQL
+from cc2dataset_spark.functions.numeric import RATIO6_BIG_SQL, RATIO6_SQL
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
 
@@ -89,6 +89,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_DUP_FRAC = RATIO6_SQL.format(num="n_tokens - n_unique", den="n_tokens")
+_REP_TOP_SHARE = RATIO6_SQL.format(num="top_count", den="n_tokens")
+
+
 @query(
     "curate_repetition_flags",
     oracle=rf"""
@@ -105,9 +109,9 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tf GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, n_unique,
-           round(1.0 - CAST(n_unique AS DOUBLE) / n_tokens, 6) AS dup_frac,
-           round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_share,
-           (CAST(top_count AS DOUBLE) / n_tokens > 0.1) AS flagged
+           {_REP_DUP_FRAC} AS dup_frac,
+           {_REP_TOP_SHARE} AS top_share,
+           (top_count * 10 > n_tokens) AS flagged
     FROM per_doc
     """,
     tags=("text", "llm", "curation", "quality"),
@@ -116,8 +120,13 @@ def curate_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition signals (the Gopher-family quality
     rule: excessive duplicate tokens / one dominant token => likely
     boilerplate or spam). One explode + one (doc, term) aggregate +
-    one doc aggregate — the flag threshold compares a ratio of exact
-    integers, so it is engine-stable without rounding tricks."""
+    one doc aggregate. r8: the displayed ratios round the exact
+    RATIONAL (ratio_round6) and the flag threshold compares in pure
+    integers (top*10 > n) — round(double, 6) on an integer ratio is
+    the documented cross-engine boundary flip (functions/numeric.py
+    preamble; it bit q2's unit costs)."""
+    from cc2dataset_spark.functions.numeric import ratio_round6
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
@@ -128,16 +137,17 @@ def curate_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_unique"),
         F.max("n").alias("top_count"),
     )
-    top_share = F.col("top_count").cast("double") / F.col("n_tokens")
     return per_doc.select(
         "doc_id",
         "n_tokens",
         "n_unique",
-        F.round(
-            1.0 - F.col("n_unique").cast("double") / F.col("n_tokens"), 6
+        ratio_round6(
+            F.col("n_tokens") - F.col("n_unique"), F.col("n_tokens")
         ).alias("dup_frac"),
-        F.round(top_share, 6).alias("top_share"),
-        (top_share > 0.1).alias("flagged"),
+        ratio_round6(F.col("top_count"), F.col("n_tokens")).alias(
+            "top_share"
+        ),
+        (F.col("top_count") * 10 > F.col("n_tokens")).alias("flagged"),
     )
 
 
@@ -1468,7 +1478,10 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UNIMAX_EPOCHS = RATIO6_SQL.format(num="alloc_tokens", den="tokens")
+# alloc_tokens is a per-language TOKEN BUDGET: ~1e13 at the 100 TB
+# operating point, past ratio_round6's BIGINT fast-path ceiling
+# (~4.6e12) — both sides ride the DECIMAL/HUGEINT big twin.
+_UNIMAX_EPOCHS = RATIO6_BIG_SQL.format(num="alloc_tokens", den="tokens")
 
 
 @query(
@@ -1554,7 +1567,7 @@ def curate_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW_NUMBER window is deliberate and safe — documented exception
     to the no-global-window rule, same class as the 1-row broadcast
     totals in graph_ops."""
-    from cc2dataset_spark.functions.numeric import ratio_round6
+    from cc2dataset_spark.functions.numeric import ratio_round6_big
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.groupBy("lang").agg(
@@ -1638,7 +1651,7 @@ def curate_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "capacity",
         "budget",
         "alloc_tokens",
-        ratio_round6(F.col("alloc_tokens"), F.col("tokens")).alias(
+        ratio_round6_big(F.col("alloc_tokens"), F.col("tokens")).alias(
             "sampling_epochs"
         ),
     )

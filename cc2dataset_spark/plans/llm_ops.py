@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.functions import text as T
+from cc2dataset_spark.functions.numeric import RATIO6_SQL, ratio_round6
 from cc2dataset_spark.operators import multimodal as MM
 from cc2dataset_spark.operators import neardup as ND
 from cc2dataset_spark.operators import similarity as SIM
@@ -39,12 +40,16 @@ from cc2dataset_spark.sources.tables import load_table
            len(t) AS n_tokens,
            n_chars,
            CASE WHEN len(t) > 0
-                THEN round(CAST(list_aggregate(list_transform(t, x -> length(x)),
-                                               'sum') AS DOUBLE) / len(t), 6)
+                THEN {mwl}
                 ELSE 0.0 END AS mean_word_len,
            len(list_distinct(t)) AS n_unique_tokens
     FROM toks
-    """,
+    """.format(
+        mwl=RATIO6_SQL.format(
+            num="list_aggregate(list_transform(t, x -> length(x)), 'sum')",
+            den="len(t)",
+        )
+    ),
     tags=("text", "llm"),
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +69,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.when(
             F.size("t") > 0,
-            F.round(total_len.cast("double") / F.size("t"), 6),
+            ratio_round6(total_len, F.size("t")),
         )
         .otherwise(0.0)
         .alias("mean_word_len"),
@@ -367,9 +372,17 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(in_index, "dup")
         .otherwise("false_positive")
     )
+    # shuffle_hash, never broadcast: ix is the historical index's
+    # distinct-fingerprint frame — corpus-scale by definition, the
+    # repo's measured default-heap driver-OOM class if forced through
+    # a broadcast. (This diagnostic join exists to MEASURE the FP
+    # rate; production callers act on bloom_maybe alone and only
+    # anti-join the maybe slice.)
     return (
         flagged.join(
-            F.broadcast(ix.select(F.col("fingerprint").alias("ix_fp"))),
+            ix.select(F.col("fingerprint").alias("ix_fp")).hint(
+                "shuffle_hash"
+            ),
             flagged["fingerprint"] == F.col("ix_fp"),
             "left",
         )
@@ -1318,11 +1331,11 @@ def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(bpe) AS n_bpe_tokens,
            len(ws) AS n_ws_tokens,
            CASE WHEN len(ws) > 0
-                THEN round(CAST(len(bpe) AS DOUBLE) / len(ws), 6)
+                THEN {fert}
                 ELSE 0.0 END AS fertility,
            len(list_distinct(bpe)) AS n_unique_bpe
     FROM t
-    """,
+    """.format(fert=RATIO6_SQL.format(num="len(bpe)", den="len(ws)")),
     tags=("text", "llm", "tokenizer"),
 )
 def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,7 +1358,7 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ws").alias("n_ws_tokens"),
         F.when(
             F.size("ws") > 0,
-            F.round(F.size("bpe").cast("double") / F.size("ws"), 6),
+            ratio_round6(F.size("bpe"), F.size("ws")),
         )
         .otherwise(0.0)
         .alias("fertility"),
@@ -1925,16 +1938,13 @@ def curate_full_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_index_upsert",
-    oracle=r"""
-    WITH base AS (
-      SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-               AS fingerprint,
-             md5_number_lower('ix:' || CAST(doc_id AS VARCHAR)) % 100 AS b
-      FROM documents
-    ),
-    ix AS (SELECT DISTINCT fingerprint FROM base WHERE b < 80),
-    batch AS (SELECT doc_id, fingerprint FROM base WHERE b >= 80),
+    # Built from the SHARED _INCR_CTES fragment (the unused source
+    # column is harmless): _incr_split's edit-in-lockstep contract
+    # names this query as a consumer, and a private copy of the 80/20
+    # split would silently drift if the salt/bucket-count/
+    # normalization ever changes.
+    oracle=rf"""
+    WITH {_INCR_CTES},
     fresh AS (
       SELECT DISTINCT fingerprint FROM batch
       WHERE NOT EXISTS (SELECT 1 FROM ix WHERE ix.fingerprint = batch.fingerprint)
@@ -2178,8 +2188,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = SIM.pq_codebook(emb)
     return SIM.ivfpq_topk(emb.where(F.col("vec_id") < 5), emb, cb, k=3)
 
-
-from cc2dataset_spark.functions.numeric import RATIO6_SQL  # noqa: E402
 
 _SPAN_RATIO = RATIO6_SQL.format(num="n_dup", den="n_grams")
 
