@@ -19,6 +19,20 @@ from cc2dataset_spark.functions.vectors import (
 )
 
 
+def _ranked_topk(scored, k: int, order, out_cols) -> DataFrame:
+    """Shared per-query top-k tail: rank within query_id under the
+    given order (which must end in the neighbor_id ASC tie-break so
+    results are deterministic and oracle-replayable), keep rank <= k.
+    One definition so the tie-break contract cannot drift between the
+    five ANN variants."""
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*out_cols)
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -47,13 +61,11 @@ def brute_force_topk(
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    return _ranked_topk(
+        scored,
+        k,
+        order=(F.col("cos_sim").desc(), F.col("neighbor_id").asc()),
+        out_cols=("query_id", "neighbor_id", "cos_sim", "rank"),
     )
 
 
@@ -70,17 +82,42 @@ def simhash_ann_topk(
     """Approximate top-k: candidates limited to the query's SimHash
     bucket (8-bit default -> ~corpus/256 candidates per query), ranked
     exactly within the bucket. The join is an equi-join on the
-    signature — shuffle-light and skew-free at any scale."""
+    signature — shuffle-light and skew-free at any scale.
+
+    ``dim`` must match the actual embedding width, enforced per row
+    with a raise_error guard: a mismatch NULL-pads (or truncates) the
+    hyperplane zip, every dot product goes NULL, every bit falls to
+    the when-otherwise 0, and ALL signatures collapse to 0 — the join
+    silently degenerates to the full quadratic cross product (the
+    failure mode pq_codebook's fit-time check exists for)."""
     planes = random_hyperplanes(dim, n_bits, seed)
+
+    def checked(v):
+        return F.when(F.size(v) == dim, v).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"simhash_ann_topk: dim={dim} but embedding has "
+                    ),
+                    F.size(v).cast("string"),
+                    F.lit(" dimensions"),
+                )
+            )
+        )
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
-        simhash_signature(as_double_array(vec_col), planes).alias("sig"),
+        simhash_signature(
+            checked(as_double_array(vec_col)), planes
+        ).alias("sig"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
-        simhash_signature(as_double_array(vec_col), planes).alias("sig"),
+        simhash_signature(
+            checked(as_double_array(vec_col)), planes
+        ).alias("sig"),
     )
     scored = (
         c.join(F.broadcast(q), "sig")
@@ -91,13 +128,11 @@ def simhash_ann_topk(
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    return _ranked_topk(
+        scored,
+        k,
+        order=(F.col("cos_sim").desc(), F.col("neighbor_id").asc()),
+        out_cols=("query_id", "neighbor_id", "cos_sim", "rank"),
     )
 
 
@@ -117,6 +152,14 @@ def _seed_centroids(v: DataFrame, n_lists: int):
         .limit(n_lists)
         .collect()
     )
+    if len(rows) < n_lists:
+        # fail at the fit like pq_codebook: a silently-shrunken index
+        # breaks the cluster sizing and the oracle's n_lists replay,
+        # and an empty corpus would otherwise surface as an opaque
+        # numpy axis error below.
+        raise ValueError(
+            f"IVF seed needs >= n_lists={n_lists} vectors, got {len(rows)}"
+        )
     c = np.array([r.cv for r in rows], dtype="float64")
     return c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 
@@ -249,13 +292,11 @@ def ivf_topk(
             F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    return _ranked_topk(
+        scored,
+        k,
+        order=(F.col("cos_sim").desc(), F.col("neighbor_id").asc()),
+        out_cols=("query_id", "neighbor_id", "cos_sim", "rank"),
     )
 
 
@@ -661,18 +702,16 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"),
         (F.col("_qc") + _pq_code_lookup_sum(n_sub)).alias("_adc"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
+    return _ranked_topk(
+        scored,
+        k,
+        order=(F.col("_adc").asc(), F.col("neighbor_id").asc()),
+        out_cols=(
             "query_id",
             "neighbor_id",
             F.round("_adc", 6).alias("adc_sqdist"),
             "rank",
-        )
+        ),
     )
 
 
@@ -734,16 +773,14 @@ def ivfpq_topk(
             ).alias("_adc"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
+    return _ranked_topk(
+        scored,
+        k,
+        order=(F.col("_adc").asc(), F.col("neighbor_id").asc()),
+        out_cols=(
             "query_id",
             "neighbor_id",
             F.round("_adc", 6).alias("adc_sqdist"),
             "rank",
-        )
+        ),
     )

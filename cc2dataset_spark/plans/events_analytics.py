@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.functions.numeric import RATIO6_SQL
 from cc2dataset_spark.functions.datetime_ntz import (
     trunc_hour_ntz,
     trunc_week_monday_date,
@@ -51,8 +52,6 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation (the oracle's CTE shape) measured 26 exchanges at
     sf0.1; this plan has 4. Strictly-ordered semantics (ts comparisons
     on exact timestamps), no sessionization needed."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("view", "click", "purchase")
     )
@@ -217,13 +216,22 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_value_outliers",
     oracle="""
-    WITH stats AS (
+    WITH m6 AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(19,6)) AS v,
+             -- (19,0), not (18,0): DuckDB multiplies DECIMAL(18) in
+             -- int64 and overflows on m*m; width 19 forces int128.
+             -- (Spark side stays (18,0): ITS product rule needs
+             -- p1+p2+1 <= 38 to stay exact. Same integers either way.)
+             CAST(CAST(value AS DECIMAL(19,6)) * 1000000
+                  AS DECIMAL(19,0)) AS m
+      FROM events
+    ), stats AS (
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(19,6))
-                      * CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS s2
-      FROM events GROUP BY event_type
+             CAST(SUM(v) AS DOUBLE) AS s1,
+             CAST(SUM(m * m) AS DOUBLE) / 1e12 AS s2
+      FROM m6 GROUP BY event_type
     ), scored AS (
       SELECT e.event_id, e.event_type, e.value,
              s.s1 / s.n AS mean,
@@ -241,23 +249,26 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event z-score against its event type's population moments,
     flagging |z| > 3 — the monitoring/anomaly shape (metric drift,
-    bot spikes). Moments come from exact DECIMAL sums (value and
-    value² at (19,6)x(19,6) -> at most 38 digits in both
-    engines, so accumulation order cannot matter); mean/variance/sqrt
-    are then identical IEEE double ops — sqrt is correctly rounded —
-    so even the 3-sigma BOOLEAN compares identical doubles and needs
-    no rounding slack. Plan: one tiny per-type aggregate broadcast
-    back onto the events; the stream never shuffles."""
+    bot spikes). Moments come from exact integer arithmetic: value
+    quantizes to micro-units m = value*10^6 as DECIMAL(18,0) and the
+    square sums as m*m at (37,0) — exact in BOTH engines (r8 fix: a
+    direct (19,6)x(19,6) square is decimal(38,11) HALF_UP-rounded
+    PER ROW in Spark but exact (38,12) in DuckDB — a measured ~1e-12
+    per-row drift; and an (18,6) square overflows DuckDB's int64
+    decimal path for |value| >= 1000, the r6 agg_corr class). The
+    micro-unit bound |value| < 10^12 fails loudly (ANSI overflow) in
+    both engines. mean/variance/sqrt are then identical IEEE double
+    ops — sqrt is correctly rounded — so even the 3-sigma BOOLEAN
+    compares identical doubles and needs no rounding slack. Plan: one
+    tiny per-type aggregate broadcast back onto the events; the
+    stream never shuffles."""
     e = load_table(spark, sf_dir, "events")
-    # (19,6), not (18,6): DuckDB computes an (18,6) square in int64
-    # DECIMAL(18,12) and OVERFLOWS for any |value| >= 1000; 19 digits
-    # force the int128/DECIMAL(38) path in both engines (the same
-    # class as agg_corr_lineitem's r6 fix)
     v = F.col("value").cast("decimal(19,6)")
+    m = (v * F.lit(1000000).cast("decimal(7,0)")).cast("decimal(18,0)")
     stats = e.groupBy(F.col("event_type").alias("t")).agg(
         F.count("*").alias("n"),
         F.sum(v).cast("double").alias("s1"),
-        F.sum(v * v).cast("double").alias("s2"),
+        (F.sum(m * m).cast("double") / F.lit(1e12)).alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
     std = F.sqrt(
@@ -511,14 +522,18 @@ def events_scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKOV_P = RATIO6_SQL.format(num="c.n", den="t.n_prev")
+
+
 @query(
     "events_markov_transitions",
-    oracle="""
+    oracle=f"""
     WITH ordered AS (
       SELECT user_id, event_type,
              LEAD(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS next_type
       FROM events
+      WHERE event_type IS NOT NULL
     ), pairs AS (
       SELECT event_type AS prev_type, next_type
       FROM ordered WHERE next_type IS NOT NULL
@@ -528,8 +543,7 @@ def events_scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev FROM c GROUP BY 1
     )
     SELECT c.prev_type, c.next_type, c.n,
-           (CAST((2000000 * (c.n) + (t.n_prev)) // (2 * (t.n_prev))
-                 AS DOUBLE) / 1000000) AS p
+           {_MARKOV_P} AS p
     FROM c JOIN tot t USING (prev_type)
     """,
     tags=("events", "markov", "window", "agg"),
@@ -553,8 +567,14 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # transitions are defined over NON-NULL event types, filtered
+    # identically in the oracle: without the filter Spark's marginal
+    # WINDOW keeps a NULL prev_type group that the oracle's equi-join
+    # formulation would drop — a latent row-count divergence if the
+    # fixture ever grows a NULL event_type (the schema allows one).
     pairs = (
-        e.select(
+        e.where(F.col("event_type").isNotNull())
+        .select(
             F.col("event_type").alias("prev_type"),
             F.lead("event_type").over(w).alias("next_type"),
         )
@@ -1067,10 +1087,9 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAD_FRAC_SQL = (
-    "(CAST((2000000 * (n_outliers) + (n_events)) // (2 * (n_events)) "
-    "AS DOUBLE) / 1000000)"
-)
+# Shared round-half-up rational fragment (functions/numeric.py): one
+# definition repo-wide, so a rounding-rule fix can never miss a copy.
+_MAD_FRAC_SQL = RATIO6_SQL.format(num="n_outliers", den="n_events")
 
 
 @query(
@@ -1238,10 +1257,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LATE_SHARE = (
-    "(CAST((2000000 * (n_events) + (n_total)) // (2 * (n_total)) "
-    "AS DOUBLE) / 1000000)"
-)
+_LATE_SHARE = RATIO6_SQL.format(num="n_events", den="n_total")
 
 
 @query(
@@ -1355,14 +1371,8 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CONC_SHARE = (
-    "(CAST((2000000 * (n_events) + (n_total)) // (2 * (n_total)) "
-    "AS DOUBLE) / 1000000)"
-)
-_CONC_CUM = (
-    "(CAST((2000000 * (cum_events) + (n_total)) // (2 * (n_total)) "
-    "AS DOUBLE) / 1000000)"
-)
+_CONC_SHARE = RATIO6_SQL.format(num="n_events", den="n_total")
+_CONC_CUM = RATIO6_SQL.format(num="cum_events", den="n_total")
 
 
 @query(

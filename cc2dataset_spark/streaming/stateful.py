@@ -342,7 +342,18 @@ def heavy_hitters_stateful(
         )
         mg = dict(zip(list(items), list(counts)))
         for pdf in pdfs:
-            for it in pdf[item_col].astype(str):
+            # NULL items are excluded BY CONTRACT (same as the batch
+            # twin operators/sketches.misra_gries_candidates), and —
+            # load-bearing — dropped BEFORE stringification: one NULL
+            # in a micro-batch flips an int64 Arrow column to float64,
+            # and astype(str) would then key "7.0"/"nan" while
+            # null-free batches keyed "7", silently splitting every
+            # item's persisted counter. convert_dtypes() restores the
+            # nullable integer dtype so keys are stable across batches.
+            col = pdf[item_col].dropna()
+            if col.dtype == "float64":
+                col = col.convert_dtypes()
+            for it in col.astype(str):
                 n += 1
                 if it in mg:
                     mg[it] += 1

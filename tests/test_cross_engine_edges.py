@@ -172,3 +172,29 @@ def test_quality_score_equals_from_tokens_form(spark, sf_dir):
         ).alias("b"),
     )
     assert both.where(~F.col("a").eqNullSafe(F.col("b"))).count() == 0
+
+
+def test_decimal_square_micro_units_match_duckdb(spark):
+    """r8 regression guard: SUM(value^2) via (18,0) micro-unit squares
+    must equal DuckDB bit-for-bit on 6-decimal values — a direct
+    (19,6)x(19,6) Spark square is decimal(38,11) HALF_UP-rounded per
+    row while DuckDB keeps the exact (38,12) product (measured
+    divergence 0.01524163085 vs 0.015241630849 on 0.123457)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    vals = ["0.123457", "9.999995", "123456.654321", "0.000001", "777.123455"]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    v = F.col("value").cast("decimal(19,6)")
+    m = (v * F.lit(1000000).cast("decimal(7,0)")).cast("decimal(18,0)")
+    got = df.agg(
+        (F.sum(m * m).cast("double") / F.lit(1e12)).alias("s2")
+    ).collect()[0].s2
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT CAST(SUM(m*m) AS DOUBLE)/1e12 FROM (SELECT "
+        "CAST(CAST(v AS DECIMAL(19,6))*1000000 AS DECIMAL(19,0)) AS m "
+        "FROM (SELECT unnest(?) AS v))",
+        [vals],
+    ).fetchone()[0]
+    assert got == want, (got, want)
