@@ -276,6 +276,31 @@ def load_public_suffix_rules() -> dict:
     }
 
 
+# The authority-extraction regex + root-dot strip used by BOTH
+# registrable_domain and every per-host catalog query. One definition:
+# a host extracted one way feeding a domain derived another way would
+# silently count different host universes.
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)"
+
+
+def host_from_url(col: Column | str) -> Column:
+    """Lowercased, root-dot-stripped host of a URL ('' for relative
+    URLs; NULL propagates). The single host definition behind
+    :func:`registrable_domain` and the per-host catalog queries."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(c, _HOST_RE, 2)), r"\.$", ""
+    )
+
+
+def host_from_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`host_from_url` as a SQL fragment."""
+    return (
+        f"regexp_replace(lower(regexp_extract({url_expr}, "
+        f"'{_HOST_RE}', 2)), '\\.$', '')"
+    )
+
+
 def registrable_domain(col: Column | str) -> Column:
     """eTLD+1 registrable domain of a URL — the per-domain aggregation
     key of C4/RefinedWeb-style curation (domain blocklists, per-domain
@@ -296,11 +321,7 @@ def registrable_domain(col: Column | str) -> Column:
     generates the DuckDB twin (:func:`registrable_domain_sql`), so
     per-domain stats stay SQL-checkable from one source of truth."""
     rules = load_public_suffix_rules()
-    c = F.col(col) if isinstance(col, str) else col
-    host = F.lower(
-        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)", 2)
-    )
-    host = F.regexp_replace(host, r"\.$", "")
+    host = host_from_url(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
 

@@ -133,8 +133,13 @@ def _driver_union_find(both: DataFrame) -> DataFrame:
     """Union-find over a collected (src, dst) edge list; returns the
     same (id, component=min reachable id) frame as the distributed
     loop. Path-halving find + min-root union keeps it near-linear; the
-    caller guarantees the edge count fits on the driver."""
-    rows = both.collect()
+    caller guarantees the edge count fits on the driver.
+
+    Only one direction of the symmetrized frame is collected: union is
+    commutative, so (b, a) adds nothing over (a, b) — and a self-loop
+    (a, a) survives the filter as src == dst. Halving the transfer
+    doubles the edge budget the driver_threshold guard can afford."""
+    rows = both.where(F.col("src") <= F.col("dst")).collect()
     parent: dict = {}
 
     def find(x):
@@ -176,14 +181,29 @@ def cluster_survivors(
     :func:`connected_components_twophase` for long-path graphs) —
     the labeling contract is identical."""
     comp = (components_fn or connected_components)(edges, id_a, id_b)
-    return (
+    labeled = (
         universe.select(F.col(id_col))
         .join(comp, universe[id_col] == comp["id"], "left")
         .select(
             universe[id_col],
             F.coalesce("component", universe[id_col]).alias("component_id"),
         )
-        .withColumn("is_survivor", F.col(id_col) == F.col("component_id"))
+    )
+    # Survivor = min id AMONG UNIVERSE MEMBERS of the component, not
+    # "id == component_id": when edges span a wider set than universe
+    # (e.g. quality-filtered docs vs corpus-wide near-dup edges) a
+    # component whose min-id node was filtered out would otherwise
+    # elect NO survivor and every copy would be dropped — the same
+    # hole cluster_best_survivors guards explicitly. Identical output
+    # whenever the min is present (every in-repo catalog caller).
+    surv = labeled.groupBy("component_id").agg(
+        F.min(id_col).alias("_surv_id")
+    )
+    return (
+        labeled.join(surv, "component_id")
+        .withColumn("is_survivor", F.col(id_col) == F.col("_surv_id"))
+        .drop("_surv_id")
+        .select(id_col, "component_id", "is_survivor")
     )
 
 

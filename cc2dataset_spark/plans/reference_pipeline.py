@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cc2dataset_spark.functions.links import registrable_domain_sql
+from cc2dataset_spark.functions.links import (
+    host_from_url_sql,
+    registrable_domain_sql,
+)
+from cc2dataset_spark.functions.numeric import RATIO6_SQL
 from cc2dataset_spark.operators.extraction import extract_document_links
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
@@ -183,9 +187,18 @@ def _wat_records_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM recs
       -- the third (non-image A@/href) link fails the P4 predicate
     )
-    SELECT md5(alt || url) AS uid, url, alt, cc_filename, page_url
-    FROM links
-    WHERE length(alt) > 0
+    SELECT uid,
+           m.url AS url, m.alt AS alt,
+           m.cc_filename AS cc_filename, m.page_url AS page_url
+    FROM (
+      SELECT md5(alt || url) AS uid,
+             MIN(struct_pack(url := url, alt := alt,
+                             cc_filename := cc_filename,
+                             page_url := page_url)) AS m
+      FROM links
+      WHERE length(alt) > 0
+      GROUP BY 1
+    )
     """,
     tags=("layer_a", "extraction"),
 )
@@ -198,9 +211,24 @@ def cc_extract_image_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolve through deterministic RFC-3986 cases the SQL replays
     (hermetic twin of reference tests/test_single_warc.py golden
     counts); the UDF's general-case parity is fuzz-tested in
-    tests/test_properties.py."""
+    tests/test_properties.py.
+
+    The uid dedup is a DETERMINISTIC min-struct survivor (r8; was
+    dropDuplicates, which the catalog contract forbids in
+    oracle-checked queries — an arbitrary survivor only coincided
+    with the oracle because fixture uids happen to be unique), so a
+    uid collision keeps one well-defined whole row in both engines."""
     wat_df = _wat_records_from_documents(spark, sf_dir)
-    return extract_document_links(wat_df, "image").dropDuplicates(["uid"])
+    ex = extract_document_links(wat_df, "image")
+    return (
+        ex.groupBy("uid")
+        .agg(
+            F.min(
+                F.struct("url", "alt", "cc_filename", "page_url")
+            ).alias("m")
+        )
+        .select("uid", "m.url", "m.alt", "m.cc_filename", "m.page_url")
+    )
 
 
 @query(
@@ -385,10 +413,7 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT unnest(generate_series(1, 2)) AS c)
       WHERE c = 1 OR doc_id % 2 = 0
     ), h AS (
-      SELECT doc_id, url,
-             regexp_replace(lower(regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)', 2)),
-               '\.$', '') AS host
+      SELECT doc_id, url, __HOST__ AS host
       FROM l
     )
     SELECT __PSL_CASE__ AS domain,
@@ -396,7 +421,9 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT doc_id) AS n_docs,
            COUNT(DISTINCT host) AS n_hosts
     FROM h GROUP BY 1
-    """.replace("__PSL_CASE__", registrable_domain_sql("host")),
+    """.replace("__PSL_CASE__", registrable_domain_sql("host")).replace(
+        "__HOST__", host_from_url_sql("url")
+    ),
     tags=("layer_a", "curation", "domains"),
 )
 def cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,21 +489,14 @@ def cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("c") == 1) | (F.col("doc_id") % 2 == 0))
     )
-    from cc2dataset_spark.functions.links import registrable_domain
+    from cc2dataset_spark.functions.links import (
+        host_from_url,
+        registrable_domain,
+    )
 
     hosts = links.select(
         "doc_id",
-        F.regexp_replace(
-            F.lower(
-                F.regexp_extract(
-                    "url",
-                    r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)",
-                    2,
-                )
-            ),
-            r"\.$",
-            "",
-        ).alias("host"),
+        host_from_url("url").alias("host"),
         registrable_domain("url").alias("domain"),
     )
     return hosts.groupBy("domain").agg(
@@ -567,14 +587,28 @@ def cc_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = m.select(normalize_url(url).alias("url"), "anchor")
     per_anchor = canon.groupBy("url", "anchor").agg(F.count("*").alias("n"))
+    # The sample is capped BEFORE aggregation state forms: rn <= 8
+    # over (url ORDER BY anchor) marks the 8 lexicographically-first
+    # anchors, and collect_list skips the NULLs the when() leaves for
+    # the rest — so a popular URL with millions of distinct anchors
+    # buffers at most 8 strings, not the full list. The window rides
+    # the same url clustering the groupBy needs (one exchange). Same
+    # result as sort-all-then-slice: first-8-by-anchor asc.
+    w8 = Window.partitionBy("url").orderBy("anchor")
     return (
-        per_anchor.groupBy("url")
+        per_anchor.withColumn("_rn", F.row_number().over(w8))
+        .groupBy("url")
         .agg(
             F.sum("n").cast("bigint").alias("n_mentions"),
             F.count("*").alias("n_unique_anchors"),
             F.max(F.struct("n", "anchor")).alias("top"),
             F.array_join(
-                F.slice(F.array_sort(F.collect_list("anchor")), 1, 8), " | "
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= 8, F.col("anchor"))
+                    )
+                ),
+                " | ",
             ).alias("anchors_sample"),
         )
         .select(
@@ -613,12 +647,15 @@ def cc_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT md5(alt || nurl) AS uid, MIN(nurl) AS url,
              MIN(alt) AS alt, COUNT(*) AS n_copies
       FROM canon GROUP BY md5(alt || nurl)
-    ), dom AS (
-      SELECT uid, url, alt, n_copies,
-             regexp_extract(url,
-               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)', 2)
-               AS domain
+    ), hostx AS (
+      SELECT uid, url, alt, n_copies, __HOST__ AS host
       FROM dedup
+    ), dom AS (
+      -- the SAME generated-PSL registrable-domain CASE the Spark side
+      -- compiles (r8: the raw host only coincided with eTLD+1 because
+      -- fixture hosts are exactly two labels)
+      SELECT uid, url, alt, n_copies, __PSL_CASE__ AS domain
+      FROM hostx
     ), capped AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY uid) AS rn
       FROM dom
@@ -627,7 +664,9 @@ def cc_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN md5_number_lower('mm:' || uid) % 100 < 95
                 THEN 'train' ELSE 'val' END AS split
     FROM capped WHERE rn <= 40
-    """,
+    """.replace("__PSL_CASE__", registrable_domain_sql("host")).replace(
+        "__HOST__", host_from_url_sql("url")
+    ),
     tags=("layer_a", "multimodal", "flagship", "dedup"),
 )
 def cc_image_text_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,10 +747,9 @@ def cc_image_text_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PARAM_UNIQ = (
-    "(CAST((2000000 * (n_values) + (n_links)) // (2 * (n_links)) "
-    "AS DOUBLE) / 1000000)"
-)
+# Shared round-half-up rational fragment (functions/numeric.py) — one
+# definition repo-wide, so a rounding-rule fix can never miss a copy.
+_PARAM_UNIQ = RATIO6_SQL.format(num="n_values", den="n_links")
 
 
 @query(

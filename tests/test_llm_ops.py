@@ -1201,3 +1201,25 @@ def test_image_dims_segment_walk_budget(spark):
     }
     for i, _, want in rows:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_cluster_survivors_filtered_universe_keeps_one(spark):
+    """r8 regression: when edges span a WIDER set than universe (the
+    component's min id was filtered out), the component must still
+    elect exactly one survivor — the min id present in universe —
+    instead of silently dropping every copy."""
+    from cc2dataset_spark.operators.components import cluster_survivors
+
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9)], ["id_a", "id_b"]
+    )  # component {1,5,9}, min = 1
+    universe = spark.createDataFrame(
+        [(5,), (9,), (42,)], ["doc_id"]
+    )  # 1 was filtered out; 42 is a singleton
+    got = {
+        r.doc_id: (r.component_id, r.is_survivor)
+        for r in cluster_survivors(universe, edges, "doc_id").collect()
+    }
+    assert got[5] == (1, True)  # min PRESENT member survives
+    assert got[9] == (1, False)
+    assert got[42] == (42, True)  # singleton survives itself
