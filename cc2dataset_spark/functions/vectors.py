@@ -67,6 +67,23 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
+def checked_dim(v: Column, dim: int, op: str) -> Column:
+    """Pass ``v`` through iff its length equals ``dim``, else raise per
+    row. A silent mismatch NULL-pads (or truncates) the hyperplane
+    zip, every dot product goes NULL, every sign bit falls to 0, and
+    ALL signatures collapse into one bucket — the bucketed join
+    silently degenerates to the full quadratic cross product."""
+    return F.when(F.size(v) == dim, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: dim={dim} but embedding has "),
+                F.size(v).cast("string"),
+                F.lit(" dimensions"),
+            )
+        )
+    )
+
+
 def simhash_signature(a: Column | str, planes: list[list[float]]) -> Column:
     """Sign-random-projection signature as a BIGINT bit-pack (<=63
     planes): bit i set iff dot(v, plane_i) > 0."""

@@ -62,6 +62,20 @@ def asof_join_union(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    if how not in ("inner", "left"):
+        # validated like direction — an unknown value silently behaving
+        # as a left join is the worse failure mode
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    clash = set(right_values) & set(left.columns)
+    if clash:
+        # pandas merge_asof suffixes _x/_y here; this engine's contract
+        # is explicit aliasing, so fail loudly instead of emitting a
+        # frame with duplicate names (ambiguous references, parquet
+        # write failures) or silently renaming
+        raise ValueError(
+            f"right_values {sorted(clash)} collide with left columns; "
+            "alias them on the right frame before the join"
+        )
     backward = direction == "backward"
     nearest = direction == "nearest"
     strict = not allow_exact_matches
@@ -88,24 +102,33 @@ def asof_join_union(
     lb_ord, rb_ord = (0, 1) if strict else (1, 0)
     lf_ord, rf_ord = (1, 0) if strict else (0, 1)
     lcols = left.columns
+    # The tiebreak keeps its OWN type: an unconditional cast('long')
+    # truncated fractional tiebreaks to EQUAL values (recreating the
+    # nondeterminism the mandatory parameter exists to prevent) and
+    # nulled string tiebreaks under non-ANSI sessions.
+    tb_type = right.schema[right_tiebreak].dataType
     l = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(lb_ord).alias("_ob"),
         F.lit(lf_ord).alias("_of"),
-        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(rv_type[c]).alias(f"_rv_{c}") for c in rv],
     )
-    tb = F.col(right_tiebreak).cast("long")
-    r = right.select(
+    # NULL-timestamp right rows have no position on the time axis and
+    # can never be as-of matches — pandas merge_asof raises on null
+    # keys; this composite EXCLUDES them (they would otherwise sort
+    # nulls-first INSIDE the window frames and surface as phantom
+    # matches).
+    r = right.where(F.col(right_ts).isNotNull()).select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(rb_ord).alias("_ob"),
         F.lit(rf_ord).alias("_of"),
-        tb.alias("_tb"),
+        F.col(right_tiebreak).alias("_tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[rv_src[c].alias(f"_rv_{c}") for c in rv],
     )
@@ -157,6 +180,13 @@ def asof_join_union(
             "_asof", F.when(use_b, F.col("_b")).otherwise(F.col("_f"))
         )
     carried = carried.where(F.col("_side") == 1)
+    # a NULL-timestamp LEFT row has no position either: it sorts
+    # nulls-first, where the forward/nearest frame would hand it the
+    # partition's earliest right row — gate its match away (backward
+    # gets this for free: nothing precedes the first sort position)
+    carried = carried.withColumn(
+        "_asof", F.when(F.col("_ts").isNotNull(), F.col("_asof"))
+    )
     if tolerance is not None:
         m = F.col("_asof").getField("__matchts")
         dist = F.when(m >= F.col("_ts"), m - F.col("_ts")).otherwise(

@@ -68,17 +68,29 @@ def dedup_incremental(
 
     ``index_fingerprints`` must expose a column named ``fp_col``;
     duplicates in it are harmless (anti-join semantics).
-    """
-    from pyspark.sql import Window
 
+    The in-batch survivor is the MIN over the whole row struct ordered
+    by (id, remaining columns) — total, so EXACTLY one row survives
+    per fingerprint group even when the min id is duplicated or every
+    id in the group is NULL (r8; the previous min-window + ``id ==
+    min`` filter leaked both duplicates through on a tied min id and
+    dropped ALL rows of an all-NULL-id group, silently losing a
+    genuinely new document).
+    """
     fresh = batch.withColumn(fp_col, fingerprint).join(
         index_fingerprints.select(fp_col), fp_col, "left_anti"
     )
-    w = Window.partitionBy(fp_col)
-    return (
-        fresh.withColumn("_min_id", F.min(id_col).over(w))
-        .where(F.col(id_col) == F.col("_min_id"))
-        .drop("_min_id")
+    ordered = [id_col] + [
+        c for c in fresh.columns if c not in (fp_col, id_col)
+    ]
+    picked = fresh.groupBy(fp_col).agg(
+        F.min(F.struct(*[F.col(c) for c in ordered])).alias("_r")
+    )
+    return picked.select(
+        *[
+            F.col(c) if c == fp_col else F.col(f"_r.{c}").alias(c)
+            for c in fresh.columns
+        ]
     )
 
 

@@ -62,6 +62,24 @@ def _hash_shingles(sh: Column) -> Column:
     return F.transform(digests, lambda h: md5_mod_from_hex(h, _MERSENNE_P))
 
 
+def _signature_expr(num_hashes: int) -> Column:
+    """MinHash signature over a hashed-shingle array column ``_h``:
+    k universal-hash permutations (bigint affine maps) folded with
+    array_min — ONE definition shared by minhash_signatures and the
+    pinned-frame path in minhash_neardup_pairs, so the permutation
+    family can never drift between them."""
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(F.col("_h"), perm(a, b)))
+            for a, b in _perm_constants(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -79,20 +97,10 @@ def minhash_signatures(
     standard MinHash semantics."""
     sh = F.array_distinct(word_shingles(text_col, shingle_words))
     hashed = _hash_shingles(sh)
-
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
-
-    sigs = F.array(
-        *[
-            F.array_min(F.transform(F.col("_h"), perm(a, b)))
-            for a, b in _perm_constants(num_hashes)
-        ]
-    )
     return (
         df.select(F.col(id_col), hashed.alias("_h"))
         .where(F.size("_h") > 0)
-        .select(F.col(id_col), sigs.alias("sig"))
+        .select(F.col(id_col), _signature_expr(num_hashes).alias("sig"))
     )
 
 
@@ -154,6 +162,15 @@ def minhash_candidate_pairs(
     """LSH candidate pairs (id_a < id_b) — docs sharing >=1 band.
     The only shuffle is the equi-join on (band_idx, band_hash)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    return _band_candidates(sigs, id_col, bands, num_hashes)
+
+
+def _band_candidates(
+    sigs: DataFrame, id_col: str, bands: int, num_hashes: int
+) -> DataFrame:
+    """(id_a < id_b) pairs sharing >= 1 LSH band — the single shuffle
+    of the LSH path, shared by minhash_candidate_pairs and
+    minhash_neardup_pairs."""
     buckets = lsh_band_buckets(sigs, id_col, bands, num_hashes)
     a = buckets.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_hash"
@@ -181,20 +198,41 @@ def jaccard_verify_pairs(
     compute |A∩B| / |A∪B| with array ops, keep >= threshold."""
     sh = df.select(
         F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_words)).alias("sh"),
+        F.array_distinct(word_shingles(text_col, shingle_words)).alias("_sh"),
     )
-    joined = (
-        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    return _jaccard_verify(candidates, sh, id_col, threshold)
+
+
+def _jaccard_verify(
+    candidates: DataFrame,
+    shingle_frame: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification over a (id, _sh) shingle frame —
+    shared by jaccard_verify_pairs and minhash_neardup_pairs (which
+    passes its PINNED frame so verification reuses the tokenize pass).
+    Intersection size is materialized once (an inline reference from
+    both numerator and union would run the O(n) array_intersect twice
+    per pair), and the 6dp rounding is the integer-exact rational —
+    F.round on the double is NOT cross-engine stable at half
+    boundaries (functions/numeric.py)."""
+    sh_a = shingle_frame.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a")
     )
-    sized = joined.select(
-        "id_a",
-        "id_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).alias("_c"),
-        (F.size("sh_a") + F.size("sh_b")).alias("_ab"),
+    sh_b = shingle_frame.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b")
     )
-    # integer-exact 6dp rounding: F.round on the double is NOT
-    # cross-engine stable at half boundaries (functions/numeric.py)
+    sized = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("_c"),
+            (F.size("sh_a") + F.size("sh_b")).alias("_ab"),
+        )
+    )
     jac = ratio_round6(F.col("_c"), F.col("_ab") - F.col("_c"))
     return (
         sized.select("id_a", "id_b", jac.alias("jaccard"))
@@ -230,53 +268,11 @@ def minhash_neardup_pairs(
         .where(F.size("_sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hashed = base.select(
-        F.col(id_col),
-        _hash_shingles(F.col("_sh")).alias("_h"),
-    )
-
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))
-
-    sigs = hashed.select(
-        F.col(id_col),
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("_h"), perm(a, b)))
-                for a, b in _perm_constants(num_hashes)
-            ]
-        ).alias("sig"),
-    )
-    buckets = lsh_band_buckets(sigs, id_col, bands, num_hashes)
-    a = buckets.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = buckets.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-    cands = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
-    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
-    joined = cands.join(sh_a, "id_a").join(sh_b, "id_b")
-    # materialize the intersection size once: referencing it from both
-    # the numerator and the union denominator inline would run the
-    # O(n) array_intersect twice per candidate pair
-    sized = joined.select(
-        "id_a",
-        "id_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).alias("_c"),
-        (F.size("sh_a") + F.size("sh_b")).alias("_ab"),
-    )
-    # ratio_round6, not F.round on the double quotient: the double
-    # path is not cross-engine stable at 6-dp half boundaries, and the
-    # sibling verify stages (jaccard_verify_pairs,
-    # prefix_filter_jaccard_pairs) already round via the exact
-    # rational — the two "identical semantics" paths must agree
-    jac = ratio_round6(F.col("_c"), F.col("_ab") - F.col("_c"))
-    return sized.select(
-        "id_a", "id_b", jac.alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    sigs = base.select(
+        F.col(id_col), _hash_shingles(F.col("_sh")).alias("_h")
+    ).select(F.col(id_col), _signature_expr(num_hashes).alias("sig"))
+    cands = _band_candidates(sigs, id_col, bands, num_hashes)
+    return _jaccard_verify(cands, base, id_col, threshold)
 
 
 def exact_jaccard_pairs(
@@ -342,7 +338,17 @@ def embedding_neardup_pairs(
     threshold: float = 0.35,
 ) -> DataFrame:
     """Brute-force cosine near-dup pairs (correctness baseline;
-    quadratic — bound the input or use simhash_neardup_pairs at scale)."""
+    quadratic — bound the input or use simhash_neardup_pairs at scale).
+
+    Float-fold outputs (cosine here and in the ANN family) keep
+    F.round(…, 6) DELIBERATELY, unlike integer ratios (which round the
+    exact rational via ratio_round6): the underlying doubles are the
+    same sequential fold in both engines (verified bit-exact, module
+    header), so rounding costs nothing when folds agree and absorbs a
+    hypothetical last-ulp disagreement everywhere except an exact
+    6-dp half boundary — which for a transcendental-valued cosine is
+    measure-zero against 7 rounds of three-scale sweeps. Emitting raw
+    doubles would instead surface EVERY ulp disagreement."""
     v = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
@@ -788,12 +794,22 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Subquadratic near-dup: SimHash sign-bucket candidates (equal
     16-bit signature), then exact cosine verification. Recall trades off
-    against n_bits; the shuffle is keyed on the signature (uniform)."""
+    against n_bits; the shuffle is keyed on the signature (uniform).
+    ``dim`` must match the embedding width — enforced per row
+    (functions/vectors.checked_dim): a mismatch would silently zero
+    every signature and degenerate the bucket join to all-pairs."""
+    from cc2dataset_spark.functions.vectors import checked_dim
+
     planes = random_hyperplanes(dim, n_bits, seed)
     v = df.select(
         F.col(id_col),
         as_double_array(vec_col).alias("v"),
-        simhash_signature(as_double_array(vec_col), planes).alias("sig"),
+        simhash_signature(
+            checked_dim(
+                as_double_array(vec_col), dim, "simhash_neardup_pairs"
+            ),
+            planes,
+        ).alias("sig"),
     )
     a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "sig")
     b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "sig")

@@ -93,17 +93,9 @@ def simhash_ann_topk(
     planes = random_hyperplanes(dim, n_bits, seed)
 
     def checked(v):
-        return F.when(F.size(v) == dim, v).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"simhash_ann_topk: dim={dim} but embedding has "
-                    ),
-                    F.size(v).cast("string"),
-                    F.lit(" dimensions"),
-                )
-            )
-        )
+        from cc2dataset_spark.functions.vectors import checked_dim
+
+        return checked_dim(v, dim, "simhash_ann_topk")
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

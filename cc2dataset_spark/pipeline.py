@@ -280,8 +280,27 @@ def cc2dataset(
         )
         _write_manifest(manifest, wat_paths)
         return n
+    # The part count IS part of the on-disk layout: chunk boundaries
+    # derive from it, while the resume point derives from _SUCCESS
+    # markers — resuming with a DIFFERENT multipart recomputes chunk
+    # from the new value against markers from the old one, silently
+    # skipping (or re-processing) WAT ranges. Persist it with the
+    # manifest and refuse a mismatched resume.
+    mp_marker = _join(job_path, "_multipart.txt")
     if not resume:
         _write_manifest(manifest, wat_paths)
+        _write_manifest(mp_marker, [str(multipart)])
+    else:
+        fs, p = _fs_for(mp_marker)
+        if fs.exists(p):
+            recorded = int(_read_manifest(mp_marker)[0])
+            if recorded != multipart:
+                raise ValueError(
+                    f"resume with multipart={multipart} but the job was "
+                    f"started with multipart={recorded}: chunk boundaries "
+                    "would shift and WAT ranges would be silently skipped "
+                    f"or duplicated — pass multipart={recorded}"
+                )
 
     chunk = (len(wat_paths) + multipart - 1) // multipart
     start_part = last_successful_part(job_path) + 1 if resume else 0

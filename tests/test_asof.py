@@ -258,3 +258,69 @@ def test_asof_null_value_columns_stay_row_atomic(spark):
         right_values=["a", "b"], tolerance=5, how="left",
     ).collect()
     assert tol[0].a is None and tol[0].b is None
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """r8 regression: NULL-ts right rows must not be phantom matches
+    (they sorted nulls-first INSIDE the window frames), and a NULL-ts
+    left row matches nothing — inner drops it, left keeps it
+    null-filled."""
+    from cc2dataset_spark.operators.asof import asof_join_union
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, None, "b")], ["k", "lts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999, 1), (1, 3, 30, 2)], ["k", "rts", "v", "rid"]
+    )
+    got = {
+        r.tag: r.v
+        for r in asof_join_union(
+            left, right, "k", "k", "lts", "rts", ["v"],
+            right_tiebreak="rid", how="left", direction="backward",
+        ).collect()
+    }
+    assert got == {"a": 30, "b": None}  # never 999
+    inner = asof_join_union(
+        left, right, "k", "k", "lts", "rts", ["v"],
+        right_tiebreak="rid", how="inner", direction="forward",
+    ).collect()
+    # forward from ts=5 finds nothing (only rts=3 exists); null-left
+    # row must not grab the earliest right row
+    assert inner == []
+
+
+def test_asof_fractional_tiebreak_stays_exact(spark):
+    """r8 regression: a double tiebreak must not be truncated to long
+    (1.4 and 1.5 collapsing to the same tie) — backward takes the
+    GREATEST tiebreak among equal-ts rows, exactly."""
+    from cc2dataset_spark.operators.asof import asof_join_union
+
+    left = spark.createDataFrame([(1, 10)], ["k", "lts"])
+    right = spark.createDataFrame(
+        [(1, 10, "lo", 1.4), (1, 10, "hi", 1.5)], ["k", "rts", "v", "score"]
+    )
+    got = asof_join_union(
+        left, right, "k", "k", "lts", "rts", ["v"],
+        right_tiebreak="score", direction="backward",
+    ).collect()
+    assert [r.v for r in got] == ["hi"]
+
+
+def test_asof_rejects_bad_how_and_name_clash(spark):
+    import pytest
+
+    from cc2dataset_spark.operators.asof import asof_join_union
+
+    left = spark.createDataFrame([(1, 1, "x")], ["k", "lts", "v"])
+    right = spark.createDataFrame([(1, 1, "y", 1)], ["k", "rts", "v", "rid"])
+    with pytest.raises(ValueError, match="how"):
+        asof_join_union(
+            left, right, "k", "k", "lts", "rts", ["v"],
+            right_tiebreak="rid", how="outer",
+        )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_union(
+            left, right, "k", "k", "lts", "rts", ["v"],
+            right_tiebreak="rid",
+        )

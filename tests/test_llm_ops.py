@@ -1223,3 +1223,36 @@ def test_cluster_survivors_filtered_universe_keeps_one(spark):
     assert got[5] == (1, True)  # min PRESENT member survives
     assert got[9] == (1, False)
     assert got[42] == (42, True)  # singleton survives itself
+
+
+def test_dedup_incremental_null_and_tied_ids(spark):
+    """r8 regression: an all-NULL-id fingerprint group keeps exactly
+    one row (was: zero — a new document silently lost), and a tied min
+    id keeps exactly one row (was: both — duplicates leaking through a
+    dedup operator)."""
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.operators.dedup import dedup_incremental
+
+    batch = spark.createDataFrame(
+        [
+            (None, "aaa", "x"),   # all-null-id group for fp(aaa)
+            (None, "aaa", "y"),
+            (7, "bbb", "p"),      # tied min id for fp(bbb)
+            (7, "bbb", "q"),
+            (3, "ccc", "z"),      # plain fresh row
+            (9, "ddd", "w"),      # indexed -> dropped by anti-join
+        ],
+        ["doc_id", "content", "payload"],
+    )
+    index = spark.createDataFrame([("ddd",)], ["fingerprint"])
+    out = dedup_incremental(
+        batch, index, F.col("content"), id_col="doc_id"
+    ).collect()
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r.content, []).append((r.doc_id, r.payload))
+    assert sorted(by_fp) == ["aaa", "bbb", "ccc"]
+    assert len(by_fp["aaa"]) == 1
+    assert by_fp["bbb"] == [(7, "p")]  # deterministic payload tiebreak
+    assert by_fp["ccc"] == [(3, "z")]

@@ -167,3 +167,28 @@ def test_shuffle_scatter_is_deterministic(spark, tmp_path, wat_jsonl):
         n, F.xxhash64(F.col("uid"), F.lit(42))
     )._jdf.queryExecution().analyzed().toString()
     assert "rand(" not in plan
+
+
+def test_resume_rejects_changed_multipart(spark, tmp_path, wat_jsonl):
+    """r8 regression: chunk boundaries derive from multipart while the
+    resume point derives from _SUCCESS markers — resuming a job with a
+    DIFFERENT multipart would silently skip/duplicate WAT ranges, so
+    it must refuse loudly (and still resume fine with the recorded
+    value)."""
+    out = str(tmp_path / "resume_mp")
+    pipeline.cc2dataset(
+        spark, out, wat_jsonl, document_type="image", multipart=2,
+        min_files=2,
+    )
+    job = os.path.join(out, os.listdir(out)[0])
+    with pytest.raises(ValueError, match="multipart=2"):
+        pipeline.cc2dataset(
+            spark, out, wat_jsonl, document_type="image", multipart=3,
+            resume=job, min_files=2,
+        )
+    # the recorded value still resumes
+    n = pipeline.cc2dataset(
+        spark, out, wat_jsonl, document_type="image", multipart=2,
+        resume=job, min_files=2,
+    )
+    assert n == len(_expected_unique_uids())
