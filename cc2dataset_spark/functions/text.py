@@ -44,17 +44,29 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
-    """Array of character n-grams."""
+    """Array of character n-grams. NULL input yields NULL (matching
+    word_shingles) — without the explicit null branch, the k <= 0
+    guard evaluates NULL (falsy, so the otherwise branch runs) and
+    greatest(NULL, 0) SKIPS the null, making sequence(1, 0) emit the
+    DESCENDING [1, 0] — two phantom null grams per null row."""
     c = F.col(col) if isinstance(col, str) else col
     k = F.length(c) - (n - 1)
     idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.substring(c, i, F.lit(n)))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(k <= 0, F.array().cast("array<string>"))
+        .otherwise(F.transform(idx, lambda i: F.substring(c, i, F.lit(n))))
     )
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
+    """Fraction of characters that are not ASCII alphanumeric/space.
+    DELIBERATELY ASCII-scoped (the regex has a verbatim RE2/DuckDB
+    twin): on non-Latin text every CJK/accented character counts as
+    "punctuation", so quality_score's penalty saturates — the quality
+    heuristic's domain is Latin-alphabet text; multilingual corpora
+    should gate quality per lang_id bucket or swap in a
+    Unicode-class-aware scorer (and its oracle twin) at this seam."""
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(0.0)
@@ -76,14 +88,22 @@ def quality_score_from_tokens(
     dedup_cluster_best_quality, the curation gates' oracles) must all
     agree bit-for-bit, so the formula lives exactly once. Rounded to
     6 decimals — the value is ordering-deciding downstream."""
+    tc = F.col(text_col) if isinstance(text_col, str) else text_col
     t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     n_tok = F.size(t)
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
     mwl = F.when(n_tok > 0, total / n_tok).otherwise(0.0)
     len_score = F.least(n_tok / 64.0, F.lit(1.0))
-    punct_penalty = F.least(punct_ratio(text_col) * 4.0, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(tc) * 4.0, F.lit(1.0))
     word_score = F.when((mwl >= 3.0) & (mwl <= 10.0), 1.0).otherwise(0.5)
-    return F.round(len_score * (1.0 - punct_penalty * 0.5) * word_score, 6)
+    # NULL text scores 0.0 like the empty document: without the guard,
+    # size(null tokens) is NULL, least() SKIPS nulls so len_score
+    # collapses to 1.0, and punct_ratio's otherwise(0.0) removes the
+    # penalty — a NULL doc would score 0.5, outranking every real doc
+    # below it in quality-ordered dedup survivorship.
+    return F.when(tc.isNull(), F.lit(0.0)).otherwise(
+        F.round(len_score * (1.0 - punct_penalty * 0.5) * word_score, 6)
+    )
 
 
 def quality_score(col: Column | str) -> Column:

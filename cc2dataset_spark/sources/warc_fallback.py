@@ -44,13 +44,23 @@ def make_warc_record_iterator():
         import gzip
         import io
 
-        head = raw.read(2)
-        rest = raw.read()
-        data = head + rest
+        # peek the 2 magic bytes and REWIND rather than re-reading the
+        # whole stream into a fresh bytes object: the caller already
+        # holds the full ~1 GB archive in a BytesIO, and head + rest
+        # concatenation would materialize a second full copy per task
+        # (~2x peak memory on the no-fastwarc path) for nothing
+        if hasattr(raw, "seekable") and raw.seekable():
+            head = raw.read(2)
+            raw.seek(0)
+            src = raw
+        else:  # non-seekable stream: materialize once (no choice)
+            data = raw.read()
+            head = data[:2]
+            src = io.BytesIO(data)
         if head == b"\x1f\x8b":
-            stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+            stream = gzip.GzipFile(fileobj=src)
         else:
-            stream = io.BytesIO(data)
+            stream = src
 
         def read_line() -> bytes:
             return stream.readline()

@@ -24,7 +24,6 @@ index-file *content* read is distributed via spark.read.text.
 from __future__ import annotations
 
 import random
-import time
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -204,29 +203,90 @@ def get_cc_wat_index_links(source_cc_protocol: str = "s3") -> list[str]:
     raise ValueError(f"Unknown protocol {source_cc_protocol}")
 
 
+def derive_wat_prefix(index_path: str) -> str:
+    """The path prefix that makes a crawl index's BUCKET-RELATIVE
+    entries ('crawl-data/CC-MAIN-.../....warc.wat.gz') openable, from
+    the index file's own location: an s3/s3a commoncrawl index needs
+    the bucket prefix, an https one the public gateway. '' for
+    local/unknown layouts (caller supplies ``prefix`` explicitly).
+    Silent-empty-run guard: without a prefix the relative entries look
+    like missing LOCAL files on every executor, the retry/skip tiers
+    swallow them, and the pipeline 'succeeds' with zero rows."""
+    for scheme in ("s3://", "s3a://"):
+        if index_path.startswith(scheme + "commoncrawl/"):
+            return scheme + "commoncrawl/"
+    if index_path.startswith(CC_HTTP_PREFIX):
+        return CC_HTTP_PREFIX
+    return ""
+
+
 def read_wat_index(
     spark: SparkSession,
     index_paths: list[str],
     wat_count: int | None = None,
     seed: int | None = None,
-    prefix: str = "",
+    prefix: str | None = None,
 ) -> list[str]:
     """Read gzipped index files of WAT paths (S3/S4) distributed via
     spark.read.text (Hadoop gzip codec), then sample/shuffle (S5).
+
+    Scheme handling: Hadoop 3 ships only the ``s3a://`` S3 filesystem
+    (``s3://``/``s3n://`` were removed), so discovery's ``s3://``
+    index URLs are rewritten to ``s3a://`` for the distributed read;
+    ``http(s)://`` indexes — which Hadoop's stub HttpFileSystem cannot
+    list/read — are fetched driver-side via fsspec (they are a few MB
+    of gzipped text; the 5M-path payload lands on the driver either
+    way, see below).
+
+    ``prefix=None`` (default) derives each index's WAT-path prefix
+    from its own location (:func:`derive_wat_prefix`) — index entries
+    are bucket-relative, and an empty prefix silently yields an
+    all-unopenable path list. Pass an explicit prefix (possibly '')
+    for non-CommonCrawl layouts.
 
     The reference samples WITH replacement (random.choices,
     main.py:247) — kept for parity; pre-dedup duplicates are fine
     because the pipeline dedups by uid anyway.
 
-    Driver-memory note: the collect() below materializes the WAT path
-    list on the driver — unavoidable, since the list must reach
-    sc.parallelize (the reference does the same, main.py:237-251). At
-    full-crawl scale that is ~5M strings ≈ hundreds of MB; size
-    spark.driver.memory accordingly (the multipart loop then slices
-    this one list, it is never duplicated per part).
+    Driver-memory note: the WAT path list materializes on the driver —
+    unavoidable, since the list must reach sc.parallelize (the
+    reference does the same, main.py:237-251). At full-crawl scale
+    that is ~5M strings ≈ hundreds of MB; size spark.driver.memory
+    accordingly (the multipart loop then slices this one list, it is
+    never duplicated per part).
     """
-    rows = spark.read.text(index_paths).collect()
-    wats = [prefix + r.value.strip() for r in rows if r.value.strip()]
+    wats: list[str] = []
+    hadoop_paths: list[tuple[str, str]] = []
+    for ip in index_paths:
+        pfx = derive_wat_prefix(ip) if prefix is None else prefix
+        if ip.startswith(("http://", "https://")):
+            import gzip
+
+            import fsspec
+
+            with fsspec.open(ip, "rb") as f:
+                raw = f.read()
+            text = (
+                gzip.decompress(raw) if raw[:2] == b"\x1f\x8b" else raw
+            ).decode("utf8")
+            wats.extend(
+                pfx + line.strip()
+                for line in text.splitlines()
+                if line.strip()
+            )
+        else:
+            hp = (
+                "s3a://" + ip[len("s3://"):]
+                if ip.startswith("s3://")
+                else ip
+            )
+            hadoop_paths.append((hp, pfx))
+    by_prefix: dict[str, list[str]] = {}
+    for hp, pfx in hadoop_paths:
+        by_prefix.setdefault(pfx, []).append(hp)
+    for pfx, hps in by_prefix.items():
+        rows = spark.read.text(hps).collect()
+        wats.extend(pfx + r.value.strip() for r in rows if r.value.strip())
     rng = random.Random(seed)
     if wat_count is not None:
         return rng.choices(wats, k=wat_count)
@@ -274,8 +334,20 @@ def read_wat_archives(
                 import fsspec
 
                 return fsspec.open(p, "rb").open()
-            except ImportError:  # local-path fallback
-                return open(p, "rb")
+            except ImportError:
+                # same contract as wat_datasource._open_binary: a
+                # remote scheme without fsspec is a CONFIGURATION
+                # error and must fail loudly — builtin open would
+                # raise FileNotFoundError, which the retry tier below
+                # treats as flaky IO (10 retries, ~14 s of sleeps)
+                # and then silently skips the file, making a missing
+                # dependency indistinguishable from an empty crawl
+                if "://" in p and not p.startswith("file://"):
+                    raise NotImplementedError(
+                        f"reading {p!r} requires fsspec for remote "
+                        "schemes"
+                    ) from None
+                return open(p.removeprefix("file://"), "rb")
 
         def _payload_readers(stream) -> Iterator:
             """metadata-record payload streams, via fastwarc when
@@ -299,6 +371,8 @@ def read_wat_archives(
                 with _open(path) as f:
                     stream = BytesIO(f.read())
                 break
+            except NotImplementedError:
+                raise  # missing fsspec: deterministic, never retried
             except Exception:  # noqa: BLE001 - flaky remote IO
                 if i == retries - 1:
                     return
@@ -343,8 +417,18 @@ def read_wat_archives(
                                         }
                                         for l in meta["Links"]
                                     ],
+                                    # (meta.get("Head") or {}): Head
+                                    # PRESENT-BUT-NULL would make
+                                    # .get default useless and the
+                                    # AttributeError would hit the
+                                    # whole-file except below,
+                                    # discarding the entire archive —
+                                    # the same null trap the Links
+                                    # guard above documents
                                     "Head": {
-                                        "Base": meta.get("Head", {}).get("Base")
+                                        "Base": (
+                                            meta.get("Head") or {}
+                                        ).get("Base")
                                     },
                                 }
                             }

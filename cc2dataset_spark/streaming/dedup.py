@@ -46,8 +46,25 @@ def streaming_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Drop duplicate keys within the watermark horizon. On a batch
-    frame this degrades to plain dropDuplicates (same semantics when
-    all data is 'on time')."""
+    frame this degrades to a DETERMINISTIC first-by-timestamp dedup
+    (min over (ts, remaining columns) per key) — plain dropDuplicates
+    would keep a partitioning-dependent arbitrary survivor, so the
+    batch twin's non-key columns could differ run-to-run while the
+    stream keeps the first-arriving row. The stream side is Spark's
+    dropDuplicatesWithinWatermark (first-seen survivor, state bounded
+    by the horizon); the batch side's min-ts row is that semantics'
+    replayable analogue."""
     if not events.isStreaming:
-        return events.dropDuplicates(keys)
+        others = [ts_col] + [
+            c for c in events.columns if c not in (*keys, ts_col)
+        ]
+        picked = events.groupBy(*keys).agg(
+            F.min(F.struct(*[F.col(c) for c in others])).alias("_r")
+        )
+        return picked.select(
+            *[
+                F.col(c) if c in keys else F.col(f"_r.{c}").alias(c)
+                for c in events.columns
+            ]
+        )
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
