@@ -195,7 +195,17 @@ def normalize_url(col: Column | str) -> Column:
         no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1
     )
     rest = F.substr(no_frag, F.length(prefix) + F.lit(1))
-    p = F.lower(prefix)
+    # Only scheme and host:port are case-insensitive (RFC 3986):
+    # userinfo is rebuilt verbatim between the lowered halves — a
+    # wholesale lower(prefix) would merge URLs differing only in
+    # credential case and corrupt stored credentials. (Oracle twins
+    # replay lower(prefix): equivalent because no fixture URL carries
+    # userinfo; a userinfo-bearing corpus needs the same split in its
+    # SQL.)
+    scheme = F.regexp_extract(prefix, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    userinfo = F.regexp_extract(prefix, r"^[^:]+://([^/?#@]*@)", 1)
+    hostport = F.regexp_extract(prefix, r"://(?:[^/?#@]*@)?(.*)$", 1)
+    p = F.concat(F.lower(scheme), F.lit("://"), userinfo, F.lower(hostport))
     p = (
         F.when(p.startswith("https://"), F.regexp_replace(p, r":443$", ""))
         .when(p.startswith("http://"), F.regexp_replace(p, r":80$", ""))
@@ -279,8 +289,14 @@ def load_public_suffix_rules() -> dict:
 # The authority-extraction regex + root-dot strip used by BOTH
 # registrable_domain and every per-host catalog query. One definition:
 # a host extracted one way feeding a domain derived another way would
-# silently count different host universes.
-_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#@]*@)?([^/:?#]+)"
+# silently count different host universes. RFC-3986 authority shape
+# (r8 fixes): userinfo may contain ':' ('user:pass@h' — excluding it
+# made backtracking capture the USERNAME as the host), and a bracketed
+# IPv6 literal keeps its colons ('[2001:db8::1]:8080' — the bare
+# host class truncated it at the first ':').
+_HOST_RE = (
+    r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#@]*@)?(\[[^\]]*\]|[^/:?#]+)"
+)
 
 
 def host_from_url(col: Column | str) -> Column:

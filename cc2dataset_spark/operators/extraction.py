@@ -56,11 +56,12 @@ def extract_document_links(wat_df: DataFrame, document_type: str) -> DataFrame:
          only relative URLs cross the Python boundary (split/union)
       6. uid + provenance (P12/P13, main.py:173-176)
     """
+    # no when() gate around the UDF: resolve(page, None) already
+    # returns page, and ArrowEvalPython extracts the UDF out of the
+    # CaseWhen so every record crosses the Python boundary regardless
+    # — the conditional bought neither semantics nor a skipped pass
     based = _guarded(wat_df).withColumn(
-        "base_url",
-        F.when(F.col("base_raw").isNull(), F.col("page_url")).otherwise(
-            resolve_base_udf(F.col("page_url"), F.col("base_raw"))
-        ),
+        "base_url", resolve_base_udf(F.col("page_url"), F.col("base_raw"))
     ).drop("base_raw")
 
     exploded = based.select(
@@ -91,9 +92,15 @@ def extraction_stats(wat_df: DataFrame, document_type: str) -> DataFrame:
     instead of logs" — as a declarative aggregate, which is stronger:
     exact, reproducible, and shuffle-light).
 
-    One row: records_total, records_no_links (failed guards), links
-    seen, links kept by the predicate, links dropped by the scheme
-    filter after resolution.
+    One row: records_total, records_no_links (failed guards),
+    links_total (links on ALL records, guard failures included),
+    links_kept (links surviving the ENTIRE chain: record guards,
+    document-type predicate, AND the post-resolution scheme filter),
+    and links_dropped = total - kept — the aggregate loss across all
+    three tiers, NOT a per-tier attribution (a guard-failed record's
+    links, a non-matching link, and a non-http(s) resolution all land
+    in the same bucket; split per tier by diffing counts between
+    stages if a loss investigation needs it).
     """
     links_col = F.col(f"{_HTML_META}.Links")
     page_url = F.col("Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cc2dataset_spark.functions.numeric import RATIO6_SQL
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
 
@@ -137,10 +138,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AUDIO_DUR = (
-    "(CAST((2000000 * (n_samples) + (sample_rate)) // (2 * (sample_rate)) "
-    "AS DOUBLE) / 1000000)"
-)
+_AUDIO_DUR = RATIO6_SQL.format(num="n_samples", den="sample_rate")
 
 
 @query(
@@ -225,10 +223,7 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CAP_DIGIT_SHARE = (
-    "(CAST((2000000 * (n_digits) + (n_chars)) // (2 * (n_chars)) "
-    "AS DOUBLE) / 1000000)"
-)
+_CAP_DIGIT_SHARE = RATIO6_SQL.format(num="n_digits", den="n_chars")
 
 
 @query(

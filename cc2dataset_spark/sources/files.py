@@ -119,7 +119,14 @@ def write_sorted_parquet(
     file); pre-sorting (partition_by, *sort_by) satisfies the writer's
     requirement so the secondary order survives into every file."""
     sort_cols = [*(partition_by or []), *sort_by]
-    out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+    # Range keys LEAD with partition_by: ranging on sort_by alone
+    # would hand every task rows of many partition values, and
+    # FileFormatWriter opens one file per (task, partition value) —
+    # up to n_files x n_partitions small files. Leading with the
+    # partition columns keeps each task to one or two partition
+    # values (~n_files total files) while sort_by still forms
+    # disjoint within-partition ranges.
+    out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
         *sort_cols
     )
     writer = out.write.mode("overwrite")
@@ -191,6 +198,16 @@ def write_zordered_parquet(
         aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
         aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
     row = df.agg(*aggs).collect()[0]
+    if any(
+        row[f"_min_{c}"] is None or row[f"_max_{c}"] is None
+        for c in zorder_by
+    ):
+        # empty frame or an all-NULL / non-castable z column: there is
+        # nothing to cluster — write the data (possibly zero rows)
+        # unclustered rather than crashing on float(None); a pipeline
+        # stage that filtered everything out is a legitimate producer
+        df.write.mode("overwrite").options(**options).parquet(path)
+        return
     mins = [F.lit(float(row[f"_min_{c}"])) for c in zorder_by]
     maxs = [F.lit(float(row[f"_max_{c}"])) for c in zorder_by]
     z = zorder_value(list(zorder_by), mins, maxs, bits=bits)
@@ -227,7 +244,19 @@ def compact_parquet(
     import glob as _glob
     import math
 
-    files = _glob.glob(f"{src_path}/**/*.parquet", recursive=True)
+    if "://" in src_path and not src_path.startswith("file://"):
+        # glob.glob on a remote URI silently returns [] -> fs_bytes=0
+        # -> coalesce(1) funnels the whole table through ONE task and
+        # the return value lies. Remote compaction needs the store's
+        # own listing; fail loudly instead of quietly mis-sizing.
+        raise NotImplementedError(
+            f"compact_parquet sizes from local listings; {src_path!r} "
+            "is remote — run it against a local/file:// mirror or size "
+            "n explicitly via coalesce"
+        )
+    files = _glob.glob(
+        f"{src_path.removeprefix('file://')}/**/*.parquet", recursive=True
+    )
     fs_bytes = _local_total_bytes(files)
     n = max(1, math.ceil(fs_bytes / target_file_bytes))
     spark.read.parquet(src_path).coalesce(n).write.mode("overwrite").parquet(
