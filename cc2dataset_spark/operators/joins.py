@@ -25,15 +25,25 @@ def salted_join(
     key: str,
     salt_buckets: int = 8,
     how: str = "inner",
+    salt_from: str | None = None,
 ) -> DataFrame:
     """Equi-join with the left side's hot keys split across
     ``salt_buckets`` reducers.
 
-    The left (large/skewed) side gets a deterministic salt derived from
-    its full row hash; the right side is exploded ``salt_buckets``-fold
-    so every (key, salt) pair finds its match. Right-side blowup is the
-    price — use only when the right side is small-ish but above the
-    broadcast threshold, or when AQE's split isn't enough.
+    The left (large/skewed) side gets a deterministic salt — from
+    ``salt_from`` (a left column with per-row entropy, e.g. a unique
+    event id: the RIGHT choice whenever one exists) or, by default,
+    from the full row hash. The full-row default DEGENERATES when the
+    hot key's rows are identical or low-entropy (e.g. the frame was
+    projected down to the join key, or boilerplate duplicates): every
+    copy hashes to ONE salt bucket, the straggler remains, and the
+    ``salt_buckets``-fold right-side explode is paid for nothing —
+    pass ``salt_from`` for those shapes (join_salted_skew salts from
+    event_id for exactly this reason). The right side is exploded
+    ``salt_buckets``-fold so every (key, salt) pair finds its match.
+    Right-side blowup is the price — use only when the right side is
+    small-ish but above the broadcast threshold, or when AQE's split
+    isn't enough.
     Result == plain ``left.join(right, key, how)`` row-for-row for
     ``how`` in ('inner', 'left', 'left_semi', 'left_anti') — the hows
     where unmatched RIGHT rows never surface. 'right'/'full' would
@@ -49,7 +59,12 @@ def salted_join(
             f"{salt_buckets}x (explode the LEFT side and salt the "
             f"right if you need right-outer semantics)"
         )
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    salt_src = (
+        [F.col(salt_from)]
+        if salt_from is not None
+        else [F.col(c) for c in left.columns]
+    )
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(
         "_salt",

@@ -12,7 +12,7 @@ differentially checked against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.functions.numeric import RATIO6_SQL
@@ -27,7 +27,16 @@ _PR_ITERS = 3
 def _pagerank_oracle() -> str:
     """Unrolled power iteration: one CTE per round, same IEEE ops in
     the same order as operators/graph.py (only summation order can
-    differ, bounded by in-degree ulps — killed by the 6-dp round)."""
+    differ, bounded by in-degree ulps — ABSORBED, not killed, by the
+    6-dp round: a rank landing within an ulp of a 0.5e-6 boundary
+    could still flip between engines, and round(double, 6) itself has
+    the Spark-shortest-repr vs DuckDB-binary divergence at exact
+    halves (functions/numeric.py). Residual, not zero, risk —
+    accepted because the fixture graphs' ranks sit far from 6-dp
+    boundaries across all three scales and re-deriving the loop in
+    scaled integers would cost the oracle its direct IEEE parity;
+    if a sweep ever reddens here, resync each round at 9 dp in both
+    engines and final-round via floor(x*1e6 + 0.5))."""
     ctes = [
         """edges AS (
       SELECT cn.n_name AS src, sn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w
@@ -373,7 +382,12 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEG_SHARE = RATIO6_SQL.format(num="n_nodes", den="tot.n")
+# denominator = total nodes, derived FROM THE HISTOGRAM (sum of
+# bucket counts over <= 64 rows) — a separate tot branch re-executed
+# the whole corpus-scale edge/degree chain a second time
+_DEG_SHARE = RATIO6_SQL.format(
+    num="n_nodes", den="SUM(n_nodes) OVER ()"
+)
 
 
 @query(
@@ -398,17 +412,20 @@ _DEG_SHARE = RATIO6_SQL.format(num="n_nodes", den="tot.n")
       SELECT CAST(length(bin(degree)) AS BIGINT) AS log2_bucket,
              node, degree
       FROM deg
-    ), tot AS (
-      SELECT COUNT(*) AS n FROM deg
+    ), hist AS (
+      SELECT log2_bucket,
+             COUNT(*) AS n_nodes,
+             MIN(degree) AS min_degree,
+             MAX(degree) AS max_degree
+      FROM binned GROUP BY log2_bucket
     )
     SELECT log2_bucket,
            CAST(1 << (log2_bucket - 1) AS BIGINT) AS bucket_min_degree,
-           COUNT(*) AS n_nodes,
-           MIN(degree) AS min_degree,
-           MAX(degree) AS max_degree,
+           n_nodes,
+           min_degree,
+           max_degree,
            {_DEG_SHARE} AS node_share
-    FROM binned CROSS JOIN tot
-    GROUP BY log2_bucket, tot.n
+    FROM hist
     """,
     tags=("graph", "profiling", "stats"),
 )
@@ -468,23 +485,29 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         "degree",
     )
-    tot = deg.agg(F.count("*").alias("n"))
-    return (
-        binned.crossJoin(F.broadcast(tot))
-        .groupBy("log2_bucket", "n")
-        .agg(
-            F.count("*").alias("n_nodes"),
-            F.min("degree").alias("min_degree"),
-            F.max("degree").alias("max_degree"),
-        )
-        .select(
-            "log2_bucket",
-            F.expr("CAST(1 << (log2_bucket - 1) AS BIGINT)").alias(
-                "bucket_min_degree"
-            ),
-            "n_nodes",
-            "min_degree",
-            "max_degree",
-            ratio_round6(F.col("n_nodes"), F.col("n")).alias("node_share"),
-        )
+    # Histogram FIRST (<= 64 rows), total as a window sum OVER the
+    # histogram: a tot = deg.agg(count) branch re-executed the whole
+    # corpus-scale edge/degree chain a second time (measured: 16 scans
+    # of documents in the static plan with only partial AQE reuse).
+    # The unpartitioned window is the documented bounded-frame
+    # exception (same class as curate_unimax_budget's).
+    hist = binned.groupBy("log2_bucket").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "log2_bucket",
+        F.expr("CAST(1 << (log2_bucket - 1) AS BIGINT)").alias(
+            "bucket_min_degree"
+        ),
+        "n_nodes",
+        "min_degree",
+        "max_degree",
+        ratio_round6(
+            F.col("n_nodes"), F.sum("n_nodes").over(w)
+        ).alias("node_share"),
     )

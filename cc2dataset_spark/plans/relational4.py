@@ -101,8 +101,14 @@ _Q8_NATION_VOL = (
     "q8_market_share",
     oracle=f"""
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           round({_osum(_Q8_NATION_VOL)}
-                 / {_osum(_DISC_PRICE)}, 6) AS mkt_share
+           -- raw double, no round(): both engines sum the SAME
+           -- decimal-exact values and perform one identical IEEE
+           -- division, so the unrounded quotient is bit-equal by
+           -- construction — round(double, 6) would ADD the
+           -- Spark-shortest-repr vs DuckDB-binary half-boundary flip
+           -- (the q2 class) where none existed
+           {_osum(_Q8_NATION_VOL)}
+                 / {_osum(_DISC_PRICE)} AS mkt_share
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -151,7 +157,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(dsum(nation_vol) / dsum(vol), 6).alias("mkt_share"))
+        .agg((dsum(nation_vol) / dsum(vol)).alias("mkt_share"))
     )
 
 

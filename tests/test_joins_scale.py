@@ -522,9 +522,12 @@ def test_r7e_ops_plan_shapes(spark, sf_dir):
     assert m and "salt" in m.group(1) and "user_id" in m.group(1), p
 
 
-def test_salted_join_equals_plain_join(spark, sf_dir):
-    """The salted join's per-segment rollup must equal the unsalted
-    join's — salting redistributes work, never changes the result."""
+def test_salted_skew_query_equals_plain_join(spark, sf_dir):
+    """The salted CATALOG query's per-segment rollup must equal the
+    unsalted join's — salting redistributes work, never changes the
+    result. (r8 rename: this previously shadowed the line-25 operator
+    test of the same name, leaving salted_join's lineitem/orders
+    equivalence check silently dead.)"""
     from pyspark.sql import functions as F
 
     from cc2dataset_spark.plans.catalog import QUERIES, _load_all
