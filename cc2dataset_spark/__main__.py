@@ -103,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = build_spark_session(master="local[*]")
         con = duckdb_conn(args.sf_dir)
         failed = 0
+        checked = 0
         for name in names:
             q = QUERIES[name]
             if q.oracle is None:
@@ -110,11 +111,21 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             try:
                 compare(q.fn(spark, args.sf_dir), con, q.oracle, name=name)
+                checked += 1
                 print(f"{name}\tOK")
             except AssertionError as ex:
                 failed += 1
                 print(f"{name}\tFAIL\t{str(ex)[:200]}")
-        print(f"verified {len(names)} queries, {failed} failed")
+            except Exception as ex:  # noqa: BLE001 - sweep must finish
+                # an AnalysisException / DuckDB binder error in ONE
+                # query must not abort the sweep: report it as a
+                # failure and keep checking the rest
+                failed += 1
+                print(f"{name}\tERROR\t{type(ex).__name__}: {str(ex)[:180]}")
+        print(
+            f"verified {checked} queries, {failed} failed, "
+            f"{len(names) - checked - failed} skipped (rows-only)"
+        )
         return 1 if failed else 0
 
     if args.command == "query":

@@ -223,8 +223,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
+    # customer is the broadcast DIM; the orders(x)customer result is
+    # FACT-scale (the date filter keeps most orders) and must SHUFFLE
+    # into the lineitem join — broadcasting it, as r1-r7 did, would
+    # materialize ~20% of the orders table as a broadcast relation at
+    # 100 TB (8 GB hard cap / driver OOM), violating the module
+    # header's fact-never-broadcast contract.
     joined = li.join(
-        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     return (

@@ -145,7 +145,12 @@ def cross_join_region_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile"),
 )
 def agg_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (both engines use the standard
+    """Exact interpolated percentiles (RESIDUAL cross-engine risk,
+    accepted: interpolation is lower + frac*(upper-lower) in both
+    engines but an ulp of difference in frac arithmetic is possible,
+    and the 4-dp round absorbs it except within an ulp of a 0.00005
+    boundary — emitting raw would EXPOSE every ulp instead; green
+    since r1 at three scales). Both engines use the standard
     linear-interpolation definition)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
@@ -273,7 +278,11 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 1000)
     )
     o = _t(spark, sf_dir, "orders")
-    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    # broadcast the BOUNDED side: li is pre-filtered to < 1000 keys at
+    # one line each, while orders is an unfiltered fact table that
+    # grows with scale (the r1-r7 F.broadcast(o) shipped the whole
+    # fact to every executor)
+    j = F.broadcast(li).join(o, li.l_orderkey == o.o_orderkey)
     return j.select(
         "l_orderkey",
         "l_linenumber",
@@ -565,6 +574,13 @@ def udaf_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-shape twin of udaf_user_trend: per-user OLS trend
+    (RESIDUAL cross-engine risk, accepted: this query exists to
+    exercise the BUILT-IN regr_* aggregates, whose single-pass update
+    formulas differ per engine — the 4-dp round absorbs that drift
+    everywhere except a slope within drift-distance of a 0.00005
+    boundary; the drift-free formulation from exact moments is
+    agg_corr_lineitem's, kept separate so the builtin surface stays
+    covered)
     via the JVM built-in regr_slope/regr_intercept — whole-stage
     codegen, map-side partial aggregation, no Python workers. This is
     the form to use at 100 TB; the applyInPandas variant above exists to
@@ -598,10 +614,13 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
+    -- raw double: identical IEEE ops over identical exact moments on
+    -- both engines — round(double, 6) would only add the repr-vs-
+    -- binary half-boundary divergence (the q2 class)
     SELECT l_returnflag, n,
-           round((sxy / n - (sx / n) * (sy / n))
+           (sxy / n - (sx / n) * (sy / n))
                  / (sqrt(sxx / n - (sx / n) * (sx / n))
-                    * sqrt(syy / n - (sy / n) * (sy / n))), 6)
+                    * sqrt(syy / n - (sy / n) * (sy / n)))
              AS corr_qty_price
     FROM m
     """,
@@ -634,5 +653,5 @@ def agg_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("syy") / n - my * my
     )
     return m.select(
-        "l_returnflag", "n", F.round(cov / sd, 6).alias("corr_qty_price")
+        "l_returnflag", "n", (cov / sd).alias("corr_qty_price")
     )

@@ -338,13 +338,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_effect",
     oracle="""
-    SELECT round(
-             100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
-                                        THEN l.l_extendedprice * (1 - l.l_discount)
-                                        ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
+    -- raw double, no round(): both engines sum the same decimal-exact
+    -- values and run identical IEEE multiply/divide, so the unrounded
+    -- result is bit-equal by construction; round(double, 6) would ADD
+    -- the Spark-shortest-repr vs DuckDB-binary half-boundary flip
+    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                                      THEN l.l_extendedprice * (1 - l.l_discount)
+                                      ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE)
              / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(28,6))) AS DOUBLE),
-             6) AS promo_revenue_pct,
+                             AS DECIMAL(28,6))) AS DOUBLE)
+             AS promo_revenue_pct,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -368,7 +371,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(100.0 * dsum(promo) / dsum(disc_price), 6).alias(
+            (100.0 * dsum(promo) / dsum(disc_price)).alias(
                 "promo_revenue_pct"
             ),
             F.count("*").alias("n_items"),

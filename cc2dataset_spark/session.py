@@ -25,6 +25,15 @@ _S3A_PROFILE = {
     "spark.hadoop.fs.s3a.block.size": "2M",
     "spark.hadoop.fs.s3a.readahead.range": "2M",
     "spark.hadoop.fs.s3a.committer.name": "magic",
+    # fs.s3a.committer.name alone is INERT for Spark SQL writes: Spark
+    # instantiates the parquet committer from these two SQL confs
+    # directly, bypassing the Hadoop committer factory — without them
+    # df.write.parquet still used the rename-based FileOutputCommitter
+    # (slow, non-atomic job-commit window on S3)
+    "spark.sql.sources.commitProtocolClass":
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class":
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
     # Anonymous credentials are correct ONLY for the public commoncrawl
     # bucket — scoping them per-bucket (S3A per-bucket config) leaves the
     # default provider chain free to authenticate the user's own output
@@ -94,7 +103,7 @@ def build_spark_session(
     if mem_gb is not None:
         # 90/10 heap/overhead split, as in the reference
         # (/root/reference/cc2dataset/spark_session_builder.py:33-38).
-        heap = int(mem_gb * 0.9)
+        heap = max(1, int(mem_gb * 0.9))  # mem_gb=1 must not yield '0g'
         builder = builder.config("spark.executor.memory", f"{heap}g")
         builder = builder.config(
             "spark.executor.memoryOverhead", f"{max(1, mem_gb - heap)}g"
