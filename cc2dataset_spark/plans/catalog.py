@@ -79,71 +79,72 @@ def query(
 # stays covered by the local oracle suite (tests/test_oracle.py), which
 # runs ALL oracle-backed queries every CI pass.
 #
-# Round-8 window: all 50 slots are debuts (policy rules 1+5). The r7
-# registration wave left a 55-query never-driver-checked backlog
-# (48 queued for r8 + 7 for r9); this window drains the entire r8
-# queue in registration order plus the first two of the r9 queue,
-# leaving 5 debuts for r9 and zero catalog growth this round. The
-# re-confirmation backlog (last-green-r4 cohort onward) gets the full
-# r9+ windows once the debut backlog is zero. Every name below was
-# green in the judge-run full driver simulation at sf0.01 AND the
-# end-of-r7 sf0.1 sweep, so each enters its debut already proven at
-# 10x the driver's scale.
+# Round-9 window: 5 debuts + 45 re-confirmation slots (policy rules
+# 1+3). CORRECTNESS_r08 landed 50/50 green, so every r8 slot is
+# cedable. The debut backlog drains to ZERO with the last 5
+# never-driver-checked queries; the remaining 45 slots re-confirm the
+# stalest greens oldest-first: the full last-green-r4 cohort (12), the
+# full last-green-r5 cohort (20), and 13 of the 50-query last-green-r6
+# cohort chosen to keep every operator family represented and to
+# re-prove the r8 bench drift cohort (simhash/full-recipe/pagerank)
+# under the driver. The 37 remaining r6 greens head the r10
+# re-confirmation queue (see ROTATION.md).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r8 debut queue (the 48 r7 registrations queued under policy
-    # rule 5, in registration order — see ROTATION.md)
-    "events_value_quantiles_heavy",
-    "dedup_prefix_jaccard",
-    "curate_gopher_rules",
-    "dedup_edit_distance_sources",
-    "events_scd2_event_type",
-    "dedup_ngram_span_coverage",
-    "curate_dsir_weights",
-    "events_markov_transitions",
-    "text_collocation_lift",
-    "sample_weighted_tickets",
-    "multimodal_cdc_chunks",
-    "join_interval_busy_hours",
-    "sketch_kmv_distinct_users",
-    "events_quantile_sketch_bottomk",
-    "er_snm_cluster_survivors",
-    "text_heavy_hitter_words",
-    "curate_pack_sequences",
-    "sample_stratified_per_lang",
-    "text_bm25_topk",
-    "events_time_weighted_avg",
-    "sketch_kmv_setops",
-    "join_salted_skew",
-    "multimodal_image_dims",
-    "dedup_cluster_best_quality",
-    "curate_boilerplate_prefix",
-    "text_unicode_nfc",
-    "events_m4_downsample",
-    "profile_cross_source_overlap",
-    "curate_dedup_paragraphs",
-    "cc_domain_stats",
-    "dedup_truncated_docs",
-    "text_vocab_stats",
-    "cc_anchor_text_corpus",
-    "graph_triangle_counts",
-    "multimodal_phash_neardup",
-    "io_compaction_plan",
-    "text_readability",
-    "curate_unimax_budget",
-    "text_kneser_ney_counts",
-    "events_anomaly_mad",
-    "cc_image_text_manifest",
-    "search_hybrid_rrf",
-    "profile_key_skew",
-    "multimodal_audio_frames",
-    "curate_score_calibration",
-    "graph_degree_distribution",
-    "text_zipf_fit",
-    "curate_dedup_report",
-    # head of the r9 debut queue (policy rule 5, registration order) —
-    # pulled forward into the two remaining slots
-    "curate_langid_confusion",
-    "events_lateness_profile",
+    # r9 debuts — the tail of the r7 registration wave (queue order)
+    "cc_url_param_stats",
+    "multimodal_caption_stats",
+    "events_user_concentration",
+    "text_ngram_novelty",
+    "curate_blocklist_filter",
+    # re-confirmation: last-green-r4 cohort (all 12)
+    "scalar_string_part",
+    "grouping_sets_geo",
+    "pivot_status_by_priority",
+    "join_full_outer_nation_roles",
+    "cross_join_region_matrix",
+    "agg_approx_distinct",
+    "scalar_date_arithmetic",
+    "array_ops_embeddings",
+    "subquery_correlated_scalar",
+    "scalar_struct_map_ops",
+    "unpivot_customer_metrics",
+    "udaf_user_trend",
+    # re-confirmation: last-green-r5 cohort (all 20)
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+    "top_tokens_per_lang",
+    "knn_label_vote",
+    "text_tokenize_udtf",
+    "dedup_exact_min_survivor",
+    "dedup_cluster_survivors",
+    "events_sliding_10m_5m",
+    "events_followup_pairs_10m",
+    "join_asof_union_last_order",
+    "window_range_frame_1h",
+    "setop_multiset_suppliers",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q19_discounted_revenue",
+    "q22_dormant_rich_customers",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    # re-confirmation: 13 of the last-green-r6 cohort (family coverage
+    # + the r8 bench drift cohort)
+    "cc_extract_image_wat",
+    "cc_extract_dedup_links",
+    "dedup_minhash_neardup",
+    "dedup_simhash_embeddings",
+    "dedup_incremental_index",
+    "ann_ivf_topk",
+    "multimodal_decode_stub",
+    "sketch_countmin_event_types",
+    "curate_full_recipe",
+    "events_sessionize",
+    "graph_pagerank_brands",
+    "agg_corr_lineitem",
+    "q8_market_share",
 )
 
 
