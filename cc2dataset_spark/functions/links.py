@@ -203,8 +203,11 @@ def normalize_url(col: Column | str) -> Column:
     # userinfo; a userinfo-bearing corpus needs the same split in its
     # SQL.)
     scheme = F.regexp_extract(prefix, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
-    userinfo = F.regexp_extract(prefix, r"^[^:]+://([^/?#@]*@)", 1)
-    hostport = F.regexp_extract(prefix, r"://(?:[^/?#@]*@)?(.*)$", 1)
+    # Userinfo is greedy to the LAST '@' (WHATWG URL semantics): a
+    # double-@ authority 'a@b@c' has userinfo 'a@b' and host 'c'; the
+    # old first-@ split ([^/?#@]*@) left 'b@c' as the hostport.
+    userinfo = F.regexp_extract(prefix, r"^[^:]+://([^/?#]*@)", 1)
+    hostport = F.regexp_extract(prefix, r"://(?:[^/?#]*@)?(.*)$", 1)
     p = F.concat(F.lower(scheme), F.lit("://"), userinfo, F.lower(hostport))
     p = (
         F.when(p.startswith("https://"), F.regexp_replace(p, r":443$", ""))
@@ -291,11 +294,14 @@ def load_public_suffix_rules() -> dict:
 # a host extracted one way feeding a domain derived another way would
 # silently count different host universes. RFC-3986 authority shape
 # (r8 fixes): userinfo may contain ':' ('user:pass@h' — excluding it
-# made backtracking capture the USERNAME as the host), and a bracketed
+# made backtracking capture the USERNAME as the host), a bracketed
 # IPv6 literal keeps its colons ('[2001:db8::1]:8080' — the bare
-# host class truncated it at the first ':').
+# host class truncated it at the first ':'), and (r9) userinfo is
+# GREEDY to the last '@' with '@' excluded from the host class, so a
+# double-@ authority 'http://a@b@c/' yields host 'c' (WHATWG URL
+# splits at the last '@'; the old first-@ split captured 'b@c').
 _HOST_RE = (
-    r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#@]*@)?(\[[^\]]*\]|[^/:?#]+)"
+    r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*@)?(\[[^\]]*\]|[^/:?#@]+)"
 )
 
 

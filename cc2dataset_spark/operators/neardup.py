@@ -457,10 +457,11 @@ def prefix_filter_jaccard_pairs(
       each doc's fingerprint array replicates to at most B cells per
       side — O(docs x B), NOT O(pairs) — and both grid joins run on
       one cell-keyed exchange (subset co-partitioning,
-      spark.sql.requireAllClusterKeysForCoPartition=false, set here at
-      runtime; semantics-preserving — it only lets Catalyst RECOGNIZE
-      that two sides hash-partitioned on the same key subset are
-      co-located). The naive ship-arrays-per-pair verifier measured
+      spark.sql.requireAllClusterKeysForCoPartition=false, set by the
+      session.py builders — never mutated here; semantics-preserving —
+      it only lets Catalyst RECOGNIZE that two sides hash-partitioned
+      on the same key subset are co-located; a session without it
+      plans one extra exchange per grid join, still correct). The naive ship-arrays-per-pair verifier measured
       274 MB on this stage at sf0.1 (886 B/candidate); the grid moves
       ~O(docs x B) array bytes + O(pairs) 16-byte rows. B defaults to
       ~sqrt(parallelism) (the fragment-replicate optimum shape): cells
@@ -482,9 +483,14 @@ def prefix_filter_jaccard_pairs(
     if grid_b is None:
         grid_b = max(2, math.isqrt(spark.sparkContext.defaultParallelism - 1) + 1)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # Runtime-settable, semantics-preserving (see docstring); required
-    # for the grid joins to share one cell exchange.
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    # Exchange sharing across the grid joins needs
+    # spark.sql.requireAllClusterKeysForCoPartition=false AT EXECUTION
+    # time (EnsureRequirements reads it when the returned frame is
+    # acted on, after this function exits), so setting it here would
+    # both mutate the caller's session AND be too early to guarantee
+    # anything. The session.py builders set it; on a foreign session
+    # without it the plan stays CORRECT with one extra cell exchange
+    # per grid join (semantics-preserving either way).
 
     # md5 materialized once per shingle (transform-of-transform: no CSE
     # inside HOF lambdas — see hashes.md5_long63_from_hex); distinct

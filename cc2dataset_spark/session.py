@@ -66,6 +66,15 @@ _ENGINE_DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # Let EnsureRequirements recognize two sides hash-partitioned on a
+    # SUBSET of the join keys as co-located (semantics-preserving; it
+    # only removes redundant exchanges). The fragment-replicate grid
+    # verifier (operators/neardup.prefix_filter_jaccard_pairs) relies
+    # on this to run both grid joins on one cell-keyed exchange.
+    # Library code never mutates a caller's session conf (r9): foreign
+    # sessions not built here still get CORRECT plans, just with one
+    # extra exchange per grid join unless they set this themselves.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
     # reference sets task retries to 10 for flaky remote IO
     # (/root/reference/cc2dataset/spark_session_builder.py:44)
     "spark.task.maxFailures": "10",

@@ -43,19 +43,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # These confs must hold even on sessions we didn't build (the
-    # driver passes its own SparkSession); all are runtime-settable.
-    # UTC pins LTZ rendering and timestamp-literal parsing so results
-    # are host-timezone-independent (the fixtures and the DuckDB
-    # oracle are timezone-naive). Subset co-partitioning is set HERE —
-    # not only inside the operator that needs it
-    # (operators/neardup.prefix_filter_jaccard_pairs' grid joins) — so
-    # every catalog query plans under the SAME setting regardless of
-    # execution order within a session (it is semantics-preserving: it
-    # only lets Catalyst recognize that two sides hash-partitioned on
-    # the same join-key subset are already co-located).
+    # These two confs must hold even on sessions we didn't build (the
+    # driver passes its own SparkSession) because RESULTS depend on
+    # them; both are runtime-settable. UTC pins LTZ rendering and
+    # timestamp-literal parsing so results are host-timezone-
+    # independent (the fixtures and the DuckDB oracle are timezone-
+    # naive); nanosAsLong is the only way to read the events fixture
+    # at all. Purely plan-shaping confs (subset co-partitioning for
+    # the neardup grid joins) are NOT set here — library code must not
+    # silently retune a caller's session (r9); they live in the
+    # session.py builders, and foreign sessions get correct plans with
+    # at most one extra exchange unless they opt in themselves.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
