@@ -233,14 +233,23 @@ def normalize_url(col: Column | str) -> Column:
     return F.concat(p, path_part, q)
 
 
+def _psl_snapshot_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "public_suffix_snapshot.dat",
+    )
+
+
 @functools.cache
 def load_public_suffix_rules() -> dict:
     """Parse the checked-in Public Suffix List snapshot
-    (cc2dataset_spark/data/public_suffix_snapshot.dat — standard
-    publicsuffix.org format: '//' comments, '*.' wildcard labels, '!'
-    exception rules; the file documents that it is the ICANN-section
-    multi-label SUBSET, and production swaps in the full list
-    unchanged). Returns::
+    (cc2dataset_spark/data/public_suffix_snapshot.dat — the FULL
+    publicsuffix.org file as of r9, 9506 rules, MPL-2.0 public data;
+    standard format: '//' comments, '*.' wildcard labels, '!'
+    exception rules). Returns::
 
         {"exact": {k: frozenset(rule)},      # k = label count
          "wild_base": {k: frozenset(base)},  # '*.base'; k counts the *
@@ -249,16 +258,10 @@ def load_public_suffix_rules() -> dict:
 
     Single-label rules are dropped at parse time: the PSL default rule
     '*' already makes every bare TLD a public suffix, which is the
-    expression's fallback (registrable = last two labels), so listing
-    them would be dead weight in the generated isin sets.
+    algorithm's fallback (registrable = last two labels), so listing
+    them would be dead weight in the match tables.
     """
-    import os
-
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "data",
-        "public_suffix_snapshot.dat",
-    )
+    path = _psl_snapshot_path()
     exact: dict[int, set] = {}
     wild: dict[int, set] = {}
     exc: dict[int, set] = {}
@@ -290,7 +293,7 @@ def load_public_suffix_rules() -> dict:
 
 
 # The authority-extraction regex + root-dot strip used by BOTH
-# registrable_domain and every per-host catalog query. One definition:
+# with_registrable_domain and every per-host catalog query. One definition:
 # a host extracted one way feeding a domain derived another way would
 # silently count different host universes. RFC-3986 authority shape
 # (r8 fixes): userinfo may contain ':' ('user:pass@h' — excluding it
@@ -308,7 +311,7 @@ _HOST_RE = (
 def host_from_url(col: Column | str) -> Column:
     """Lowercased, root-dot-stripped host of a URL ('' for relative
     URLs; NULL propagates). The single host definition behind
-    :func:`registrable_domain` and the per-host catalog queries."""
+    :func:`with_registrable_domain` and the per-host catalog queries."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(
         F.lower(F.regexp_extract(c, _HOST_RE, 2)), r"\.$", ""
@@ -323,98 +326,188 @@ def host_from_url_sql(url_expr: str) -> str:
     )
 
 
-def registrable_domain(col: Column | str) -> Column:
-    """eTLD+1 registrable domain of a URL — the per-domain aggregation
+@functools.cache
+def _psl_match_table() -> tuple[tuple[tuple[str, int, bool, bool, bool], ...], tuple[int, ...]]:
+    """The parsed snapshot re-keyed by MATCH STRING for the join form:
+    rows ``(m_str, m, ex, wild, exc)`` where ``m`` is the label count
+    of the string a host suffix must EQUAL, and the flags say which
+    rule classes that string carries (a string can be several at once,
+    e.g. both an exact rule and a wildcard base). Contributions:
+    exact -> ps = m; wildcard base (``*.m_str``) -> ps = m + 1 when the
+    host has >= m+1 labels; exception -> ps = m - 1, prevailing over
+    all normal rules. Second element: the sorted distinct ``m`` values
+    (one broadcast join each)."""
+    rules = load_public_suffix_rules()
+    flags: dict[str, list] = {}
+
+    def row(s: str) -> list:
+        return flags.setdefault(s, [s.count(".") + 1, False, False, False])
+
+    for k, vals in rules["exact"].items():
+        for s in vals:
+            row(s)[1] = True
+    for k, vals in rules["wild_base"].items():
+        for s in vals:
+            row(s)[2] = True
+    for k, vals in rules["exc"].items():
+        for s in vals:
+            row(s)[3] = True
+    rows = tuple(
+        (s, m, ex, wild, exc)
+        for s, (m, ex, wild, exc) in sorted(flags.items())
+    )
+    ms = tuple(sorted({m for _, m, *_ in rows}))
+    return rows, ms
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    url_col: str | Column | None = None,
+    host_col: str | None = None,
+    out_col: str = "domain",
+) -> DataFrame:
+    """Add the eTLD+1 registrable domain — the per-domain aggregation
     key of C4/RefinedWeb-style curation (domain blocklists, per-domain
     caps, domain quality priors). Implements the Public Suffix List
-    algorithm against the checked-in snapshot
-    (:func:`load_public_suffix_rules`) as a GENERATED EXPRESSION:
-    exception rules prevail, else the longest matching rule (exact or
-    '*.'-wildcard), else the default '*' rule (bare TLD is the public
-    suffix); registrable domain = public suffix + one label. Hosts
-    with no more labels than their public suffix pass through whole; a
-    trailing root dot is stripped; a relative URL (no authority)
-    yields ''; NULL propagates.
+    algorithm against the checked-in FULL snapshot
+    (:func:`load_public_suffix_rules`): exception rules prevail, else
+    the longest matching rule (exact or '*.'-wildcard), else the
+    default '*' rule (bare TLD is the public suffix); registrable
+    domain = public suffix + one label. Hosts with no more labels than
+    their public suffix pass through whole; a relative URL (no
+    authority) yields ''; NULL propagates.
 
-    Generated-expression over broadcast-join tradeoff: the rule sets
-    compile to literal ``isin`` hash sets per suffix length — zero
-    joins, zero shuffles, whole-stage codegen, and the full 10k-rule
-    PSL is still only a few hundred KB of literals. The same snapshot
-    generates the DuckDB twin (:func:`registrable_domain_sql`), so
-    per-domain stats stay SQL-checkable from one source of truth."""
-    rules = load_public_suffix_rules()
-    host = host_from_url(col)
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
+    Exactly one of ``url_col`` (host derived via
+    :func:`host_from_url`) or ``host_col`` (already a lowercased
+    root-dot-stripped host) must be given.
 
-    def lastk(k: int) -> Column:
-        return F.array_join(F.slice(labels, -k, k), ".")
-
-    # public-suffix label count: exceptions first (any match -> k-1),
-    # then longest normal rule (exact or wildcard, k desc), else the
-    # default '*' rule (ps = 1).
-    ps = F.lit(1)
-    for k in sorted(rules["exact"].keys() | rules["wild_base"].keys()):
-        cond = None
-        if k in rules["exact"]:
-            cond = lastk(k).isin(*sorted(rules["exact"][k]))
-        if k in rules["wild_base"]:
-            wcond = (n >= k) & lastk(k - 1).isin(
-                *sorted(rules["wild_base"][k])
-            )
-            cond = wcond if cond is None else (cond | wcond)
-        ps = F.when(cond, F.lit(k)).otherwise(ps)
-    for k in sorted(rules["exc"]):
-        ps = F.when(
-            lastk(k).isin(*sorted(rules["exc"][k])), F.lit(k - 1)
-        ).otherwise(ps)
-    # Column-typed slice keeps the ps CASE tree embedded twice (guard +
-    # take) instead of max_k+1 times: Catalyst duplicates rather than
-    # shares subtrees, and after the documented production swap to the
-    # full ~10k-rule PSL each ps copy is ~10k literals.
-    take = ps + F.lit(1)
-    return F.when(n <= ps, host).otherwise(
-        F.array_join(F.slice(labels, -take, take), ".")
+    BROADCAST-JOIN form, not a generated isin expression: at the full
+    9,506-rule list the literal expression measured 6.1 s of driver
+    Column construction plus ~5 s of analysis/serialization PER
+    EXECUTION (SCALE.md r9 probe) — a per-query driver tax that grows
+    with the list. Instead the parsed rules become one ~9.4k-row
+    match table and the host probes it with ONE broadcast hash join
+    per distinct match-label-count m (5 for the current list): join
+    key = the host's last-m-label suffix. Zero shuffles, no explode,
+    no distinct — O(1) probes per row at any corpus size, and suffix
+    EQUALITY makes the m-partitioned joins lossless (equal strings
+    have equal label counts, so a clamped/empty suffix can never
+    false-match). The DuckDB twin (:func:`registrable_domain_ctes`)
+    parses THE SAME snapshot file with read_text and replays the same
+    joins, so the engines can never drift to different rule sets."""
+    if (url_col is None) == (host_col is None):
+        raise ValueError("pass exactly one of url_col / host_col")
+    rows, ms = _psl_match_table()
+    spark = df.sparkSession
+    rules_df = spark.createDataFrame(
+        list(rows), "m_str string, m int, ex boolean, wild boolean, exc boolean"
     )
-
-
-def registrable_domain_sql(host_expr: str) -> str:
-    """DuckDB twin of :func:`registrable_domain`'s suffix logic,
-    generated from the SAME snapshot: a CASE expression string over a
-    pre-split label list. ``host_expr`` must be a SQL expression
-    yielding the lowercased, root-dot-stripped host. Used by the
-    cc_domain_stats oracle so Spark and the oracle can never drift to
-    different rule sets."""
-    rules = load_public_suffix_rules()
-    p = f"string_split({host_expr}, '.')"
-
-    def lastk(k: int) -> str:
-        return f"array_to_string({p}[-{k}:], '.')"
-
-    def in_list(vals) -> str:
-        return "(" + ", ".join(f"'{v}'" for v in sorted(vals)) + ")"
-
-    ps = "1"
-    for k in sorted(rules["exact"].keys() | rules["wild_base"].keys()):
-        conds = []
-        if k in rules["exact"]:
-            conds.append(f"{lastk(k)} IN {in_list(rules['exact'][k])}")
-        if k in rules["wild_base"]:
-            conds.append(
-                f"(len({p}) >= {k} AND "
-                f"{lastk(k - 1)} IN {in_list(rules['wild_base'][k])})"
-            )
-        ps = f"CASE WHEN {' OR '.join(conds)} THEN {k} ELSE {ps} END"
-    for k in sorted(rules["exc"]):
-        ps = (
-            f"CASE WHEN {lastk(k)} IN {in_list(rules['exc'][k])} "
-            f"THEN {k - 1} ELSE {ps} END"
+    host = (
+        host_from_url(url_col) if url_col is not None else F.col(host_col)
+    )
+    cur = (
+        df.withColumn("__psl_host", host)
+        .withColumn("__psl_parts", F.split("__psl_host", r"\."))
+        .withColumn("__psl_n", F.size("__psl_parts"))
+    )
+    n = F.col("__psl_n")
+    norm_terms: list[Column] = [F.lit(1)]
+    exc_terms: list[Column] = []
+    drop = ["__psl_host", "__psl_parts", "__psl_n"]
+    for m in ms:
+        rk = rules_df.where(F.col("m") == m).select(
+            F.col("m_str").alias(f"__psl_m{m}"),
+            F.col("ex").alias(f"__psl_ex{m}"),
+            F.col("wild").alias(f"__psl_w{m}"),
+            F.col("exc").alias(f"__psl_x{m}"),
         )
-    branches = "".join(
-        f" WHEN ({ps}) = {q} THEN {lastk(q + 1)}"
-        for q in range(1, rules["max_k"] + 1)
+        cur = cur.join(
+            F.broadcast(rk),
+            F.array_join(F.slice("__psl_parts", -m, m), ".")
+            == F.col(f"__psl_m{m}"),
+            "left",
+        )
+        norm_terms.append(F.when(F.col(f"__psl_ex{m}"), F.lit(m)))
+        norm_terms.append(
+            F.when(F.col(f"__psl_w{m}") & (n >= m + 1), F.lit(m + 1))
+        )
+        exc_terms.append(F.when(F.col(f"__psl_x{m}"), F.lit(m - 1)))
+        drop += [f"__psl_m{m}", f"__psl_ex{m}", f"__psl_w{m}", f"__psl_x{m}"]
+    # greatest() skips NULLs in Spark and DuckDB alike; the default '*'
+    # rule is the F.lit(1) floor. Exceptions prevail when any matched.
+    exc_ps = exc_terms[0] if len(exc_terms) == 1 else F.greatest(*exc_terms)
+    ps = F.coalesce(exc_ps, F.greatest(*norm_terms))
+    take = ps + F.lit(1)
+    dom = F.when(n <= ps, F.col("__psl_host")).otherwise(
+        F.array_join(F.slice("__psl_parts", -take, take), ".")
     )
-    return (
-        f"CASE WHEN len({p}) <= ({ps}) THEN {host_expr}{branches} "
-        f"ELSE {host_expr} END"
+    return cur.withColumn(out_col, dom).drop(*drop)
+
+
+def registrable_domain_ctes(
+    input_rel: str, host_col: str = "host", out_rel: str = "psl_dom"
+) -> str:
+    """DuckDB twin of :func:`with_registrable_domain` as a CTE-list
+    fragment (splice into an oracle's WITH chain): defines ``pslm``
+    (the match table parsed from THE SAME checked-in snapshot file via
+    read_text — never a second copy of the rules) and ``{out_rel}``
+    (every column of ``{input_rel}`` plus ``domain``). ``host_col``
+    must already be the lowercased, root-dot-stripped host."""
+    rows, ms = _psl_match_table()
+    path = _psl_snapshot_path()
+    h = host_col
+    joins, norm_terms, exc_terms = [], ["1"], []
+    for m in ms:
+        joins.append(
+            f"LEFT JOIN pslm p{m} ON p{m}.m = {m} AND p{m}.m_str = "
+            f"array_to_string(ib0.__parts[-{m}:], '.')"
+        )
+        norm_terms.append(f"CASE WHEN p{m}.ex THEN {m} END")
+        norm_terms.append(
+            f"CASE WHEN p{m}.wild AND ib0.__n >= {m + 1} THEN {m + 1} END"
+        )
+        exc_terms.append(f"CASE WHEN p{m}.exc THEN {m - 1} END")
+    exc_sql = (
+        exc_terms[0]
+        if len(exc_terms) == 1
+        else "greatest(" + ", ".join(exc_terms) + ")"
     )
+    return f"""
+    pslm AS (
+      SELECT m_str, len(string_split(m_str, '.')) AS m,
+             bool_or(cls = 'ex') AS ex, bool_or(cls = 'wild') AS wild,
+             bool_or(cls = 'exc') AS exc
+      FROM (
+        SELECT CASE WHEN starts_with(r, '!') THEN substr(r, 2)
+                    WHEN starts_with(r, '*.') THEN substr(r, 3)
+                    ELSE r END AS m_str,
+               CASE WHEN starts_with(r, '!') THEN 'exc'
+                    WHEN starts_with(r, '*.') THEN 'wild'
+                    ELSE 'ex' END AS cls
+        FROM (
+          SELECT lower(trim(l)) AS r
+          FROM (SELECT unnest(string_split(content, chr(10))) AS l
+                FROM read_text('{path}'))
+          WHERE trim(l) <> '' AND NOT starts_with(trim(l), '//')
+        )
+      )
+      -- single-label exact/exception rules drop (PSL default-rule
+      -- equivalent), matching load_public_suffix_rules
+      WHERE cls = 'wild' OR len(string_split(m_str, '.')) >= 2
+      GROUP BY 1, 2
+    ), {out_rel} AS (
+      SELECT ib.* EXCLUDE (__parts, __n, __ps),
+             CASE WHEN ib.__n IS NULL THEN NULL
+                  WHEN ib.__n <= ib.__ps THEN ib.{h}
+                  ELSE array_to_string(ib.__parts[-(ib.__ps + 1):], '.')
+             END AS domain
+      FROM (
+        SELECT ib0.*,
+               coalesce({exc_sql},
+                        greatest({", ".join(norm_terms)})) AS __ps
+        FROM (SELECT i0.*, string_split(i0.{h}, '.') AS __parts,
+                     len(string_split(i0.{h}, '.')) AS __n
+              FROM {input_rel} i0) ib0
+        {" ".join(joins)}
+      ) ib
+    )"""

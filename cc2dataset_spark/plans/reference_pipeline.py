@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from cc2dataset_spark.functions.links import (
     host_from_url_sql,
-    registrable_domain_sql,
+    registrable_domain_ctes,
 )
 from cc2dataset_spark.functions.numeric import RATIO6_SQL
 from cc2dataset_spark.operators.extraction import extract_document_links
@@ -392,10 +392,11 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cc_domain_stats",
-    # The suffix CASE below is GENERATED from the checked-in PSL
-    # snapshot (functions/links.registrable_domain_sql) — the same
-    # file the Spark expression compiles from, so the two sides can
-    # never drift to different rule sets.
+    # The pslm/psl_dom CTEs below are GENERATED by
+    # functions/links.registrable_domain_ctes: DuckDB parses the SAME
+    # checked-in full-PSL snapshot file (read_text) the Spark
+    # broadcast-join form loads, so the two sides can never drift to
+    # different rule sets.
     oracle=r"""
     WITH l AS (
       SELECT doc_id,
@@ -415,23 +416,24 @@ def cc_dedup_normalized_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), h AS (
       SELECT doc_id, url, __HOST__ AS host
       FROM l
-    )
-    SELECT __PSL_CASE__ AS domain,
+    ), __PSL_CTES__
+    SELECT domain,
            COUNT(*) AS n_links,
            COUNT(DISTINCT doc_id) AS n_docs,
            COUNT(DISTINCT host) AS n_hosts
-    FROM h GROUP BY 1
-    """.replace("__PSL_CASE__", registrable_domain_sql("host")).replace(
+    FROM psl_dom GROUP BY 1
+    """.replace("__PSL_CTES__", registrable_domain_ctes("h", "host")).replace(
         "__HOST__", host_from_url_sql("url")
     ),
     tags=("layer_a", "curation", "domains"),
 )
 def cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain link statistics
-    (functions/links.registrable_domain, the checked-in PSL snapshot
-    compiled to a generated expression) — the aggregation key of
-    C4/RefinedWeb-style domain curation (blocklists, per-domain caps,
-    domain quality priors). Hosts are synthesized with subdomain depth
+    (functions/links.with_registrable_domain, the checked-in FULL PSL
+    snapshot probed via per-label-count broadcast joins) — the
+    aggregation key of C4/RefinedWeb-style domain curation
+    (blocklists, per-domain caps, domain quality priors). Hosts are
+    synthesized with subdomain depth
     and the full PSL rule taxonomy — two-label exact suffixes
     (img.*.co.uk, a.*.com.au, *.gov.uk), a WILDCARD-suffix city block
     (www.*.kawasaki.jp: '*.kawasaki.jp' makes the third label part of
@@ -441,8 +443,9 @@ def cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; even doc_ids emit a second link so n_links genuinely
     exceeds n_docs.
 
-    Plan: pure-codegen URL synthesis + host/domain regex chain, then
-    ONE domain-keyed aggregate. The two exact distincts share the
+    Plan: pure-codegen URL synthesis + host regex chain + the 5
+    broadcast PSL probes, then ONE domain-keyed aggregate (zero extra
+    shuffles). The two exact distincts share the
     Expand strategy over a 3-column stream — acceptable here because
     the aggregate input is (domain, doc_id, host), not a wide row (the
     profile-query Expand trap needs wide agg inputs to bite). At
@@ -491,13 +494,12 @@ def cc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cc2dataset_spark.functions.links import (
         host_from_url,
-        registrable_domain,
+        with_registrable_domain,
     )
 
-    hosts = links.select(
-        "doc_id",
-        host_from_url("url").alias("host"),
-        registrable_domain("url").alias("domain"),
+    hosts = with_registrable_domain(
+        links.select("doc_id", host_from_url("url").alias("host")),
+        host_col="host",
     )
     return hosts.groupBy("domain").agg(
         F.count("*").alias("n_links"),
@@ -650,13 +652,7 @@ def cc_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), hostx AS (
       SELECT uid, url, alt, n_copies, __HOST__ AS host
       FROM dedup
-    ), dom AS (
-      -- the SAME generated-PSL registrable-domain CASE the Spark side
-      -- compiles (r8: the raw host only coincided with eTLD+1 because
-      -- fixture hosts are exactly two labels)
-      SELECT uid, url, alt, n_copies, __PSL_CASE__ AS domain
-      FROM hostx
-    ), capped AS (
+    ), __PSL_CTES__, capped AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY uid) AS rn
       FROM dom
     )
@@ -664,7 +660,13 @@ def cc_anchor_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN md5_number_lower('mm:' || uid) % 100 < 95
                 THEN 'train' ELSE 'val' END AS split
     FROM capped WHERE rn <= 40
-    """.replace("__PSL_CASE__", registrable_domain_sql("host")).replace(
+    """.replace(
+        # the SAME full-PSL snapshot file the Spark side joins against
+        # (r8: the raw host only coincided with eTLD+1 because fixture
+        # hosts are exactly two labels; r9: join form, see links.py)
+        "__PSL_CTES__",
+        registrable_domain_ctes("hostx", "host", out_rel="dom"),
+    ).replace(
         "__HOST__", host_from_url_sql("url")
     ),
     tags=("layer_a", "multimodal", "flagship", "dedup"),
@@ -693,7 +695,7 @@ def cc_image_text_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc2dataset_spark.functions.hashes import md5_mod
     from cc2dataset_spark.functions.links import (
         normalize_url,
-        registrable_domain,
+        with_registrable_domain,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -727,7 +729,7 @@ def cc_image_text_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_copies"),
         )
     )
-    dom = dedup.withColumn("domain", registrable_domain(F.col("url")))
+    dom = with_registrable_domain(dedup, url_col="url")
     capped = dom.withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("domain").orderBy("uid")),

@@ -14,11 +14,18 @@ def test_bench_emits_contract_json(tmp_path):
     # driver-scale (sf0.1) record, and this sf0.001 run overwriting it
     # is exactly the regime-mixing the r5 verdict flagged.
     full_path = tmp_path / "BENCH_FULL.json"
+    warm_path = tmp_path / "BENCH_WARM.json"
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
         SPARK_GRAFT_BENCH_FULL=str(full_path),
+        # warm pass redirected + trimmed: the repo's BENCH_WARM.json is
+        # the sf0.1 record, and a 15x3 warm sweep would dominate this
+        # smoke run's wall time
+        SPARK_GRAFT_BENCH_WARM=str(warm_path),
+        SPARK_GRAFT_WARM_TOP="2",
+        SPARK_GRAFT_WARM_REPS="2",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -58,3 +65,12 @@ def test_bench_emits_contract_json(tmp_path):
     assert full["n_queries"] == len(full["queries"]) == d["n_queries"]
     expected = set(queries()) - bench_mod.EXCLUDE
     assert set(full["queries"]) == expected
+    # the warm-median artifact: medians over reps of the slowest cold
+    # queries, labeled with its regime, never mixed into the cold file
+    warm = json.load(open(warm_path))
+    assert warm["run"] == "warm"
+    assert warm["reps"] == 2
+    assert len(warm["queries"]) == 2
+    top2 = sorted(full["queries"], key=full["queries"].get, reverse=True)[:2]
+    assert set(warm["queries"]) == set(top2) == set(warm["cold_queries"])
+    assert all(v >= 0 for v in warm["queries"].values())

@@ -119,7 +119,7 @@ def test_registrable_domain_cases(spark):
     wildcard rules consume a label, exception rules override their
     wildcard, ports/userinfo/trailing-dot handled, short and
     authority-less inputs degrade gracefully."""
-    from cc2dataset_spark.functions.links import registrable_domain
+    from cc2dataset_spark.functions.links import with_registrable_domain
 
     cases = {
         "https://img.cdn.example.co.uk/a.jpg": "example.co.uk",
@@ -160,27 +160,30 @@ def test_registrable_domain_cases(spark):
         # '@' (WHATWG); the old first-@ split saw host 'b@shop...'
         "http://a@b@shop.example.co.uk/x": "example.co.uk",
         "http://a@b@[2001:db8::1]:8080/x": "[2001:db8::1]",
+        # r9 (full-list swap): PRIVATE-section rules are live — a
+        # github.io / blogspot.com user site is its own registrable
+        # domain, exactly the boundary per-domain curation caps want
+        "https://user.github.io/repo": "user.github.io",
+        "https://a.b.foo.blogspot.com/": "foo.blogspot.com",
     }
     df = spark.createDataFrame([(k,) for k in cases], ["url"])
     got = {
-        r.url: r.d
-        for r in df.select(
-            "url", registrable_domain("url").alias("d")
-        ).collect()
+        r.url: r.domain
+        for r in with_registrable_domain(df, url_col="url").collect()
     }
     assert got == cases
 
 
 def test_registrable_domain_matches_python_psl_reference(spark):
-    """Property check: the generated isin-expression implements the
-    PSL algorithm. An independent pure-Python evaluator (exceptions
+    """Property check: the broadcast-join form implements the PSL
+    algorithm. An independent pure-Python evaluator (exceptions
     prevail, else longest matching rule with '*' wildcards, else the
     default '*' rule; registrable = public suffix + one label) runs
-    over hosts synthesized from every rule CLASS in the snapshot plus
-    unknown TLDs, at depths 0-3."""
+    over hosts synthesized from every rule CLASS in the full snapshot
+    plus unknown TLDs, at depths 0-3."""
     from cc2dataset_spark.functions.links import (
         load_public_suffix_rules,
-        registrable_domain,
+        with_registrable_domain,
     )
 
     rules = load_public_suffix_rules()
@@ -227,10 +230,8 @@ def test_registrable_domain_matches_python_psl_reference(spark):
     df = spark.createDataFrame([(u, h) for u, h in zip(urls, hosts)],
                                ["url", "host"])
     got = {
-        r.host: r.d
-        for r in df.select(
-            "host", registrable_domain("url").alias("d")
-        ).collect()
+        r.host: r.domain
+        for r in with_registrable_domain(df, url_col="url").collect()
     }
     for h in hosts:
         assert got[h] == py_domain(h), (h, got[h], py_domain(h))
