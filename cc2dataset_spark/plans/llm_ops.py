@@ -2283,6 +2283,98 @@ def dedup_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Catalog threshold for the suffix-ordering substring dedup: the
+# paper's 50-token cut is near-whole-document at fixture doc lengths
+# (~55 tokens); 15 keeps the operator's merge logic exercised (the
+# fixture generator plants repeated phrases, ~1.8k duplicated 15-gram
+# positions at sf0.01) while staying selective. The library default
+# (operators/substring.py) remains 50.
+_SUBSTR_L = 15
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(t) - {_SUBSTR_L - 1})) AS pos,
+             t
+      FROM tok WHERE len(t) >= {_SUBSTR_L}
+    ), keyed AS (
+      SELECT doc_id, pos,
+             array_to_string(
+               list_slice(t, pos, pos + {_SUBSTR_L - 1}), chr(31)) AS g
+      FROM grams
+    ), dup AS (
+      SELECT doc_id, pos, pos + {_SUBSTR_L - 1} AS e
+      FROM (SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY g) AS c
+            FROM keyed)
+      WHERE c >= 2
+    ), brk AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > COALESCE(
+                    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2) + 1
+                  THEN 1 ELSE 0 END AS b
+      FROM dup
+    ), isl AS (
+      SELECT doc_id, pos, e,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+    tags=("dedup", "llm", "text", "substring", "rank"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-ordering exact substring dedup (Lee et al. 2022,
+    ExactSubstr) — the REAL pipeline that dedup_ngram_span_coverage
+    proxies: emit every maximal token span of length >= L that occurs
+    verbatim more than once anywhere in the corpus (within or across
+    documents), i.e. the spans a substring-dedup pass would cut.
+
+    Plan (operators/substring.py, full proof there): one suffix row
+    per token position carrying a truncated K-token key; global
+    suffix ordering via the range-partitioned rank machinery
+    (operators/rank.py — one range exchange, prefix-sum offsets, no
+    unpartitioned window, no driver collect); rank-adjacent
+    self-join on a dense BIGINT; exact JVM-side LCP (zip_with +
+    array_position); endpoints of pairs with LCP >= L mark
+    L-windows; per-document gaps-and-islands merges them into
+    maximal spans. The suffix sort is the ONLY corpus-scale stage —
+    everything after it is keyed on the dense rank or bounded per
+    document.
+
+    The oracle is an INDEPENDENT formulation: truncated-suffix
+    adjacency with LCP >= L marks exactly the positions whose L-gram
+    is duplicated (sound + complete via the contiguity of
+    equal-L-prefix blocks under the lexicographic suffix order), so
+    DuckDB counts duplicated L-grams and replays only the interval
+    merge — the engines agree via the equivalence theorem, not by
+    replaying each other's physical plan. chr(31) keeps the oracle's
+    gram join injective (tokens are whitespace-split, so they cannot
+    contain whitespace; fixture text carries no control chars)."""
+    from cc2dataset_spark.operators.substring import (
+        duplicate_substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_substring_spans(
+        docs, doc_id_col="doc_id", text_col="text", min_len=_SUBSTR_L
+    )
+
+
 _CDC_SHARED_RATIO = RATIO6_SQL.format(num="n_shared", den="n_chunks")
 
 

@@ -1,0 +1,140 @@
+"""duplicate_substring_spans: the distributed suffix-ordering
+substring dedup must equal a brute-force Python reference (all
+duplicated L-gram positions, merged per doc) on hand-built and
+randomized corpora, across ext and partition counts."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cc2dataset_spark.operators.substring import duplicate_substring_spans
+
+
+def _brute_spans(docs, min_len):
+    """All maximal spans covered by token L-grams occurring >= 2
+    times corpus-wide (within- or cross-doc) — the Lee et al. 2022
+    coverage definition the operator must reproduce."""
+    grams = {}
+    toks = {d: t.split() for d, t in docs}
+    for d, t in toks.items():
+        for i in range(len(t) - min_len + 1):
+            grams.setdefault(tuple(t[i : i + min_len]), []).append(
+                (d, i + 1)
+            )
+    marks = {}
+    for g, occ in grams.items():
+        if len(occ) >= 2:
+            for d, p in occ:
+                marks.setdefault(d, set()).add(p)
+    out = set()
+    for d, ps in marks.items():
+        covered = sorted(
+            {q for p in ps for q in range(p, p + min_len)}
+        )
+        start = prev = covered[0]
+        for q in covered[1:]:
+            if q != prev + 1:
+                out.add((d, start, prev, prev - start + 1))
+                start = q
+            prev = q
+        out.add((d, start, prev, prev - start + 1))
+    return out
+
+
+def _run(spark, docs, min_len, **kw):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = duplicate_substring_spans(df, min_len=min_len, **kw)
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in got.collect()
+    }
+
+
+def test_cross_doc_and_within_doc_merge(spark):
+    docs = [
+        # cross-doc duplicate "a b c" at positions 2 and 1
+        (1, "x a b c y z"),
+        (2, "a b c q r s"),
+        # within-doc duplicate "p q r" at 1 and 4 -> overlapping
+        # L-windows merge into one span 1..6
+        (3, "p q r p q r"),
+        # too short to carry an L-gram
+        (4, "a b"),
+        # no duplicated 3-gram despite shared bigrams
+        (5, "a b x b c x"),
+    ]
+    want = {
+        (1, 2, 4, 3),
+        (2, 1, 3, 3),
+        (3, 1, 6, 6),
+    }
+    assert _run(spark, docs, min_len=3) == want
+    assert _brute_spans(docs, 3) == want
+
+
+def test_adjacent_spans_merge_and_gaps_split(spark):
+    # "a b c" dup at pos 1, "d e f" dup at pos 4 (adjacent windows
+    # 1-3 and 4-6 merge); "x y z" dup at pos 9 stays separate.
+    docs = [
+        (1, "a b c d e f g u x y z"),
+        (2, "a b c h i j"),
+        (3, "k d e f l m"),
+        (4, "n o x y z w"),
+    ]
+    got = _run(spark, docs, min_len=3)
+    assert got == _brute_spans(docs, 3)
+    assert (1, 1, 6, 6) in got and (1, 9, 11, 3) in got
+
+
+@pytest.mark.parametrize("ext", [0, 1, 5])
+@pytest.mark.parametrize("parts", [1, 3])
+def test_ext_and_partitions_invariant(spark, ext, parts):
+    docs = [
+        (1, "the cat sat on the mat and the cat sat on the hat"),
+        (2, "a dog ran while the cat sat on the mat quietly"),
+        (3, "the cat sat on the mat and the cat sat on the hat"),
+    ]
+    want = _brute_spans(docs, 4)
+    assert (
+        _run(spark, docs, min_len=4, ext=ext, num_partitions=parts)
+        == want
+    )
+
+
+def test_no_duplicates_yields_empty(spark):
+    docs = [(1, "a b c d e"), (2, "f g h i j")]
+    got = duplicate_substring_spans(
+        spark.createDataFrame(docs, ["doc_id", "text"]), min_len=3
+    )
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id",
+        "span_start",
+        "span_end",
+        "span_len",
+    ]
+
+
+def test_invalid_params_raise(spark):
+    df = spark.range(1).selectExpr("id AS doc_id", "'a b' AS text")
+    with pytest.raises(ValueError):
+        duplicate_substring_spans(df, min_len=0)
+    with pytest.raises(ValueError):
+        duplicate_substring_spans(df, ext=-1)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    min_len=st.integers(2, 4),
+)
+def test_matches_brute_force(spark, texts, min_len):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    assert _run(spark, docs, min_len=min_len) == _brute_spans(
+        docs, min_len
+    )
