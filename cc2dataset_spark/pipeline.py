@@ -140,17 +140,53 @@ def _join(base: str, *parts: str) -> str:
     return posixpath.join(base, *parts)
 
 
-def _write_manifest(path: str, wat_paths: list[str]) -> None:
+def _write_manifest(path: str, wat_paths) -> None:
+    """Write one path per line, streaming — accepts any iterable so a
+    caller-side generator never materializes on the driver here."""
     fs, p = _fs_for(path)
     fs.makedirs(posixpath.dirname(p), exist_ok=True)
     with fs.open(p, "w", encoding="utf8") as f:
-        f.write("\n".join(wat_paths))
+        first = True
+        for w in wat_paths:
+            if not first:
+                f.write("\n")
+            f.write(w)
+            first = False
+
+
+def _stream_manifest(path: str):
+    """Yield manifest lines one at a time — the full-crawl WAT index
+    is ~5M paths (hundreds of MB as a Python list); the multipart
+    loop only ever needs one part's slice, so nothing here may hold
+    the whole file."""
+    fs, p = _fs_for(path)
+    with fs.open(p, "r", encoding="utf8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                yield line
+
+
+def _manifest_len(path: str) -> int:
+    return sum(1 for _ in _stream_manifest(path))
+
+
+def _read_manifest_slice(path: str, start: int, stop: int) -> list[str]:
+    """Materialize only manifest lines [start, stop) — O(stop) line
+    scans, O(stop - start) memory. Re-reading the file per part costs
+    one driver-side text pass each, which is noise next to the part's
+    Spark job; holding 5M strings for the whole run is not."""
+    out: list[str] = []
+    for i, line in enumerate(_stream_manifest(path)):
+        if i >= stop:
+            break
+        if i >= start:
+            out.append(line)
+    return out
 
 
 def _read_manifest(path: str) -> list[str]:
-    fs, p = _fs_for(path)
-    with fs.open(p, "r", encoding="utf8") as f:
-        return [line.strip() for line in f if line.strip()]
+    return list(_stream_manifest(path))
 
 
 def _part_has_success(output_path: str, part: int) -> bool:
@@ -261,7 +297,16 @@ def cc2dataset(
     job_path = resume if resume else _join(output_path, job_id())
     manifest = _join(job_path, "_wat_index_files.txt")
     if resume:
-        wat_paths = _read_manifest(manifest)
+        # Resume never materializes the index: the loop below streams
+        # each part's slice from the on-disk manifest, so the driver
+        # holds at most one chunk of paths (~n/multipart) at a time —
+        # at full crawl (~5M paths) the reference's whole-list read
+        # (main.py:237-251) costs hundreds of driver MB for paths
+        # whose parts are mostly already _SUCCESS-marked.
+        wat_paths = None
+        n_paths = _manifest_len(manifest)
+    else:
+        n_paths = len(wat_paths)
 
     if multipart is None:
         # Parquet overwrite clears the job dir, so the manifest is
@@ -290,6 +335,10 @@ def cc2dataset(
     if not resume:
         _write_manifest(manifest, wat_paths)
         _write_manifest(mp_marker, [str(multipart)])
+        # From here every flow is manifest-driven: drop the in-memory
+        # list so driver memory stays flat (one chunk at a time)
+        # across the part loop regardless of index size.
+        wat_paths = None
     else:
         fs, p = _fs_for(mp_marker)
         if fs.exists(p):
@@ -302,10 +351,12 @@ def cc2dataset(
                     f"or duplicated — pass multipart={recorded}"
                 )
 
-    chunk = (len(wat_paths) + multipart - 1) // multipart
+    chunk = (n_paths + multipart - 1) // multipart
     start_part = last_successful_part(job_path) + 1 if resume else 0
     for i in range(start_part, multipart):
-        part_wats = wat_paths[i * chunk : (i + 1) * chunk]
+        part_wats = _read_manifest_slice(
+            manifest, i * chunk, (i + 1) * chunk
+        )
         if not part_wats:
             continue
         spark = next_session(spark)
@@ -329,7 +380,7 @@ def cc2dataset(
         spark,
         part_paths,
         _join(job_path, "merged"),
-        wat_count=len(wat_paths),
+        wat_count=n_paths,
         shuffle=shuffle,
         seed=seed,
         min_files=min_files,

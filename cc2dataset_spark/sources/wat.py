@@ -248,12 +248,15 @@ def read_wat_index(
     main.py:247) — kept for parity; pre-dedup duplicates are fine
     because the pipeline dedups by uid anyway.
 
-    Driver-memory note: the WAT path list materializes on the driver —
-    unavoidable, since the list must reach sc.parallelize (the
-    reference does the same, main.py:237-251). At full-crawl scale
-    that is ~5M strings ≈ hundreds of MB; size spark.driver.memory
-    accordingly (the multipart loop then slices this one list, it is
-    never duplicated per part).
+    Driver-memory note: the sampled/shuffled path list materializes
+    on the driver ONCE here (the sample/shuffle needs the full list;
+    the reference does the same, main.py:237-251) — ~5M strings ≈
+    hundreds of MB at full crawl. It does NOT stay resident:
+    pipeline.cc2dataset streams it to the on-disk manifest, drops it,
+    and re-streams only each part's slice
+    (pipeline._read_manifest_slice), so steady-state driver path
+    memory is ~n/multipart; resume never materializes the list at
+    all.
     """
     wats: list[str] = []
     hadoop_paths: list[tuple[str, str]] = []
