@@ -163,9 +163,23 @@ def crawl_links_from_get_started_html(html: str) -> list[str]:
     return out
 
 
-def get_cc_wat_index_links(source_cc_protocol: str = "s3") -> list[str]:
+def get_cc_wat_index_links(
+    source_cc_protocol: str = "s3",
+    bucket_url: str = "s3://commoncrawl/crawl-data/",
+    url_to_fs=None,
+) -> list[str]:
     """List crawl-index files (S1/S2, main.py:209-228). Driver-side
     metadata operation; requires fsspec+s3fs at call time.
+
+    ``bucket_url`` relocates the crawl root (any fsspec scheme — the
+    offline tests point it at a memory://-semantics store);
+    ``url_to_fs`` injects the filesystem resolver (default
+    ``fsspec.core.url_to_fs``) so the glob/link-building logic is
+    unit-testable without fsspec installed — the same hermetic
+    injection seam as pipeline's ``source``/``session_factory``.
+    Scheme reattachment goes through ``fs.unstrip_protocol``, which
+    yields exactly the reference's ``"s3://" + path`` form on s3 and
+    stays correct for any other filesystem.
 
     Three protocols:
 
@@ -181,13 +195,18 @@ def get_cc_wat_index_links(source_cc_protocol: str = "s3") -> list[str]:
       (:func:`crawl_links_from_get_started_html` — the parse logic is
       offline-tested; only this fetch needs network), for when
       byte-parity with the reference's discovery matters."""
-    import fsspec
+    if url_to_fs is None:
+        import fsspec
 
+        url_to_fs = fsspec.core.url_to_fs
     if source_cc_protocol == "s3":
-        fs, p = fsspec.core.url_to_fs("s3://commoncrawl/crawl-data/")
-        return ["s3://" + e for e in fs.glob(p + "/*/wat.paths.gz")]
+        fs, p = url_to_fs(bucket_url)
+        return [
+            fs.unstrip_protocol(e)
+            for e in fs.glob(p.rstrip("/") + "/*/wat.paths.gz")
+        ]
     if source_cc_protocol == "http":
-        fs, p = fsspec.core.url_to_fs("https://index.commoncrawl.org/collinfo.json")
+        fs, p = url_to_fs("https://index.commoncrawl.org/collinfo.json")
         import json as _json
 
         crawls = _json.loads(fs.open(p).read())
@@ -195,7 +214,7 @@ def get_cc_wat_index_links(source_cc_protocol: str = "s3") -> list[str]:
             CC_HTTP_PREFIX + f"crawl-data/{c['id']}/wat.paths.gz" for c in crawls
         ]
     if source_cc_protocol == "http-scrape":
-        fs, p = fsspec.core.url_to_fs(
+        fs, p = url_to_fs(
             "https://commoncrawl.org/the-data/get-started/"
         )
         html = fs.open(p).read().decode("utf8")
@@ -226,6 +245,7 @@ def read_wat_index(
     wat_count: int | None = None,
     seed: int | None = None,
     prefix: str | None = None,
+    opener=None,
 ) -> list[str]:
     """Read gzipped index files of WAT paths (S3/S4) distributed via
     spark.read.text (Hadoop gzip codec), then sample/shuffle (S5).
@@ -262,12 +282,17 @@ def read_wat_index(
     hadoop_paths: list[tuple[str, str]] = []
     for ip in index_paths:
         pfx = derive_wat_prefix(ip) if prefix is None else prefix
-        if ip.startswith(("http://", "https://")):
+        # Schemes Hadoop has no real filesystem for go driver-side
+        # via fsspec (memory:// serves the offline S1-S5 tests; the
+        # ``opener`` seam lets them run without fsspec installed).
+        if ip.startswith(("http://", "https://", "memory://")):
             import gzip
 
-            import fsspec
+            if opener is None:
+                import fsspec
 
-            with fsspec.open(ip, "rb") as f:
+                opener = fsspec.open
+            with opener(ip, "rb") as f:
                 raw = f.read()
             text = (
                 gzip.decompress(raw) if raw[:2] == b"\x1f\x8b" else raw

@@ -170,3 +170,150 @@ def test_http_scrape_discovery_rewrite_offline():
         "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-23/wat.paths.gz",
         "https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-14/wat.paths.gz",
     ]
+
+
+# ---------------------------------------------------------------------------
+# S1-S5 offline: glob discovery -> prefix derivation -> index read
+# ---------------------------------------------------------------------------
+
+
+class _FakeFS:
+    """fsspec-shaped stand-in (glob + unstrip_protocol + open) with
+    MemoryFileSystem / s3fs path semantics, so the discovery logic
+    runs hermetically — this container ships no fsspec, which is
+    exactly why the seam exists."""
+
+    def __init__(self, protocol, files):
+        self.protocol = protocol
+        self.files = files  # path -> bytes
+
+    def glob(self, pattern):
+        import re
+
+        rx = re.compile(
+            "^"
+            + "".join(
+                "[^/]*" if c == "*" else re.escape(c) for c in pattern
+            )
+            + "$"
+        )
+        return sorted(p for p in self.files if rx.match(p))
+
+    def unstrip_protocol(self, path):
+        return f"{self.protocol}://{path}"
+
+    def open(self, path, mode="rb"):
+        import io
+
+        return io.BytesIO(self.files[path])
+
+
+def _gz_index(lines):
+    import gzip
+
+    return gzip.compress(("\n".join(lines) + "\n").encode("utf8"))
+
+
+_CRAWLS = ["CC-MAIN-2023-50", "CC-MAIN-2024-10", "CC-MAIN-2024-18"]
+
+
+def _fake_store(lead):
+    files = {
+        f"{lead}commoncrawl/crawl-data/{c}/wat.paths.gz": _gz_index(
+            [
+                f"crawl-data/{c}/segments/{s}/wat/f{s}.warc.wat.gz"
+                for s in range(3)
+            ]
+        )
+        for c in _CRAWLS
+    }
+    # decoys: wrong filename at crawl depth, right filename at the
+    # wrong depth (a naive fnmatch '*' would cross the '/'), root junk
+    files[f"{lead}commoncrawl/crawl-data/{_CRAWLS[0]}/warc.paths.gz"] = b"x"
+    files[
+        f"{lead}commoncrawl/crawl-data/{_CRAWLS[0]}/seg/wat.paths.gz"
+    ] = b"x"
+    files[f"{lead}commoncrawl/crawl-data/README"] = b"x"
+    return files
+
+
+def test_s3_glob_discovery_offline():
+    """S1/S2 s3-glob branch (reference main.py:209-214), offline: the
+    bucket glob must select exactly crawl-data/*/wat.paths.gz one
+    level deep and reattach the filesystem's own scheme — byte-parity
+    with the reference's 's3://' + path on s3 semantics."""
+    from cc2dataset_spark.sources.wat import (
+        derive_wat_prefix,
+        get_cc_wat_index_links,
+    )
+
+    # s3fs semantics: no leading slash, protocol 's3'
+    s3 = _FakeFS("s3", _fake_store(""))
+    links = get_cc_wat_index_links(
+        "s3", url_to_fs=lambda url: (s3, "commoncrawl/crawl-data/")
+    )
+    assert links == [
+        f"s3://commoncrawl/crawl-data/{c}/wat.paths.gz" for c in _CRAWLS
+    ]
+    assert {derive_wat_prefix(l) for l in links} == {"s3://commoncrawl/"}
+
+    # MemoryFileSystem semantics: leading slash, protocol 'memory'
+    mem = _FakeFS("memory", _fake_store("/"))
+    links = get_cc_wat_index_links(
+        "s3",
+        bucket_url="memory://commoncrawl/crawl-data/",
+        url_to_fs=lambda url: (mem, "/commoncrawl/crawl-data"),
+    )
+    assert links == [
+        f"memory:///commoncrawl/crawl-data/{c}/wat.paths.gz"
+        for c in _CRAWLS
+    ]
+    # non-CommonCrawl layout: caller must supply the prefix explicitly
+    assert {derive_wat_prefix(l) for l in links} == {""}
+
+
+def test_wat_index_read_end_to_end_offline(spark):
+    """S1->S5 chained offline: glob-discovered memory:// index links,
+    driver-side gunzip via the opener seam, explicit prefix join,
+    deterministic shuffle, and with-replacement sampling (reference
+    main.py:237-251 semantics)."""
+    from cc2dataset_spark.sources.wat import (
+        get_cc_wat_index_links,
+        read_wat_index,
+    )
+
+    mem = _FakeFS("memory", _fake_store("/"))
+    links = get_cc_wat_index_links(
+        "s3",
+        bucket_url="memory://commoncrawl/crawl-data/",
+        url_to_fs=lambda url: (mem, "/commoncrawl/crawl-data"),
+    )
+
+    def opener(url, mode="rb"):
+        assert url.startswith("memory:///")
+        return mem.open(url[len("memory://") :], mode)
+
+    wats = read_wat_index(
+        spark, links, prefix="s3a://commoncrawl/", opener=opener
+    )
+    want = {
+        f"s3a://commoncrawl/crawl-data/{c}/segments/{s}/wat/f{s}.warc.wat.gz"
+        for c in _CRAWLS
+        for s in range(3)
+    }
+    assert set(wats) == want and len(wats) == len(want)
+    # same seed -> identical shuffle order (decorrelation stays
+    # reproducible for resume/debug)
+    w1 = read_wat_index(
+        spark, links, prefix="s3a://commoncrawl/", seed=7, opener=opener
+    )
+    w2 = read_wat_index(
+        spark, links, prefix="s3a://commoncrawl/", seed=7, opener=opener
+    )
+    assert w1 == w2 and set(w1) == want
+    # S5 sampling WITH replacement: exact count, all drawn from the index
+    sampled = read_wat_index(
+        spark, links, wat_count=20, seed=3, prefix="s3a://commoncrawl/",
+        opener=opener,
+    )
+    assert len(sampled) == 20 and set(sampled) <= want
