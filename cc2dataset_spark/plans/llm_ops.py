@@ -2291,10 +2291,10 @@ def dedup_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/substring.py) remains 50.
 _SUBSTR_L = 15
 
-
-@query(
-    "dedup_substring_spans",
-    oracle=rf"""
+# Shared oracle CTE chain for the substring-dedup family: duplicated
+# L-gram positions (the proven-equivalent formulation of suffix
+# adjacency with LCP >= L) merged into maximal spans per document.
+_SUBSTR_SPAN_CTES = rf"""
     WITH tok AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'),
@@ -2328,7 +2328,13 @@ _SUBSTR_L = 15
       SELECT doc_id, pos, e,
              SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
       FROM brk
-    )
+    )"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_SUBSTR_SPAN_CTES
+    + r"""
     SELECT doc_id,
            CAST(MIN(pos) AS BIGINT) AS span_start,
            CAST(MAX(e) AS BIGINT) AS span_end,
@@ -2373,6 +2379,144 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_substring_spans(
         docs, doc_id_col="doc_id", text_col="text", min_len=_SUBSTR_L
     )
+
+
+@query(
+    "dedup_substring_apply",
+    oracle=_SUBSTR_SPAN_CTES
+    + r"""
+    , spans AS (
+      SELECT doc_id, MAX(e) - MIN(pos) + 1 AS span_len
+      FROM isl GROUP BY doc_id, island
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           COALESCE(a.dup_tokens, 0) AS dup_tokens,
+           CAST(len(t.t) - COALESCE(a.dup_tokens, 0) AS BIGINT)
+             AS kept_tokens,
+           COALESCE(a.n_spans, 0) AS n_spans
+    FROM tok t LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "llm", "text", "substring"),
+)
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of Lee et al. 2022's ExactSubstr dedup, as per-doc
+    accounting: for EVERY document, how many tokens sit inside
+    corpus-duplicated spans of >= L tokens (dedup_substring_spans'
+    output) and how many survive the cut. This is the number a
+    training-data pipeline actually acts on — the paper removes the
+    repeated span occurrences and keeps the remainder, and the
+    kept/dropped token budget drives the downstream mixing weights.
+
+    Plan: the span machinery (operators/substring.py — one range
+    exchange, partition-local adjacent scan) followed by a doc-keyed
+    integer rollup of the spans (rows bounded by span count) LEFT
+    joined under the full per-doc token-count frame; the join is
+    doc-keyed and the span side is the small side (only docs with
+    duplicated spans), so AQE broadcasts it at fixture scale and the
+    shuffle-join fallback carries integers only. Spans within one doc
+    never overlap (they are maximal merged islands), so summing
+    span_len IS the exact duplicated-token count — no double count."""
+    from cc2dataset_spark.operators.substring import (
+        duplicate_substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_substring_spans(
+        docs, doc_id_col="doc_id", text_col="text", min_len=_SUBSTR_L
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        F.count("*").cast("bigint").alias("n_spans"),
+    )
+    tok = docs.select(
+        "doc_id", F.size(T.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return tok.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias(
+            "dup_tokens"
+        ),
+        (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+    )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), words AS (
+      SELECT unnest(t) AS w FROM toks
+    ), wf AS (
+      SELECT w, COUNT(*) AS c FROM words GROUP BY w
+    ), pos AS (
+      SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+      FROM wf WHERE length(w) >= 2
+    ), pc AS (
+      SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+             substr(w, CAST(i + 1 AS INT), 1) AS right_sym,
+             CAST(SUM(c) AS BIGINT) AS pair_count
+      FROM pos GROUP BY 1, 2
+    )
+    SELECT left_sym, right_sym, pair_count
+    FROM pc ORDER BY pair_count DESC, left_sym, right_sym LIMIT 100
+    """,
+    tags=("text", "llm", "tokenizer"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step one (Sennrich et al. 2016): the
+    corpus-frequency-weighted count of adjacent symbol pairs over the
+    word-frequency table — the statistic whose argmax becomes the
+    first merge rule. Training a tokenizer IS a large-scale data job
+    (GPT-2's BPE was fit on 40 GB; corpus-scale pair counting is the
+    bottleneck step), and this plan is the scalable shape for it.
+
+    Plan: ONE corpus-scale shuffle — the word-keyed count (map-side
+    combined partial counts of the token stream); everything after
+    rides the DISTINCT vocabulary, which is corpus-size-INDEPENDENT
+    (Heaps' law sublinear): the character-pair explode emits
+    len(w)-1 rows per distinct word, the (left,right) aggregate is
+    alphabet^2-bounded, and the head is TakeOrderedAndProject with a
+    unique (count desc, pair) total order so LIMIT is deterministic
+    cross-engine. Symbols are single characters (iteration 0 — no
+    end-of-word marker; both engines substr the same raw words, and
+    substr/length are char-based in BOTH). Single-char words carry no
+    pairs and drop out in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = wf.where(F.length("w") >= 2).select(
+        "w",
+        "c",
+        F.explode(
+            F.sequence(F.lit(1), F.length("w") - F.lit(1))
+        ).alias("i"),
+    )
+    pc = pairs.select(
+        F.col("w").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+        F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
+        "c",
+    ).groupBy("left_sym", "right_sym").agg(
+        F.sum("c").cast("bigint").alias("pair_count")
+    )
+    return pc.orderBy(
+        F.desc("pair_count"), "left_sym", "right_sym"
+    ).limit(100)
 
 
 _CDC_SHARED_RATIO = RATIO6_SQL.format(num="n_shared", den="n_chunks")
