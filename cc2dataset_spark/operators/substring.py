@@ -33,7 +33,11 @@ rendition of exactly that pipeline:
    same scan measured ~2x slower at sf0.1 (the unpersisted ranked
    frame is evaluated once per join side, and the join re-shuffles
    the full suffix stream twice); the partition-local scan reads the
-   exchange output exactly once and moves nothing else.
+   exchange output exactly once and moves nothing else. The scan
+   OUTPUT (duplicated positions + 2 seam rows per partition — never
+   the suffix stream) is persisted because two consumers read it;
+   without the pin each would re-run the whole corpus-scale chain
+   (plan-asserted: tests/test_substring.py).
 4. **Mark + merge** — every duplicated position starts a window
    [pos, pos + min_len); per-document gaps-and-islands merges
    overlapping windows into maximal spans. The merge windows
@@ -203,6 +207,18 @@ def duplicate_substring_spans(
         ]
     )
     scanned = ranged.mapInPandas(_adjacent_scan(min_len), scan_schema)
+    # Two consumers read the scan output (the mark stream and the
+    # seam frame) — without a pin each would re-run the ENTIRE
+    # corpus-scale chain (scan + range exchange + sort + kernel).
+    # The scan output is the cheap thing to hold: duplicated
+    # positions + 2 rows per partition, never the suffix stream.
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
+
+    scanned = caching.track(
+        scanned.persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     marks = scanned.where(F.col("kind") == "m").select("doc_id", "pos")
     # Seam resolution: <= 2 rows per partition. In (_pid, kind) order
@@ -265,7 +281,7 @@ def duplicate_substring_spans(
     islands = spanned.withColumn("_brk", brk).withColumn(
         "_island", F.sum("_brk").over(w_run)
     )
-    return (
+    out = (
         islands.groupBy("doc_id", "_island")
         .agg(
             F.min("s").cast("bigint").alias("span_start"),
@@ -276,3 +292,8 @@ def duplicate_substring_spans(
         )
         .drop("_island")
     )
+    # Released by the catalog's generation tracker; direct callers
+    # running many of these in one session can unpersist these frames
+    # after the final action on the result.
+    out._pinned_intermediates = [scanned]
+    return out

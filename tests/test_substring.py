@@ -138,3 +138,24 @@ def test_matches_brute_force(spark, texts, min_len):
     assert _run(spark, docs, min_len=min_len) == _brute_spans(
         docs, min_len
     )
+
+
+def test_scan_output_pinned_single_evaluation(spark):
+    """The corpus-scale chain (suffix explode -> range exchange ->
+    sort -> Arrow scan) must execute ONCE even though two consumers
+    (mark stream + seam frame) read the scan output: both must read
+    the persisted relation. Without the pin, each consumer re-runs
+    the whole chain (observed as 2 FileScan/rangepartitioning pairs
+    in the unpinned plan)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z w q")],
+        ["doc_id", "text"],
+    )
+    out = duplicate_substring_spans(docs, min_len=3)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    pins = getattr(out, "_pinned_intermediates", [])
+    assert len(pins) == 1
+    for p in pins:
+        p.unpersist()
