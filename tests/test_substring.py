@@ -140,6 +140,30 @@ def test_matches_brute_force(spark, texts, min_len):
     )
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            # tokens that string-extend each other stress the
+            # token-atomic ordering: under a joined-string sort "ab"
+            # could interleave inside an ["a","b"]-prefix run and
+            # break adjacency; the array-typed key must not care
+            st.sampled_from(["a", "aa", "ab", "b"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    min_len=st.integers(2, 3),
+)
+def test_matches_brute_force_extending_tokens(spark, texts, min_len):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    assert _run(spark, docs, min_len=min_len) == _brute_spans(
+        docs, min_len
+    )
+
+
 def test_scan_output_pinned_single_evaluation(spark):
     """The corpus-scale chain (suffix explode -> range exchange ->
     sort -> Arrow scan) must execute ONCE even though two consumers
