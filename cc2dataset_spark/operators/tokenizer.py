@@ -1,0 +1,178 @@
+"""Distributed BPE tokenizer training (scale extension; no reference
+twin — tokenizer fitting is the step a training-data pipeline runs
+right after curation, on the same corpus the engine just built).
+
+Implements byte-pair-encoding merge learning (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units", §3.2)
+over a word-frequency DataFrame. The algorithm is inherently
+sequential in the merge list (merge t+1 depends on the vocabulary
+after merge t — the same driver-side loop every BPE trainer runs),
+but each iteration's work is a Spark job over the DISTINCT-word
+segmentation table, which is corpus-size-INDEPENDENT (Heaps' law):
+
+- pair counting: one explode of adjacent symbol pairs per distinct
+  word, weighted by word frequency, into a partial hash aggregate
+  (alphabet^2-bounded keys after few merges, vocabulary-bounded
+  always);
+- argmax: orderBy(count desc, pair).limit(1) — a
+  TakeOrderedAndProject, collecting ONE row per iteration (a bounded
+  driver action, same class as the IVF codebook fits);
+- merge application: a JVM aggregate() fold over each word's symbol
+  array — left-to-right non-overlapping replacement, exactly the
+  reference algorithm's scan — no Python in the per-word path.
+
+The corpus-scale stage happens ONCE, outside this module: building
+the word-frequency table (one word-keyed, map-side-combined count —
+the text_bpe_pair_counts plan). Everything here rides the distinct
+vocabulary.
+
+`bpe_segment` is the APPLY side: encode words with a learned merge
+list by repeatedly merging the lowest-rank adjacent pair (the
+standard encoder loop), as an Arrow-batched mapInPandas kernel over
+the distinct words — O(len * n_applied_merges) per word, vocabulary-
+scale, and joinable back to the corpus by word.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+
+
+def _chars(col: str) -> Column:
+    return F.filter(F.split(F.col(col), ""), lambda x: x != "")
+
+
+def _apply_merge(sym_col: str, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replacement of adjacent (a, b)
+    with a+b over a symbol array — one aggregate() fold, evaluated
+    once per word per iteration (JVM, no UDF). The fold naturally
+    implements the non-overlap rule: after 'aa' merges in 'aaa', the
+    new last symbol is 'aa', so the next 'a' cannot pair again."""
+    a_c, b_c, ab_c = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a_c)
+            & (x == b_c),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ab_c)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    wf: DataFrame,
+    k: int,
+    word_col: str = "w",
+    count_col: str = "c",
+) -> list[tuple[str, str]]:
+    """Learn up to ``k`` BPE merge rules from a word-frequency frame.
+
+    Ties break deterministically by (count desc, left, right) so the
+    learned tokenizer is reproducible across partitionings and
+    engines. Stops early (returns fewer than k) when no adjacent pair
+    remains. Each iteration persists the new segmentation and
+    releases the previous one, so lineage stays one fold deep and
+    driver memory holds only the merge list."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    from pyspark.storagelevel import StorageLevel
+
+    seg = wf.select(
+        F.col(count_col).cast("bigint").alias("c"),
+        _chars(word_col).alias("s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(k):
+            pairs = seg.where(F.size("s") >= 2).select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(element_at(s, i) AS a, "
+                        "element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("c").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            new_seg = seg.select(
+                "c", _apply_merge("s", a, b).alias("s")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            new_seg.count()  # materialize before dropping the parent
+            seg.unpersist()
+            seg = new_seg
+    finally:
+        seg.unpersist()
+    return merges
+
+
+def bpe_segment(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "w",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Encode each word with a learned merge list: repeatedly merge
+    the adjacent pair with the LOWEST merge rank until none applies —
+    the standard BPE encoder. Arrow-batched mapInPandas kernel (the
+    encoder's data-dependent while-loop has no JVM expression form);
+    run it over DISTINCT words and join back to the corpus by word,
+    so the kernel cost is vocabulary-scale."""
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    out_fields = list(words.schema.fields) + [
+        ST.StructField(out_col, ST.ArrayType(ST.StringType()))
+    ]
+    schema = ST.StructType(out_fields)
+
+    def encode(batches: Iterator) -> Iterator:
+        def enc(w: str) -> list[str]:
+            syms = list(w)
+            while len(syms) >= 2:
+                cand = [
+                    (ranks[p], i)
+                    for i, p in enumerate(zip(syms, syms[1:]))
+                    if p in ranks
+                ]
+                if not cand:
+                    break
+                r, _ = min(cand)
+                a, b = merges[r]
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [enc(w) for w in pdf[word_col]]
+            yield pdf
+
+    return words.mapInPandas(encode, schema)

@@ -2519,6 +2519,105 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+@query(
+    "embed_covariance_exact",
+    oracle=r"""
+    WITH q AS (
+      SELECT list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+             ) AS v
+      FROM embeddings
+    ), ex AS (
+      SELECT unnest(generate_series(0, len(v) - 1)) AS i, v FROM q
+    ), pe AS (
+      SELECT i, v[CAST(i + 1 AS INT)] AS qi,
+             unnest(generate_series(i, len(v) - 1)) AS j, v
+      FROM ex
+    ), agg AS (
+      SELECT i, j,
+             COUNT(*) AS n,
+             CAST(SUM(qi) AS DECIMAL(38,0)) AS s_i,
+             CAST(SUM(v[CAST(j + 1 AS INT)]) AS DECIMAL(38,0)) AS s_j,
+             CAST(SUM(qi * v[CAST(j + 1 AS INT)]) AS DECIMAL(38,0))
+               AS s_ij
+      FROM pe GROUP BY i, j
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n, s_i, s_j, s_ij,
+           (CAST(s_ij AS DOUBLE)
+             - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE)
+               / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE) AS cov_q
+    FROM agg
+    """,
+    tags=("similarity", "embedding", "llm", "linalg"),
+)
+def embed_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer covariance/Gram accumulation over the embedding
+    corpus — the single-pass building block under PCA, whitening, and
+    OPQ rotation fits (and the d x d statistic SemDeDup-style
+    pipelines center their spaces with): for every dimension pair
+    i <= j, the count and the exact sums S_i, S_j, S_ij over the
+    quantized coordinates, plus the derived covariance.
+
+    Cross-engine float discipline: coordinates quantize by
+    q = floor(x * 2^20) — float32 -> double is exact, the power-of-two
+    scale is exact, floor is exact — so every sum is INTEGER-exact in
+    both engines (summed as DECIMAL(38,0); a raw BIGINT sum would
+    HUGEINT-promote in DuckDB, the r5 red-row class) and the final
+    covariance is the same IEEE expression over identical operands:
+    bit-identical doubles, no rounding slack needed.
+
+    Plan: ONE corpus-scale pass — the double posexplode emits
+    n*d(d+1)/2 pair rows that flow straight into a partial hash
+    aggregate with only d(d+1)/2 = 2080 keys, so the map side
+    combines each partition down to <= 2080 partials and the SHUFFLE
+    is #partitions x 2080 integer rows REGARDLESS of corpus size (the
+    classic X^T X accumulation shape). Marginal sums ride the same
+    aggregate (each row contributes its (i,j) group exactly once), so
+    there is no second scan and no join. O(n d^2) multiply cost is
+    the algorithm's own lower bound; at d in the thousands you shard
+    dimensions into blocks of the same shape, which this query's plan
+    is the unit of."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast(
+                "long"
+            ),
+        ).alias("q")
+    )
+    ex = qd.select(F.posexplode("q").alias("i", "qi"), "q")
+    pairs = ex.select(
+        "i",
+        "qi",
+        F.posexplode(F.expr("slice(q, i + 1, size(q) - i)")).alias(
+            "jj", "qj"
+        ),
+    ).select("i", (F.col("i") + F.col("jj")).alias("j"), "qi", "qj")
+    agg = pairs.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("qi").cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+        .alias("s_i"),
+        F.sum(F.col("qj").cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+        .alias("s_j"),
+        F.sum((F.col("qi") * F.col("qj")).cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+        .alias("s_ij"),
+    )
+    nd = F.col("n").cast("double")
+    cov = (
+        F.col("s_ij").cast("double")
+        - F.col("s_i").cast("double") * F.col("s_j").cast("double") / nd
+    ) / nd
+    return agg.select(
+        "i", "j", "n", "s_i", "s_j", "s_ij", cov.alias("cov_q")
+    )
+
+
 _CDC_SHARED_RATIO = RATIO6_SQL.format(num="n_shared", den="n_chunks")
 
 
