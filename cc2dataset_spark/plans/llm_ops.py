@@ -2579,35 +2579,12 @@ def embed_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the algorithm's own lower bound; at d in the thousands you shard
     dimensions into blocks of the same shape, which this query's plan
     is the unit of."""
+    from cc2dataset_spark.operators.linalg import (
+        quantized_second_moments,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qd = emb.select(
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast(
-                "long"
-            ),
-        ).alias("q")
-    )
-    ex = qd.select(F.posexplode("q").alias("i", "qi"), "q")
-    pairs = ex.select(
-        "i",
-        "qi",
-        F.posexplode(F.expr("slice(q, i + 1, size(q) - i)")).alias(
-            "jj", "qj"
-        ),
-    ).select("i", (F.col("i") + F.col("jj")).alias("j"), "qi", "qj")
-    agg = pairs.groupBy("i", "j").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("qi").cast("decimal(20,0)"))
-        .cast("decimal(38,0)")
-        .alias("s_i"),
-        F.sum(F.col("qj").cast("decimal(20,0)"))
-        .cast("decimal(38,0)")
-        .alias("s_j"),
-        F.sum((F.col("qi") * F.col("qj")).cast("decimal(20,0)"))
-        .cast("decimal(38,0)")
-        .alias("s_ij"),
-    )
+    agg = quantized_second_moments(emb, "embedding")
     nd = F.col("n").cast("double")
     cov = (
         F.col("s_ij").cast("double")
