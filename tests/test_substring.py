@@ -164,6 +164,40 @@ def test_matches_brute_force_extending_tokens(spark, texts, min_len):
     )
 
 
+def test_production_threshold_l50(spark):
+    """Lee et al.'s production threshold (min_len=50) on documents
+    long enough to carry it: planted 60-token cross-doc and
+    56-token within-doc duplicates are found as exact maximal spans,
+    nothing else fires on the random background, and the default-
+    parameter path (ext=0, sampled partitioning) equals brute force."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    body = lambda n: [rng.choice(vocab) for _ in range(n)]
+    passage = body(60)
+    # 3x a 28-token block: the 50-grams at offsets p and p+28 inside
+    # the 84-token run coincide, covering the WHOLE run as one
+    # maximal span (a 2x block would only duplicate 28-token
+    # substrings — below threshold, correctly silent)
+    repeat = body(28)
+    texts = {}
+    for d in range(30):
+        texts[d] = body(120)
+    texts[3] = texts[3][:20] + passage + texts[3][20:]
+    texts[17] = texts[17][:75] + passage + texts[17][75:]
+    texts[20] = body(30) + repeat * 3 + body(30)
+    docs = [(d, " ".join(t)) for d, t in sorted(texts.items())]
+
+    got = _run(spark, docs, min_len=50)
+    assert got == _brute_spans(docs, 50)
+    assert (3, 21, 80, 60) in got
+    assert (17, 76, 135, 60) in got
+    assert (20, 31, 114, 84) in got
+    # with 500^50 possible grams, the random background is silent
+    assert {g[0] for g in got} == {3, 17, 20}
+
+
 def test_scan_output_pinned_single_evaluation(spark):
     """The corpus-scale chain (suffix explode -> range exchange ->
     sort -> Arrow scan) must execute ONCE even though two consumers
