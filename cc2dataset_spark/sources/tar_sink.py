@@ -1,0 +1,173 @@
+"""``tar_shard`` Python Data Source SINK — WebDataset-style sharded
+tar output, the de-facto loader format for multimodal training data
+(image/caption pairs stream as `.tar` shards; every major large-scale
+vision-language training stack reads this layout). The write-side
+counterpart of the multimodal ingestion path (`read_binary_files`),
+and the natural final hop after the image-text manifest capstone.
+
+Sample layout (WebDataset convention): each ROW becomes one sample —
+a group of adjacent tar members sharing the row's ``key`` as
+basename, one member per non-null column, named ``<key>.<column>``
+(the column NAME is the member extension: ``jpg``, ``txt``,
+``json``...). Binary columns write raw bytes; everything else writes
+UTF-8 text. Null columns skip their member (a sample may lack a
+modality). Loaders regroup members by basename, which is why members
+of one sample are written adjacently and keys must be unique per row.
+
+Commit protocol: identical two-phase structure as the ``jsonl_shard``
+sink (temp-uuid per task attempt -> driver renames winners to
+``part-NNNNN.tar`` + ``_MANIFEST.json`` exactly once; abort removes
+losers) — see sources/jsonl_sink.py for the rationale and the
+SHARED-FILESYSTEM REQUIREMENT that applies verbatim here.
+
+Reproducibility: tar member metadata is pinned (mtime=0, uid/gid=0,
+mode 0644), so identical row streams produce byte-identical shards —
+dataset hashes are stable across re-runs, which is what makes shard
+caching and integrity checks possible at 100 TB.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _TarCommit(WriterCommitMessage):
+    def __init__(self, temp_path: str, n_samples: int, n_members: int):
+        self.temp_path = temp_path
+        self.n_samples = n_samples
+        self.n_members = n_members
+
+
+class _TarShardWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tar_shard sink needs option 'path'")
+        self.path = path
+        self.key_col = options.get("key_col", "key")
+        names = schema.fieldNames()
+        if self.key_col not in names:
+            raise ValueError(
+                f"tar_shard sink needs a {self.key_col!r} column "
+                f"(have {names}); override with option 'key_col'"
+            )
+        self.cols = names
+        self.key_idx = names.index(self.key_col)
+        self.overwrite = overwrite
+        if not overwrite and os.path.isdir(path):
+            stale = [
+                f
+                for f in os.listdir(path)
+                if f.startswith("part-") and f.endswith(".tar")
+            ]
+            if stale:
+                raise FileExistsError(
+                    f"tar_shard target {path!r} already holds "
+                    f"{len(stale)} shard(s); use mode('overwrite') "
+                    "to replace them"
+                )
+
+    def write(self, iterator) -> _TarCommit:
+        tmp_dir = os.path.join(self.path, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        temp = os.path.join(tmp_dir, f"attempt-{uuid.uuid4().hex}.tar")
+        n_samples = n_members = 0
+        with tarfile.open(temp, "w") as tar:
+            for row in iterator:
+                key = row[self.key_idx]
+                if key is None:
+                    raise ValueError("tar_shard: null sample key")
+                for i, col in enumerate(self.cols):
+                    if i == self.key_idx:
+                        continue
+                    v = row[i]
+                    if v is None:
+                        continue
+                    data = (
+                        bytes(v)
+                        if isinstance(v, (bytes, bytearray))
+                        else str(v).encode("utf8")
+                    )
+                    info = tarfile.TarInfo(name=f"{key}.{col}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    info.mode = 0o644
+                    tar.addfile(info, io.BytesIO(data))
+                    n_members += 1
+                n_samples += 1
+        return _TarCommit(temp, n_samples, n_members)
+
+    def commit(self, messages) -> None:
+        # same overwrite-at-commit + loud-stale-removal contract as
+        # jsonl_sink.commit (failures there keep the old output whole)
+        if self.overwrite and os.path.isdir(self.path):
+            for f in os.listdir(self.path):
+                if (
+                    f.startswith("part-") and f.endswith(".tar")
+                ) or f == "_MANIFEST.json":
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except FileNotFoundError:
+                        pass
+        samples = members = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.tar")
+            os.replace(m.temp_path, final)
+            samples += m.n_samples
+            members += m.n_members
+        manifest = {
+            "samples": samples,
+            "members": members,
+            "shards": len(messages),
+            "key_col": self.key_col,
+            "schema": list(self.cols),
+        }
+        with open(
+            os.path.join(self.path, "_MANIFEST.json"), "w", encoding="utf8"
+        ) as f:
+            json.dump(manifest, f)
+        tmp_dir = os.path.join(self.path, "_tmp")
+        for leftover in (
+            os.listdir(tmp_dir) if os.path.isdir(tmp_dir) else []
+        ):
+            try:
+                os.remove(os.path.join(tmp_dir, leftover))
+            except OSError:
+                pass
+        try:
+            os.rmdir(tmp_dir)
+        except OSError:
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.temp_path)
+            except OSError:
+                pass
+
+
+class TarShardDataSource(DataSource):
+    """Register with ``spark.dataSource.register(TarShardDataSource)``
+    then ``df.write.format("tar_shard").option("path", p).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tar_shard"
+
+    def writer(self, schema, overwrite: bool) -> _TarShardWriter:
+        return _TarShardWriter(self.options, schema, overwrite)
