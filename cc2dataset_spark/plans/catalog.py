@@ -79,72 +79,69 @@ def query(
 # stays covered by the local oracle suite (tests/test_oracle.py), which
 # runs ALL oracle-backed queries every CI pass.
 #
-# Round-9 window: 5 debuts + 45 re-confirmation slots (policy rules
-# 1+3). CORRECTNESS_r08 landed 50/50 green, so every r8 slot is
-# cedable. The debut backlog drains to ZERO with the last 5
-# never-driver-checked queries; the remaining 45 slots re-confirm the
-# stalest greens oldest-first: the full last-green-r4 cohort (12), the
-# full last-green-r5 cohort (20), and 13 of the 50-query last-green-r6
-# cohort chosen to keep every operator family represented and to
-# re-prove the r8 bench drift cohort (simhash/full-recipe/pagerank)
-# under the driver. The 37 remaining r6 greens head the r10
-# re-confirmation queue (see ROTATION.md).
+# Round-10 window: 4 debuts + 46 re-confirmation slots (policy rules
+# 1+3). CORRECTNESS_r09 landed 50/50 green, so every r9 slot is
+# cedable. Debuts are the r9 registration wave in queue order
+# (ROTATION.md rule 5); re-confirmations are the stalest greens
+# oldest-first: ALL 37 remaining last-green-r6 queries, then the 9
+# oldest last-green-r7 (the 7 r7 debuts plus the first two r1+r7
+# re-confirmed rows). After this window no query's latest driver
+# green is older than r7.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r9 debuts — the tail of the r7 registration wave (queue order)
-    "cc_url_param_stats",
-    "multimodal_caption_stats",
-    "events_user_concentration",
-    "text_ngram_novelty",
-    "curate_blocklist_filter",
-    # re-confirmation: last-green-r4 cohort (all 12)
-    "scalar_string_part",
-    "grouping_sets_geo",
-    "pivot_status_by_priority",
-    "join_full_outer_nation_roles",
-    "cross_join_region_matrix",
-    "agg_approx_distinct",
-    "scalar_date_arithmetic",
-    "array_ops_embeddings",
-    "subquery_correlated_scalar",
-    "scalar_struct_map_ops",
-    "unpivot_customer_metrics",
-    "udaf_user_trend",
-    # re-confirmation: last-green-r5 cohort (all 20)
-    "text_lang_id",
-    "dedup_ngram_jaccard",
-    "top_tokens_per_lang",
-    "knn_label_vote",
-    "text_tokenize_udtf",
-    "dedup_exact_min_survivor",
-    "dedup_cluster_survivors",
-    "events_sliding_10m_5m",
-    "events_followup_pairs_10m",
-    "join_asof_union_last_order",
-    "window_range_frame_1h",
-    "setop_multiset_suppliers",
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q19_discounted_revenue",
-    "q22_dormant_rich_customers",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    # re-confirmation: 13 of the last-green-r6 cohort (family coverage
-    # + the r8 bench drift cohort)
-    "cc_extract_image_wat",
-    "cc_extract_dedup_links",
-    "dedup_minhash_neardup",
-    "dedup_simhash_embeddings",
-    "dedup_incremental_index",
-    "ann_ivf_topk",
-    "multimodal_decode_stub",
-    "sketch_countmin_event_types",
-    "curate_full_recipe",
-    "events_sessionize",
-    "graph_pagerank_brands",
-    "agg_corr_lineitem",
-    "q8_market_share",
+    # r10 debuts — the r9 registration wave (queue order)
+    "dedup_substring_spans",
+    "dedup_substring_apply",
+    "text_bpe_pair_counts",
+    "embed_covariance_exact",
+    # re-confirmation: the full remaining last-green-r6 cohort (37)
+    "ann_simhash_topk",
+    "text_winnow_fingerprints",
+    "multimodal_frame_features",
+    "text_bpe_token_stats",
+    "curate_cap_per_source",
+    "dedup_cluster_survivors_lsh",
+    "dedup_cluster_twophase",
+    "dedup_semantic_clusters",
+    "curate_pii_scrub",
+    "curate_decontaminate",
+    "curate_train_val_split",
+    "dedup_index_upsert",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "text_tfidf_topterms",
+    "curate_repetition_flags",
+    "curate_mix_languages",
+    "text_char_entropy",
+    "text_unigram_perplexity",
+    "curate_quality_tiers",
+    "text_chunk_documents",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_value_outliers",
+    "events_rolling_wau",
+    "graph_pagerank_trade",
+    "join_asof_forward_next_order",
+    "join_asof_nearest_order",
+    "agg_regr_trend",
+    "window_percent_cume",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_latency",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
+    # re-confirmation: 9 oldest last-green-r7 (the 7 r7 debuts, then
+    # the first two r1+r7 rows in table order)
+    "cc_dedup_normalized_url",
+    "text_bigram_perplexity",
+    "dedup_winnow_overlap",
+    "dedup_bloom_prefilter",
+    "profile_lineitem_columns",
+    "events_value_quantiles",
+    "dedup_sorted_neighborhood",
+    "agg_distinct_counts",
+    "agg_minmax_by",
 )
 
 
