@@ -67,6 +67,11 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.retainedStages": "100000",
+            # The driver parses the headline JSON out of a fixed-size
+            # stdout tail; console progress bars from ~650 warm-pass
+            # jobs flooded that tail in r9 and cost the round its
+            # bench record — keep the bench session's console silent.
+            "spark.ui.showConsoleProgress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -154,13 +159,25 @@ def main() -> None:
 
     # Warm-median pass (see module docstring). Runs AFTER the stdout
     # line so a warm-pass failure can never cost the driver its
-    # headline record.
+    # headline record — and the headline is RE-printed as the final
+    # stdout act below, because the r9 lesson was the opposite failure
+    # mode: ~45 warm executions of console output pushed the
+    # early-printed line out of the driver's fixed-size tail capture
+    # (BENCH_r09.json parsed null).
     warm_top = int(os.environ.get("SPARK_GRAFT_WARM_TOP", "15"))
     warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
     if warm_top > 0 and warm_reps > 0 and times:
         import statistics
 
         slowest = sorted(times, key=times.get, reverse=True)[:warm_top]
+        # The documented calibration anchor is ALWAYS in the warm set,
+        # whatever its cold rank: cross-round host-variance
+        # adjudication reads anchor ratios out of BENCH_WARM.json
+        # directly instead of re-running ad-hoc forensics
+        # (ROTATION.md, r8 drift-cohort protocol).
+        anchor = "dedup_minhash_neardup"
+        if anchor in times and anchor not in slowest:
+            slowest.append(anchor)
         warm_times: dict[str, float] = {}
         for name in slowest:
             samples = []
@@ -192,6 +209,10 @@ def main() -> None:
             json.dump(warm_payload, f, indent=1, sort_keys=True)
 
     spark.stop()
+    # Final stdout act: the same headline line again, AFTER everything
+    # that can write to the console, so the driver's tail capture
+    # always contains a parseable copy (see the warm-pass comment).
+    print(compact_line(payload), flush=True)
 
 
 def compact_line(payload: dict, budget: int = 1800) -> str:
