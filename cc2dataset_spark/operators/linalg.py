@@ -96,12 +96,46 @@ def fit_pca(
     fit is bit-reproducible across partitionings and re-runs."""
     import numpy as np
 
-    rows = quantized_second_moments(df, vec_col, scale).collect()
+    # Null coordinates are invisible to the moment rows (SUM skips
+    # them while COUNT(*) doesn't — the oracle-pinned semantics of
+    # quantized_second_moments), so guard them here with a lazily
+    # evaluated raise_error branch: zero extra passes, fails the scan
+    # on the first offending vector. Mixed DIMENSIONS are caught
+    # below by the per-pair count / pair-coverage check.
+    null_msg = (
+        "fit_pca: ragged embeddings — null coordinate inside a vector"
+    )
+    c = F.col(vec_col)
+    guarded = df.select(
+        F.when(
+            F.exists(c, lambda x: x.isNull()),
+            F.raise_error(F.lit(null_msg)),
+        )
+        .otherwise(c)
+        .alias(vec_col)
+    )
+    try:
+        rows = quantized_second_moments(guarded, vec_col, scale).collect()
+    except Exception as e:  # surface the guard as the documented type
+        if null_msg in str(e):
+            raise ValueError(null_msg) from e
+        raise
     if not rows:
         raise ValueError("fit_pca: empty input")
     d = max(r["j"] for r in rows) + 1
     if not 1 <= k <= d:
         raise ValueError(f"fit_pca: k must be in [1, {d}], got {k}")
+    # Ragged input (mixed dimensions, or nulls inside a vector) makes
+    # the per-(i, j) counts disagree and/or drops pairs — that would
+    # silently skew the mean/covariance, so refuse instead.
+    n_set = {r["n"] for r in rows}
+    if len(n_set) != 1 or len(rows) != d * (d + 1) // 2:
+        raise ValueError(
+            "fit_pca: ragged embeddings — every vector must have the "
+            f"same dimension with no null coordinates (saw counts "
+            f"{sorted(n_set)[:5]} over {len(rows)} of "
+            f"{d * (d + 1) // 2} expected dimension pairs)"
+        )
     n = rows[0]["n"]
     s = np.zeros(d, dtype="float64")
     ss = np.zeros((d, d), dtype="float64")

@@ -306,6 +306,14 @@ def cc2dataset(
         wat_paths = None
         n_paths = _manifest_len(manifest)
     else:
+        # Materialize once: callers may hand a generator, and both the
+        # single-part flow (process_part consumes it BEFORE the
+        # manifest write) and the multipart flow (manifest + part
+        # slices) read it more than once — an exhausted iterator would
+        # silently write an empty manifest. The list is dropped right
+        # after the manifest write below, so driver memory stays
+        # bounded by one full index exactly once, never per-part.
+        wat_paths = list(wat_paths)
         n_paths = len(wat_paths)
 
     if multipart is None:

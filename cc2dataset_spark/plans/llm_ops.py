@@ -2351,16 +2351,19 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents), i.e. the spans a substring-dedup pass would cut.
 
     Plan (operators/substring.py, full proof there): one suffix row
-    per token position carrying a truncated K-token key; global
-    suffix ordering via the range-partitioned rank machinery
-    (operators/rank.py — one range exchange, prefix-sum offsets, no
-    unpartitioned window, no driver collect); rank-adjacent
-    self-join on a dense BIGINT; exact JVM-side LCP (zip_with +
-    array_position); endpoints of pairs with LCP >= L mark
-    L-windows; per-document gaps-and-islands merges them into
-    maximal spans. The suffix sort is the ONLY corpus-scale stage —
-    everything after it is keyed on the dense rank or bounded per
-    document.
+    per token position carrying a truncated K-token key; ONE sampled
+    range exchange on that key + sortWithinPartitions; then a single
+    Arrow-batched mapInPandas adjacent-pair scan over the sorted
+    partitions (equal L-prefix <=> duplicated L-gram), each partition
+    also emitting its first/last row so a bounded <= 2 x #partitions
+    seam window resolves cross-partition pairs; marked positions open
+    L-windows and a per-document gaps-and-islands merge yields the
+    maximal spans. A rank-adjacent self-join with JVM zip_with LCP
+    was built first and MEASURED ~2x slower (20.3 s vs 4.3 s at
+    sf0.1: the join re-shuffles the suffix stream twice) — the
+    partition-local scan reads the exchange output exactly once. The
+    suffix exchange is the ONLY corpus-scale stage — everything
+    after it is bounded per partition or per document.
 
     The oracle is an INDEPENDENT formulation: truncated-suffix
     adjacency with LCP >= L marks exactly the positions whose L-gram

@@ -82,11 +82,32 @@ class _TarShardWriter(DataSourceWriter):
         os.makedirs(tmp_dir, exist_ok=True)
         temp = os.path.join(tmp_dir, f"attempt-{uuid.uuid4().hex}.tar")
         n_samples = n_members = 0
+        # WebDataset regrouping is by member BASENAME: a duplicate key
+        # silently merges two samples and a '/' nests the member under
+        # a directory the loader never regroups — both documented
+        # invariants, so enforce them here instead of shipping a
+        # corrupt shard. The seen-set is per shard (task), bounded by
+        # one partition's sample count.
+        seen: set = set()
         with tarfile.open(temp, "w") as tar:
             for row in iterator:
                 key = row[self.key_idx]
                 if key is None:
                     raise ValueError("tar_shard: null sample key")
+                key = str(key)
+                if not key or "/" in key:
+                    raise ValueError(
+                        f"tar_shard: invalid sample key {key!r} — keys "
+                        "must be non-empty and must not contain '/' "
+                        "(member names are <key>.<column> basenames)"
+                    )
+                if key in seen:
+                    raise ValueError(
+                        f"tar_shard: duplicate sample key {key!r} in "
+                        "one shard — loaders regroup members by key, "
+                        "so duplicates silently merge samples"
+                    )
+                seen.add(key)
                 for i, col in enumerate(self.cols):
                     if i == self.key_idx:
                         continue

@@ -101,3 +101,20 @@ def test_invalid_k_and_empty_raise(spark, emb):
         fit_pca(emb, k=65)
     with pytest.raises(ValueError):
         fit_pca(emb.where("vec_id < 0"))
+
+
+def test_ragged_embeddings_refused(spark):
+    # Mixed dimensions (and null coordinates) make the per-(i, j)
+    # moment counts disagree — the fit must refuse loudly instead of
+    # returning a silently skewed covariance.
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([4.0, 5.0],)], "embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        fit_pca(ragged, k=1)
+    holey = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([4.0, None, 6.0],)],
+        "embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        fit_pca(holey, k=1)

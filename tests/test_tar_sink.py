@@ -155,3 +155,23 @@ def test_byte_reproducible_shards(registered, tmp_path):
         h.update(open(os.path.join(out, "part-00000.tar"), "rb").read())
         digests.append(h.hexdigest())
     assert digests[0] == digests[1]
+
+
+def test_key_invariants_enforced(registered, tmp_path):
+    # Duplicate keys within a shard merge samples under WebDataset's
+    # basename regrouping; '/' nests the member path; empty keys make
+    # extension-only names — all three must fail the write, not ship.
+    spark = registered
+    dup = spark.createDataFrame(
+        [("k", "a"), ("k", "b")], ["key", "txt"]
+    ).coalesce(1)
+    with pytest.raises(Exception, match="duplicate sample key"):
+        dup.write.format("tar_shard").option(
+            "path", str(tmp_path / "dup")
+        ).mode("append").save()
+    for bad_key, name in [("a/b", "slash"), ("", "empty")]:
+        bad = spark.createDataFrame([(bad_key, "x")], ["key", "txt"])
+        with pytest.raises(Exception, match="invalid sample key"):
+            bad.write.format("tar_shard").option(
+                "path", str(tmp_path / name)
+            ).mode("append").save()
