@@ -64,6 +64,29 @@ suffix-array scan for the >= min_len predicate):
 The same equivalence gives the cross-engine oracle a fully
 independent formulation (count duplicated min_len-grams) — the two
 engines agree via a theorem, not by replaying each other's plan.
+
+Two exchange keys (``key=``), the verifier/production twin
+discipline of operators/neardup.py (exact PPJoin vs LSH):
+
+* ``"tokens"`` (exact verifier): the K-token array itself is the
+  range key. Exact by construction, but the exchange ships ~min_len
+  tokens PER CORPUS POSITION — ~50x corpus bytes at the Lee et al.
+  production threshold L=50. Fine at fixture scale; a scale-killer
+  at 100 TB.
+* ``"fingerprint"`` (production): the range key is the 16-byte md5
+  of the min_len-gram (length-prefix-encoded join, injective for ANY
+  token content — no separator-collision caveat), so the exchange
+  carries 16 B + (doc_id, pos) per position — ~20x less at L=50.
+  The adjacency theorem TRANSFERS: the scan predicate is
+  min_len-prefix EQUALITY, equal grams have equal fingerprints, and
+  equal fingerprints form contiguous runs under any total order on
+  the fingerprint bytes — the proof above never used
+  lexicographic-on-tokens beyond contiguity of equal keys. The only
+  new acceptance is md5 collision (two DIFFERENT grams marked as
+  duplicates) at ~2^-128 per pair — the same acceptance the repo's
+  document-level md5-uid dedup (reference parity: cc2dataset
+  computes md5 uids) already makes. Both modes are brute-force- and
+  cross-checked equal (tests/test_substring.py).
 """
 
 from __future__ import annotations
@@ -77,7 +100,7 @@ from pyspark.sql import types as ST
 from cc2dataset_spark.functions import text as T
 
 
-def _adjacent_scan(min_len: int):
+def _adjacent_scan(min_len: int, fingerprint: bool = False):
     """Kernel for the sorted-partition scan: one pass, O(1) state.
 
     Emits kind 'm' rows for positions whose suffix shares a
@@ -85,12 +108,16 @@ def _adjacent_scan(min_len: int):
     each qualifying pair, each position at most once), plus kind
     'f'/'l' rows carrying the partition's first/last suffix so the
     driver-side-free seam window can test the cross-partition pairs.
+
+    ``fingerprint=True`` compares the 16-byte md5 key by whole-value
+    equality (the fingerprint IS the min_len-prefix witness) instead
+    of the token-tuple prefix.
     """
 
     def scan(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        prev = None  # (min_len-prefix tuple, doc, pos)
+        prev = None  # (comparison key, doc, pos)
         prev_marked = False
         first = None
         pid = None
@@ -99,11 +126,18 @@ def _adjacent_scan(min_len: int):
                 continue
             if pid is None:
                 pid = int(pdf["_pid"].iloc[0])
-            keys = [tuple(k[:min_len]) for k in pdf["skey"]]
+            if fingerprint:
+                keys = [bytes(k) for k in pdf["skey"]]
+            else:
+                keys = [tuple(k[:min_len]) for k in pdf["skey"]]
             docs_ = pdf["doc_id"].tolist()
             poss = pdf["pos"].tolist()
             if first is None:
-                first = (docs_[0], poss[0], list(keys[0]))
+                first = (
+                    docs_[0],
+                    poss[0],
+                    keys[0] if fingerprint else list(keys[0]),
+                )
             m_doc, m_pos = [], []
             for i in range(len(keys)):
                 if prev is not None and prev[0] == keys[i]:
@@ -133,7 +167,10 @@ def _adjacent_scan(min_len: int):
                     "_pid": [pid, pid],
                     "doc_id": [first[0], prev[1]],
                     "pos": [first[1], prev[2]],
-                    "skey": [first[2], list(prev[0])],
+                    "skey": [
+                        first[2],
+                        prev[0] if fingerprint else list(prev[0]),
+                    ],
                 }
             )
 
@@ -147,6 +184,7 @@ def duplicate_substring_spans(
     min_len: int = 50,
     ext: int = 0,
     num_partitions: int | None = None,
+    key: str = "tokens",
 ) -> DataFrame:
     """Maximal duplicated token spans of length >= ``min_len``.
 
@@ -157,31 +195,60 @@ def duplicate_substring_spans(
     substring-dedup pass would cut (Lee et al. 2022 drop the repeated
     occurrence and keep one).
 
+    ``key`` picks the exchange key (module docstring): ``"tokens"``
+    ships the K-token array (exact verifier twin), ``"fingerprint"``
+    ships the 16-byte md5 of the min_len-gram (production path, ~20x
+    fewer exchange bytes at L=50, collision acceptance 2^-128).
+
     ``ext`` pads the truncated suffix keys past the threshold; any
     ext >= 0 yields identical output (the scan predicate is
     min_len-prefix equality — see the module docstring proof), so the
-    default keeps the exchange minimal. Documents shorter than
-    min_len tokens emit no suffixes and never appear.
+    default keeps the exchange minimal. Ignored under
+    ``key="fingerprint"`` (the fingerprint witnesses exactly the
+    min_len-prefix). Documents shorter than min_len tokens emit no
+    suffixes and never appear.
     """
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     if ext < 0:
         raise ValueError(f"ext must be >= 0, got {ext}")
+    if key not in ("tokens", "fingerprint"):
+        raise ValueError(
+            f"key must be 'tokens' or 'fingerprint', got {key!r}"
+        )
+    fingerprint = key == "fingerprint"
     k = min_len + ext
 
     doc_id_type = docs.schema[doc_id_col].dataType
     toked = docs.select(
         F.col(doc_id_col).alias("doc_id"), T.tokens(text_col).alias("t")
     ).where(F.size("t") >= min_len)
+    if fingerprint:
+        # Injective encoding of the min_len-gram: each token is
+        # length-prefixed ("3:abc"), so NO token content (not even
+        # one containing the would-be separator) can make two
+        # different gram sequences encode alike; md5 of the UTF-8
+        # bytes folds it to 16 bytes. All JVM-side codegen.
+        gram = F.expr(f"slice(t, pos, {min_len})")
+        enc = F.concat_ws(
+            "",
+            F.transform(
+                gram,
+                lambda x: F.concat(
+                    F.length(x).cast("string"), F.lit(":"), x
+                ),
+            ),
+        )
+        skey = F.unhex(F.md5(F.encode(enc, "UTF-8")))
+    else:
+        skey = F.expr(f"slice(t, pos, {k})")
     suf = toked.select(
         "doc_id",
         F.explode(
             F.sequence(F.lit(1), F.size("t") - F.lit(min_len - 1))
         ).alias("pos"),
         "t",
-    ).select(
-        "doc_id", "pos", F.expr(f"slice(t, pos, {k})").alias("skey")
-    )
+    ).select("doc_id", "pos", skey.alias("skey"))
     # The one corpus-scale stage: a sampled range exchange on the
     # array-typed key (token-atomic ordering — a joined-string key
     # would let a token that string-extends another sort inside an
@@ -203,10 +270,17 @@ def duplicate_substring_spans(
             ST.StructField("_pid", ST.IntegerType()),
             ST.StructField("doc_id", doc_id_type),
             ST.StructField("pos", ST.IntegerType()),
-            ST.StructField("skey", ST.ArrayType(ST.StringType())),
+            ST.StructField(
+                "skey",
+                ST.BinaryType()
+                if fingerprint
+                else ST.ArrayType(ST.StringType()),
+            ),
         ]
     )
-    scanned = ranged.mapInPandas(_adjacent_scan(min_len), scan_schema)
+    scanned = ranged.mapInPandas(
+        _adjacent_scan(min_len, fingerprint), scan_schema
+    )
     # Two consumers read the scan output (the mark stream and the
     # seam frame) — without a pin each would re-run the ENTIRE
     # corpus-scale chain (scan + range exchange + sort + kernel).
@@ -236,10 +310,14 @@ def duplicate_substring_spans(
         .withColumn("_npos", F.lead("pos").over(w_seam))
         .withColumn("_nkey", F.lead("skey").over(w_seam))
     )
+    if fingerprint:
+        seam_eq = F.col("skey") == F.col("_nkey")
+    else:
+        seam_eq = F.slice("skey", 1, min_len) == F.slice(
+            "_nkey", 1, min_len
+        )
     seam_pairs = seam.where(
-        (F.col("kind") == "l")
-        & (F.col("_nkind") == "f")
-        & (F.slice("skey", 1, min_len) == F.slice("_nkey", 1, min_len))
+        (F.col("kind") == "l") & (F.col("_nkind") == "f") & seam_eq
     )
     seam_marks = seam_pairs.select(
         F.explode(

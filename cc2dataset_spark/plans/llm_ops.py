@@ -2424,14 +2424,26 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated spans), so AQE broadcasts it at fixture scale and the
     shuffle-join fallback carries integers only. Spans within one doc
     never overlap (they are maximal merged islands), so summing
-    span_len IS the exact duplicated-token count — no double count."""
+    span_len IS the exact duplicated-token count — no double count.
+
+    This cut step runs the PRODUCTION exchange key
+    (key="fingerprint": 16-byte md5 of each L-gram instead of the
+    L-token array — ~20x fewer exchange bytes at L=50, collision
+    acceptance 2^-128, proof transfer in operators/substring.py);
+    dedup_substring_spans keeps the exact token-array key as the
+    verifier twin, and the two modes are asserted equal in
+    tests/test_substring.py."""
     from cc2dataset_spark.operators.substring import (
         duplicate_substring_spans,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     spans = duplicate_substring_spans(
-        docs, doc_id_col="doc_id", text_col="text", min_len=_SUBSTR_L
+        docs,
+        doc_id_col="doc_id",
+        text_col="text",
+        min_len=_SUBSTR_L,
+        key="fingerprint",
     )
     agg = spans.groupBy("doc_id").agg(
         F.sum("span_len").cast("bigint").alias("dup_tokens"),
@@ -2450,6 +2462,53 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_tokens"),
         F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+    )
+
+
+@query(
+    "dedup_substring_spans_fp",
+    oracle=_SUBSTR_SPAN_CTES
+    + r"""
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+    tags=("dedup", "llm", "text", "substring"),
+)
+def dedup_substring_spans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_substring_spans through the PRODUCTION exchange key:
+    identical semantics and oracle, but the corpus-scale range
+    exchange carries the 16-byte md5 fingerprint of each L-gram
+    (length-prefix-encoded, injective for any token content) instead
+    of the L-token array — at the Lee et al. 2022 production
+    threshold L=50 that is ~20x fewer exchange bytes (16 B + doc/pos
+    vs ~50 tokens per corpus position), which is the difference
+    between a ~5 PB and a ~0.25 PB shuffle on a 100 TB corpus.
+
+    Correctness transfer (operators/substring.py module docstring):
+    the adjacency proof only needs equal keys to be CONTIGUOUS under
+    the exchange's total order — true for any key function, so the
+    scan/seam/merge stages are unchanged; the single new acceptance
+    is md5 collision at ~2^-128 per pair, the same acceptance the
+    document-level md5-uid dedup (reference parity) already makes.
+    The token-array key remains available as the exact verifier twin
+    (dedup_substring_spans), and both modes are asserted equal on
+    planted and randomized corpora in tests/test_substring.py. The
+    DuckDB oracle is the SAME independent duplicated-L-gram
+    formulation — it never sees either exchange key."""
+    from cc2dataset_spark.operators.substring import (
+        duplicate_substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_substring_spans(
+        docs,
+        doc_id_col="doc_id",
+        text_col="text",
+        min_len=_SUBSTR_L,
+        key="fingerprint",
     )
 
 

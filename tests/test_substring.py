@@ -217,3 +217,99 @@ def test_scan_output_pinned_single_evaluation(spark):
     assert len(pins) == 1
     for p in pins:
         p.unpersist()
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_fingerprint_mode_equals_tokens_mode(spark, parts):
+    docs = [
+        (1, "x a b c y z"),
+        (2, "a b c q r s"),
+        (3, "p q r p q r"),
+        (4, "a b"),
+        (5, "the cat sat on the mat and the cat sat on the hat"),
+        (6, "a dog ran while the cat sat on the mat quietly"),
+    ]
+    for L in (3, 4):
+        want = _brute_spans(docs, L)
+        assert (
+            _run(spark, docs, min_len=L, key="fingerprint",
+                 num_partitions=parts)
+            == want
+        )
+        assert _run(spark, docs, min_len=L, num_partitions=parts) == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            # string-extending tokens ALSO stress the fingerprint's
+            # length-prefixed encoding: "a"+"b" vs "ab" must hash
+            # differently ("1:a1:b" vs "2:ab")
+            st.sampled_from(["a", "aa", "ab", "b"]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    min_len=st.integers(2, 3),
+)
+def test_fingerprint_matches_brute_force(spark, texts, min_len):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    assert _run(
+        spark, docs, min_len=min_len, key="fingerprint"
+    ) == _brute_spans(docs, min_len)
+
+
+def test_fingerprint_production_threshold_l50(spark):
+    """The L=50 planted-duplicate scenario through the production
+    (fingerprint) exchange key — same spans as the exact verifier."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    body = lambda n: [rng.choice(vocab) for _ in range(n)]
+    passage = body(60)
+    repeat = body(28)
+    texts = {}
+    for d in range(30):
+        texts[d] = body(120)
+    texts[3] = texts[3][:20] + passage + texts[3][20:]
+    texts[17] = texts[17][:75] + passage + texts[17][75:]
+    texts[20] = body(30) + repeat * 3 + body(30)
+    docs = [(d, " ".join(t)) for d, t in sorted(texts.items())]
+
+    got = _run(spark, docs, min_len=50, key="fingerprint")
+    assert got == _brute_spans(docs, 50)
+    assert {g[0] for g in got} == {3, 17, 20}
+
+
+def test_fingerprint_exchange_key_is_16_byte_binary(spark):
+    """The production mode's range exchange must carry the 16-byte
+    md5 fingerprint, NOT the token array: the pinned scan input's
+    plan shows rangepartitioning on a BINARY skey and no
+    array-of-tokens key survives into the exchange."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    out = duplicate_substring_spans(docs, min_len=3, key="fingerprint")
+    out.count()
+    pins = getattr(out, "_pinned_intermediates", [])
+    assert len(pins) == 1
+    scanned = pins[0]
+    # the scan output carries the seam fingerprints as binary
+    assert dict(scanned.dtypes)["skey"] == "binary"
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(skey" in plan
+    # the fingerprint projection (md5 over the length-prefixed gram)
+    # happens BEFORE the exchange, so the exchange input is 16 B/row
+    assert "md5" in plan
+    for p in pins:
+        p.unpersist()
+
+
+def test_invalid_key_raises(spark):
+    df = spark.range(1).selectExpr("id AS doc_id", "'a b c' AS text")
+    with pytest.raises(ValueError, match="key"):
+        duplicate_substring_spans(df, min_len=2, key="xxh")
