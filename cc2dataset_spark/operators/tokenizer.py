@@ -67,22 +67,97 @@ def _apply_merge(sym_col: str, a: str, b: str) -> Column:
     )
 
 
+def _learn_bpe_in_memory(
+    vocab: list[tuple[str, int]], k: int
+) -> list[tuple[str, str]]:
+    """Classic driver-side BPE trainer over a collected vocabulary —
+    EXACTLY the distributed loop's semantics: pair counts weighted by
+    word frequency, argmax by (count desc, left, right), left-to-right
+    non-overlapping merge application, early stop when no pair
+    remains. Ordering parity: Python str comparison is by code point
+    and Spark's UTF8String comparison is by UTF-8 bytes — identical
+    orders, because UTF-8 preserves code-point order."""
+    segs: list[tuple[list[str], int]] = [
+        (list(w), int(c)) for w, c in vocab
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in segs:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (a, b) = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((a, b))
+        for idx, (syms, c) in enumerate(segs):
+            if len(syms) < 2:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[idx] = (out, c)
+    return merges
+
+
 def learn_bpe_merges(
     wf: DataFrame,
     k: int,
     word_col: str = "w",
     count_col: str = "c",
+    collect_threshold: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``k`` BPE merge rules from a word-frequency frame.
 
     Ties break deterministically by (count desc, left, right) so the
     learned tokenizer is reproducible across partitionings and
     engines. Stops early (returns fewer than k) when no adjacent pair
-    remains. Each iteration persists the new segmentation and
-    releases the previous one, so lineage stays one fold deep and
+    remains.
+
+    **Bounded-vocab fast path**: when the distinct vocabulary fits
+    ``collect_threshold`` rows (it essentially always does — Heaps'
+    law puts even a 100 TB corpus's distinct-word table in the low
+    millions, and this is the SAME bounded-collect class as the IVF
+    codebook fits), the vocabulary is collected ONCE and the classic
+    in-memory trainer runs on the driver — because the distributed
+    loop costs k sequential Spark jobs (a real 32k-merge vocabulary
+    would be 32k job launches, pure scheduling overhead on
+    vocabulary-scale data). Set ``collect_threshold=0`` to force the
+    distributed loop (it remains the scale escape hatch AND the
+    equality reference — tests assert both paths learn identical
+    merge lists). One caveat guards exactness: Spark's split("")
+    segments by UTF-16 code unit while Python segments by code
+    point, so a vocabulary containing astral-plane characters
+    (beyond U+FFFF) falls back to the distributed loop rather than
+    risk divergent initial segmentations.
+
+    Distributed loop: each iteration persists the new segmentation
+    and releases the previous one, so lineage stays one fold deep and
     driver memory holds only the merge list."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
+    if collect_threshold > 0:
+        pruned = wf.select(
+            F.col(word_col).cast("string").alias("w"),
+            F.col(count_col).cast("bigint").alias("c"),
+        )
+        # limit(threshold + 1): one cheap bounded probe instead of a
+        # full count when the vocabulary is huge
+        probe = pruned.limit(collect_threshold + 1).collect()
+        if len(probe) <= collect_threshold:
+            vocab = [(r["w"], r["c"]) for r in probe]
+            if all(ord(ch) <= 0xFFFF for w, _ in vocab for ch in w):
+                return _learn_bpe_in_memory(vocab, k)
     from pyspark.storagelevel import StorageLevel
 
     seg = wf.select(

@@ -122,3 +122,44 @@ def test_matches_reference_fuzz(spark, words, k):
         ).collect()
     }
     assert enc == final_seg
+
+
+def test_fast_path_equals_distributed_loop(spark):
+    """Both trainer paths — the bounded-vocab in-memory fast path
+    (default) and the distributed per-merge loop
+    (collect_threshold=0) — must learn the IDENTICAL merge list."""
+    wf = spark.createDataFrame(list(_PAPER_WF.items()), ["w", "c"])
+    fast = learn_bpe_merges(wf, 8)
+    dist = learn_bpe_merges(wf, 8, collect_threshold=0)
+    assert fast == dist
+    assert fast == _ref_learn(_PAPER_WF, 8)[0]
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(1, 4),
+)
+def test_fast_path_equals_distributed_fuzz(spark, words, k):
+    wf = spark.createDataFrame(list(words.items()), ["w", "c"])
+    assert learn_bpe_merges(wf, k) == learn_bpe_merges(
+        wf, k, collect_threshold=0
+    )
+
+
+def test_astral_vocab_falls_back_to_distributed(spark):
+    """Astral-plane characters segment differently under Spark's
+    UTF-16 split("") vs Python's code-point list() — the fast path
+    must refuse and defer to the distributed loop (which is then the
+    single source of truth for the learned merges)."""
+    wf = spark.createDataFrame([("a\U0001d11eb", 3), ("ab", 2)], ["w", "c"])
+    fast_route = learn_bpe_merges(wf, 2)
+    dist = learn_bpe_merges(wf, 2, collect_threshold=0)
+    # identical BECAUSE the fast path detected the astral char and
+    # routed to the same distributed loop
+    assert fast_route == dist
