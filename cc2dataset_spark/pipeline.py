@@ -16,18 +16,9 @@ namespacing. Differences are physics, not semantics:
 
 from __future__ import annotations
 
-import glob as _glob
 import os
 import posixpath
 from datetime import datetime, timezone
-
-try:
-    import fsspec
-
-    _HAVE_FSSPEC = True
-except ImportError:  # pragma: no cover - container-dependent
-    fsspec = None
-    _HAVE_FSSPEC = False
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,55 +80,18 @@ def job_id(now: datetime | None = None) -> str:
     return now.strftime("%Y-%m-%d-%H-%M-%S")
 
 
-# All job-level IO goes through fsspec so output paths may live on any
-# filesystem Spark can write to (s3a://, gs://, hdfs://, local). The
-# reference does the same (main.py:290-296, 376-380); plain os.* here
-# would silently write the manifest to a literal "s3a:" directory on
-# the driver's local disk and resume would never see _SUCCESS markers.
-# When fsspec is absent (minimal installs), a local-filesystem shim
-# keeps plain paths working and remote schemes fail loudly instead of
-# silently landing on local disk.
-
-
-class _LocalFS:
-    """os/glob-backed stand-in exposing the fsspec surface we use."""
-
-    @staticmethod
-    def open(path: str, mode: str = "r", encoding: str | None = None):
-        if "w" in mode:
-            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        return open(path, mode, encoding=encoding)  # noqa: SIM115
-
-    @staticmethod
-    def makedirs(path: str, exist_ok: bool = True) -> None:
-        os.makedirs(path, exist_ok=exist_ok)
-
-    @staticmethod
-    def glob(pattern: str) -> list[str]:
-        return _glob.glob(pattern)
-
-    @staticmethod
-    def exists(path: str) -> bool:
-        return os.path.exists(path)
-
-
-def _fs_for(path: str):
-    # Spark's s3a:// scheme is fsspec's s3://; same object store.
-    if path.startswith("s3a://"):
-        path = "s3://" + path[len("s3a://") :]
-    if _HAVE_FSSPEC:
-        return fsspec.core.url_to_fs(path)
-    if "://" in path and not path.startswith("file://"):
-        raise NotImplementedError(
-            f"remote output path {path!r} requires fsspec, which is not "
-            "installed; pip install fsspec (plus the scheme's driver, "
-            "e.g. s3fs/gcsfs) or use a local path"
-        )
-    return _LocalFS(), path.removeprefix("file://")
-
-
-def _join(base: str, *parts: str) -> str:
-    return posixpath.join(base, *parts)
+# All job-level IO goes through the shared fsio routing (fsspec when
+# installed, a local shim otherwise, registered fakes first) so output
+# paths may live on any filesystem Spark can write to (s3a://, gs://,
+# hdfs://, local). The reference does the same (main.py:290-296,
+# 376-380); plain os.* here would silently write the manifest to a
+# literal "s3a:" directory on the driver's local disk and resume would
+# never see _SUCCESS markers. The names below stay as thin aliases —
+# fsio.py is the single implementation (the sinks route through it
+# too).
+from cc2dataset_spark.fsio import _LocalFS  # noqa: F401 (re-export)
+from cc2dataset_spark.fsio import fs_for as _fs_for
+from cc2dataset_spark.fsio import join as _join
 
 
 def _write_manifest(path: str, wat_paths) -> None:

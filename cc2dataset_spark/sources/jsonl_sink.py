@@ -23,19 +23,23 @@ is user-visible: production sinks hang dataset registration, count
 reconciliation, or marker files off exactly this two-phase structure.
 
 SHARED-FILESYSTEM REQUIREMENT: ``write`` runs on executors and
-``commit`` os.replace()s those temp paths on the DRIVER, so the output
-path must be a filesystem both sides see (local mode, NFS, or a FUSE
-mount). On a multi-node cluster with node-local disks the commit
-cannot find the executors' temp files — production deployments point
-this at shared storage or swap the rename for the object-store
-copy-and-mark equivalent. The two-phase PROTOCOL (temp -> message ->
-driver commit) is exactly the production shape either way.
+``commit`` renames those temp paths on the DRIVER, so the output path
+must be a filesystem both sides see. All IO routes through
+``cc2dataset_spark.fsio`` (r10): local paths use the os shim
+(``mv`` = atomic os.replace), and with fsspec installed the same
+protocol runs against object stores (``s3a://``/``s3://``, ``gs://``
+— the writer resolves the filesystem once on the driver and ships it
+pickled to executors, the standard fsspec pattern; ``mv`` there is
+copy+delete, safe because it happens inside the exactly-once driver
+commit and the manifest — the reader's visibility gate — writes
+last). The two-phase PROTOCOL (temp -> message -> driver commit) is
+the production shape on every backend.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import uuid
 
 from pyspark.sql.datasource import (
@@ -43,6 +47,8 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     WriterCommitMessage,
 )
+
+from cc2dataset_spark import fsio
 
 
 class _ShardCommit(WriterCommitMessage):
@@ -56,7 +62,10 @@ class _JsonlShardWriter(DataSourceWriter):
         path = options.get("path")
         if not path:
             raise ValueError("jsonl_shard sink needs option 'path'")
-        self.path = path
+        # Resolve the filesystem ONCE on the driver and keep it on the
+        # writer: the writer object is pickled to executors, so write()
+        # uses the same (re-connectable) filesystem the commit will.
+        self._fs, self.path = fsio.fs_for(path)
         self.cols = schema.fieldNames()
         self.overwrite = overwrite
         # Fail fast on the driver in append/default mode: committing
@@ -64,11 +73,12 @@ class _JsonlShardWriter(DataSourceWriter):
         # would leave stale part-NNNNN files beyond len(messages) —
         # _MANIFEST.json totals would disagree with a directory glob
         # and a non-manifest reader double-counts rows.
-        if not overwrite and os.path.isdir(path):
+        if not overwrite and self._fs.isdir(self.path):
             stale = [
                 f
-                for f in os.listdir(path)
-                if f.startswith("part-") and f.endswith(".jsonl")
+                for f in self._fs.ls(self.path)
+                if posixpath.basename(f).startswith("part-")
+                and f.endswith(".jsonl")
             ]
             if stale:
                 raise FileExistsError(
@@ -78,11 +88,13 @@ class _JsonlShardWriter(DataSourceWriter):
                 )
 
     def write(self, iterator) -> _ShardCommit:
-        tmp_dir = os.path.join(self.path, "_tmp")
-        os.makedirs(tmp_dir, exist_ok=True)
-        temp = os.path.join(tmp_dir, f"attempt-{uuid.uuid4().hex}.jsonl")
+        tmp_dir = posixpath.join(self.path, "_tmp")
+        self._fs.makedirs(tmp_dir, exist_ok=True)
+        temp = posixpath.join(
+            tmp_dir, f"attempt-{uuid.uuid4().hex}.jsonl"
+        )
         n = 0
-        with open(temp, "w", encoding="utf8") as f:
+        with self._fs.open(temp, "w", encoding="utf8") as f:
             for row in iterator:
                 f.write(
                     json.dumps(dict(zip(self.cols, row)), default=str) + "\n"
@@ -101,42 +113,39 @@ class _JsonlShardWriter(DataSourceWriter):
         # len(messages) and re-create the exact double-count hazard
         # overwrite exists to prevent — with the manifest asserting a
         # smaller total than a directory glob sees.
-        if self.overwrite and os.path.isdir(self.path):
-            for f in os.listdir(self.path):
+        if self.overwrite and self._fs.isdir(self.path):
+            for f in self._fs.ls(self.path):
+                base = posixpath.basename(f)
                 if (
-                    f.startswith("part-") and f.endswith(".jsonl")
-                ) or f == "_MANIFEST.json":
+                    base.startswith("part-") and base.endswith(".jsonl")
+                ) or base == "_MANIFEST.json":
                     try:
-                        os.remove(os.path.join(self.path, f))
+                        self._fs.rm_file(f)
                     except FileNotFoundError:
                         pass
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
-            os.replace(m.temp_path, final)
+            final = posixpath.join(self.path, f"part-{i:05d}.jsonl")
+            self._fs.mv(m.temp_path, final)
             total += m.n_rows
         manifest = {
             "rows": total,
             "files": len(messages),
             "schema": list(self.cols),
         }
-        with open(
-            os.path.join(self.path, "_MANIFEST.json"), "w", encoding="utf8"
+        with self._fs.open(
+            posixpath.join(self.path, "_MANIFEST.json"),
+            "w",
+            encoding="utf8",
         ) as f:
             json.dump(manifest, f)
         # losing attempts of speculated tasks leave temp files behind;
         # the commit point is where they are provably dead
-        tmp_dir = os.path.join(self.path, "_tmp")
+        tmp_dir = posixpath.join(self.path, "_tmp")
         # an empty write (zero tasks produced rows) never created _tmp
-        for leftover in (
-            os.listdir(tmp_dir) if os.path.isdir(tmp_dir) else []
-        ):
-            try:
-                os.remove(os.path.join(tmp_dir, leftover))
-            except OSError:
-                pass
         try:
-            os.rmdir(tmp_dir)
+            if self._fs.isdir(tmp_dir):
+                self._fs.rm(tmp_dir, recursive=True)
         except OSError:
             pass
 
@@ -148,8 +157,8 @@ class _JsonlShardWriter(DataSourceWriter):
             if m is None:
                 continue
             try:
-                os.remove(m.temp_path)
-            except OSError:
+                self._fs.rm_file(m.temp_path)
+            except (OSError, FileNotFoundError):
                 pass
 
 

@@ -17,8 +17,11 @@ of one sample are written adjacently and keys must be unique per row.
 Commit protocol: identical two-phase structure as the ``jsonl_shard``
 sink (temp-uuid per task attempt -> driver renames winners to
 ``part-NNNNN.tar`` + ``_MANIFEST.json`` exactly once; abort removes
-losers) — see sources/jsonl_sink.py for the rationale and the
-SHARED-FILESYSTEM REQUIREMENT that applies verbatim here.
+losers) — see sources/jsonl_sink.py for the rationale. All IO routes
+through ``cc2dataset_spark.fsio`` (r10): local paths via the os shim,
+object stores via fsspec (or a registered filesystem), with the same
+resolve-once-on-the-driver / pickle-to-executors pattern and the
+same manifest-writes-last visibility gate.
 
 Reproducibility: tar member metadata is pinned (mtime=0, uid/gid=0,
 mode 0644), so identical row streams produce byte-identical shards —
@@ -30,7 +33,7 @@ from __future__ import annotations
 
 import io
 import json
-import os
+import posixpath
 import tarfile
 import uuid
 
@@ -39,6 +42,8 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     WriterCommitMessage,
 )
+
+from cc2dataset_spark import fsio
 
 
 class _TarCommit(WriterCommitMessage):
@@ -53,7 +58,9 @@ class _TarShardWriter(DataSourceWriter):
         path = options.get("path")
         if not path:
             raise ValueError("tar_shard sink needs option 'path'")
-        self.path = path
+        # resolve once on the driver; the writer (and its filesystem)
+        # is pickled to executors — see jsonl_sink.py
+        self._fs, self.path = fsio.fs_for(path)
         self.key_col = options.get("key_col", "key")
         names = schema.fieldNames()
         if self.key_col not in names:
@@ -64,11 +71,12 @@ class _TarShardWriter(DataSourceWriter):
         self.cols = names
         self.key_idx = names.index(self.key_col)
         self.overwrite = overwrite
-        if not overwrite and os.path.isdir(path):
+        if not overwrite and self._fs.isdir(self.path):
             stale = [
                 f
-                for f in os.listdir(path)
-                if f.startswith("part-") and f.endswith(".tar")
+                for f in self._fs.ls(self.path)
+                if posixpath.basename(f).startswith("part-")
+                and f.endswith(".tar")
             ]
             if stale:
                 raise FileExistsError(
@@ -78,9 +86,9 @@ class _TarShardWriter(DataSourceWriter):
                 )
 
     def write(self, iterator) -> _TarCommit:
-        tmp_dir = os.path.join(self.path, "_tmp")
-        os.makedirs(tmp_dir, exist_ok=True)
-        temp = os.path.join(tmp_dir, f"attempt-{uuid.uuid4().hex}.tar")
+        tmp_dir = posixpath.join(self.path, "_tmp")
+        self._fs.makedirs(tmp_dir, exist_ok=True)
+        temp = posixpath.join(tmp_dir, f"attempt-{uuid.uuid4().hex}.tar")
         n_samples = n_members = 0
         # WebDataset regrouping is by member BASENAME: a duplicate key
         # silently merges two samples and a '/' nests the member under
@@ -89,7 +97,9 @@ class _TarShardWriter(DataSourceWriter):
         # corrupt shard. The seen-set is per shard (task), bounded by
         # one partition's sample count.
         seen: set = set()
-        with tarfile.open(temp, "w") as tar:
+        with self._fs.open(temp, "wb") as fo, tarfile.open(
+            fileobj=fo, mode="w"
+        ) as tar:
             for row in iterator:
                 key = row[self.key_idx]
                 if key is None:
@@ -133,19 +143,20 @@ class _TarShardWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         # same overwrite-at-commit + loud-stale-removal contract as
         # jsonl_sink.commit (failures there keep the old output whole)
-        if self.overwrite and os.path.isdir(self.path):
-            for f in os.listdir(self.path):
+        if self.overwrite and self._fs.isdir(self.path):
+            for f in self._fs.ls(self.path):
+                base = posixpath.basename(f)
                 if (
-                    f.startswith("part-") and f.endswith(".tar")
-                ) or f == "_MANIFEST.json":
+                    base.startswith("part-") and base.endswith(".tar")
+                ) or base == "_MANIFEST.json":
                     try:
-                        os.remove(os.path.join(self.path, f))
+                        self._fs.rm_file(f)
                     except FileNotFoundError:
                         pass
         samples = members = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.tar")
-            os.replace(m.temp_path, final)
+            final = posixpath.join(self.path, f"part-{i:05d}.tar")
+            self._fs.mv(m.temp_path, final)
             samples += m.n_samples
             members += m.n_members
         manifest = {
@@ -155,20 +166,16 @@ class _TarShardWriter(DataSourceWriter):
             "key_col": self.key_col,
             "schema": list(self.cols),
         }
-        with open(
-            os.path.join(self.path, "_MANIFEST.json"), "w", encoding="utf8"
+        with self._fs.open(
+            posixpath.join(self.path, "_MANIFEST.json"),
+            "w",
+            encoding="utf8",
         ) as f:
             json.dump(manifest, f)
-        tmp_dir = os.path.join(self.path, "_tmp")
-        for leftover in (
-            os.listdir(tmp_dir) if os.path.isdir(tmp_dir) else []
-        ):
-            try:
-                os.remove(os.path.join(tmp_dir, leftover))
-            except OSError:
-                pass
+        tmp_dir = posixpath.join(self.path, "_tmp")
         try:
-            os.rmdir(tmp_dir)
+            if self._fs.isdir(tmp_dir):
+                self._fs.rm(tmp_dir, recursive=True)
         except OSError:
             pass
 
@@ -177,8 +184,8 @@ class _TarShardWriter(DataSourceWriter):
             if m is None:
                 continue
             try:
-                os.remove(m.temp_path)
-            except OSError:
+                self._fs.rm_file(m.temp_path)
+            except (OSError, FileNotFoundError):
                 pass
 
 
