@@ -2,10 +2,15 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. The Spark-side machinery — schema, partition sizing,
-Arrow batch shape, mapInPandas signatures — is real and tested; the
-actual codec step is stubbed behind ``decode_stub``/``DECODERS``
-because media libraries are not available in this container (a real
-deployment drops in pillow/ffmpeg inside the same batch function).
+Arrow batch shape, mapInPandas signatures — is real and tested.
+Codec status: **PNG pixel decode is REAL** (r10 —
+``decode_png``/``encode_png``, stdlib zlib + the five RFC 2083
+scanline filters; no media library needed); JPEG/WebP/video decode
+stays honestly stubbed behind ``decode_stub`` because their entropy
+coders genuinely need codec libs (a real deployment drops in
+pillow/ffmpeg inside the same batch function). Header-level
+dimension parsing for PNG/GIF/JPEG is also real and pure-JVM
+(``image_dims``).
 """
 
 from __future__ import annotations
@@ -119,6 +124,173 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
             )
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# REAL PNG pixel codec (r10): PNG needs no media library — the format
+# is zlib (stdlib) + five byte-level scanline filters (RFC 2083 §6).
+# This un-gates one of the two honest decode stubs: PNG payloads now
+# decode to actual pixels; JPEG/WebP remain NotImplementedError-gated
+# (entropy coding genuinely needs codec libs). Non-interlaced 8-bit
+# greyscale/RGB/RGBA only — palette/16-bit/interlaced raise, honestly.
+# ---------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    raw: bytes,
+    filter_for_row=lambda r: r % 5,
+) -> bytes:
+    """Minimal deterministic PNG writer — 8-bit, non-interlaced,
+    greyscale (1ch) / RGB (3ch) / RGBA (4ch). ``filter_for_row``
+    picks the per-scanline filter type (default cycles 0..4 so a
+    round-trip exercises EVERY unfilter branch, not just None).
+    Identical inputs produce identical bytes (fixed zlib level), so
+    synthesized fixtures are reproducible."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"channels must be 1, 3 or 4, got {channels}")
+    stride = width * channels
+    if len(raw) != stride * height:
+        raise ValueError(
+            f"raw has {len(raw)} bytes, expected {stride * height}"
+        )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    bpp = channels
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = raw[r * stride : (r + 1) * stride]
+        f = filter_for_row(r) % 5
+        out.append(f)
+        for i, x in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - a
+            elif f == 2:
+                v = x - b
+            elif f == 3:
+                v = x - (a + b) // 2
+            else:
+                v = x - _paeth(a, b, c)
+            out.append(v & 0xFF)
+        prev = row
+    idat = zlib.compress(bytes(out), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG payload to (width, height, channels, raw pixels) —
+    stdlib-only: zlib inflate + the five RFC 2083 scanline unfilters
+    (None/Sub/Up/Average/Paeth), CRC-checked chunk walk,
+    multi-IDAT-safe. 8-bit non-interlaced greyscale/RGB/RGBA;
+    palette, 16-bit and Adam7 raise NotImplementedError (real gates,
+    not silent wrong answers)."""
+    import struct
+    import zlib
+
+    if payload is None or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    channels = bit_depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} fails CRC")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(
+                    f"bit depth {bit_depth} PNG needs a full codec"
+                )
+            if interlace != 0:
+                raise NotImplementedError("Adam7 interlaced PNG")
+            channels = _PNG_CHANNELS.get(color_type)
+            if channels is None:
+                raise NotImplementedError(
+                    f"PNG color type {color_type} (palette?)"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    data = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(data) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    bpp = channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        f = data[r * (stride + 1)]
+        row = bytearray(
+            data[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        )
+        if f > 4:
+            raise ValueError(f"PNG filter type {f}")
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif f == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif f == 3:
+                row[i] = (row[i] + (a + b) // 2) & 0xFF
+            elif f == 4:
+                row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+        raw.extend(row)
+        prev = bytes(row)
+    return width, height, channels, bytes(raw)
 
 
 RESIZED_SCHEMA = StructType(
