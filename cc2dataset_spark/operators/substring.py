@@ -73,20 +73,36 @@ discipline of operators/neardup.py (exact PPJoin vs LSH):
   tokens PER CORPUS POSITION — ~50x corpus bytes at the Lee et al.
   production threshold L=50. Fine at fixture scale; a scale-killer
   at 100 TB.
-* ``"fingerprint"`` (production): the range key is the 16-byte md5
-  of the min_len-gram (length-prefix-encoded join, injective for ANY
-  token content — no separator-collision caveat), so the exchange
-  carries 16 B + (doc_id, pos) per position — ~20x less at L=50.
+* ``"fingerprint"`` (production): the range key is a 128-bit
+  STRUCTURAL hash of the min_len-gram — two independent xxhash64
+  words computed directly over the token ARRAY (Spark's array hash
+  folds element boundaries into the state, so there is no
+  concatenation ambiguity to defend against) — and the exchange
+  carries 2 x BIGINT + (doc_id, pos) per position, ~20x less than
+  the token array at L=50. Measured at sf0.1 (key projection +
+  range exchange + sort, warm): xxhash64-pair 1.0 s vs token-array
+  1.3 s vs an md5-over-length-prefixed-string variant 3.4 s — the
+  md5 string-building chain was CPU-bound and the range SAMPLER
+  evaluates the key expression twice, which is why the cheap
+  structural hash wins at fixture scale too, not just on bytes.
   The adjacency theorem TRANSFERS: the scan predicate is
   min_len-prefix EQUALITY, equal grams have equal fingerprints, and
   equal fingerprints form contiguous runs under any total order on
-  the fingerprint bytes — the proof above never used
-  lexicographic-on-tokens beyond contiguity of equal keys. The only
-  new acceptance is md5 collision (two DIFFERENT grams marked as
-  duplicates) at ~2^-128 per pair — the same acceptance the repo's
-  document-level md5-uid dedup (reference parity: cc2dataset
-  computes md5 uids) already makes. Both modes are brute-force- and
-  cross-checked equal (tests/test_substring.py).
+  (hi, lo) — the proof above never used lexicographic-on-tokens
+  beyond contiguity of equal keys. The new acceptance is a
+  fingerprint collision (two DIFFERENT grams marked duplicated) at
+  ~2^-128 per pair under the random-collision model — the same
+  model the repo's document-level md5-uid dedup (reference parity)
+  accepts; xxhash64 is not adversarially collision-resistant, but
+  dedup inputs are not adversarial and the verifier twin exists for
+  exactly the paranoid case. Hot keys (a massively duplicated gram —
+  boilerplate at web scale) stay SPLITTABLE because the range keys
+  include the (doc_id, pos) tie-break and the seam window joins runs
+  across partition boundaries — a hash-partitioned alternative would
+  pin each hot gram to one partition. The two BIGINT key columns
+  also make the adjacent scan a pure vectorized numpy pass (int64
+  shift-compare) instead of a per-row Python loop. Both modes are
+  brute-force- and cross-checked equal (tests/test_substring.py).
 """
 
 from __future__ import annotations
@@ -100,24 +116,21 @@ from pyspark.sql import types as ST
 from cc2dataset_spark.functions import text as T
 
 
-def _adjacent_scan(min_len: int, fingerprint: bool = False):
-    """Kernel for the sorted-partition scan: one pass, O(1) state.
+def _adjacent_scan(min_len: int):
+    """Kernel for the sorted-partition scan (token-array keys): one
+    pass, O(1) state.
 
     Emits kind 'm' rows for positions whose suffix shares a
     min_len-prefix with its in-partition predecessor (both sides of
     each qualifying pair, each position at most once), plus kind
     'f'/'l' rows carrying the partition's first/last suffix so the
     driver-side-free seam window can test the cross-partition pairs.
-
-    ``fingerprint=True`` compares the 16-byte md5 key by whole-value
-    equality (the fingerprint IS the min_len-prefix witness) instead
-    of the token-tuple prefix.
     """
 
     def scan(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        prev = None  # (comparison key, doc, pos)
+        prev = None  # (min_len-prefix tuple, doc, pos)
         prev_marked = False
         first = None
         pid = None
@@ -126,18 +139,11 @@ def _adjacent_scan(min_len: int, fingerprint: bool = False):
                 continue
             if pid is None:
                 pid = int(pdf["_pid"].iloc[0])
-            if fingerprint:
-                keys = [bytes(k) for k in pdf["skey"]]
-            else:
-                keys = [tuple(k[:min_len]) for k in pdf["skey"]]
+            keys = [tuple(k[:min_len]) for k in pdf["skey"]]
             docs_ = pdf["doc_id"].tolist()
             poss = pdf["pos"].tolist()
             if first is None:
-                first = (
-                    docs_[0],
-                    poss[0],
-                    keys[0] if fingerprint else list(keys[0]),
-                )
+                first = (docs_[0], poss[0], list(keys[0]))
             m_doc, m_pos = [], []
             for i in range(len(keys)):
                 if prev is not None and prev[0] == keys[i]:
@@ -167,10 +173,86 @@ def _adjacent_scan(min_len: int, fingerprint: bool = False):
                     "_pid": [pid, pid],
                     "doc_id": [first[0], prev[1]],
                     "pos": [first[1], prev[2]],
-                    "skey": [
-                        first[2],
-                        prev[0] if fingerprint else list(prev[0]),
-                    ],
+                    "skey": [first[2], list(prev[0])],
+                }
+            )
+
+    return scan
+
+
+def _adjacent_scan_fp():
+    """Fingerprint-mode kernel: the (skey_hi, skey_lo) BIGINT pair IS
+    the min_len-prefix witness, so adjacency is a pure vectorized
+    int64 shift-compare — no per-row Python.
+
+    Marking semantics match _adjacent_scan exactly: within a batch,
+    eq[i] says row i equals row i-1; a row is marked if it equals its
+    predecessor (eq[i]) or its successor starts a run (eq[i+1] and
+    not eq[i]); the cross-batch predecessor rides (prev, prev_marked)
+    scalar state.
+    """
+
+    def scan(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        prev = None  # (hi, lo, doc, pos)
+        prev_marked = False
+        first = None
+        pid = None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            hi = pdf["skey_hi"].to_numpy()
+            lo = pdf["skey_lo"].to_numpy()
+            docs_ = pdf["doc_id"].to_numpy()
+            poss = pdf["pos"].to_numpy()
+            if first is None:
+                first = (docs_[0], poss[0], int(hi[0]), int(lo[0]))
+            eq = np.empty(n, dtype=bool)
+            eq[0] = (
+                prev is not None
+                and prev[0] == hi[0]
+                and prev[1] == lo[0]
+            )
+            if n > 1:
+                eq[1:] = (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1])
+            # rows equal to their predecessor, plus run-starting
+            # predecessors (i-1 where eq[i] & ~eq[i-1]); union dedups
+            cur = np.flatnonzero(eq)
+            starts = np.flatnonzero(eq[1:] & ~eq[:-1])
+            idx = np.union1d(cur, starts)
+            extra = eq[0] and not prev_marked  # cross-batch prev row
+            if len(idx) or extra:
+                m_doc = list(docs_[idx])
+                m_pos = list(poss[idx])
+                if extra:
+                    m_doc.insert(0, prev[2])
+                    m_pos.insert(0, prev[3])
+                yield pd.DataFrame(
+                    {
+                        "kind": "m",
+                        "_pid": pid,
+                        "doc_id": m_doc,
+                        "pos": m_pos,
+                        "skey_hi": None,
+                        "skey_lo": None,
+                    }
+                )
+            prev = (int(hi[-1]), int(lo[-1]), docs_[-1], poss[-1])
+            prev_marked = bool(eq[-1])
+        if first is not None:
+            yield pd.DataFrame(
+                {
+                    "kind": ["f", "l"],
+                    "_pid": [pid, pid],
+                    "doc_id": [first[0], prev[2]],
+                    "pos": [first[1], prev[3]],
+                    "skey_hi": [first[2], prev[0]],
+                    "skey_lo": [first[3], prev[1]],
                 }
             )
 
@@ -197,8 +279,10 @@ def duplicate_substring_spans(
 
     ``key`` picks the exchange key (module docstring): ``"tokens"``
     ships the K-token array (exact verifier twin), ``"fingerprint"``
-    ships the 16-byte md5 of the min_len-gram (production path, ~20x
-    fewer exchange bytes at L=50, collision acceptance 2^-128).
+    ships a 128-bit structural hash of the min_len-gram as two
+    xxhash64 BIGINTs (production path: ~20x fewer exchange bytes at
+    L=50, vectorized scan kernel, random-collision acceptance
+    ~2^-128).
 
     ``ext`` pads the truncated suffix keys past the threshold; any
     ext >= 0 yields identical output (the scan predicate is
@@ -223,40 +307,41 @@ def duplicate_substring_spans(
     toked = docs.select(
         F.col(doc_id_col).alias("doc_id"), T.tokens(text_col).alias("t")
     ).where(F.size("t") >= min_len)
+    explode_pos = F.explode(
+        F.sequence(F.lit(1), F.size("t") - F.lit(min_len - 1))
+    ).alias("pos")
     if fingerprint:
-        # Injective encoding of the min_len-gram: each token is
-        # length-prefixed ("3:abc"), so NO token content (not even
-        # one containing the would-be separator) can make two
-        # different gram sequences encode alike; md5 of the UTF-8
-        # bytes folds it to 16 bytes. All JVM-side codegen.
+        # 128-bit STRUCTURAL fingerprint: two independent xxhash64
+        # words over the token-array slice. Spark's array hash folds
+        # element boundaries into the state, so no string join (and
+        # no separator/extension ambiguity) exists at all; measured
+        # 3.4x cheaper warm than an md5-over-encoded-string variant
+        # at sf0.1 — and the range SAMPLER evaluates this expression
+        # a second time, doubling whatever it costs.
         gram = F.expr(f"slice(t, pos, {min_len})")
-        enc = F.concat_ws(
-            "",
-            F.transform(
-                gram,
-                lambda x: F.concat(
-                    F.length(x).cast("string"), F.lit(":"), x
-                ),
-            ),
+        suf = toked.select("doc_id", explode_pos, "t").select(
+            "doc_id",
+            "pos",
+            F.xxhash64(gram).alias("skey_hi"),
+            F.xxhash64(gram, F.lit(1)).alias("skey_lo"),
         )
-        skey = F.unhex(F.md5(F.encode(enc, "UTF-8")))
+        key_cols = ["skey_hi", "skey_lo"]
     else:
-        skey = F.expr(f"slice(t, pos, {k})")
-    suf = toked.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.size("t") - F.lit(min_len - 1))
-        ).alias("pos"),
-        "t",
-    ).select("doc_id", "pos", skey.alias("skey"))
-    # The one corpus-scale stage: a sampled range exchange on the
-    # array-typed key (token-atomic ordering — a joined-string key
+        suf = toked.select("doc_id", explode_pos, "t").select(
+            "doc_id", "pos", F.expr(f"slice(t, pos, {k})").alias("skey")
+        )
+        key_cols = ["skey"]
+    # The one corpus-scale stage: a sampled range exchange on the key
+    # (token mode keeps the array-typed key — a joined-string key
     # would let a token that string-extends another sort inside an
-    # equal-prefix run and break the contiguity proof), then a
-    # partition-local sort. (doc_id, pos) tie-breaks keep the scan
-    # order deterministic; _pid is projected AFTER the exchange so
+    # equal-prefix run and break the contiguity proof; fingerprint
+    # mode orders on the (hi, lo) pair, where contiguity of equal
+    # keys holds under ANY total order), then a partition-local sort.
+    # (doc_id, pos) tie-breaks keep the scan order deterministic AND
+    # keep hot equal-key runs splittable across partitions (the seam
+    # window rejoins them); _pid is projected AFTER the exchange so
     # the seam window can stitch partitions back in range order.
-    keys = [F.col("skey"), F.col("doc_id"), F.col("pos")]
+    keys = [F.col(c) for c in key_cols] + [F.col("doc_id"), F.col("pos")]
     if num_partitions is None:
         ranged = suf.repartitionByRange(*keys)
     else:
@@ -264,23 +349,25 @@ def duplicate_substring_spans(
     ranged = ranged.sortWithinPartitions(*keys).withColumn(
         "_pid", F.spark_partition_id()
     )
+    key_fields = (
+        [
+            ST.StructField("skey_hi", ST.LongType()),
+            ST.StructField("skey_lo", ST.LongType()),
+        ]
+        if fingerprint
+        else [ST.StructField("skey", ST.ArrayType(ST.StringType()))]
+    )
     scan_schema = ST.StructType(
         [
             ST.StructField("kind", ST.StringType()),
             ST.StructField("_pid", ST.IntegerType()),
             ST.StructField("doc_id", doc_id_type),
             ST.StructField("pos", ST.IntegerType()),
-            ST.StructField(
-                "skey",
-                ST.BinaryType()
-                if fingerprint
-                else ST.ArrayType(ST.StringType()),
-            ),
         ]
+        + key_fields
     )
-    scanned = ranged.mapInPandas(
-        _adjacent_scan(min_len, fingerprint), scan_schema
-    )
+    kernel = _adjacent_scan_fp() if fingerprint else _adjacent_scan(min_len)
+    scanned = ranged.mapInPandas(kernel, scan_schema)
     # Two consumers read the scan output (the mark stream and the
     # seam frame) — without a pin each would re-run the ENTIRE
     # corpus-scale chain (scan + range exchange + sort + kernel).
@@ -304,15 +391,20 @@ def duplicate_substring_spans(
     w_seam = Window.orderBy("_pid", "kind")
     seam = (
         scanned.where(F.col("kind") != "m")
-        .select("kind", "_pid", "doc_id", "pos", "skey")
+        .select("kind", "_pid", "doc_id", "pos", *key_cols)
         .withColumn("_nkind", F.lead("kind").over(w_seam))
         .withColumn("_ndoc", F.lead("doc_id").over(w_seam))
         .withColumn("_npos", F.lead("pos").over(w_seam))
-        .withColumn("_nkey", F.lead("skey").over(w_seam))
     )
     if fingerprint:
-        seam_eq = F.col("skey") == F.col("_nkey")
+        seam = seam.withColumn(
+            "_nhi", F.lead("skey_hi").over(w_seam)
+        ).withColumn("_nlo", F.lead("skey_lo").over(w_seam))
+        seam_eq = (F.col("skey_hi") == F.col("_nhi")) & (
+            F.col("skey_lo") == F.col("_nlo")
+        )
     else:
+        seam = seam.withColumn("_nkey", F.lead("skey").over(w_seam))
         seam_eq = F.slice("skey", 1, min_len) == F.slice(
             "_nkey", 1, min_len
         )

@@ -285,11 +285,12 @@ def test_fingerprint_production_threshold_l50(spark):
     assert {g[0] for g in got} == {3, 17, 20}
 
 
-def test_fingerprint_exchange_key_is_16_byte_binary(spark):
-    """The production mode's range exchange must carry the 16-byte
-    md5 fingerprint, NOT the token array: the pinned scan input's
-    plan shows rangepartitioning on a BINARY skey and no
-    array-of-tokens key survives into the exchange."""
+def test_fingerprint_exchange_key_is_two_bigints(spark):
+    """The production mode's range exchange must carry the 128-bit
+    structural fingerprint as two BIGINT xxhash64 words, NOT the
+    token array: the pinned scan input's plan shows
+    rangepartitioning on (skey_hi, skey_lo) with the hash projection
+    BEFORE the exchange, so the exchange input is 16 B/row."""
     docs = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
     )
@@ -298,13 +299,11 @@ def test_fingerprint_exchange_key_is_16_byte_binary(spark):
     pins = getattr(out, "_pinned_intermediates", [])
     assert len(pins) == 1
     scanned = pins[0]
-    # the scan output carries the seam fingerprints as binary
-    assert dict(scanned.dtypes)["skey"] == "binary"
+    dt = dict(scanned.dtypes)
+    assert dt["skey_hi"] == "bigint" and dt["skey_lo"] == "bigint"
     plan = scanned._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning(skey" in plan
-    # the fingerprint projection (md5 over the length-prefixed gram)
-    # happens BEFORE the exchange, so the exchange input is 16 B/row
-    assert "md5" in plan
+    assert "rangepartitioning(skey_hi" in plan
+    assert "xxhash64" in plan
     for p in pins:
         p.unpersist()
 
