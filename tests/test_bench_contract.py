@@ -70,7 +70,12 @@ def test_bench_emits_contract_json(tmp_path):
     warm = json.load(open(warm_path))
     assert warm["run"] == "warm"
     assert warm["reps"] == 2
-    assert len(warm["queries"]) == 2
+    # the warm set is the top-N slowest cold queries PLUS the pinned
+    # calibration anchor (always present so cross-round host-variance
+    # adjudication can read anchor ratios straight from
+    # BENCH_WARM.json — ROTATION.md drift-cohort protocol), deduped
+    # when the anchor already ranks in the top set
     top2 = sorted(full["queries"], key=full["queries"].get, reverse=True)[:2]
-    assert set(warm["queries"]) == set(top2) == set(warm["cold_queries"])
+    expected_warm = set(top2) | {"dedup_minhash_neardup"}
+    assert set(warm["queries"]) == expected_warm == set(warm["cold_queries"])
     assert all(v >= 0 for v in warm["queries"].values())
