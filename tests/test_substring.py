@@ -312,3 +312,61 @@ def test_invalid_key_raises(spark):
     df = spark.range(1).selectExpr("id AS doc_id", "'a b c' AS text")
     with pytest.raises(ValueError, match="key"):
         duplicate_substring_spans(df, min_len=2, key="xxh")
+
+
+def test_fingerprint_hot_gram_splits_across_partitions(spark):
+    """The boilerplate case at web scale: ONE gram duplicated across
+    a large share of the corpus. The range exchange keys include the
+    (doc_id, pos) tie-break, so the hot equal-key run SPLITS across
+    partitions (a hash-partitioned design would pin it to one — the
+    rejected alternative) and the seam window stitches the boundary
+    pairs back exactly. Assert correctness vs brute force AND that
+    the hot run really did land on >1 partition (its fingerprint
+    appears in more than one partition's first/last seam rows)."""
+    hot = "x y z"  # the duplicated 3-gram
+    docs = [(d, f"a{d} {hot} b{d}") for d in range(400)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = duplicate_substring_spans(
+        df, min_len=3, key="fingerprint", num_partitions=8
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in out.collect()
+    }
+    assert got == _brute_spans(docs, 3)
+    assert got == {(d, 2, 4, 3) for d in range(400)}
+    pins = getattr(out, "_pinned_intermediates", [])
+    scanned = pins[0]
+    seam_rows = scanned.where("kind != 'm'").collect()
+    # every doc carries the hot gram, so with 8 range partitions over
+    # a single dominant key the run must straddle partitions: the
+    # modal (skey_hi, skey_lo) appears in multiple partitions' seams
+    from collections import Counter
+
+    per_pid = {}
+    for r in seam_rows:
+        per_pid.setdefault((r.skey_hi, r.skey_lo), set()).add(r._pid)
+    assert max(len(pids) for pids in per_pid.values()) > 1
+    for p in pins:
+        p.unpersist()
+
+
+def test_fixture_documents_mode_equality(spark, sf_dir):
+    """Cross-mode equality on the REAL fixture corpus (not synthetic
+    plants): the production fingerprint exchange and the exact
+    token-array verifier must emit the identical span set."""
+    from cc2dataset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = []
+    for key in ("tokens", "fingerprint"):
+        out = duplicate_substring_spans(docs, min_len=15, key=key)
+        sets.append(
+            {
+                (r.doc_id, r.span_start, r.span_end, r.span_len)
+                for r in out.collect()
+            }
+        )
+        for p in out._pinned_intermediates:
+            p.unpersist()
+    assert sets[0] == sets[1] and len(sets[0]) > 0
