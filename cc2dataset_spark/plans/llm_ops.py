@@ -3424,6 +3424,152 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_ahash_groups",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 37 AS BIGINT) AS base,
+             CAST(doc_id % 3 AS BIGINT) AS shift
+      FROM documents
+    ), dims2 AS (
+      SELECT doc_id, base, shift,
+             base % 9 + 8 AS w, base % 7 + 8 AS h
+      FROM dims
+    ), px AS (
+      SELECT doc_id, w, h, base, shift,
+             unnest(generate_series(0, w * h - 1)) AS p
+      FROM dims2
+    ), gray AS (
+      SELECT doc_id, w, h,
+             ((p // w) * 8) // h AS bi, ((p % w) * 8) // w AS bj,
+             ((base * 31 + (p // w) * 7 + (p % w) * 13) % 251
+              + (base * 31 + (p // w) * 7 + (p % w) * 13 + 3) % 251
+              + (base * 31 + (p // w) * 7 + (p % w) * 13 + 6) % 251
+              + 3 * shift) AS g
+      FROM px
+    ), bsum AS (
+      SELECT doc_id, bi, bj, SUM(g) AS bs, COUNT(*) AS bn
+      FROM gray GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT doc_id, SUM(bs) AS ts, SUM(bn) AS tn
+      FROM bsum GROUP BY 1
+    ), bits AS (
+      SELECT b.doc_id, bi, bj,
+             CASE WHEN b.bs * t.tn > t.ts * b.bn
+                  THEN '1' ELSE '0' END AS bit
+      FROM bsum b JOIN tot t USING (doc_id)
+    ), ah AS (
+      SELECT doc_id,
+             string_agg(bit, '' ORDER BY bi, bj) AS ahash_bits
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, ahash_bits,
+           CAST(COUNT(*) OVER (PARTITION BY ahash_bits) AS BIGINT)
+             AS group_size
+    FROM ah
+    """,
+    tags=("multimodal", "image", "dedup", "llm"),
+)
+def multimodal_png_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup grouping by AVERAGE HASH over REAL decoded
+    pixels — the production image-dedup primitive downstream of the
+    r10 PNG decoder: grayscale the decoded image, box-average onto an
+    8x8 grid, threshold each block against the global mean (strict >,
+    exact RATIONAL compare: block_sum * total_count > total_sum *
+    block_count — no float ever decides a bit), and group by the
+    64-bit signature.
+
+    The fixture plants TRUE near-duplicates: each document's image
+    derives from base = doc_id % 37 with a PER-DOC GLOBAL BRIGHTNESS
+    SHIFT (+doc_id % 3 on every pixel). aHash is exactly invariant to
+    global brightness shifts (both sides of the block-vs-global mean
+    comparison translate equally), so same-base documents produce
+    byte-DIFFERENT PNGs but IDENTICAL signatures — the group sizes
+    prove the invariance, not just the hash arithmetic. The Spark
+    side goes the long way (synthesize -> encode_png with cycling
+    scanline filters -> decode_png -> hash the DECODED bytes); the
+    oracle computes the same signature straight from the pixel
+    formula and never sees a PNG, so a decode error anywhere flips a
+    bit and hashes red.
+
+    Plan: one Arrow-batched mapInPandas (zero shuffle, doc_id-only
+    read) emitting (doc_id, 64-bit signature); the only exchange is
+    the signature-keyed window count — group-sized state, the same
+    banded-key discipline as multimodal_phash_neardup's bucket join.
+    At 100 TB the signature table is the small artifact (8 B + id per
+    image) every downstream join rides."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+    from pyspark.sql import Window
+
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("ahash_bits", ST.StringType()),
+        ]
+    )
+
+    import os as _os
+
+    import cc2dataset_spark as _pkg
+
+    _pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.abspath(_pkg.__file__))
+    )
+
+    def batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base, shift = d % 37, d % 3
+                w, h = base % 9 + 8, base % 7 + 8
+                r = np.arange(h).reshape(h, 1, 1)
+                c = np.arange(w).reshape(1, w, 1)
+                ch = np.arange(3).reshape(1, 1, 3)
+                vals = (
+                    (base * 31 + r * 7 + c * 13 + ch * 3) % 251 + shift
+                ).astype(np.uint8)
+                png = encode_png(w, h, 3, vals.tobytes())
+                dw, dh, dch, raw = decode_png(png)
+                a = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(dh, dw, dch)
+                    .astype(np.int64)
+                )
+                gray = a.sum(axis=2)  # (h, w) integer grayscale
+                bi = (np.arange(dh) * 8) // dh
+                bj = (np.arange(dw) * 8) // dw
+                bs = np.zeros((8, 8), dtype=np.int64)
+                bn = np.zeros((8, 8), dtype=np.int64)
+                np.add.at(bs, (bi[:, None], bj[None, :]), gray)
+                np.add.at(bn, (bi[:, None], bj[None, :]), 1)
+                ts, tn = int(bs.sum()), int(bn.sum())
+                bits = (bs * tn > ts * bn).astype(np.uint8)
+                recs.append((d, "".join(map(str, bits.ravel()))))
+            yield pd.DataFrame(recs, columns=["doc_id", "ahash_bits"])
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id").mapInPandas(batches, schema)
+    w_grp = Window.partitionBy("ahash_bits")
+    return hashed.select(
+        "doc_id",
+        "ahash_bits",
+        F.count("*").over(w_grp).cast("bigint").alias("group_size"),
+    )
+
+
+@query(
     "dedup_cluster_best_quality",
     oracle=_SNM_PAIRS_SQL
     + _components_ctes("pairs")
