@@ -3285,6 +3285,22 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _package_root() -> str:
+    """Repo root that makes cc2dataset_spark importable inside
+    executor Python workers launched from an arbitrary cwd (the
+    driver contract runs from anywhere; decode_media's NOTE documents
+    the constraint). Captured DRIVER-side as a plain string so it
+    pickles by value into mapInPandas kernels, which sys.path-insert
+    it before importing package code; on a real cluster --py-files
+    makes the import succeed outright and the fallback is inert."""
+    import os
+
+    import cc2dataset_spark as pkg
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+
+
 @query(
     "multimodal_png_pixel_stats",
     oracle="""
@@ -3360,20 +3376,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    # Executor Python workers may not have this package importable
-    # (the driver contract runs from an arbitrary cwd; decode_media's
-    # NOTE documents the same constraint). Capture the package root
-    # as a plain string on the DRIVER — it pickles by value into the
-    # kernel closure — and fall back to it worker-side before the
-    # import. On a real cluster --py-files makes the import succeed
-    # outright and the fallback is inert.
-    import os as _os
-
-    import cc2dataset_spark as _pkg
-
-    _pkg_root = _os.path.dirname(
-        _os.path.dirname(_os.path.abspath(_pkg.__file__))
-    )
+    _pkg_root = _package_root()
 
     def batches(it):
         import sys
@@ -3510,13 +3513,7 @@ def multimodal_png_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    import os as _os
-
-    import cc2dataset_spark as _pkg
-
-    _pkg_root = _os.path.dirname(
-        _os.path.dirname(_os.path.abspath(_pkg.__file__))
-    )
+    _pkg_root = _package_root()
 
     def batches(it):
         import sys
