@@ -151,12 +151,19 @@ def test_subsampled_jpeg_raises():
         decode_jpeg(bytes(good))
 
 
-def test_dims_parser_agrees_on_real_jpeg():
+def test_dims_parser_agrees_on_real_jpeg(spark):
     """The pure-JVM header parser (image_dims) and the full decoder
     agree on dimensions over a REAL encoded JPEG file (the r7 parser
     was tested on synthetic headers; this is a whole-file vector)."""
-    from cc2dataset_spark.operators.jpeg import decode_jpeg as dec
+    from cc2dataset_spark.operators.multimodal import image_dims
 
     payload = encode_jpeg(24, 16, 3, bytes(24 * 16 * 3))
-    w, h, c, _ = dec(payload)
+    w, h, c, _ = decode_jpeg(payload)
     assert (w, h, c) == (24, 16, 3)
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    row = df.select(image_dims("payload").alias("d")).collect()[0]
+    assert (row.d["format"], row.d["width"], row.d["height"]) == (
+        "jpeg",
+        24,
+        16,
+    )
