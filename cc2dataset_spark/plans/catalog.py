@@ -79,69 +79,71 @@ def query(
 # stays covered by the local oracle suite (tests/test_oracle.py), which
 # runs ALL oracle-backed queries every CI pass.
 #
-# Round-10 window: 4 debuts + 46 re-confirmation slots (policy rules
-# 1+3). CORRECTNESS_r09 landed 50/50 green, so every r9 slot is
-# cedable. Debuts are the r9 registration wave in queue order
-# (ROTATION.md rule 5); re-confirmations are the stalest greens
-# oldest-first: ALL 37 remaining last-green-r6 queries, then the 9
-# oldest last-green-r7 (the 7 r7 debuts plus the first two r1+r7
-# re-confirmed rows). After this window no query's latest driver
-# green is older than r7.
+# Round-11 window: 4 debuts + 1 red re-queue + 45 re-confirmation
+# slots. CORRECTNESS_r10 landed 49 green / 1 red
+# (embed_covariance_exact, hash-only), so the red keeps its slot
+# (rule 4, re-queued with the all-integer output fix); debuts are
+# the r10 registration wave in queue order (rule 5);
+# re-confirmations are the stalest greens oldest-first: the FULL
+# 41-query last-green-r7 cohort (r7-window order), then the 4
+# oldest last-green-r8. After this window no query's latest
+# driver green is older than r8.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r10 debuts — the r9 registration wave (queue order)
-    "dedup_substring_spans",
-    "dedup_substring_apply",
-    "text_bpe_pair_counts",
+    # r11 debuts — the r10 registration wave (queue order)
+    "dedup_substring_spans_fp",
+    "multimodal_png_pixel_stats",
+    "dedup_substring_cut_text",
+    "multimodal_png_ahash_groups",
+    # red re-queue (rule 4): r10 hash-only red, output re-typed
+    # all-integer this round (see operators/linalg.py)
     "embed_covariance_exact",
-    # re-confirmation: the full remaining last-green-r6 cohort (37)
-    "ann_simhash_topk",
-    "text_winnow_fingerprints",
-    "multimodal_frame_features",
-    "text_bpe_token_stats",
-    "curate_cap_per_source",
-    "dedup_cluster_survivors_lsh",
-    "dedup_cluster_twophase",
-    "dedup_semantic_clusters",
-    "curate_pii_scrub",
-    "curate_decontaminate",
-    "curate_train_val_split",
-    "dedup_index_upsert",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "text_tfidf_topterms",
-    "curate_repetition_flags",
-    "curate_mix_languages",
-    "text_char_entropy",
-    "text_unigram_perplexity",
-    "curate_quality_tiers",
-    "text_chunk_documents",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_value_outliers",
-    "events_rolling_wau",
-    "graph_pagerank_trade",
-    "join_asof_forward_next_order",
-    "join_asof_nearest_order",
-    "agg_regr_trend",
-    "window_percent_cume",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_latency",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_dominant_suppliers",
-    # re-confirmation: 9 oldest last-green-r7 (the 7 r7 debuts, then
-    # the first two r1+r7 rows in table order)
-    "cc_dedup_normalized_url",
-    "text_bigram_perplexity",
-    "dedup_winnow_overlap",
-    "dedup_bloom_prefilter",
-    "profile_lineitem_columns",
-    "events_value_quantiles",
-    "dedup_sorted_neighborhood",
-    "agg_distinct_counts",
-    "agg_minmax_by",
+    # re-confirmation: the full last-green-r7 cohort (41)
+    "rollup_order_status",
+    "cube_returns",
+    "q5_local_supplier_volume",
+    "join_outer_order_counts",
+    "subquery_in_negative_balance",
+    "window_running_value",
+    "window_lag_gap",
+    "window_rank_dense_ntile",
+    "window_first_last_nth",
+    "setop_union_distinct_keys",
+    "scalar_json_dates",
+    "scalar_math_lineitem",
+    "scalar_regex_extract",
+    "filter_pushdown_orders",
+    "agg_percentiles_price",
+    "histogram_totalprice",
+    "agg_filtered_conditional",
+    "sample_deterministic",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "explode_outer_long_words",
+    "q2_min_cost_supplier",
+    "text_token_stats",
+    "text_quality_scores",
+    "dedup_fingerprint_documents",
+    "dedup_embedding_cosine",
+    "curate_quality_filter",
+    "ann_bruteforce_topk",
+    "multimodal_binary_stats",
+    "events_tumbling_10m",
+    "events_session_30m",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_broadcast_geo",
+    "join_semi_big_spenders",
+    "join_anti_no_orders",
+    "join_range_shipments",
+    "join_asof_last_order",
+    "window_topk_orders_per_cust",
+    "sort_topk_orders",
+    "setop_nation_coverage",
+    # re-confirmation: 4 oldest last-green-r8 (r8-window order)
+    "events_value_quantiles_heavy",
+    "dedup_prefix_jaccard",
+    "curate_gopher_rules",
+    "dedup_edit_distance_sources",
 )
 
 
