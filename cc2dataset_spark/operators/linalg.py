@@ -47,8 +47,19 @@ def quantized_second_moments(
     df: DataFrame, vec_col: str = "embedding", scale: int = QUANT_SCALE
 ) -> DataFrame:
     """(i, j, n, s_i, s_j, s_ij) for every dimension pair i <= j over
-    the quantized coordinates — sums as DECIMAL(38,0) (a BIGINT sum
-    would HUGEINT-promote in DuckDB oracles). One pass, one
+    the quantized coordinates. Sums accumulate as DECIMAL(38,0) (so
+    partial aggregation can never wrap) and EMIT as BIGINT: with
+    |q| <= scale * max|x| the products are bounded by
+    n * (scale * max|x|)^2, which for unit-scale embeddings at
+    scale = 2^20 keeps every sum under 2^63 up to n ~ 4M vectors per
+    fit — and past that ceiling the ANSI decimal->long cast fails
+    LOUDLY in Spark exactly as DuckDB's BIGINT cast does, rather than
+    drifting (the repo's standing overflow discipline,
+    functions/numeric.py). All-integer output matters downstream:
+    DECIMAL(38,0) columns are the one output type the external
+    driver's value hasher has disagreed with (r10 red on
+    embed_covariance_exact — rows and schema matched, hash didn't),
+    while BIGINT hashes identically everywhere. One pass, one
     d(d+1)/2-key aggregate; marginals ride the same groups (each row
     contributes each (i,j) exactly once)."""
     qd = df.select(quantized_vec(vec_col, scale).alias("q"))
@@ -63,13 +74,13 @@ def quantized_second_moments(
     return pairs.groupBy("i", "j").agg(
         F.count("*").alias("n"),
         F.sum(F.col("qi").cast("decimal(20,0)"))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("s_i"),
         F.sum(F.col("qj").cast("decimal(20,0)"))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("s_j"),
         F.sum((F.col("qi") * F.col("qj")).cast("decimal(20,0)"))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("s_ij"),
     )
 

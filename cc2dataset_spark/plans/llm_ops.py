@@ -2714,18 +2714,23 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), agg AS (
       SELECT i, j,
              COUNT(*) AS n,
-             CAST(SUM(qi) AS DECIMAL(38,0)) AS s_i,
-             CAST(SUM(v[CAST(j + 1 AS INT)]) AS DECIMAL(38,0)) AS s_j,
-             CAST(SUM(qi * v[CAST(j + 1 AS INT)]) AS DECIMAL(38,0))
-               AS s_ij
+             CAST(SUM(qi) AS BIGINT) AS s_i,
+             CAST(SUM(v[CAST(j + 1 AS INT)]) AS BIGINT) AS s_j,
+             CAST(SUM(qi * v[CAST(j + 1 AS INT)]) AS BIGINT) AS s_ij
       FROM pe GROUP BY i, j
+    ), rat AS (
+      SELECT i, j, n, s_i, s_j, s_ij,
+             CAST(n AS HUGEINT) * s_ij
+               - CAST(s_i AS HUGEINT) * s_j AS num,
+             CAST(n AS HUGEINT) * n AS den
+      FROM agg
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n, s_i, s_j, s_ij,
-           (CAST(s_ij AS DOUBLE)
-             - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE)
-               / CAST(n AS DOUBLE))
-             / CAST(n AS DOUBLE) AS cov_q
-    FROM agg
+           CAST(CASE WHEN num < 0
+                     THEN -((2000000 * (-num) + den) // (2 * den))
+                     ELSE (2000000 * num + den) // (2 * den)
+                END AS BIGINT) AS cov_q_micro
+    FROM rat
     """,
     tags=("similarity", "embedding", "llm", "linalg"),
 )
@@ -2735,15 +2740,26 @@ def embed_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPQ rotation fits (and the d x d statistic SemDeDup-style
     pipelines center their spaces with): for every dimension pair
     i <= j, the count and the exact sums S_i, S_j, S_ij over the
-    quantized coordinates, plus the derived covariance.
+    quantized coordinates, plus the derived covariance in integer
+    micro-units.
 
-    Cross-engine float discipline: coordinates quantize by
-    q = floor(x * 2^20) — float32 -> double is exact, the power-of-two
-    scale is exact, floor is exact — so every sum is INTEGER-exact in
-    both engines (summed as DECIMAL(38,0); a raw BIGINT sum would
-    HUGEINT-promote in DuckDB, the r5 red-row class) and the final
-    covariance is the same IEEE expression over identical operands:
-    bit-identical doubles, no rounding slack needed.
+    Cross-engine discipline — ALL-INTEGER OUTPUT (the r10 red-row
+    fix): coordinates quantize by q = floor(x * 2^20) — float32 ->
+    double is exact, the power-of-two scale is exact, floor is exact —
+    so every sum is INTEGER-exact in both engines (accumulated as
+    DECIMAL(38,0) so partials can't wrap, emitted as BIGINT; DuckDB's
+    side wraps its HUGEINT-promoted SUM back to BIGINT identically).
+    The covariance itself is emitted as BIGINT micro-units,
+    cov_q_micro = round(10^6 * (n*S_ij - S_i*S_j) / n^2), computed
+    half-away-from-zero as sign * ((2*10^6*|num| + den) div (2*den))
+    in DECIMAL(38,0) — the functions/numeric.py integral-divide
+    discipline, sign-split so truncating (Spark div) and flooring
+    engines agree on negative covariances. Nothing in the output is
+    float- or decimal-typed: r10's driver red was a hash-only
+    mismatch on exactly this query's DECIMAL(38,0)+raw-double
+    columns — the only such output surface in the catalog — while
+    in-sandbox the values were bit-identical, so the fix removes the
+    type surface rather than chasing the hasher.
 
     Plan: ONE corpus-scale pass — the double posexplode emits
     n*d(d+1)/2 pair rows that flow straight into a partial hash
@@ -2762,13 +2778,28 @@ def embed_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     agg = quantized_second_moments(emb, "embedding")
-    nd = F.col("n").cast("double")
-    cov = (
-        F.col("s_ij").cast("double")
-        - F.col("s_i").cast("double") * F.col("s_j").cast("double") / nd
-    ) / nd
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("s_ij").cast(dec) - F.col(
+        "s_i"
+    ).cast(dec) * F.col("s_j").cast(dec)
+    den = F.col("n").cast(dec) * F.col("n").cast(dec)
+    # round-half-away-from-zero micro-units via positive-operand
+    # integral divide (sign split keeps truncate-vs-floor engines
+    # identical); div on DECIMAL returns LONG.
+    q_abs = F.call_function(
+        "div",
+        F.lit(2 * 1_000_000) * F.abs(num) + den,
+        F.lit(2) * den,
+    )
+    cov_micro = F.when(num < 0, -q_abs).otherwise(q_abs)
     return agg.select(
-        "i", "j", "n", "s_i", "s_j", "s_ij", cov.alias("cov_q")
+        "i",
+        "j",
+        "n",
+        "s_i",
+        "s_j",
+        "s_ij",
+        cov_micro.cast("bigint").alias("cov_q_micro"),
     )
 
 
