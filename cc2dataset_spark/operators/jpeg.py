@@ -390,9 +390,9 @@ def encode_jpeg(
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG to (width, height, channels, raw pixel
     bytes). Supported: SOF0, 8-bit, Huffman, all sampling factors
-    1x1 (greyscale / YCbCr 4:4:4), restart markers. Progressive,
-    arithmetic coding, and subsampled chroma raise
-    ``NotImplementedError``."""
+    1x1 (greyscale / YCbCr 4:4:4), restart markers, one interleaved
+    scan. Progressive, arithmetic coding, subsampled chroma, and
+    non-interleaved multi-scan files raise ``NotImplementedError``."""
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -403,12 +403,24 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     scan_map = []  # (comp_index, dc_table, ac_table)
     restart_interval = 0
     data_start = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG: bad marker byte at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # a marker id — real-world baseline files use them; skipping
+        # none mis-parses a bogus segment length (ADVICE r10).
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone, length-less markers (TEM / RSTn / SOI):
+            # legal in the stream, carry no segment body
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG: truncated segment header")
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         if marker == 0xC4:  # DHT (possibly several tables)
@@ -452,6 +464,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            if ns != len(comps):
+                # A legal baseline file may carry NON-INTERLEAVED
+                # scans (each SOS covers a subset of the SOF
+                # components, several SOS segments follow); this
+                # decoder handles the single interleaved scan only —
+                # decoding just the first scan would silently leave
+                # the remaining planes all-zero, so gate LOUDLY like
+                # progressive/subsampled (ADVICE r10).
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG: SOS "
+                    f"covers {ns} of {len(comps)} components"
+                )
             for i in range(ns):
                 cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(

@@ -74,10 +74,12 @@ discipline of operators/neardup.py (exact PPJoin vs LSH):
   production threshold L=50. Fine at fixture scale; a scale-killer
   at 100 TB.
 * ``"fingerprint"`` (production): the range key is a 128-bit
-  STRUCTURAL hash of the min_len-gram — two independent xxhash64
-  words computed directly over the token ARRAY (Spark's array hash
-  folds element boundaries into the state, so there is no
-  concatenation ambiguity to defend against) — and the exchange
+  STRUCTURAL hash of the min_len-gram — two distinct-salt xxhash64
+  words computed directly over the token ARRAY (salt hashed FIRST in
+  the lo word, so the gram runs under a distinct seed chain rather
+  than fold-chaining off the hi word; Spark's array hash folds
+  element boundaries into the state, so there is no concatenation
+  ambiguity to defend against) — and the exchange
   carries 2 x BIGINT + (doc_id, pos) per position, ~20x less than
   the token array at L=50. Measured at sf0.1 (key projection +
   range exchange + sort, warm): xxhash64-pair 1.0 s vs token-array
@@ -91,9 +93,13 @@ discipline of operators/neardup.py (exact PPJoin vs LSH):
   (hi, lo) — the proof above never used lexicographic-on-tokens
   beyond contiguity of equal keys. The new acceptance is a
   fingerprint collision (two DIFFERENT grams marked duplicated) at
-  ~2^-128 per pair under the random-collision model — the same
-  model the repo's document-level md5-uid dedup (reference parity)
-  accepts; xxhash64 is not adversarially collision-resistant, but
+  ~2^-128 per pair under the model that treats the two distinct-seed
+  xxhash64 words as independent random functions — a MODEL, not a
+  guarantee (they are two evaluations of one non-cryptographic
+  family), but the same acceptance the repo's document-level md5-uid
+  dedup (reference parity) runs on, and the seed-chain ordering
+  above ensures the words at least never collapse to a function of
+  each other; xxhash64 is not adversarially collision-resistant, but
   dedup inputs are not adversarial and the verifier twin exists for
   exactly the paranoid case. Hot keys (a massively duplicated gram —
   boilerplate at web scale) stay SPLITTABLE because the range keys
@@ -280,9 +286,9 @@ def duplicate_substring_spans(
     ``key`` picks the exchange key (module docstring): ``"tokens"``
     ships the K-token array (exact verifier twin), ``"fingerprint"``
     ships a 128-bit structural hash of the min_len-gram as two
-    xxhash64 BIGINTs (production path: ~20x fewer exchange bytes at
-    L=50, vectorized scan kernel, random-collision acceptance
-    ~2^-128).
+    distinct-salt xxhash64 BIGINTs (production path: ~20x fewer
+    exchange bytes at L=50, vectorized scan kernel, collision
+    acceptance ~2^-128 under the independent-words model).
 
     ``ext`` pads the truncated suffix keys past the threshold; any
     ext >= 0 yields identical output (the scan predicate is
@@ -311,19 +317,27 @@ def duplicate_substring_spans(
         F.sequence(F.lit(1), F.size("t") - F.lit(min_len - 1))
     ).alias("pos")
     if fingerprint:
-        # 128-bit STRUCTURAL fingerprint: two independent xxhash64
+        # 128-bit STRUCTURAL fingerprint: two distinct-salt xxhash64
         # words over the token-array slice. Spark's array hash folds
         # element boundaries into the state, so no string join (and
         # no separator/extension ambiguity) exists at all; measured
         # 3.4x cheaper warm than an md5-over-encoded-string variant
         # at sf0.1 — and the range SAMPLER evaluates this expression
         # a second time, doubling whatever it costs.
+        #
+        # Salt ORDER is load-bearing: Spark fold-chains multi-column
+        # xxhash64 (each column's hash seeds the next), so
+        # xxhash64(gram, lit(1)) would be XXH64(1, seed=hi) — a
+        # deterministic function of skey_hi, collapsing the pair to
+        # 64 bits of entropy. Hashing the salt FIRST puts the gram
+        # under a distinct seed chain (seed = XXH64(1, seed=42)), so
+        # the two words are different hash functions of the gram.
         gram = F.expr(f"slice(t, pos, {min_len})")
         suf = toked.select("doc_id", explode_pos, "t").select(
             "doc_id",
             "pos",
             F.xxhash64(gram).alias("skey_hi"),
-            F.xxhash64(gram, F.lit(1)).alias("skey_lo"),
+            F.xxhash64(F.lit(1), gram).alias("skey_lo"),
         )
         key_cols = ["skey_hi", "skey_lo"]
     else:

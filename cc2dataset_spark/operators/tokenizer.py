@@ -146,6 +146,17 @@ def learn_bpe_merges(
     driver memory holds only the merge list."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
+    # Null words/counts are refused LOUDLY and identically on both
+    # paths (ADVICE r10): the in-memory trainer would otherwise die
+    # with a bare TypeError while the distributed loop silently
+    # dropped the row (null segmentation filtered by size(s) >= 2) —
+    # two different answers on the same dirty input. The distributed
+    # guard is a lazily evaluated raise_error branch on the count
+    # column (the fit_pca pattern): zero extra passes, fails the scan
+    # at the first offending row.
+    null_msg = (
+        "learn_bpe_merges: null word or count in word-frequency frame"
+    )
     if collect_threshold > 0:
         pruned = wf.select(
             F.col(word_col).cast("string").alias("w"),
@@ -156,12 +167,22 @@ def learn_bpe_merges(
         probe = pruned.limit(collect_threshold + 1).collect()
         if len(probe) <= collect_threshold:
             vocab = [(r["w"], r["c"]) for r in probe]
+            if any(w is None or c is None for w, c in vocab):
+                raise ValueError(null_msg)
             if all(ord(ch) <= 0xFFFF for w, _ in vocab for ch in w):
                 return _learn_bpe_in_memory(vocab, k)
     from pyspark.storagelevel import StorageLevel
 
+    guarded_c = (
+        F.when(
+            F.col(word_col).isNull() | F.col(count_col).isNull(),
+            F.raise_error(F.lit(null_msg)),
+        )
+        .otherwise(F.col(count_col))
+        .cast("bigint")
+    )
     seg = wf.select(
-        F.col(count_col).cast("bigint").alias("c"),
+        guarded_c.alias("c"),
         _chars(word_col).alias("s"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     merges: list[tuple[str, str]] = []
@@ -194,6 +215,10 @@ def learn_bpe_merges(
             new_seg.count()  # materialize before dropping the parent
             seg.unpersist()
             seg = new_seg
+    except Exception as e:  # surface the guard as the documented type
+        if null_msg in str(e):
+            raise ValueError(null_msg) from e
+        raise
     finally:
         seg.unpersist()
     return merges

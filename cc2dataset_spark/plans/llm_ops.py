@@ -2430,7 +2430,8 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key="fingerprint": a 128-bit structural xxhash64-pair
     fingerprint of each L-gram as two BIGINTs instead of the L-token
     array — ~20x fewer exchange bytes at L=50, vectorized scan
-    kernel, random-collision acceptance ~2^-128, proof transfer in
+    kernel, collision acceptance ~2^-128 under the independent-words
+    model, proof transfer in
     operators/substring.py);
     dedup_substring_spans keeps the exact token-array key as the
     verifier twin, and the two modes are asserted equal in
@@ -2586,8 +2587,10 @@ def dedup_substring_spans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_substring_spans through the PRODUCTION exchange key:
     identical semantics and oracle, but the corpus-scale range
     exchange carries a 128-bit STRUCTURAL fingerprint of each
-    L-gram — two independent xxhash64 words computed directly over
-    the token-array slice (element boundaries are part of the hash
+    L-gram — two distinct-salt xxhash64 words computed directly over
+    the token-array slice (the lo word hashes its salt FIRST so the
+    gram runs under a distinct seed chain instead of fold-chaining
+    off the hi word; element boundaries are part of the hash
     state, so no join-separator ambiguity exists) — instead of the
     L-token array: at the Lee et al. 2022 production threshold L=50
     that is ~20x fewer exchange bytes (2 x BIGINT + doc/pos vs ~50
@@ -2603,9 +2606,10 @@ def dedup_substring_spans_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the adjacency proof only needs equal keys to be CONTIGUOUS under
     the exchange's total order — true for any key function, so the
     scan/seam/merge stages are unchanged; the single new acceptance
-    is a fingerprint collision at ~2^-128 per pair under the
-    random-collision model — the model the document-level md5-uid
-    dedup (reference parity) also accepts (xxhash64 is not
+    is a fingerprint collision at ~2^-128 per pair under the model
+    treating the two distinct-seed words as independent random
+    functions — the acceptance the document-level md5-uid
+    dedup (reference parity) also runs on (xxhash64 is not
     adversarially collision-resistant; dedup inputs are not
     adversarial, and the exact twin exists for the paranoid case).
     The token-array key remains available as the exact verifier twin

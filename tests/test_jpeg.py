@@ -167,3 +167,49 @@ def test_dims_parser_agrees_on_real_jpeg(spark):
         24,
         16,
     )
+
+
+def test_fill_bytes_and_tem_marker_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker id, and standalone length-less markers (TEM 0x01) in the
+    header stream — real-world encoders emit both; the walk must skip
+    them instead of mis-parsing a bogus segment length."""
+    raw = bytes([77]) * 64
+    payload = encode_jpeg(8, 8, 1, raw)
+    ref = decode_jpeg(payload)
+    # insert a fill byte + a TEM marker right after SOI
+    patched = payload[:2] + b"\xff" + b"\xff\x01" + payload[2:]
+    assert patched[:2] == b"\xff\xd8" and patched != payload
+    assert decode_jpeg(bytes(patched)) == ref
+
+
+def test_non_interleaved_multi_scan_gates_loudly():
+    """A baseline file whose SOS covers fewer components than the SOF
+    declares (non-interleaved scans, several SOS segments) must raise
+    NotImplementedError — decoding only the first scan would silently
+    return all-zero planes for the rest."""
+    import struct as _s
+
+    payload = bytearray(encode_jpeg(8, 8, 3, bytes(192)))
+    # find the SOS segment and shrink it to cover one component
+    i = 2
+    while i < len(payload):
+        assert payload[i] == 0xFF
+        m = payload[i + 1]
+        (ln,) = _s.unpack(">H", payload[i + 2 : i + 4])
+        if m == 0xDA:
+            body = payload[i + 4 : i + 2 + ln]
+            ns = body[0]
+            assert ns == 3
+            new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[7:])
+            new = (
+                payload[: i + 2]
+                + _s.pack(">H", 2 + len(new_body))
+                + new_body
+                + payload[i + 2 + ln :]
+            )
+            with pytest.raises(NotImplementedError, match="1 of 3"):
+                decode_jpeg(bytes(new))
+            return
+        i += 2 + ln
+    raise AssertionError("no SOS found")

@@ -308,6 +308,47 @@ def test_fingerprint_exchange_key_is_two_bigints(spark):
         p.unpersist()
 
 
+def test_fingerprint_lo_word_is_salt_first(spark):
+    """The lo fingerprint word must hash the salt FIRST. Spark
+    fold-chains multi-column xxhash64 (each column's hash seeds the
+    next), so the reversed order xxhash64(gram, lit(1)) is
+    XXH64(1, seed=hi) — a deterministic function of the hi word,
+    collapsing the '128-bit' key to 64 bits of entropy and making
+    every hi-collision a full key collision at corpus scale. Pins
+    that the shipped lo equals the salt-first form and NOT the
+    fold-chained one."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([1, 2, 3],), ([4, 5, 6],), (["a", "b"],)][:2], ["g"]
+    )
+    probe = df.select(
+        F.xxhash64("g").alias("hi"),
+        F.xxhash64(F.lit(1), F.col("g")).alias("salt_first"),
+        F.xxhash64(F.col("g"), F.lit(1)).alias("fold_chained"),
+    ).collect()
+    for r in probe:
+        assert r.salt_first != r.fold_chained
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    out = duplicate_substring_spans(docs, min_len=3, key="fingerprint")
+    out.count()
+    pins = getattr(out, "_pinned_intermediates", [])
+    scanned = pins[0]
+    plan = scanned._jdf.queryExecution().analyzed().toString()
+    # salt-first: the literal 1 precedes the slice() inside the lo
+    # word's xxhash64 argument list
+    import re
+
+    m = re.search(r"xxhash64\(1,\s*slice", plan)
+    assert m is not None, plan
+    assert not re.search(r"xxhash64\(slice\([^)]*\)[^,]*,\s*1\)", plan)
+    for p in pins:
+        p.unpersist()
+
+
 def test_invalid_key_raises(spark):
     df = spark.range(1).selectExpr("id AS doc_id", "'a b c' AS text")
     with pytest.raises(ValueError, match="key"):

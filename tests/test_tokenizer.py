@@ -163,3 +163,25 @@ def test_astral_vocab_falls_back_to_distributed(spark):
     # identical BECAUSE the fast path detected the astral char and
     # routed to the same distributed loop
     assert fast_route == dist
+
+
+def test_null_word_or_count_refused_both_paths(spark):
+    """Dirty input (null word or null count) must be refused LOUDLY
+    and IDENTICALLY by both trainer paths — previously the fast path
+    died with a bare TypeError while the distributed loop silently
+    dropped the row, i.e. two different answers on the same input."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("w", T.StringType(), True),
+            T.StructField("c", T.LongType(), True),
+        ]
+    )
+    for rows in ([("ab", 3), (None, 2)], [("ab", 3), ("cd", None)]):
+        wf = spark.createDataFrame(rows, schema)
+        with pytest.raises(ValueError, match="null word or count"):
+            learn_bpe_merges(wf, 4)
+        with pytest.raises(ValueError, match="null word or count"):
+            learn_bpe_merges(wf, 4, collect_threshold=0)
