@@ -90,13 +90,42 @@ def decode_stub(payload: bytes, fmt: str) -> tuple[int, int, int]:
 def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """mapInPandas decode: Arrow-batched, schema-stable. The input is
     repartitioned range-free (payloads are independent) so decode
-    parallelism equals core count regardless of upstream layout."""
+    parallelism equals core count regardless of upstream layout.
 
-    # NOTE: the batch fn must be pickled BY VALUE (no references to
-    # this package) — executor Python workers may not have
-    # cc2dataset_spark importable. _stub mirrors decode_stub; keep in
+    Dispatch is by PAYLOAD SIGNATURE, not the metadata format tag
+    (tags lie at web scale; magic bytes don't): PNG-signature
+    payloads decode through the REAL stdlib-zlib codec
+    (:func:`decode_png`, r10) and JPEG SOI payloads through the real
+    baseline Huffman+IDCT codec (``operators/jpeg.decode_jpeg``,
+    wired r11) — both return actual pixel dimensions and n_frames=1.
+    The honestly-gated classes inside those codecs (progressive /
+    subsampled / multi-scan JPEG, palette/16-bit/interlaced PNG)
+    raise ``NotImplementedError`` LOUDLY rather than answering
+    wrong. Payloads with neither signature (this repo's fixture
+    stand-ins are UTF-8 text; real deployments: WebP/video, which
+    genuinely need codec libs) fall to the deterministic stub
+    formula that ``multimodal_decode_stub``'s oracle replays."""
+    # NOTE: the batch fn must be pickled BY VALUE — executor Python
+    # workers may not have cc2dataset_spark importable from their
+    # cwd, so the package root rides along as a plain string and the
+    # kernel sys.path-inserts it before importing the codecs (on a
+    # real cluster --py-files makes the import succeed outright and
+    # the fallback is inert). _stub mirrors decode_stub; keep in
     # sync.
+    import os
+
+    _pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.jpeg import decode_jpeg
+        from cc2dataset_spark.operators.multimodal import decode_png
+
         def _stub(payload, fmt):
             if payload is None:
                 raise NotImplementedError(
@@ -109,11 +138,22 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                 1 if fmt != "webm" else 1 + h % 30,
             )
 
+        def _decode(payload, fmt):
+            if payload is not None:
+                b = bytes(payload)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h, _ch, _raw = decode_png(b)
+                    return (w, h, 1)
+                if b[:2] == b"\xff\xd8":
+                    w, h, _ch, _raw = decode_jpeg(b)
+                    return (w, h, 1)
+            return _stub(payload, fmt)
+
         for pdf in it:
             meta = pdf["meta"]
             fmts = [m["format"] for m in meta]
             dims = [
-                _stub(p, f) for p, f in zip(pdf["payload"], fmts)
+                _decode(p, f) for p, f in zip(pdf["payload"], fmts)
             ]
             yield pd.DataFrame(
                 {
@@ -132,9 +172,10 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
 # ---------------------------------------------------------------------
 # REAL PNG pixel codec (r10): PNG needs no media library — the format
 # is zlib (stdlib) + five byte-level scanline filters (RFC 2083 §6).
-# This un-gates one of the two honest decode stubs: PNG payloads now
-# decode to actual pixels; JPEG/WebP remain NotImplementedError-gated
-# (entropy coding genuinely needs codec libs). Non-interlaced 8-bit
+# Baseline JPEG decodes for real too since operators/jpeg.py landed
+# (pure-numpy Huffman + IDCT; progressive/subsampled/multi-scan stay
+# gated there). The remaining genuinely-gated format is WebP/video
+# (VP8 entropy coding needs codec libs). Non-interlaced 8-bit
 # greyscale/RGB/RGBA only — palette/16-bit/interlaced raise, honestly.
 # ---------------------------------------------------------------------
 
@@ -657,3 +698,135 @@ def image_dims(payload) -> "F.Column":
         .when(is_jpg, jpeg_struct)
         .otherwise(null_struct)
     )
+
+
+# ---------------------------------------------------------------------
+# REAL WAV/PCM audio codec (r11): the PNG/JPEG playbook applied to the
+# third modality. RIFF/WAVE integer PCM needs only `struct` — so the
+# header parse and the sample bytes are REAL, and the genuinely-coded
+# classes (IEEE-float WAV, a-law/mu-law, extensible, MP3-in-WAV)
+# raise NotImplementedError loudly instead of faking samples.
+# ---------------------------------------------------------------------
+
+
+def encode_wav(
+    sample_rate: int, channels: int, bits: int, frames: bytes
+) -> bytes:
+    """Minimal canonical RIFF/WAVE writer — integer PCM (format tag
+    1), 8-bit unsigned or 16-bit signed little-endian, interleaved
+    frames. Deterministic: identical inputs produce identical bytes,
+    so formula-synthesized fixtures are reproducible. Odd-sized data
+    gets the RIFF pad byte (excluded from the chunk size), so 8-bit
+    mono with an odd sample count round-trips chunk-walk-correctly."""
+    import struct
+
+    if channels < 1:
+        raise ValueError(f"channels must be >= 1, got {channels}")
+    if bits not in (8, 16):
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    if sample_rate < 1:
+        raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    block_align = channels * (bits // 8)
+    if len(frames) % block_align:
+        raise ValueError(
+            f"frames has {len(frames)} bytes, not a multiple of the "
+            f"{block_align}-byte frame"
+        )
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(frames))
+        + frames
+        + (b"\x00" if len(frames) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a RIFF/WAVE integer-PCM payload to (sample_rate,
+    channels, bits, frame bytes). The chunk walk is spec-shaped:
+    unknown chunks (LIST, fact, cue, ...) are SKIPPED with the RIFF
+    odd-size pad byte honored, fmt must precede data, and the data
+    chunk is truncated to its declared size. Gated loudly: IEEE
+    float (tag 3), a-law/mu-law (6/7), WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE), MP3-in-WAV (0x55), and any other non-PCM tag raise
+    NotImplementedError; malformed structure raises ValueError."""
+    import struct
+
+    if payload is None or payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF payload")
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(len(payload), 8 + riff_size)
+    pos = 12
+    fmt = None
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body_start = pos + 8
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too short ({size} bytes)")
+            fmt = struct.unpack(
+                "<HHIIHH", payload[body_start : body_start + 16]
+            )
+        elif tag == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            (
+                audio_fmt,
+                channels,
+                sample_rate,
+                _byte_rate,
+                block_align,
+                bits,
+            ) = fmt
+            if audio_fmt != 1:
+                names = {
+                    3: "IEEE-float WAV",
+                    6: "a-law WAV",
+                    7: "mu-law WAV",
+                    0x55: "MP3-in-WAV",
+                    0xFFFE: "WAVE_FORMAT_EXTENSIBLE",
+                }
+                raise NotImplementedError(
+                    f"{names.get(audio_fmt, 'non-PCM WAV')} "
+                    f"(format tag 0x{audio_fmt:04X}): only integer "
+                    "PCM decodes"
+                )
+            if bits not in (8, 16):
+                raise NotImplementedError(
+                    f"{bits}-bit PCM (only 8/16-bit)"
+                )
+            if channels < 1 or block_align != channels * (bits // 8):
+                raise ValueError(
+                    f"inconsistent fmt: {channels} ch, {bits} bits, "
+                    f"block align {block_align}"
+                )
+            data = payload[body_start : body_start + size]
+            if len(data) < size:
+                raise ValueError(
+                    f"data chunk truncated: {len(data)} of {size} bytes"
+                )
+            if len(data) % block_align:
+                raise ValueError(
+                    f"data size {len(data)} not a multiple of the "
+                    f"{block_align}-byte frame"
+                )
+            return sample_rate, channels, bits, data
+        # unknown chunk: skip, honoring the RIFF odd-size pad byte
+        pos = body_start + size + (size % 2)
+    raise ValueError("WAVE payload has no data chunk")

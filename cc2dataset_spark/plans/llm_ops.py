@@ -3602,6 +3602,216 @@ def multimodal_png_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_pixel_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 13 + 4 AS INT) AS width,
+           CAST(doc_id % 11 + 4 AS INT) AS height,
+           CAST((doc_id % 13 + 4) * (doc_id % 11 + 4) AS BIGINT)
+             AS n_pixels,
+           CAST((doc_id % 13 + 4) * (doc_id % 11 + 4)
+                * ((doc_id * 37 + 11) % 256) AS BIGINT) AS sum_v,
+           CAST((doc_id * 37 + 11) % 256 AS INT) AS min_v,
+           CAST((doc_id * 37 + 11) % 256 AS INT) AS max_v
+    FROM documents
+    """,
+    tags=("multimodal", "image", "jpeg", "llm"),
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode (r11) — the PNG playbook
+    (multimodal_png_pixel_stats) applied to the format that DOES have
+    entropy coding: per-document pixel statistics computed from
+    pixels decoded out of byte-real JFIF files through the pure-numpy
+    baseline codec (operators/jpeg.decode_jpeg: canonical Huffman +
+    dequant + matrix IDCT, byte unstuffing, restart markers).
+
+    Fixture protocol: each document synthesizes a SOLID-GREY image
+    from doc_id (w = id%13+4, h = id%11+4, v = (id*37+11)%256,
+    restart_interval = id%3 so RST handling is exercised by
+    construction), ENCODES it to a real baseline JPEG (encode_jpeg,
+    flat quant=1) and DECODES that payload. Solid colour is the
+    codec's EXACTLY-decodable class — a constant block is a single
+    DC coefficient with a zero rounding chain (pinned by
+    tests/test_jpeg.py's analytic vectors and re-verified across
+    this exact fixture grid, including the non-multiple-of-8 sizes
+    whose edge blocks the encoder pads) — so integer-exact pixel
+    sums/min/max from the DECODED bytes equal the closed-form values
+    the oracle computes without ever seeing a JPEG: any Huffman,
+    dequant, IDCT, level-shift, or restart-marker error shifts a sum
+    and hashes red.
+
+    Plan: ONE Arrow-batched mapInPandas over doc_id — zero shuffle,
+    zero collect, embarrassingly parallel (the 100 TB decode shape);
+    7 integers per image leave Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("width", ST.IntegerType()),
+            ST.StructField("height", ST.IntegerType()),
+            ST.StructField("n_pixels", ST.LongType()),
+            ST.StructField("sum_v", ST.LongType()),
+            ST.StructField("min_v", ST.IntegerType()),
+            ST.StructField("max_v", ST.IntegerType()),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, v = d % 13 + 4, d % 11 + 4, (d * 37 + 11) % 256
+                payload = encode_jpeg(
+                    w, h, 1, bytes([v]) * (w * h), restart_interval=d % 3
+                )
+                dw, dh, dch, raw = decode_jpeg(payload)
+                a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                recs.append(
+                    (
+                        d,
+                        dw,
+                        dh,
+                        dw * dh * dch,
+                        int(a.sum()),
+                        int(a.min()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+@query(
+    "multimodal_wav_sample_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8000 + (doc_id % 3) * 4000 AS sample_rate,
+             doc_id % 2 + 1 AS channels,
+             doc_id % 40 + 10 AS frames
+      FROM documents
+    ), s AS (
+      SELECT doc_id, sample_rate, channels, frames,
+             unnest(generate_series(0, frames * channels - 1)) AS k
+      FROM p
+    ), v AS (
+      SELECT doc_id, sample_rate, channels, frames,
+             (doc_id * 31 + k * 17) % 65536 - 32768 AS sv
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(channels AS INT) AS channels,
+           CAST(frames AS BIGINT) AS n_frames,
+           CAST(SUM(sv) AS BIGINT) AS sum_s,
+           CAST(MIN(sv) AS INT) AS min_s,
+           CAST(MAX(sv) AS INT) AS max_s
+    FROM v GROUP BY 1, 2, 3, 4
+    """,
+    tags=("multimodal", "audio", "wav", "llm"),
+)
+def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM audio decode (r11) — the PNG/JPEG fixture
+    playbook applied to the third modality: per-document sample
+    statistics computed from samples decoded out of byte-real
+    RIFF/WAVE files (operators/multimodal.decode_wav: spec-shaped
+    chunk walk with pad-byte handling, integer-PCM only; IEEE-float /
+    a-law / mu-law / extensible / MP3-in-WAV gate loudly).
+
+    Fixture protocol: each document synthesizes a deterministic
+    16-bit interleaved PCM stream from doc_id (sample_rate =
+    8000 + (id%3)*4000, channels = id%2+1, frames = id%40+10,
+    sample_k = (id*31 + k*17) % 65536 - 32768), ENCODES it to a real
+    WAV (encode_wav) and DECODES that payload, aggregating
+    integer-exact sum/min/max from the DECODED bytes — PCM decode is
+    lossless by definition, so the oracle computes the same stats
+    straight from the sample formula and never sees a WAV: any
+    header-arithmetic, byte-order, or chunk-walk error shifts a
+    value and hashes red. Spec-vector and gated-class tests pin the
+    decoder independently in tests/test_wav.py.
+
+    Plan: ONE Arrow-batched mapInPandas over doc_id — zero shuffle,
+    zero collect, embarrassingly parallel; 7 integers per clip leave
+    Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("sample_rate", ST.IntegerType()),
+            ST.StructField("channels", ST.IntegerType()),
+            ST.StructField("n_frames", ST.LongType()),
+            ST.StructField("sum_s", ST.LongType()),
+            ST.StructField("min_s", ST.IntegerType()),
+            ST.StructField("max_s", ST.IntegerType()),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sr = 8000 + (d % 3) * 4000
+                ch = d % 2 + 1
+                frames = d % 40 + 10
+                n = frames * ch
+                v = ((d * 31 + np.arange(n) * 17) % 65536) - 32768
+                payload = encode_wav(
+                    sr, ch, 16, v.astype("<i2").tobytes()
+                )
+                dsr, dch, dbits, data = decode_wav(payload)
+                a = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                recs.append(
+                    (
+                        d,
+                        dsr,
+                        dch,
+                        len(a) // dch,
+                        int(a.sum()),
+                        int(a.min()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+@query(
     "dedup_cluster_best_quality",
     oracle=_SNM_PAIRS_SQL
     + _components_ctes("pairs")

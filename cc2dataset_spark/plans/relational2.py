@@ -601,21 +601,30 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_corr_lineitem",
     oracle="""
-    WITH m AS (
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(19,6)) * 1000000
+                  AS HUGEINT) AS qx,
+             CAST(CAST(l_extendedprice AS DECIMAL(19,6)) * 1000000
+                  AS HUGEINT) AS qy
+      FROM lineitem
+    ), m AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
-                      * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
-                      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
-                      * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(SUM(qx) AS DOUBLE) AS sx,
+             CAST(SUM(qy) AS DOUBLE) AS sy,
+             CAST(SUM(qx * qx) AS DOUBLE) AS sxx,
+             CAST(SUM(qy * qy) AS DOUBLE) AS syy,
+             CAST(SUM(qx * qy) AS DOUBLE) AS sxy
+      FROM q GROUP BY l_returnflag
     )
-    -- raw double: identical IEEE ops over identical exact moments on
-    -- both engines — round(double, 6) would only add the repr-vs-
+    -- moments are INTEGER-exact and cast integer->double (single
+    -- correctly-rounded conversion in both engines; a decimal->double
+    -- cast is double-rounded in DuckDB — int->double then /10^scale —
+    -- and drifted ULPs vs Spark's BigDecimal.doubleValue, caught by
+    -- the full-precision r11 sim). Correlation is scale-invariant so
+    -- the 10^6 quantization cancels; after the moments every op is
+    -- identical IEEE — round(double, 6) would only add the repr-vs-
     -- binary half-boundary divergence (the q2 class)
     SELECT l_returnflag, n,
            (sxy / n - (sx / n) * (sy / n))
@@ -628,23 +637,34 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of quantity vs extended price per return
-    flag, computed from exact DECIMAL moment sums rather than the
+    flag, computed from exact INTEGER moment sums rather than the
     built-in corr() — built-in implementations use different
     single-pass update formulas per engine (Welford vs naive), so
-    their float results drift; the moment sums are order-free exact
-    integers-in-decimal and every double op after them is identical
-    IEEE in both engines. Same one-aggregate shape and cost as any
-    grouped agg."""
+    their float results drift. Values quantize to 10^6-scaled
+    integers first (exact for the 2-dp fixture data; correlation is
+    scale-invariant so the factor cancels), the moments accumulate
+    exactly in DECIMAL(38,0)/HUGEINT, and each moment crosses to
+    double via ONE integer->double conversion — correctly rounded in
+    both engines, unlike a decimal->double cast, which DuckDB
+    double-rounds (int->double then /10^scale) and which drifted the
+    syy moment by a ULP vs Spark's BigDecimal.doubleValue (caught by
+    the full-precision r11 driver sim; the old 12-digit sim masked
+    it). Every double op after the moments is identical IEEE in both
+    engines. Same one-aggregate shape and cost as any grouped agg."""
     li = _t(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(19,6)")
-    y = F.col("l_extendedprice").cast("decimal(19,6)")
+    qx = (F.col("l_quantity").cast("decimal(19,6)") * 1_000_000).cast(
+        "decimal(38,0)"
+    )
+    qy = (
+        F.col("l_extendedprice").cast("decimal(19,6)") * 1_000_000
+    ).cast("decimal(38,0)")
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(qx).cast("double").alias("sx"),
+        F.sum(qy).cast("double").alias("sy"),
+        F.sum(qx * qx).cast("double").alias("sxx"),
+        F.sum(qy * qy).cast("double").alias("syy"),
+        F.sum(qx * qy).cast("double").alias("sxy"),
     )
     n = F.col("n")
     mx, my = F.col("sx") / n, F.col("sy") / n

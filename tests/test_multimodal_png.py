@@ -159,3 +159,59 @@ def test_header_dims_agree_with_jvm_image_dims(spark):
     for i, p in payloads:
         w, h, c, _ = decode_png(p)
         assert got[i] == ("png", w, h)
+
+
+def test_decode_media_signature_dispatch(spark):
+    """decode_media (r11) dispatches on payload MAGIC BYTES: real PNG
+    and baseline-JPEG payloads return their actual pixel dimensions
+    through the real codecs; unrecognized payloads (the fixture's
+    UTF-8 stand-ins) keep the deterministic stub formula that
+    multimodal_decode_stub's oracle replays; gated codec classes
+    propagate loudly instead of answering wrong."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.operators import multimodal as MM
+    from cc2dataset_spark.operators.jpeg import encode_jpeg
+
+    png = encode_png(5, 9, 3, bytes(5 * 9 * 3))
+    jpg = encode_jpeg(16, 8, 1, bytes([42]) * (16 * 8))
+    txt = "hello media".encode()
+
+    rows = [(1, png, "png"), (2, jpg, "jpeg"), (3, txt, "webm")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, fmt string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("fmt").alias("format"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.col("doc_id").alias("source_id"),
+        ).alias("meta"),
+    )
+    got = {r.doc_id: r.asDict() for r in MM.decode_media(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (5, 9, 1)
+    assert (got[2]["width"], got[2]["height"], got[2]["n_frames"]) == (16, 8, 1)
+    h = len(txt)
+    assert (got[3]["width"], got[3]["height"], got[3]["n_frames"]) == (
+        64 + h % 512, 64 + (h * 7) % 512, 1 + h % 30,
+    )
+
+    # gated class: SOF0 -> SOF2 (progressive) must surface, not fake
+    bad = bytearray(jpg)
+    i = bad.index(b"\xff\xc0")
+    bad[i + 1] = 0xC2
+    bdf = spark.createDataFrame(
+        [(9, bytes(bad), "jpeg")], "doc_id long, payload binary, fmt string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("fmt").alias("format"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.col("doc_id").alias("source_id"),
+        ).alias("meta"),
+    )
+    with pytest.raises(Exception, match="non-baseline"):
+        MM.decode_media(bdf).collect()

@@ -1,0 +1,149 @@
+"""WAV/PCM codec (operators/multimodal.py, r11): hand-built RIFF
+spec vectors pin the decoder independently of the encoder; unknown
+chunks skip with the RIFF pad byte honored; the genuinely-coded
+classes (IEEE float, a-law/mu-law, extensible, MP3-in-WAV) gate
+loudly; integer-PCM round-trips are lossless by construction."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cc2dataset_spark.operators.multimodal import decode_wav, encode_wav
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def _fmt(tag=1, ch=1, sr=8000, bits=16, extra=b"") -> bytes:
+    ba = ch * (bits // 8)
+    return struct.pack("<HHIIHH", tag, ch, sr, sr * ba, ba, bits) + extra
+
+
+def _riff(*chunks: bytes) -> bytes:
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_hand_vector_mono_16bit():
+    """Fully hand-assembled file — never touches encode_wav."""
+    samples = struct.pack("<4h", 0, 1000, -1000, 32767)
+    payload = _riff(_chunk(b"fmt ", _fmt()), _chunk(b"data", samples))
+    assert decode_wav(payload) == (8000, 1, 16, samples)
+
+
+def test_hand_vector_stereo_8bit_and_unknown_chunks():
+    """LIST/fact chunks (one odd-sized, exercising the pad byte)
+    before and after fmt must be skipped, not mis-parsed."""
+    samples = bytes([0, 255, 128, 127, 1, 2])  # 3 stereo frames
+    payload = _riff(
+        _chunk(b"LIST", b"INFOxy z"),
+        _chunk(b"fmt ", _fmt(ch=2, sr=44100, bits=8)),
+        _chunk(b"fact", b"\x03\x00\x00\x00\x01"),  # odd size -> pad
+        _chunk(b"data", samples),
+    )
+    assert decode_wav(payload) == (44100, 2, 8, samples)
+
+
+def test_trailing_bytes_after_data_ignored():
+    samples = struct.pack("<2h", 5, -5)
+    payload = _riff(_chunk(b"fmt ", _fmt()), _chunk(b"data", samples))
+    assert decode_wav(payload + b"JUNK")[3] == samples
+
+
+@pytest.mark.parametrize(
+    "tag,name",
+    [
+        (3, "IEEE-float"),
+        (6, "a-law"),
+        (7, "mu-law"),
+        (0x55, "MP3-in-WAV"),
+        (0xFFFE, "WAVE_FORMAT_EXTENSIBLE"),
+        (2, "non-PCM"),
+    ],
+)
+def test_coded_formats_gate_loudly(tag, name):
+    payload = _riff(
+        _chunk(b"fmt ", _fmt(tag=tag)), _chunk(b"data", b"\x00\x00")
+    )
+    with pytest.raises(NotImplementedError, match=name):
+        decode_wav(payload)
+
+
+def test_24bit_gates_and_malformed_raise():
+    p24 = _riff(
+        _chunk(b"fmt ", _fmt(bits=24)), _chunk(b"data", b"\x00" * 3)
+    )
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_wav(p24)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + bytes(40))
+    with pytest.raises(ValueError, match="WAVE"):
+        decode_wav(b"RIFF\x04\x00\x00\x00AVI ")
+    # data before fmt
+    with pytest.raises(ValueError, match="before fmt"):
+        decode_wav(_riff(_chunk(b"data", b"\x00\x00")))
+    # no data chunk at all
+    with pytest.raises(ValueError, match="no data"):
+        decode_wav(_riff(_chunk(b"fmt ", _fmt())))
+    # declared data size beyond the payload
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(
+            _riff(
+                _chunk(b"fmt ", _fmt()),
+                b"data" + struct.pack("<I", 100) + b"\x00\x00",
+            )
+        )
+    # frame misalignment: 3 bytes of 16-bit mono
+    with pytest.raises(ValueError, match="multiple"):
+        decode_wav(
+            _riff(_chunk(b"fmt ", _fmt()), _chunk(b"data", b"\x00" * 3))
+        )
+
+
+def test_encoder_validates():
+    with pytest.raises(ValueError, match="bits"):
+        encode_wav(8000, 1, 12, b"")
+    with pytest.raises(ValueError, match="channels"):
+        encode_wav(8000, 0, 16, b"")
+    with pytest.raises(ValueError, match="multiple"):
+        encode_wav(8000, 2, 16, b"\x00\x00\x00")
+
+
+def test_odd_data_pad_byte_roundtrip():
+    """8-bit mono with an odd sample count: the encoder writes the
+    RIFF pad byte outside the declared size; decode must return
+    exactly the declared bytes."""
+    samples = bytes([7, 8, 9])
+    p = encode_wav(16000, 1, 8, samples)
+    assert len(p) % 2 == 0
+    assert decode_wav(p) == (16000, 1, 8, samples)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    sr=st.sampled_from([8000, 11025, 44100]),
+    ch=st.integers(1, 3),
+    bits=st.sampled_from([8, 16]),
+    n=st.integers(1, 64),
+    seed=st.integers(0, 2**31),
+)
+def test_roundtrip_fuzz(sr, ch, bits, n, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    if bits == 8:
+        frames = rng.integers(0, 256, n * ch, dtype=np.uint8).tobytes()
+    else:
+        frames = rng.integers(
+            -32768, 32768, n * ch, dtype=np.int64
+        ).astype("<i2").tobytes()
+    assert decode_wav(encode_wav(sr, ch, bits, frames)) == (
+        sr,
+        ch,
+        bits,
+        frames,
+    )

@@ -42,10 +42,27 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def norm(v):
+    # FULL-PRECISION normalization (r11, verdict ask #5): the r10
+    # external red was hash-only on values this sim called equal
+    # under its old 12-significant-digit rounding + Decimal->float
+    # coercion — strictly more forgiving than an unknown driver
+    # hasher, i.e. exactly how a sim-green/driver-red escape stays
+    # invisible. Doubles now compare by shortest round-trip repr
+    # (17g-equivalent, bit-exact up to the NaN/-0.0 canonicalization
+    # below); Decimals stay exact — integral ones canonicalize to
+    # int (no precision loss, avoids spurious int-vs-Decimal type
+    # noise where engines agree numerically), fractional ones to a
+    # normalized exact string.
     if isinstance(v, Decimal):
-        v = float(v)
+        if v == v.to_integral_value():
+            return int(v)
+        return f"dec:{v.normalize()}"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else float(f"{v:.12g}")
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0  # collapse -0.0 / +0.0
+        return f"f:{v!r}"
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
