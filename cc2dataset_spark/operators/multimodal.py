@@ -95,9 +95,12 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     Dispatch is by PAYLOAD SIGNATURE, not the metadata format tag
     (tags lie at web scale; magic bytes don't): PNG-signature
     payloads decode through the REAL stdlib-zlib codec
-    (:func:`decode_png`, r10) and JPEG SOI payloads through the real
+    (:func:`decode_png`, r10), JPEG SOI payloads through the real
     baseline Huffman+IDCT codec (``operators/jpeg.decode_jpeg``,
-    wired r11) — both return actual pixel dimensions and n_frames=1.
+    wired r11), and GIF87a/89a payloads through the real LZW codec
+    (:func:`decode_gif`, r11) — all return actual pixel dimensions
+    and n_frames=1 (a multi-frame GIF gates loudly rather than
+    counting frames it refuses to decode).
     The honestly-gated classes inside those codecs (progressive /
     subsampled / multi-scan JPEG, palette/16-bit/interlaced PNG)
     raise ``NotImplementedError`` LOUDLY rather than answering
@@ -124,7 +127,10 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
         if _pkg_root not in sys.path:
             sys.path.insert(0, _pkg_root)
         from cc2dataset_spark.operators.jpeg import decode_jpeg
-        from cc2dataset_spark.operators.multimodal import decode_png
+        from cc2dataset_spark.operators.multimodal import (
+            decode_gif,
+            decode_png,
+        )
 
         def _stub(payload, fmt):
             if payload is None:
@@ -146,6 +152,9 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                     return (w, h, 1)
                 if b[:2] == b"\xff\xd8":
                     w, h, _ch, _raw = decode_jpeg(b)
+                    return (w, h, 1)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, _ch, _raw = decode_gif(b)
                     return (w, h, 1)
             return _stub(payload, fmt)
 
@@ -830,3 +839,281 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
         # unknown chunk: skip, honoring the RIFF odd-size pad byte
         pos = body_start + size + (size % 2)
     raise ValueError("WAVE payload has no data chunk")
+
+
+# ---------------------------------------------------------------------
+# REAL GIF pixel codec (r11): GIF's only compression is LZW — pure
+# stdlib-implementable — so this closes the LAST major image-decode
+# gate (PNG r10, baseline JPEG r10/r11). Single-frame GIF87a/89a,
+# global or local color table, interlaced or not; multi-frame
+# animations gate loudly (decoding only frame 1 of an animation and
+# calling it the image would be a silent wrong answer). GIF is
+# LOSSLESS (palette indices round-trip exactly), so formula oracles
+# work exactly as for PNG.
+# ---------------------------------------------------------------------
+
+
+def _lzw_decode(mcs: int, data: bytes, expected: int) -> bytes:
+    """GIF-variant LZW: variable code width mcs+1..12, clear/end
+    codes, KwKwK case; stops after ``expected`` indices."""
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"bad LZW min code size {mcs}")
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    # bit reader: LSB-first across the byte stream
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            raise ValueError("LZW stream truncated")
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    def fresh_table():
+        return {i: bytes([i]) for i in range(1 << mcs)}
+
+    table = fresh_table()
+    next_code = end + 1
+    width = mcs + 1
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read_code(width)
+        if code == clear:
+            table = fresh_table()
+            next_code = end + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(f"bad first LZW code {code}")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(
+            f"LZW stream ended early: {len(out)} of {expected} indices"
+        )
+    return bytes(out[:expected])
+
+
+def _lzw_encode(mcs: int, indices: bytes) -> bytes:
+    """GIF-variant LZW encoder twin — real dictionary growth (so the
+    decoder's table/width logic is exercised), clear code on table
+    overflow."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = end + 1
+    width = mcs + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            next_code = end + 1
+            width = mcs + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    palette: list,
+    indices: bytes,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal deterministic single-frame GIF89a writer — global
+    color table only. ``palette`` is a list of (r, g, b); table size
+    is padded to the next power of two (min 2). Identical inputs
+    produce identical bytes."""
+    import struct
+
+    if not 1 <= len(palette) <= 256:
+        raise ValueError(f"palette must have 1..256 entries")
+    if len(indices) != width * height:
+        raise ValueError(
+            f"indices has {len(indices)} entries, expected "
+            f"{width * height}"
+        )
+    if any(i >= len(palette) for i in indices):
+        raise ValueError("index out of palette range")
+    bits = max(1, (len(palette) - 1).bit_length())
+    table_n = 1 << bits
+    gct = bytearray()
+    for j in range(table_n):
+        r, g, b = palette[j] if j < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    mcs = max(2, bits)
+    if interlace:
+        rows = []
+        for off, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(off, height, step))
+        stream = b"".join(
+            indices[r * width : (r + 1) * width] for r in rows
+        )
+    else:
+        stream = indices
+    lzw = _lzw_encode(mcs, stream)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    packed = 0x80 | ((bits - 1) & 7)  # GCT flag + size
+    img_packed = 0x40 if interlace else 0
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, packed, 0, 0)
+        + bytes(gct)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, img_packed)
+        + bytes([mcs])
+        + bytes(sub)
+        + b"\x3b"
+    )
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a single-frame GIF to (width, height, 3, RGB bytes).
+
+    Real spec walk: logical screen descriptor, global/local color
+    table, extension skipping (sub-block chained), interlace
+    de-weaving, full LZW. Gated loudly: a SECOND image descriptor
+    (animation — returning frame 1 as 'the image' would be silently
+    wrong) raises NotImplementedError; structural damage raises
+    ValueError. GCE transparency is palette-mapped like any other
+    index (transparency affects compositing, not the stored
+    pixels)."""
+    import struct
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 7) + 1)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    frame = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + chained sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b == 0x2C:  # image descriptor
+            if frame is not None:
+                raise NotImplementedError(
+                    "multi-frame GIF (animation): refusing to call "
+                    "frame 1 'the image'"
+                )
+            left, top, w, h, ip = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            table = gct
+            if ip & 0x80:  # local color table
+                n = 1 << ((ip & 7) + 1)
+                table = payload[pos : pos + 3 * n]
+                if len(table) < 3 * n:
+                    raise ValueError("GIF local color table truncated")
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunk = payload[pos + 1 : pos + 1 + ln]
+                if len(chunk) < ln:
+                    raise ValueError("GIF data sub-block truncated")
+                lzw += chunk
+                pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("GIF data stream unterminated")
+            pos += 1
+            idx = _lzw_decode(mcs, bytes(lzw), w * h)
+            if ip & 0x40:  # interlaced: de-weave rows
+                rows = []
+                for off, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(off, h, step))
+                de = bytearray(w * h)
+                for src_r, dst_r in enumerate(rows):
+                    de[dst_r * w : (dst_r + 1) * w] = idx[
+                        src_r * w : (src_r + 1) * w
+                    ]
+                idx = bytes(de)
+            n_colors = len(table) // 3
+            if any(i >= n_colors for i in idx):
+                raise ValueError("GIF index outside color table")
+            rgb = bytearray(3 * w * h)
+            for p, i in enumerate(idx):
+                rgb[3 * p : 3 * p + 3] = table[3 * i : 3 * i + 3]
+            frame = (w, h, 3, bytes(rgb))
+            continue
+        raise ValueError(f"bad GIF block 0x{b:02X} at {pos}")
+    if frame is None:
+        raise ValueError("GIF has no image descriptor")
+    return frame

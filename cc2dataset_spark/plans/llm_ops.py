@@ -3700,6 +3700,133 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 12 + 3 AS w, doc_id % 10 + 3 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             unnest(generate_series(0, w * h - 1)) AS p
+      FROM d
+    ), c AS (
+      SELECT doc_id, w, h, p, (doc_id * 11 + p * 7) % 16 AS j
+      FROM px
+    ), rgb AS (
+      SELECT doc_id, w, h, p,
+             (j * 53 + 7) % 256 AS r,
+             (j * 97 + 13) % 256 AS g,
+             (j * 29 + 31) % 256 AS b
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(MAX(w * h) AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((p + 1) * (r + g + b)) AS BIGINT) AS wsum_rgb
+    FROM rgb GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "gif", "llm"),
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode (r11) — closes the LAST major
+    image-decode gate (PNG r10, baseline JPEG r10/r11): GIF's only
+    compression is LZW, pure-stdlib-implementable, and LOSSLESS, so
+    the PNG formula-oracle protocol applies exactly
+    (operators/multimodal.decode_gif: spec-shaped block walk,
+    global/local color tables, extension skipping, 4-pass interlace
+    de-weave, full variable-width LZW with KwKwK and deferred-clear
+    handling).
+
+    Fixture protocol: each document synthesizes a deterministic
+    16-color paletted image from doc_id (w = id%12+3, h = id%10+3,
+    palette[j] = ((j*53+7)%256, (j*97+13)%256, (j*29+31)%256),
+    index(p) = (id*11 + p*7) % 16), ENCODES it to a real GIF89a —
+    INTERLACED for odd doc_ids, so the de-weave runs on half the
+    corpus — and DECODES that payload. Plain channel sums are
+    permutation-invariant and would hide a de-weave slip, so the
+    output also carries a POSITION-WEIGHTED checksum
+    (sum (p+1)*(r+g+b) over raster order): any row landing in the
+    wrong place shifts it and hashes red. The oracle computes all
+    statistics straight from the index/palette formulas and never
+    sees a GIF; hand-assembled LZW spec vectors pin the decoder
+    independently of the encoder twin (tests/test_gif.py).
+
+    Plan: ONE Arrow-batched mapInPandas over doc_id — zero shuffle,
+    zero collect, embarrassingly parallel; 8 integers per image
+    leave Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("width", ST.IntegerType()),
+            ST.StructField("height", ST.IntegerType()),
+            ST.StructField("n_pixels", ST.LongType()),
+            ST.StructField("sum_r", ST.LongType()),
+            ST.StructField("sum_g", ST.LongType()),
+            ST.StructField("sum_b", ST.LongType()),
+            ST.StructField("wsum_rgb", ST.LongType()),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.multimodal import (
+            decode_gif,
+            encode_gif,
+        )
+
+        pal = [
+            ((j * 53 + 7) % 256, (j * 97 + 13) % 256, (j * 29 + 31) % 256)
+            for j in range(16)
+        ]
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 12 + 3, d % 10 + 3
+                idx = bytes((d * 11 + p * 7) % 16 for p in range(w * h))
+                payload = encode_gif(
+                    w, h, pal, idx, interlace=bool(d % 2)
+                )
+                dw, dh, dch, rgb = decode_gif(payload)
+                a = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(dh * dw, 3)
+                    .astype(np.int64)
+                )
+                pw = np.arange(1, dh * dw + 1, dtype=np.int64)
+                recs.append(
+                    (
+                        d,
+                        dw,
+                        dh,
+                        dw * dh,
+                        int(a[:, 0].sum()),
+                        int(a[:, 1].sum()),
+                        int(a[:, 2].sum()),
+                        int((pw * a.sum(axis=1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+@query(
     "multimodal_wav_sample_stats",
     oracle="""
     WITH p AS (

@@ -174,11 +174,15 @@ def test_decode_media_signature_dispatch(spark):
     from cc2dataset_spark.operators import multimodal as MM
     from cc2dataset_spark.operators.jpeg import encode_jpeg
 
+    from cc2dataset_spark.operators.multimodal import encode_gif
+
     png = encode_png(5, 9, 3, bytes(5 * 9 * 3))
     jpg = encode_jpeg(16, 8, 1, bytes([42]) * (16 * 8))
+    gif = encode_gif(7, 3, [(0, 0, 0), (9, 9, 9)], bytes(21))
     txt = "hello media".encode()
 
-    rows = [(1, png, "png"), (2, jpg, "jpeg"), (3, txt, "webm")]
+    rows = [(1, png, "png"), (2, jpg, "jpeg"), (3, txt, "webm"),
+            (4, gif, "gif")]
     df = spark.createDataFrame(
         rows, "doc_id long, payload binary, fmt string"
     ).select(
@@ -197,6 +201,7 @@ def test_decode_media_signature_dispatch(spark):
     assert (got[3]["width"], got[3]["height"], got[3]["n_frames"]) == (
         64 + h % 512, 64 + (h * 7) % 512, 1 + h % 30,
     )
+    assert (got[4]["width"], got[4]["height"], got[4]["n_frames"]) == (7, 3, 1)
 
     # gated class: SOF0 -> SOF2 (progressive) must surface, not fake
     bad = bytearray(jpg)
