@@ -3827,6 +3827,125 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_real_mixed",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'gif' END AS format,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN doc_id % 9 + 2
+                WHEN 1 THEN doc_id % 13 + 4
+                ELSE doc_id % 12 + 3 END AS INT) AS width,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN doc_id % 7 + 2
+                WHEN 1 THEN doc_id % 11 + 4
+                ELSE doc_id % 10 + 3 END AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "image", "llm"),
+)
+def multimodal_decode_real_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode_media OPERATOR itself — the surface a user actually
+    calls — driven over a mixed corpus of REAL image bytes (r11):
+    each document synthesizes a real PNG (doc_id%3==0, RGB formula
+    pixels), a real baseline JPEG (==1, solid grey, the codec's
+    exactly-decodable class), or a real GIF89a (==2, 16-color
+    palette, interlaced for odd ids), and the catalog query runs the
+    production ``operators/multimodal.decode_media`` mapInPandas over
+    (doc_id, payload, meta) — magic-byte dispatch, real codecs,
+    n_frames=1. The oracle states the expected dimensions in closed
+    form per format class: a dispatch slip (e.g. a GIF routed to the
+    stub formula) or any codec header error hashes red. The unit
+    suites pin each codec's pixels; THIS row pins the wiring.
+
+    Plan: two Arrow-batched mapInPandas stages (synthesize, decode) —
+    zero shuffle, zero collect; the decode stage is byte-in/
+    integers-out exactly like the 100 TB media-scan shape."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    pay_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+            ST.StructField(
+                "meta",
+                ST.StructType(
+                    [
+                        ST.StructField("format", ST.StringType()),
+                        ST.StructField("n_bytes", ST.LongType()),
+                        ST.StructField("source_id", ST.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def synth(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        import numpy as np
+
+        from cc2dataset_spark.operators.jpeg import encode_jpeg
+        from cc2dataset_spark.operators.multimodal import (
+            encode_gif,
+            encode_png,
+        )
+
+        pal = [
+            ((j * 53 + 7) % 256, (j * 97 + 13) % 256, (j * 29 + 31) % 256)
+            for j in range(16)
+        ]
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                kind = d % 3
+                if kind == 0:
+                    w, h = d % 9 + 2, d % 7 + 2
+                    r = np.arange(h).reshape(h, 1, 1)
+                    c = np.arange(w).reshape(1, w, 1)
+                    ch = np.arange(3).reshape(1, 1, 3)
+                    vals = (
+                        (d * 7 + r * 131 + c * 17 + ch * 59) % 256
+                    ).astype(np.uint8)
+                    payload, fmt = encode_png(w, h, 3, vals.tobytes()), "png"
+                elif kind == 1:
+                    w, h, v = d % 13 + 4, d % 11 + 4, (d * 37 + 11) % 256
+                    payload, fmt = (
+                        encode_jpeg(w, h, 1, bytes([v]) * (w * h)),
+                        "jpeg",
+                    )
+                else:
+                    w, h = d % 12 + 3, d % 10 + 3
+                    idx = bytes(
+                        (d * 11 + p * 7) % 16 for p in range(w * h)
+                    )
+                    payload, fmt = (
+                        encode_gif(w, h, pal, idx, interlace=bool(d % 2)),
+                        "gif",
+                    )
+                recs.append((d, payload, (fmt, len(payload), d)))
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "payload", "meta"]
+            )
+
+    from cc2dataset_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select("doc_id").mapInPandas(synth, pay_schema)
+    decoded = decode_media(wrapped)
+    return decoded.select(
+        "doc_id", "format", "width", "height", "n_frames"
+    )
+
+
+@query(
     "multimodal_wav_sample_stats",
     oracle="""
     WITH p AS (
