@@ -3827,6 +3827,102 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_wav_frame_energy",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 250 + doc_id % 400 AS n
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0, (n - 200) // 80)) AS frame_idx
+      FROM p
+    ), sk AS (
+      SELECT doc_id, frame_idx,
+             unnest(generate_series(frame_idx * 80,
+                                    frame_idx * 80 + 199)) AS k
+      FROM fr
+    ), sv AS (
+      SELECT doc_id, frame_idx,
+             (doc_id * 31 + k * 17) % 65536 - 32768 AS s
+      FROM sk
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(SUM(s * s) AS BIGINT) AS energy
+    FROM sv GROUP BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "audio", "wav", "llm"),
+)
+def multimodal_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy over REAL decoded PCM (r11) — the
+    feature-extraction step a speech-data pipeline runs after decode
+    (VAD gating, silence trimming, loudness normalization all start
+    from frame energy), composing decode_wav with the 25ms/10ms
+    frame-grid arithmetic that multimodal_audio_frames does over
+    metadata: window 200 samples, hop 80 (25ms/10ms at 8kHz),
+    n_frames = 1 + (n-200) div 80.
+
+    Fixture protocol: mono 16-bit PCM, n = 250 + id%400 samples,
+    sample_k = (id*31 + k*17) % 65536 - 32768, encoded to a real WAV
+    and DECODED back (lossless); frame energies are integer-exact
+    sums of squares (|s| < 2^15, 200 terms -> < 2^38 per frame) over
+    the DECODED samples, so the oracle computes the identical values
+    from the sample formula without ever seeing a WAV — any
+    byte-order, header, or framing error shifts an energy and hashes
+    red.
+
+    Plan: ONE Arrow-batched mapInPandas over doc_id emitting the
+    bounded per-doc frame rows — zero shuffle, zero collect; the
+    frame fan-out (<=4 rows/doc here, ~100 rows/s of audio in
+    production) happens INSIDE the kernel, never as a Spark
+    explode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("frame_idx", ST.LongType()),
+            ST.StructField("energy", ST.LongType()),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        win, hop = 200, 80
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 250 + d % 400
+                v = ((d * 31 + np.arange(n) * 17) % 65536) - 32768
+                payload = encode_wav(
+                    8000, 1, 16, v.astype("<i2").tobytes()
+                )
+                _sr, _ch, _bits, data = decode_wav(payload)
+                a = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n_frames = 1 + (len(a) - win) // hop
+                for j in range(n_frames):
+                    seg = a[j * hop : j * hop + win]
+                    recs.append((d, j, int((seg * seg).sum())))
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+@query(
     "multimodal_decode_real_mixed",
     oracle="""
     SELECT doc_id,
