@@ -5,15 +5,21 @@ metadata struct. The Spark-side machinery — schema, partition sizing,
 Arrow batch shape, mapInPandas signatures — is real and tested.
 Codec status: **PNG pixel decode is REAL** (r10 —
 ``decode_png``/``encode_png``, stdlib zlib + the five RFC 2083
-scanline filters; no media library needed), and **baseline JPEG is
-REAL for the 4:4:4/greyscale class** (r10 — ``operators/jpeg.py``,
+scanline filters; no media library needed), **baseline JPEG is REAL
+for the 4:4:4/greyscale class** (r10 — ``operators/jpeg.py``,
 pure numpy: Huffman + dequant + IDCT, Annex K tables, restart
-markers; subsampled 4:2:0 and progressive raise). WebP/video decode
-stays honestly stubbed behind ``decode_stub`` because their entropy
-coders genuinely need codec libs (a real deployment drops in
-pillow/ffmpeg inside the same batch function). Header-level
-dimension parsing for PNG/GIF/JPEG is also real and pure-JVM
-(``image_dims``).
+markers; subsampled 4:2:0, progressive, and non-interleaved
+multi-scan raise), **GIF is REAL** (r11 — ``decode_gif``/
+``encode_gif``, full variable-width LZW, global/local color tables,
+interlace de-weave; multi-frame animations raise), and **WAV
+integer PCM is REAL** (r11 — ``decode_wav``/``encode_wav``,
+spec-shaped RIFF chunk walk; IEEE-float/a-law/mu-law/extensible/MP3
+raise). ``decode_media`` dispatches on payload magic bytes across
+all three image codecs. WebP/video decode stays honestly stubbed
+behind ``decode_stub`` because their entropy coders genuinely need
+codec libs (a real deployment drops in pillow/ffmpeg inside the
+same batch function). Header-level dimension parsing for
+PNG/GIF/JPEG is also real and pure-JVM (``image_dims``).
 """
 
 from __future__ import annotations

@@ -213,3 +213,18 @@ def test_non_interleaved_multi_scan_gates_loudly():
             return
         i += 2 + ln
     raise AssertionError("no SOS found")
+
+
+def test_dims_parser_tolerates_fill_bytes(spark):
+    """image_dims (pure-JVM walk) must agree with decode_jpeg on a
+    fill-padded file (T.81 B.1.1.2 0xFF padding + a TEM marker)."""
+    from cc2dataset_spark.operators.multimodal import image_dims
+
+    jpg = encode_jpeg(16, 8, 1, bytes([42]) * 128)
+    padded = jpg[:2] + b"\xff" + b"\xff\x01" + jpg[2:]
+    assert decode_jpeg(padded)[:2] == (16, 8)
+    df = spark.createDataFrame(
+        [(1, padded)], "doc_id long, payload binary"
+    )
+    (r,) = df.select(image_dims("payload").alias("d")).collect()
+    assert (r.d["format"], r.d["width"], r.d["height"]) == ("jpeg", 16, 8)
