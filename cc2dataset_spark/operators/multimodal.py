@@ -5,7 +5,9 @@ metadata struct. The Spark-side machinery — schema, partition sizing,
 Arrow batch shape, mapInPandas signatures — is real and tested.
 Codec status: **PNG pixel decode is REAL** (r10 —
 ``decode_png``/``encode_png``, stdlib zlib + the five RFC 2083
-scanline filters; no media library needed), **baseline JPEG is REAL
+scanline filters; r11 adds palette at all legal palette depths and
+Adam7 interlace, with ``encode_png_indexed`` as the fixture twin;
+no media library needed), **baseline JPEG is REAL
 for the 4:4:4/greyscale class** (r10 — ``operators/jpeg.py``,
 pure numpy: Huffman + dequant + IDCT, Annex K tables, restart
 markers; subsampled 4:2:0, progressive, and non-interleaved
@@ -108,7 +110,7 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     and n_frames=1 (a multi-frame GIF gates loudly rather than
     counting frames it refuses to decode).
     The honestly-gated classes inside those codecs (progressive /
-    subsampled / multi-scan JPEG, palette/16-bit/interlaced PNG)
+    subsampled / multi-scan JPEG, 16-bit / grey+alpha PNG)
     raise ``NotImplementedError`` LOUDLY rather than answering
     wrong. Payloads with neither signature (this repo's fixture
     stand-ins are UTF-8 text; real deployments: WebP/video, which
@@ -190,8 +192,9 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
 # Baseline JPEG decodes for real too since operators/jpeg.py landed
 # (pure-numpy Huffman + IDCT; progressive/subsampled/multi-scan stay
 # gated there). The remaining genuinely-gated format is WebP/video
-# (VP8 entropy coding needs codec libs). Non-interlaced 8-bit
-# greyscale/RGB/RGBA only — palette/16-bit/interlaced raise, honestly.
+# (VP8 entropy coding needs codec libs). 8-bit greyscale/RGB/RGBA,
+# palette at all legal palette depths, and Adam7 interlace all decode
+# (r11); 16-bit, sub-8-bit greyscale, and grey+alpha raise, honestly.
 # ---------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -214,13 +217,16 @@ def encode_png(
     channels: int,
     raw: bytes,
     filter_for_row=lambda r: r % 5,
+    interlace: bool = False,
 ) -> bytes:
-    """Minimal deterministic PNG writer — 8-bit, non-interlaced,
-    greyscale (1ch) / RGB (3ch) / RGBA (4ch). ``filter_for_row``
-    picks the per-scanline filter type (default cycles 0..4 so a
-    round-trip exercises EVERY unfilter branch, not just None).
-    Identical inputs produce identical bytes (fixed zlib level), so
-    synthesized fixtures are reproducible."""
+    """Minimal deterministic PNG writer — 8-bit, greyscale (1ch) /
+    RGB (3ch) / RGBA (4ch), optionally Adam7-interlaced (r11).
+    ``filter_for_row`` picks the per-scanline filter type (default
+    cycles 0..4 so a round-trip exercises EVERY unfilter branch, not
+    just None); under interlace the cycle runs over a global
+    scanline counter across passes. Identical inputs produce
+    identical bytes (fixed zlib level), so synthesized fixtures are
+    reproducible."""
     import struct
     import zlib
 
@@ -232,22 +238,76 @@ def encode_png(
         raise ValueError(
             f"raw has {len(raw)} bytes, expected {stride * height}"
         )
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    bpp = channels
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0,
+        1 if interlace else 0,
+    )
     out = bytearray()
-    prev = bytes(stride)
-    for r in range(height):
-        row = raw[r * stride : (r + 1) * stride]
-        f = filter_for_row(r) % 5
+    rc = 0
+    for (xs, ys, xstep, ystep), pw, ph in _png_pass_layout(
+        width, height, interlace
+    ):
+        rows = []
+        for r in range(ph):
+            y = ys + r * ystep
+            if xstep == 1:
+                rows.append(raw[y * stride : y * stride + pw * channels])
+            else:
+                rows.append(
+                    b"".join(
+                        raw[
+                            (y * width + xs + i * xstep) * channels :
+                            (y * width + xs + i * xstep) * channels
+                            + channels
+                        ]
+                        for i in range(pw)
+                    )
+                )
+        rc = _png_filter_rows(out, rows, channels, filter_for_row, rc)
+    idat = zlib.compress(bytes(out), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_pass_layout(width: int, height: int, interlace: bool):
+    """[(grid, pass_width, pass_height), ...] — one full-frame pass
+    when not interlaced, else the non-empty Adam7 passes."""
+    if not interlace:
+        return [((0, 0, 1, 1), width, height)]
+    out = []
+    for xs, ys, xstep, ystep in _ADAM7:
+        pw = (width - xs + xstep - 1) // xstep
+        ph = (height - ys + ystep - 1) // ystep
+        if pw > 0 and ph > 0:
+            out.append(((xs, ys, xstep, ystep), pw, ph))
+    return out
+
+
+def _png_filter_rows(out: bytearray, rows: list, bpp: int,
+                     filter_for_row, rc: int) -> int:
+    """Filter ``rows`` (equal-length byte rows of one pass) into
+    ``out``; ``rc`` is the global scanline counter driving the
+    filter cycle. Returns the advanced counter."""
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        f = filter_for_row(rc) % 5
+        rc += 1
         out.append(f)
         for i, x in enumerate(row):
             a = row[i - bpp] if i >= bpp else 0
@@ -265,74 +325,109 @@ def encode_png(
                 v = x - _paeth(a, b, c)
             out.append(v & 0xFF)
         prev = row
+    return rc
+
+
+def encode_png_indexed(
+    width: int,
+    height: int,
+    palette: list,
+    indices: bytes,
+    bit_depth: int = 8,
+    interlace: bool = False,
+    filter_for_row=lambda r: r % 5,
+) -> bytes:
+    """Deterministic PALETTE PNG writer (color type 3) at any legal
+    palette depth (1/2/4/8-bit indices, MSB-first bit packing per
+    RFC 2083 §2.3), optionally Adam7-interlaced — the encoder twin
+    for decode_png's r11 palette/interlace support. ``indices`` is
+    one byte per pixel regardless of depth; packing happens here."""
+    import struct
+
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"illegal palette bit depth {bit_depth}")
+    if len(palette) > (1 << bit_depth):
+        raise ValueError(
+            f"{len(palette)} palette entries exceed {bit_depth}-bit"
+        )
+    if len(indices) != width * height:
+        raise ValueError(
+            f"indices has {len(indices)} entries, expected "
+            f"{width * height}"
+        )
+    if any(i >= len(palette) for i in indices):
+        raise ValueError("index out of palette range")
+
+    def pack_row(px: bytes) -> bytes:
+        if bit_depth == 8:
+            return px
+        per_byte = 8 // bit_depth
+        row = bytearray((len(px) + per_byte - 1) // per_byte)
+        for i, ix in enumerate(px):
+            row[i // per_byte] |= ix << (
+                8 - bit_depth * (i % per_byte + 1)
+            )
+        return bytes(row)
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, 3, 0, 0,
+        1 if interlace else 0,
+    )
+    plte = b"".join(bytes(c) for c in palette)
+    out = bytearray()
+    rc = 0
+    for (xs, ys, xstep, ystep), pw, ph in _png_pass_layout(
+        width, height, interlace
+    ):
+        rows = []
+        for r in range(ph):
+            y = ys + r * ystep
+            px = bytes(
+                indices[y * width + xs + i * xstep] for i in range(pw)
+            )
+            rows.append(pack_row(px))
+        rc = _png_filter_rows(out, rows, 1, filter_for_row, rc)
+    import zlib
+
     idat = zlib.compress(bytes(out), 6)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
     )
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG payload to (width, height, channels, raw pixels) —
-    stdlib-only: zlib inflate + the five RFC 2083 scanline unfilters
-    (None/Sub/Up/Average/Paeth), CRC-checked chunk walk,
-    multi-IDAT-safe. 8-bit non-interlaced greyscale/RGB/RGBA;
-    palette, 16-bit and Adam7 raise NotImplementedError (real gates,
-    not silent wrong answers)."""
-    import struct
-    import zlib
+# Adam7 pass grid: (xstart, ystart, xstep, ystep) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if payload is None or not payload.startswith(_PNG_SIG):
-        raise ValueError("not a PNG payload")
-    pos = len(_PNG_SIG)
-    width = height = None
-    channels = bit_depth = interlace = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack(
-            ">I", payload[pos + 8 + length : pos + 12 + length]
-        )
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {tag!r} fails CRC")
-        if tag == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
-            if bit_depth != 8:
-                raise NotImplementedError(
-                    f"bit depth {bit_depth} PNG needs a full codec"
-                )
-            if interlace != 0:
-                raise NotImplementedError("Adam7 interlaced PNG")
-            channels = _PNG_CHANNELS.get(color_type)
-            if channels is None:
-                raise NotImplementedError(
-                    f"PNG color type {color_type} (palette?)"
-                )
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    data = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(data) != (stride + 1) * height:
+
+def _png_unfilter(data: bytes, offset: int, stride: int, bpp: int,
+                  height: int) -> tuple[bytearray, int]:
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting at
+    ``offset`` in the decompressed stream (RFC 2083 §6 — filtering is
+    byte-wise regardless of bit depth, with bpp = filter byte
+    distance). Returns (concatenated rows, new offset)."""
+    need = (stride + 1) * height
+    if len(data) - offset < need:
         raise ValueError("PNG pixel data length mismatch")
-    bpp = channels
     raw = bytearray()
     prev = bytes(stride)
     for r in range(height):
-        f = data[r * (stride + 1)]
-        row = bytearray(
-            data[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
-        )
+        base = offset + r * (stride + 1)
+        f = data[base]
+        row = bytearray(data[base + 1 : base + 1 + stride])
         if f > 4:
             raise ValueError(f"PNG filter type {f}")
         for i in range(stride):
@@ -349,7 +444,144 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
         raw.extend(row)
         prev = bytes(row)
-    return width, height, channels, bytes(raw)
+    return raw, offset + need
+
+
+def _png_unpack_indices(row: bytes, width: int, depth: int) -> list:
+    """Unpack a palette scanline of ``depth``-bit indices (MSB-first
+    within each byte, per RFC 2083 §2.3) to ``width`` ints."""
+    if depth == 8:
+        return list(row[:width])
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    out = []
+    for byte in row:
+        for k in range(per_byte):
+            out.append((byte >> (8 - depth * (k + 1))) & mask)
+            if len(out) == width:
+                return out
+    if len(out) < width:
+        raise ValueError("PNG palette row underflow")
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG payload to (width, height, channels, raw pixels) —
+    stdlib-only: zlib inflate + the five RFC 2083 scanline unfilters
+    (None/Sub/Up/Average/Paeth), CRC-checked chunk walk,
+    multi-IDAT-safe. Supported: 8-bit greyscale/RGB/RGBA, PALETTE at
+    every legal palette depth (1/2/4/8-bit indices -> RGB through
+    PLTE, r11), and Adam7 INTERLACE for all of those (7 independently
+    filtered passes scattered back to raster order, r11). Gated
+    loudly: 16-bit samples, sub-8-bit greyscale, and
+    greyscale+alpha (color type 4) raise NotImplementedError — real
+    gates, not silent wrong answers. tRNS transparency is
+    palette-mapped like any other index (compositing concern, not a
+    stored-pixel one)."""
+    import struct
+    import zlib
+
+    if payload is None or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    color_type = bit_depth = interlace = None
+    spp = None  # samples per pixel in the coded stream
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} fails CRC")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace}")
+            if color_type == 3:
+                if bit_depth not in (1, 2, 4, 8):
+                    raise ValueError(
+                        f"illegal palette bit depth {bit_depth}"
+                    )
+                spp = 1
+            else:
+                if bit_depth != 8:
+                    raise NotImplementedError(
+                        f"bit depth {bit_depth} PNG (color type "
+                        f"{color_type}) needs a full codec"
+                    )
+                spp = _PNG_CHANNELS.get(color_type)
+                if spp is None:
+                    raise NotImplementedError(
+                        f"PNG color type {color_type}"
+                    )
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = bytes(body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    data = zlib.decompress(bytes(idat))
+
+    def row_stride(n_px: int) -> int:
+        return (n_px * spp * bit_depth + 7) // 8
+
+    bpp = max(1, spp * bit_depth // 8)
+
+    # decode to per-pixel SAMPLE rows in raster order
+    if interlace == 0:
+        passes = [((0, 0, 1, 1), width, height)]
+    else:
+        passes = []
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (width - xs + xstep - 1) // xstep
+            ph = (height - ys + ystep - 1) // ystep
+            if pw > 0 and ph > 0:
+                passes.append(((xs, ys, xstep, ystep), pw, ph))
+
+    out_ch = 3 if color_type == 3 else spp
+    raw = bytearray(width * height * out_ch)
+    offset = 0
+    n_colors = len(palette) // 3 if palette else 0
+    for (xs, ys, xstep, ystep), pw, ph in passes:
+        rows, offset = _png_unfilter(
+            data, offset, row_stride(pw), bpp, ph
+        )
+        rs = row_stride(pw)
+        for r in range(ph):
+            row = bytes(rows[r * rs : (r + 1) * rs])
+            y = ys + r * ystep
+            if color_type == 3:
+                idxs = _png_unpack_indices(row, pw, bit_depth)
+                for i, ix in enumerate(idxs):
+                    if ix >= n_colors:
+                        raise ValueError(
+                            "PNG palette index outside PLTE"
+                        )
+                    x = xs + i * xstep
+                    o = (y * width + x) * 3
+                    raw[o : o + 3] = palette[3 * ix : 3 * ix + 3]
+            else:
+                for i in range(pw):
+                    x = xs + i * xstep
+                    o = (y * width + x) * spp
+                    raw[o : o + spp] = row[i * spp : (i + 1) * spp]
+    if offset != len(data):
+        raise ValueError("PNG pixel data length mismatch")
+    return width, height, out_ch, bytes(raw)
 
 
 RESIZED_SCHEMA = StructType(

@@ -2,8 +2,9 @@
 decode is pinned against HAND-BUILT spec-vector files (constructed
 here with struct+zlib directly, independent of encode_png, filters
 computed by hand from RFC 2083 §6), round-trips with the encoder
-across sizes/channel counts/filter choices, and the unsupported
-shapes (16-bit, palette, Adam7) raise instead of answering wrong."""
+across sizes/channel counts/filter choices/palette depths/Adam7
+interlace (r11), and the still-unsupported shapes (16-bit, sub-8-bit
+greyscale, grey+alpha) raise instead of answering wrong."""
 
 import struct
 import zlib
@@ -92,14 +93,99 @@ def test_multi_idat_chunks_concatenate():
 @pytest.mark.parametrize(
     "bit_depth,color_type,interlace,err",
     [
-        (16, 2, 0, NotImplementedError),  # 16-bit
-        (8, 3, 0, NotImplementedError),  # palette
-        (8, 2, 1, NotImplementedError),  # Adam7
+        (16, 2, 0, NotImplementedError),  # 16-bit truecolor
+        (4, 0, 0, NotImplementedError),  # sub-8-bit greyscale
+        (8, 4, 0, NotImplementedError),  # greyscale+alpha
+        (3, 3, 0, ValueError),  # illegal palette depth
+        (8, 3, 0, ValueError),  # palette missing PLTE
     ],
 )
 def test_unsupported_shapes_raise(bit_depth, color_type, interlace, err):
     png = _hand_png(1, 1, bit_depth, color_type, interlace, bytes(4))
     with pytest.raises(err):
+        decode_png(png)
+
+
+def test_hand_vector_palette_2bit():
+    """Hand-built 3x2 palette PNG at 2-bit depth (MSB-first packing,
+    RFC 2083 §2.3), filter None — never touches the encoder twin.
+    Row px indices (2,0,1) pack to one byte 0b10_00_01_00 = 0x84."""
+    pal = b"\x10\x20\x30" + b"\x40\x50\x60" + b"\x70\x80\x90"
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 2, 3, 0, 0, 0)
+    idat_raw = b"\x00\x84" + b"\x00\x44"  # rows (2,0,1), (1,0,1)
+    png = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(idat_raw))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, c, rgb = decode_png(png)
+    assert (w, h, c) == (3, 2, 3)
+    P = [pal[i : i + 3] for i in (0, 3, 6)]
+    assert rgb == P[2] + P[0] + P[1] + P[1] + P[0] + P[1]
+
+
+def test_hand_vector_adam7_2x2_grey():
+    """Hand-built 2x2 Adam7 greyscale: passes 1/2/3/5/7 are empty at
+    this size except pass 1 (pixel 0,0), pass 2 is empty (xs=4),
+    pass 4 (xs=2) empty, pass 5 empty (ys=2), pass 6 (1,0,2,2) ->
+    pixel (1,0), pass 7 (0,1,1,2) -> pixels (0,1),(1,1). Stream =
+    pass1 row [0,10], pass6 row [0,20], pass7 row [0,30,40]."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    idat_raw = bytes([0, 10]) + bytes([0, 20]) + bytes([0, 30, 40])
+    png = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(idat_raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(png) == (2, 2, 1, bytes([10, 20, 30, 40]))
+
+
+def test_palette_and_interlace_roundtrips():
+    from cc2dataset_spark.operators.multimodal import encode_png_indexed
+
+    import random
+
+    rng = random.Random(7)
+    for depth in (1, 2, 4, 8):
+        ncol = 1 << min(depth, 4)
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(ncol)
+        ]
+        for w, h in [(1, 1), (5, 7), (16, 3)]:
+            idx = bytes(rng.randrange(ncol) for _ in range(w * h))
+            want = b"".join(bytes(pal[i]) for i in idx)
+            for il in (False, True):
+                got = decode_png(
+                    encode_png_indexed(w, h, pal, idx, depth, interlace=il)
+                )
+                assert got == (w, h, 3, want)
+    # truecolor Adam7 with position-distinct pixels (catches scatter
+    # slips that channel sums would hide)
+    raw = bytes(range(13 * 11 * 3 % 256)) * 0 + bytes(
+        (i * 7 + 3) % 256 for i in range(13 * 11 * 3)
+    )
+    assert decode_png(encode_png(13, 11, 3, raw, interlace=True)) == (
+        13,
+        11,
+        3,
+        raw,
+    )
+
+
+def test_palette_index_outside_plte_raises():
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    png = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x01\x02\x03")  # 1 entry
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x05"))  # index 5
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="outside PLTE"):
         decode_png(png)
 
 
