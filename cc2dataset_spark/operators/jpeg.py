@@ -2,14 +2,19 @@
 last media-decode gate without any codec library.
 
 Scope (honest): baseline sequential DCT (SOF0), 8-bit, Huffman
-entropy coding, greyscale or YCbCr 4:4:4 (all sampling factors 1x1),
-optional restart markers. Progressive (SOF2), arithmetic coding,
-subsampled chroma (4:2:0/4:2:2), and 12-bit raise
-``NotImplementedError`` — real gates, never silent wrong answers.
-This covers the encoder's own output class end-to-end plus any
-externally produced baseline-4:4:4 file; web-typical 4:2:0 JPEGs
-remain gated (their upsampling filter choice is decoder-defined, so
-"exact" has no spec meaning there anyway).
+entropy coding, greyscale or YCbCr at sampling factors 1 or 2 per
+axis — 4:4:4, 4:2:2, 4:4:0, and the web-typical 4:2:0 (r11; chroma
+upsampled by replication, the decode-side inverse of the encoder's
+box average — exact wherever chroma is constant per sampling cell,
+which is the analytically-pinned class; T.81 leaves the upsampling
+filter decoder-defined, so byte-exactness across decoders has no
+spec meaning for subsampled files and the contract is a bound) —
+optional restart markers, one interleaved scan. Progressive (SOF2),
+arithmetic coding, non-interleaved multi-scan, sampling factors > 2,
+and 12-bit raise ``NotImplementedError`` — real gates, never silent
+wrong answers. This covers the encoder's own output classes
+end-to-end plus externally produced single-scan baseline files at
+the common sampling grids.
 
 Why this is testable without a reference library (the PNG-codec
 problem, solved the same way): the decoder is pinned by
@@ -251,6 +256,9 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+_SAMPLING = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -258,27 +266,54 @@ def encode_jpeg(
     raw: bytes,
     quant: int = 1,
     restart_interval: int = 0,
+    sampling: str = "444",
 ) -> bytes:
     """Baseline JFIF encoder — greyscale (1ch) or RGB (3ch, coded as
-    YCbCr 4:4:4), flat quantization table of ``quant`` (1 =
-    near-lossless: the only loss is coefficient rounding), standard
-    Annex K Huffman tables, optional restart interval (in MCUs)."""
+    YCbCr), flat quantization table of ``quant`` (1 = near-lossless:
+    the only loss is coefficient rounding), standard Annex K Huffman
+    tables, optional restart interval (in MCUs). ``sampling`` picks
+    the chroma grid for 3-channel input: "444" (no subsampling),
+    "422", "440", or "420" (box-average chroma downsampling; the
+    luma component carries the corresponding sampling factors)."""
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
     if not 1 <= quant <= 255:
         raise ValueError("quant must be in [1, 255]")
+    if sampling not in _SAMPLING:
+        raise ValueError(
+            f"sampling must be one of {sorted(_SAMPLING)}, got "
+            f"{sampling!r}"
+        )
+    hmax, vmax = _SAMPLING[sampling] if channels == 3 else (1, 1)
     px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
     if px.size != width * height * channels:
         raise ValueError(
             f"raw has {px.size} bytes, expected {width * height * channels}"
         )
     px = px.reshape(height, width, channels)
-    planes = (
-        [px[..., 0]]
-        if channels == 1
-        else list(np.moveaxis(_rgb_to_ycbcr(px), -1, 0))
-    )
-    bh, bw = -(-height // 8) * 8, -(-width // 8) * 8
+    if channels == 1:
+        planes = [px[..., 0]]
+        factors = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[..., 0]]
+        factors = [(hmax, vmax)]
+        for c in (1, 2):
+            p = ycc[..., c]
+            if (hmax, vmax) != (1, 1):
+                # box-average downsample with edge-replicate padding
+                ph = -(-height // vmax) * vmax
+                pw = -(-width // hmax) * hmax
+                pad = np.pad(
+                    p,
+                    ((0, ph - height), (0, pw - width)),
+                    mode="edge",
+                )
+                p = pad.reshape(
+                    ph // vmax, vmax, pw // hmax, hmax
+                ).mean(axis=(1, 3))
+            planes.append(p)
+            factors.append((1, 1))
     qtab = np.full(64, quant, dtype=np.int64)
 
     dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
@@ -286,7 +321,8 @@ def encode_jpeg(
 
     w = _BitWriter()
     pred = [0] * channels
-    mcu_rows, mcu_cols = bh // 8, bw // 8
+    mcu_rows = -(-height // (8 * vmax))
+    mcu_cols = -(-width // (8 * hmax))
     out_chunks = []
     mcu_count = 0
     rst = 0
@@ -303,40 +339,58 @@ def encode_jpeg(
                 w = _BitWriter()
                 pred = [0] * channels
             for ci, plane in enumerate(planes):
-                # edge-replicate pad
-                ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, height - 1)
-                xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, width - 1)
-                block = plane[np.ix_(ys, xs)] - 128.0
-                coef = _C @ block @ _C.T
-                q = np.round(coef.ravel()[ZIGZAG] / qtab).astype(np.int64)
+                h_i, v_i = factors[ci]
+                ph, pw = plane.shape
                 tid = 0 if ci == 0 else 1
-                # DC
-                diff = int(q[0]) - pred[ci]
-                pred[ci] = int(q[0])
-                t = _category(diff)
-                code, ln = dc_codes[tid][t]
-                w.write(code, ln)
-                if t:
-                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                # AC
-                run = 0
-                for k in range(1, 64):
-                    v = int(q[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[tid][0xF0]  # ZRL
+                for v in range(v_i):
+                    for hh in range(h_i):
+                        # edge-replicate pad within the plane
+                        y0 = (by * v_i + v) * 8
+                        x0 = (bx * h_i + hh) * 8
+                        ys = np.clip(np.arange(y0, y0 + 8), 0, ph - 1)
+                        xs = np.clip(np.arange(x0, x0 + 8), 0, pw - 1)
+                        block = plane[np.ix_(ys, xs)] - 128.0
+                        coef = _C @ block @ _C.T
+                        q = np.round(
+                            coef.ravel()[ZIGZAG] / qtab
+                        ).astype(np.int64)
+                        # DC
+                        diff = int(q[0]) - pred[ci]
+                        pred[ci] = int(q[0])
+                        t = _category(diff)
+                        code, ln = dc_codes[tid][t]
                         w.write(code, ln)
-                        run -= 16
-                    t = _category(v)
-                    code, ln = ac_codes[tid][(run << 4) | t]
-                    w.write(code, ln)
-                    w.write(v if v >= 0 else v + (1 << t) - 1, t)
-                    run = 0
-                if run:
-                    code, ln = ac_codes[tid][0x00]  # EOB
-                    w.write(code, ln)
+                        if t:
+                            w.write(
+                                diff
+                                if diff >= 0
+                                else diff + (1 << t) - 1,
+                                t,
+                            )
+                        # AC
+                        run = 0
+                        for k in range(1, 64):
+                            v_ac = int(q[k])
+                            if v_ac == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[tid][0xF0]  # ZRL
+                                w.write(code, ln)
+                                run -= 16
+                            t = _category(v_ac)
+                            code, ln = ac_codes[tid][(run << 4) | t]
+                            w.write(code, ln)
+                            w.write(
+                                v_ac
+                                if v_ac >= 0
+                                else v_ac + (1 << t) - 1,
+                                t,
+                            )
+                            run = 0
+                        if run:
+                            code, ln = ac_codes[tid][0x00]  # EOB
+                            w.write(code, ln)
             mcu_count += 1
     out_chunks.append(w.flush())
     scan = b"".join(out_chunks)
@@ -356,7 +410,14 @@ def encode_jpeg(
     if restart_interval:
         parts.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
     comp = b"".join(
-        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(channels)
+        bytes(
+            [
+                i + 1,
+                (factors[i][0] << 4) | factors[i][1],
+                0 if i == 0 else 1,
+            ]
+        )
+        for i in range(channels)
     )
     parts.append(
         seg(
@@ -390,9 +451,11 @@ def encode_jpeg(
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG to (width, height, channels, raw pixel
     bytes). Supported: SOF0, 8-bit, Huffman, all sampling factors
-    1x1 (greyscale / YCbCr 4:4:4), restart markers, one interleaved
-    scan. Progressive, arithmetic coding, subsampled chroma, and
-    non-interleaved multi-scan files raise ``NotImplementedError``."""
+    1 or 2 per axis (greyscale / YCbCr 4:4:4, 4:2:2, 4:4:0, 4:2:0 —
+    subsampled chroma upsampled by replication, r11), restart
+    markers, one interleaved scan. Progressive, arithmetic coding,
+    sampling factors > 2, and non-interleaved multi-scan files raise
+    ``NotImplementedError``."""
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -450,11 +513,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(f"{prec}-bit JPEG")
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                h_i, v_i = samp >> 4, samp & 0xF
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    # 4:1:1 and rarer grids need sampling factors up
+                    # to 4; {1,2} covers 4:4:4 / 4:2:2 / 4:4:0 /
+                    # 4:2:0 — the classes real encoders emit
                     raise NotImplementedError(
-                        "subsampled chroma (only 4:4:4 / greyscale)"
+                        f"sampling factor {h_i}x{v_i} (only 1 or 2 "
+                        "per axis: 4:4:4/4:2:2/4:4:0/4:2:0)"
                     )
-                comps.append((cid, qid))
+                comps.append((cid, qid, h_i, v_i))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -479,7 +547,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(
-                    j for j, (c, _) in enumerate(comps) if c == cid
+                    j
+                    for j, (c, _, _, _) in enumerate(comps)
+                    if c == cid
                 )
                 scan_map.append((idx, tsel >> 4, tsel & 0xF))
             data_start = pos + 2 + ln
@@ -490,8 +560,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 
     r = _BitReader(payload[data_start:])
     nc = len(comps)
-    mcu_rows, mcu_cols = -(-height // 8), -(-width // 8)
-    planes = np.zeros((nc, mcu_rows * 8, mcu_cols * 8))
+    hmax = max(h for _, _, h, _ in comps)
+    vmax = max(v for _, _, _, v in comps)
+    # an MCU is 8*hmax x 8*vmax image pixels; component ci contributes
+    # h_i x v_i blocks per MCU into its OWN (subsampled) plane
+    mcu_rows = -(-height // (8 * vmax))
+    mcu_cols = -(-width // (8 * hmax))
+    planes = [
+        np.zeros((mcu_rows * 8 * v, mcu_cols * 8 * h))
+        for _, _, h, v in comps
+    ]
     pred = [0] * nc
     mcu_count = 0
     for by in range(mcu_rows):
@@ -504,38 +582,57 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 r.align_restart()
                 pred = [0] * nc
             for ci, dc_t, ac_t in scan_map:
+                _, qid, h_i, v_i = comps[ci]
                 dc_dec = huff[(0, dc_t)]
                 ac_dec = huff[(1, ac_t)]
-                q = np.zeros(64, dtype=np.int64)
-                t = dc_dec.decode(r)
-                pred[ci] += _extend(r.bits(t), t)
-                q[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = ac_dec.decode(r)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise ValueError("JPEG: AC index overflow")
-                    t = sym & 0xF
-                    q[k] = _extend(r.bits(t), t)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = q * qtabs[comps[ci][1]].ravel()[ZIGZAG]
-                block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-                planes[
-                    ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = block
+                for v in range(v_i):
+                    for hh in range(h_i):
+                        q = np.zeros(64, dtype=np.int64)
+                        t = dc_dec.decode(r)
+                        pred[ci] += _extend(r.bits(t), t)
+                        q[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = ac_dec.decode(r)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG: AC index overflow"
+                                )
+                            t = sym & 0xF
+                            q[k] = _extend(r.bits(t), t)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = (
+                            q * qtabs[qid].ravel()[ZIGZAG]
+                        )
+                        block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                        y0 = (by * v_i + v) * 8
+                        x0 = (bx * h_i + hh) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    planes = planes[:, :height, :width]
+    # upsample subsampled planes to full resolution by replication
+    # (nearest-neighbor — the decode-side inverse of the encoder's
+    # box average; exact wherever chroma is constant per sampling
+    # cell, which is the analytically-pinned class)
+    full = np.zeros((nc, mcu_rows * 8 * vmax, mcu_cols * 8 * hmax))
+    for ci, (_, _, h_i, v_i) in enumerate(comps):
+        p = planes[ci]
+        if v_i != vmax:
+            p = np.repeat(p, vmax // v_i, axis=0)
+        if h_i != hmax:
+            p = np.repeat(p, hmax // h_i, axis=1)
+        full[ci] = p
+    full = full[:, :height, :width]
     if nc == 1:
-        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return width, height, 1, out.tobytes()
-    rgb = _ycbcr_to_rgb(np.moveaxis(planes, 0, -1))
+    rgb = _ycbcr_to_rgb(np.moveaxis(full, 0, -1))
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return width, height, 3, out.tobytes()

@@ -8,10 +8,10 @@ Codec status: **PNG pixel decode is REAL** (r10 —
 scanline filters; r11 adds palette at all legal palette depths and
 Adam7 interlace, with ``encode_png_indexed`` as the fixture twin;
 no media library needed), **baseline JPEG is REAL
-for the 4:4:4/greyscale class** (r10 — ``operators/jpeg.py``,
-pure numpy: Huffman + dequant + IDCT, Annex K tables, restart
-markers; subsampled 4:2:0, progressive, and non-interleaved
-multi-scan raise), **GIF is REAL** (r11 — ``decode_gif``/
+for greyscale/4:4:4/4:2:2/4:4:0/4:2:0** (r10, subsampling r11 —
+``operators/jpeg.py``, pure numpy: Huffman + dequant + IDCT, Annex K
+tables, restart markers, replication chroma upsampling;
+progressive, non-interleaved multi-scan, and factors > 2 raise), **GIF is REAL** (r11 — ``decode_gif``/
 ``encode_gif``, full variable-width LZW, global/local color tables,
 interlace de-weave; multi-frame animations raise), and **WAV
 integer PCM is REAL** (r11 — ``decode_wav``/``encode_wav``,
@@ -110,7 +110,7 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     and n_frames=1 (a multi-frame GIF gates loudly rather than
     counting frames it refuses to decode).
     The honestly-gated classes inside those codecs (progressive /
-    subsampled / multi-scan JPEG, 16-bit / grey+alpha PNG)
+    multi-scan JPEG, 16-bit PNG)
     raise ``NotImplementedError`` LOUDLY rather than answering
     wrong. Payloads with neither signature (this repo's fixture
     stand-ins are UTF-8 text; real deployments: WebP/video, which
@@ -194,11 +194,11 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
 # gated there). The remaining genuinely-gated format is WebP/video
 # (VP8 entropy coding needs codec libs). 8-bit greyscale/RGB/RGBA,
 # palette at all legal palette depths, and Adam7 interlace all decode
-# (r11); 16-bit, sub-8-bit greyscale, and grey+alpha raise, honestly.
+# (r11); 16-bit and sub-8-bit greyscale raise, honestly.
 # ---------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/px
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -230,9 +230,11 @@ def encode_png(
     import struct
     import zlib
 
-    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
     if color_type is None:
-        raise ValueError(f"channels must be 1, 3 or 4, got {channels}")
+        raise ValueError(
+            f"channels must be 1, 2, 3 or 4, got {channels}"
+        )
     stride = width * channels
     if len(raw) != stride * height:
         raise ValueError(
@@ -469,15 +471,14 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG payload to (width, height, channels, raw pixels) —
     stdlib-only: zlib inflate + the five RFC 2083 scanline unfilters
     (None/Sub/Up/Average/Paeth), CRC-checked chunk walk,
-    multi-IDAT-safe. Supported: 8-bit greyscale/RGB/RGBA, PALETTE at
-    every legal palette depth (1/2/4/8-bit indices -> RGB through
-    PLTE, r11), and Adam7 INTERLACE for all of those (7 independently
-    filtered passes scattered back to raster order, r11). Gated
-    loudly: 16-bit samples, sub-8-bit greyscale, and
-    greyscale+alpha (color type 4) raise NotImplementedError — real
-    gates, not silent wrong answers. tRNS transparency is
-    palette-mapped like any other index (compositing concern, not a
-    stored-pixel one)."""
+    multi-IDAT-safe. Supported: 8-bit greyscale/grey+alpha/RGB/RGBA,
+    PALETTE at every legal palette depth (1/2/4/8-bit indices -> RGB
+    through PLTE, r11), and Adam7 INTERLACE for all of those (7
+    independently filtered passes scattered back to raster order,
+    r11). Gated loudly: 16-bit samples and sub-8-bit greyscale raise
+    NotImplementedError — real gates, not silent wrong answers. tRNS
+    transparency is palette-mapped like any other index (compositing
+    concern, not a stored-pixel one)."""
     import struct
     import zlib
 

@@ -139,16 +139,79 @@ def test_unsupported_shapes_raise():
         encode_jpeg(2, 2, 1, bytes(3))
 
 
-def test_subsampled_jpeg_raises():
+def test_sampling_factor_above_two_raises():
     good = bytearray(encode_jpeg(8, 8, 3, bytes(192)))
     i = good.find(b"\xff\xc0")
     # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) then comp triples;
-    # set first component's sampling byte to 0x22 (2x2 -> 4:2:0)
+    # set first component's sampling byte to 0x41 (4x1 -> 4:1:1)
     samp_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
     assert good[samp_off] == 0x11
-    good[samp_off] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    good[samp_off] = 0x41
+    with pytest.raises(NotImplementedError, match="sampling factor"):
         decode_jpeg(bytes(good))
+
+
+@pytest.mark.parametrize("samp", ["420", "422", "440"])
+def test_subsampled_solid_color_within_rounding(samp):
+    """r11: subsampled chroma decodes for real. Solid colour is flat
+    in every plane, so box-average downsampling and replication
+    upsampling are both exact — only the RGB<->YCbCr float transform
+    rounds (bound 1/255 per channel), exactly as in the 4:4:4 case."""
+    for w, h in [(8, 8), (16, 16), (13, 11), (5, 9)]:
+        raw = bytes([200, 64, 32]) * (w * h)
+        dw, dh, dc, out = decode_jpeg(
+            encode_jpeg(w, h, 3, raw, sampling=samp)
+        )
+        assert (dw, dh, dc) == (w, h, 3)
+        got = np.frombuffer(out, dtype=np.uint8).astype(int)
+        want = np.frombuffer(raw, dtype=np.uint8).astype(int)
+        assert np.abs(got - want).max() <= 1
+
+
+def test_subsampled_chroma_constant_luma_varying():
+    """Grey-ramp RGB (r=g=b -> constant Cb=Cr=128): the luma plane is
+    full-resolution under every sampling grid, so a 4:2:0 decode must
+    match the 4:4:4 decode bit-for-bit — any MCU geometry or
+    upsampling slip shows up as a luma shift."""
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    rgb = np.stack([y, y, y], axis=-1).tobytes()
+    ref = decode_jpeg(encode_jpeg(16, 16, 3, rgb, sampling="444"))
+    for samp in ("420", "422", "440"):
+        got = decode_jpeg(encode_jpeg(16, 16, 3, rgb, sampling=samp))
+        assert got == ref
+        want = np.frombuffer(rgb, dtype=np.uint8).astype(int)
+        out = np.frombuffer(got[3], dtype=np.uint8).astype(int)
+        assert np.abs(out - want).max() <= 1
+
+
+def test_subsampled_restart_markers():
+    raw = bytes([10, 200, 100]) * (32 * 24)
+    dw, dh, dc, out = decode_jpeg(
+        encode_jpeg(32, 24, 3, raw, sampling="420", restart_interval=2)
+    )
+    got = np.frombuffer(out, dtype=np.uint8).astype(int)
+    want = np.frombuffer(raw, dtype=np.uint8).astype(int)
+    assert (dw, dh, dc) == (32, 24, 3)
+    assert np.abs(got - want).max() <= 1
+
+
+def test_smooth_image_420_bounded():
+    """A smooth gradient (chroma varies slowly) under 4:2:0: the
+    box-average/replication chroma pair loses at most the intra-cell
+    chroma spread; with a 2-unit-per-pixel ramp the decoded error
+    stays within a small bound (not a spec constant — a regression
+    tripwire for the sampling geometry)."""
+    w, h = 24, 16
+    r = np.arange(h).reshape(h, 1) * 2 % 256
+    c = np.arange(w).reshape(1, w) * 2 % 256
+    img = np.stack(
+        [np.broadcast_to(r, (h, w)), np.broadcast_to(c, (h, w)),
+         np.broadcast_to((r + c) // 2, (h, w))], axis=-1
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(w, h, 3, img.tobytes(), sampling="420"))
+    out = np.frombuffer(got[3], dtype=np.uint8).astype(int)
+    assert np.abs(out - img.astype(int).ravel()).max() <= 6
 
 
 def test_dims_parser_agrees_on_real_jpeg(spark):

@@ -4,7 +4,7 @@ here with struct+zlib directly, independent of encode_png, filters
 computed by hand from RFC 2083 §6), round-trips with the encoder
 across sizes/channel counts/filter choices/palette depths/Adam7
 interlace (r11), and the still-unsupported shapes (16-bit, sub-8-bit
-greyscale, grey+alpha) raise instead of answering wrong."""
+greyscale) raise instead of answering wrong."""
 
 import struct
 import zlib
@@ -95,7 +95,6 @@ def test_multi_idat_chunks_concatenate():
     [
         (16, 2, 0, NotImplementedError),  # 16-bit truecolor
         (4, 0, 0, NotImplementedError),  # sub-8-bit greyscale
-        (8, 4, 0, NotImplementedError),  # greyscale+alpha
         (3, 3, 0, ValueError),  # illegal palette depth
         (8, 3, 0, ValueError),  # palette missing PLTE
     ],
@@ -205,7 +204,7 @@ def test_corrupt_crc_and_non_png_raise():
 @given(
     w=st.integers(1, 12),
     h=st.integers(1, 12),
-    ch=st.sampled_from([1, 3, 4]),
+    ch=st.sampled_from([1, 2, 3, 4]),
     seed=st.integers(0, 2**31),
     flt=st.sampled_from([None, 0, 1, 2, 3, 4]),
 )
@@ -222,8 +221,10 @@ def test_roundtrip_fuzz(w, h, ch, seed, flt):
 def test_encode_deterministic_and_sized():
     raw = bytes(range(48))
     assert encode_png(4, 4, 3, raw) == encode_png(4, 4, 3, raw)
+    # 2 channels = grey+alpha, supported since r11
+    assert decode_png(encode_png(2, 2, 2, bytes(8)))[2] == 2
     with pytest.raises(ValueError, match="channels"):
-        encode_png(2, 2, 2, bytes(8))
+        encode_png(2, 2, 5, bytes(20))
     with pytest.raises(ValueError, match="expected"):
         encode_png(2, 2, 3, bytes(5))
 
