@@ -178,3 +178,52 @@ def test_zorder_value_rejects_sign_bit_overflow():
         zorder_value(
             ["a", "b", "c", "d"], [0, 0, 0, 0], [1, 1, 1, 1], bits=16
         )
+
+
+def test_binaryfile_to_decode_media_end_to_end(spark, tmp_path):
+    """The full production media path: REAL encoded files on disk ->
+    binaryFile scan (listing-time glob prune) -> decode_media
+    magic-byte dispatch -> real pixel dimensions. No fixture
+    stand-ins anywhere: the bytes on disk are spec-valid PNG (Adam7
+    palette), subsampled 4:2:0 JPEG, and interlaced GIF."""
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.operators import multimodal as MM
+    from cc2dataset_spark.operators.jpeg import encode_jpeg
+    from cc2dataset_spark.sources.files import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    pal = [(j * 16, 255 - j * 16, j) for j in range(16)]
+    files = {
+        "a.png": MM.encode_png_indexed(
+            9, 7, pal, bytes(p % 16 for p in range(63)), 4,
+            interlace=True,
+        ),
+        "b.jpg": encode_jpeg(
+            16, 12, 3, bytes([180, 90, 45]) * (16 * 12), sampling="420"
+        ),
+        "c.gif": MM.encode_gif(
+            11, 5, pal, bytes(p % 16 for p in range(55)), interlace=True
+        ),
+        "skip.txt": b"not media",
+    }
+    for name, payload in files.items():
+        (media / name).write_bytes(payload)
+
+    df = read_binary_files(spark, str(media), path_glob="*.{png,jpg,gif}")
+    wrapped = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit("auto").alias("format"),
+            F.col("length").alias("n_bytes"),
+            F.lit(0).cast("long").alias("source_id"),
+        ).alias("meta"),
+    )
+    decoded = MM.decode_media(
+        wrapped.select("doc_id", "payload", "meta")
+    ).join(wrapped.select("doc_id", "name"), "doc_id")
+    got = {r["name"]: (r["width"], r["height"]) for r in decoded.collect()}
+    assert got == {"a.png": (9, 7), "b.jpg": (16, 12), "c.gif": (11, 5)}
