@@ -474,6 +474,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         # none mis-parses a bogus segment length (ADVICE r10).
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("JPEG: truncated in marker padding")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -560,6 +562,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 
     r = _BitReader(payload[data_start:])
     nc = len(comps)
+    if nc == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved —
+        # one 8x8 data unit per MCU in raster order over the
+        # component's own block grid, and in a single-component
+        # FRAME that grid is the image grid regardless of the
+        # declared sampling factors (they only relate components to
+        # each other). Normalizing to 1x1 reproduces exactly that
+        # geometry; without this, a grayscale file declaring h2v2
+        # (e.g. jpegtran -grayscale keeping the source's luma
+        # factors) would decode scrambled or die mid-stream.
+        comps = [(comps[0][0], comps[0][1], 1, 1)]
     hmax = max(h for _, _, h, _ in comps)
     vmax = max(v for _, _, _, v in comps)
     # an MCU is 8*hmax x 8*vmax image pixels; component ci contributes

@@ -52,10 +52,11 @@ def quantized_second_moments(
     |q| <= scale * max|x| the products are bounded by
     n * (scale * max|x|)^2, which for unit-scale embeddings at
     scale = 2^20 keeps every sum under 2^63 up to n ~ 4M vectors per
-    fit — and past that ceiling the ANSI decimal->long cast fails
-    LOUDLY in Spark exactly as DuckDB's BIGINT cast does, rather than
-    drifting (the repo's standing overflow discipline,
-    functions/numeric.py). All-integer output matters downstream:
+    fit — and past that ceiling an EXPLICIT guard raises in every
+    session (a plain decimal->long cast is only loud under ANSI; a
+    non-ANSI session would silently NULL the overflow) exactly as
+    DuckDB's BIGINT cast does, rather than drifting (the repo's
+    standing overflow discipline, functions/numeric.py). All-integer output matters downstream:
     DECIMAL(38,0) columns are the one output type the external
     driver's value hasher has disagreed with (r10 red on
     embed_covariance_exact — rows and schema matched, hash didn't),
@@ -71,17 +72,49 @@ def quantized_second_moments(
             "jj", "qj"
         ),
     ).select("i", (F.col("i") + F.col("jj")).alias("j"), "qi", "qj")
+
+    def to_long(c: Column, name: str) -> Column:
+        # loud past-the-ceiling in EVERY session: ANSI makes the
+        # plain cast error, but a non-ANSI session (a configuration
+        # the repo treats as reachable — see operators/asof.py)
+        # silently NULLs decimal->long overflow, which would be
+        # exactly the cross-engine drift the all-integer output
+        # exists to rule out. Guard explicitly instead.
+        lim = F.lit(9223372036854775807).cast("decimal(38,0)")
+        return (
+            F.when(
+                F.abs(c) > lim,
+                F.raise_error(
+                    F.lit(
+                        f"quantized_second_moments: {name} exceeds "
+                        "BIGINT — reduce scale or shard dimensions"
+                    )
+                ).cast("decimal(38,0)"),
+            )
+            .otherwise(c)
+            .cast("bigint")
+        )
+
     return pairs.groupBy("i", "j").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("qi").cast("decimal(20,0)"))
-        .cast("bigint")
-        .alias("s_i"),
-        F.sum(F.col("qj").cast("decimal(20,0)"))
-        .cast("bigint")
-        .alias("s_j"),
-        F.sum((F.col("qi") * F.col("qj")).cast("decimal(20,0)"))
-        .cast("bigint")
-        .alias("s_ij"),
+        to_long(
+            F.sum(F.col("qi").cast("decimal(20,0)")).cast(
+                "decimal(38,0)"
+            ),
+            "s_i",
+        ).alias("s_i"),
+        to_long(
+            F.sum(F.col("qj").cast("decimal(20,0)")).cast(
+                "decimal(38,0)"
+            ),
+            "s_j",
+        ).alias("s_j"),
+        to_long(
+            F.sum(
+                (F.col("qi") * F.col("qj")).cast("decimal(20,0)")
+            ).cast("decimal(38,0)"),
+            "s_ij",
+        ).alias("s_ij"),
     )
 
 

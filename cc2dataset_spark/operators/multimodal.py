@@ -542,16 +542,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
 
     bpp = max(1, spp * bit_depth // 8)
 
-    # decode to per-pixel SAMPLE rows in raster order
-    if interlace == 0:
-        passes = [((0, 0, 1, 1), width, height)]
-    else:
-        passes = []
-        for xs, ys, xstep, ystep in _ADAM7:
-            pw = (width - xs + xstep - 1) // xstep
-            ph = (height - ys + ystep - 1) // ystep
-            if pw > 0 and ph > 0:
-                passes.append(((xs, ys, xstep, ystep), pw, ph))
+    # decode to per-pixel SAMPLE rows in raster order; the pass grid
+    # is the SAME function the encoder twin uses, so the two sides
+    # cannot diverge on the layout
+    passes = _png_pass_layout(width, height, interlace == 1)
 
     out_ch = 3 if color_type == 3 else spp
     raw = bytearray(width * height * out_ch)
@@ -1311,6 +1305,16 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
                 "<HHHHB", payload[pos + 1 : pos + 10]
             )
             pos += 10
+            if (left, top) != (0, 0) or (w, h) != (sw, sh):
+                # a frame covering a SUB-RECTANGLE of the logical
+                # screen composes onto a background this decoder
+                # doesn't model — returning frame-local pixels (and
+                # dims disagreeing with image_dims' screen
+                # descriptor) would be silently wrong, so gate
+                raise NotImplementedError(
+                    f"GIF frame at ({left},{top}) size {w}x{h} inside "
+                    f"a {sw}x{sh} screen: sub-rectangle compositing"
+                )
             table = gct
             if ip & 0x80:  # local color table
                 n = 1 << ((ip & 7) + 1)

@@ -153,18 +153,83 @@ def test_encoder_validates():
         encode_gif(1, 1, [(0, 0, 0)], b"\x05")
 
 
+def _lzw_encode_deferred(mcs: int, indices: bytes) -> bytes:
+    """Test-local LZW encoder using the DEFERRED-CLEAR strategy real
+    encoders (e.g. giflib) may emit: when the table fills, keep
+    coding against the FROZEN table instead of emitting a clear —
+    the in-repo encoder always clears, so this is the only way to
+    exercise the decoder's frozen-table path."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code, width):
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code = end + 1
+    width = mcs + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        # table full: NO clear — keep coding against the frozen table
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
 def test_deferred_clear_table_full_decodes():
-    """A stream that fills the 4096-entry table and keeps going
-    without a clear code (deferred-clear, emitted by real encoders)
-    must decode: the decoder just stops adding entries."""
+    """A stream that fills the 4096-entry table and KEEPS CODING
+    against the frozen table without a clear code (deferred-clear,
+    a strategy real encoders use) must decode: the decoder just
+    stops adding entries. Built with a test-local deferred-clear
+    encoder because the in-repo encoder always clears on overflow."""
     import random
 
     rng = random.Random(11)
     idx = bytes(rng.randrange(256) for _ in range(120 * 120))
     pal = [((j * 3) % 256, (j * 5) % 256, (j * 7) % 256) for j in range(256)]
-    p = encode_gif(120, 120, pal, idx)
-    w, h, c, rgb = decode_gif(p)
+    lzw = _lzw_encode_deferred(8, idx)
+    gct = bytes(v for c in pal for v in c)
+    payload = _gif_bytes(120, 120, 8, gct, 8, lzw)
+    w, h, c, rgb = decode_gif(payload)
+    assert (w, h) == (120, 120)
     assert rgb == b"".join(bytes(pal[i]) for i in idx)
+    # sanity: the stream really is deferred-clear (no mid-stream
+    # clear after the opening one) AND really fills the table: the
+    # in-repo encoder's output differs
+    assert lzw != encode_gif(120, 120, pal, idx)[-len(lzw) - 2 :]
+
+
+def test_subrectangle_frame_gates_loudly():
+    """A frame covering a sub-rectangle of the logical screen needs
+    background compositing this decoder doesn't model — gate, don't
+    return frame-local pixels with wrong dims."""
+    single = bytearray(encode_gif(4, 4, [(0, 0, 0), (1, 1, 1)], bytes(16)))
+    # enlarge the logical screen to 6x6, leaving the 4x4 frame inside
+    struct.pack_into("<HH", single, 6, 6, 6)
+    with pytest.raises(NotImplementedError, match="sub-rectangle"):
+        decode_gif(bytes(single))
 
 
 @settings(max_examples=15, deadline=None)

@@ -291,3 +291,30 @@ def test_dims_parser_tolerates_fill_bytes(spark):
     )
     (r,) = df.select(image_dims("payload").alias("d")).collect()
     assert (r.d["format"], r.d["width"], r.d["height"]) == ("jpeg", 16, 8)
+
+
+def test_grayscale_with_declared_sampling_factors():
+    """T.81 A.2.2: a single-component scan is NON-interleaved — one
+    data unit per MCU in raster order over the image's own block
+    grid, whatever sampling factors the SOF declares (they only
+    relate components to each other). jpegtran -grayscale keeps the
+    source's 2x2 luma factors, so such files exist in the wild;
+    decoding them with interleaved-MCU geometry would scramble
+    blocks or die mid-stream."""
+    import struct as _s
+
+    raw = bytes((i * 13 + 7) % 256 for i in range(24 * 24))
+    good = bytearray(encode_jpeg(24, 24, 1, raw))
+    i = good.find(b"\xff\xc0")
+    samp_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert good[samp_off] == 0x11
+    good[samp_off] = 0x22  # declare h2v2 on the only component
+    ref = decode_jpeg(encode_jpeg(24, 24, 1, raw))
+    assert decode_jpeg(bytes(good)) == ref
+
+
+def test_truncated_fill_bytes_raise_valueerror():
+    """A payload ending inside 0xFF marker padding must raise the
+    documented ValueError, not IndexError."""
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(b"\xff\xd8\xff\xff")
