@@ -598,28 +598,93 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def resize_pixels(
+    raw: bytes, w: int, h: int, ch: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample of a raster to (out_w, out_h):
+    src_index = (dst_index * src_len) // dst_len — integer-exact and
+    deterministic, so resized fixtures are formula-checkable. The
+    standard pre-training normalization primitive (224x224 crops
+    typically follow a resize exactly like this one)."""
+    import numpy as np
+
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad target {out_w}x{out_h}")
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return a[rows][:, cols].tobytes()
+
+
 def resize_media(
     df: DataFrame, width: int = 224, height: int = 224
 ) -> DataFrame:
     """mapInPandas resize to a fixed target: the standard pre-training
-    normalization step. Stub transform (deterministic byte slice) —
-    a real deployment swaps in PIL/ffmpeg scaling inside the same
-    batch function; schema and batching are production-shaped."""
+    normalization step.
+
+    REAL for every decodable payload (r11): PNG / baseline JPEG /
+    GIF payloads (magic-byte dispatch, same as :func:`decode_media`)
+    decode through the repo's own codecs, resample by deterministic
+    nearest-neighbor (:func:`resize_pixels`), and re-encode as PNG —
+    lossless from the resampled pixels, so a downstream decode_png
+    recovers them byte-exactly and the whole resize is
+    formula-checkable. The gated codec classes raise loudly through
+    this operator exactly as through decode_media. Unrecognized
+    payloads keep the legacy deterministic byte-slice stub (real
+    deployments: WebP/video via pillow/ffmpeg in the same batch
+    function); their `format` passes through while re-encoded images
+    report "png"."""
+    import os
+
+    _pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.jpeg import decode_jpeg
+        from cc2dataset_spark.operators.multimodal import (
+            decode_gif,
+            decode_png,
+            encode_png,
+            resize_pixels,
+        )
+
+        def _resize(payload, fmt):
+            if payload is not None:
+                b = bytes(payload)
+                decoded = None
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    decoded = decode_png(b)
+                elif b[:2] == b"\xff\xd8":
+                    decoded = decode_jpeg(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    decoded = decode_gif(b)
+                if decoded is not None:
+                    w, h, ch, raw = decoded
+                    out = resize_pixels(raw, w, h, ch, width, height)
+                    return "png", encode_png(width, height, ch, out)
+            # legacy stub for unrecognized payloads
+            if payload is None:
+                return fmt, None
+            return fmt, bytes(payload)[: max(1, (width * height) % 4096)]
+
         for pdf in it:
             meta = pdf["meta"]
-            out_payload = [
-                None if p is None else bytes(p)[: max(1, (width * height) % 4096)]
-                for p in pdf["payload"]
+            pairs = [
+                _resize(p, m["format"])
+                for p, m in zip(pdf["payload"], meta)
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "format": [m["format"] for m in meta],
+                    "format": [f for f, _ in pairs],
                     "width": [width] * len(pdf),
                     "height": [height] * len(pdf),
-                    "payload": out_payload,
+                    "payload": [p for _, p in pairs],
                 }
             )
 

@@ -307,3 +307,63 @@ def test_decode_media_signature_dispatch(spark):
     )
     with pytest.raises(Exception, match="non-baseline"):
         MM.decode_media(bdf).collect()
+
+
+def test_resize_media_real_pixels(spark):
+    """resize_media (r11): decodable payloads resize for REAL —
+    decode through the repo codecs, deterministic nearest-neighbor
+    resample (src = (dst*len_src)//len_dst), re-encode as PNG. The
+    output PNG's decoded pixels must equal the formula applied to
+    the source pixels; unrecognized payloads keep the stub slice."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.operators import multimodal as MM
+    from cc2dataset_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    png_px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    png = encode_png(7, 9, 3, png_px.tobytes())
+    jpg = encode_jpeg(16, 8, 1, bytes([99]) * 128)  # solid: exact
+    pal = [(j, j * 2, j * 3) for j in range(8)]
+    gif_idx = bytes(p % 8 for p in range(5 * 6))
+    gif = MM.encode_gif(5, 6, pal, gif_idx)
+    txt = b"not an image"
+
+    rows = [(1, png, "png"), (2, jpg, "jpeg"), (3, gif, "gif"),
+            (4, txt, "webp")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, fmt string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("fmt").alias("format"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.col("doc_id").alias("source_id"),
+        ).alias("meta"),
+    )
+    out = {r.doc_id: r for r in MM.resize_media(df, 4, 5).collect()}
+
+    def nn(a, out_h, out_w):
+        rows_ = (np.arange(out_h) * a.shape[0]) // out_h
+        cols_ = (np.arange(out_w) * a.shape[1]) // out_w
+        return a[rows_][:, cols_]
+
+    # PNG: exact pixel formula through the lossless chain
+    got = decode_png(bytes(out[1].payload))
+    assert got[:3] == (4, 5, 3)
+    assert got[3] == nn(png_px, 5, 4).tobytes()
+    assert out[1].format == "png"
+    # solid JPEG: decodes exactly, so resize output is solid too
+    got = decode_png(bytes(out[2].payload))
+    assert got == (4, 5, 1, bytes([99]) * 20)
+    # GIF: palette-mapped source pixels through the same formula
+    src = np.frombuffer(
+        b"".join(bytes(pal[i]) for i in gif_idx), dtype=np.uint8
+    ).reshape(6, 5, 3)
+    got = decode_png(bytes(out[3].payload))
+    assert got[3] == nn(src, 5, 4).tobytes()
+    # unrecognized: legacy stub slice, format passthrough
+    assert out[4].format == "webp"
+    assert bytes(out[4].payload) == txt[: max(1, 20 % 4096)]
