@@ -79,71 +79,68 @@ def query(
 # stays covered by the local oracle suite (tests/test_oracle.py), which
 # runs ALL oracle-backed queries every CI pass.
 #
-# Round-11 window: 4 debuts + 1 red re-queue + 45 re-confirmation
-# slots. CORRECTNESS_r10 landed 49 green / 1 red
-# (embed_covariance_exact, hash-only), so the red keeps its slot
-# (rule 4, re-queued with the all-integer output fix); debuts are
-# the r10 registration wave in queue order (rule 5);
-# re-confirmations are the stalest greens oldest-first: the FULL
-# 41-query last-green-r7 cohort (r7-window order), then the 4
-# oldest last-green-r8. After this window no query's latest
-# driver green is older than r8.
+# Round-12 window: 5 debuts + 45 re-confirmation slots.
+# CORRECTNESS_r11 landed 50 green / 0 red, so every r11 slot is
+# cedable (rule 2); debuts are the r11 registration wave in queue
+# order (rule 5 — the five media-codec rows); re-confirmations are
+# the stalest greens oldest-first: 45 of the 46-query
+# last-green-r8 cohort in r8-window order (`events_scd2_event_type`
+# onward). The one leftover r8 row (`events_lateness_profile`)
+# is queued FIRST for r13. After this window no query's latest
+# driver green is older than r8, and only that single row is r8.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r11 debuts — the r10 registration wave (queue order)
-    "dedup_substring_spans_fp",
-    "multimodal_png_pixel_stats",
-    "dedup_substring_cut_text",
-    "multimodal_png_ahash_groups",
-    # red re-queue (rule 4): r10 hash-only red, output re-typed
-    # all-integer this round (see operators/linalg.py)
-    "embed_covariance_exact",
-    # re-confirmation: the full last-green-r7 cohort (41)
-    "rollup_order_status",
-    "cube_returns",
-    "q5_local_supplier_volume",
-    "join_outer_order_counts",
-    "subquery_in_negative_balance",
-    "window_running_value",
-    "window_lag_gap",
-    "window_rank_dense_ntile",
-    "window_first_last_nth",
-    "setop_union_distinct_keys",
-    "scalar_json_dates",
-    "scalar_math_lineitem",
-    "scalar_regex_extract",
-    "filter_pushdown_orders",
-    "agg_percentiles_price",
-    "histogram_totalprice",
-    "agg_filtered_conditional",
-    "sample_deterministic",
-    "q13_customer_distribution",
-    "q18_large_orders",
-    "explode_outer_long_words",
-    "q2_min_cost_supplier",
-    "text_token_stats",
-    "text_quality_scores",
-    "dedup_fingerprint_documents",
-    "dedup_embedding_cosine",
-    "curate_quality_filter",
-    "ann_bruteforce_topk",
-    "multimodal_binary_stats",
-    "events_tumbling_10m",
-    "events_session_30m",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "join_broadcast_geo",
-    "join_semi_big_spenders",
-    "join_anti_no_orders",
-    "join_range_shipments",
-    "join_asof_last_order",
-    "window_topk_orders_per_cust",
-    "sort_topk_orders",
-    "setop_nation_coverage",
-    # re-confirmation: 4 oldest last-green-r8 (r8-window order)
-    "events_value_quantiles_heavy",
-    "dedup_prefix_jaccard",
-    "curate_gopher_rules",
-    "dedup_edit_distance_sources",
+    # r12 debuts — the r11 registration wave (queue order)
+    "multimodal_jpeg_pixel_stats",
+    "multimodal_wav_sample_stats",
+    "multimodal_gif_pixel_stats",
+    "multimodal_decode_real_mixed",
+    "multimodal_wav_frame_energy",
+    # re-confirmation: 45 oldest last-green-r8 (r8-window order)
+    "events_scd2_event_type",
+    "dedup_ngram_span_coverage",
+    "curate_dsir_weights",
+    "events_markov_transitions",
+    "text_collocation_lift",
+    "sample_weighted_tickets",
+    "multimodal_cdc_chunks",
+    "join_interval_busy_hours",
+    "sketch_kmv_distinct_users",
+    "events_quantile_sketch_bottomk",
+    "er_snm_cluster_survivors",
+    "text_heavy_hitter_words",
+    "curate_pack_sequences",
+    "sample_stratified_per_lang",
+    "text_bm25_topk",
+    "events_time_weighted_avg",
+    "sketch_kmv_setops",
+    "join_salted_skew",
+    "multimodal_image_dims",
+    "dedup_cluster_best_quality",
+    "curate_boilerplate_prefix",
+    "text_unicode_nfc",
+    "events_m4_downsample",
+    "profile_cross_source_overlap",
+    "curate_dedup_paragraphs",
+    "cc_domain_stats",
+    "dedup_truncated_docs",
+    "text_vocab_stats",
+    "cc_anchor_text_corpus",
+    "graph_triangle_counts",
+    "multimodal_phash_neardup",
+    "io_compaction_plan",
+    "text_readability",
+    "curate_unimax_budget",
+    "text_kneser_ney_counts",
+    "events_anomaly_mad",
+    "cc_image_text_manifest",
+    "search_hybrid_rrf",
+    "profile_key_skew",
+    "multimodal_audio_frames",
+    "curate_score_calibration",
+    "graph_degree_distribution",
+    "text_zipf_fit",
+    "curate_dedup_report",
+    "curate_langid_confusion",
 )
 
 
