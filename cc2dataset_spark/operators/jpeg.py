@@ -1,20 +1,31 @@
-"""Baseline JPEG codec in pure Python + numpy (r10) — narrows the
-last media-decode gate without any codec library.
+"""JPEG codec in pure Python + numpy (r10 baseline, r12 progressive)
+— narrows the last media-decode gate without any codec library.
 
-Scope (honest): baseline sequential DCT (SOF0), 8-bit, Huffman
-entropy coding, greyscale or YCbCr at sampling factors 1 or 2 per
-axis — 4:4:4, 4:2:2, 4:4:0, and the web-typical 4:2:0 (r11; chroma
+Scope (honest): sequential DCT (SOF0/SOF1) AND progressive (SOF2,
+r12 — T.81 Annex G spectral selection + successive approximation,
+the web's second-most-common JPEG class), 8-bit, Huffman entropy
+coding, greyscale or YCbCr at sampling factors 1 or 2 per axis —
+4:4:4, 4:2:2, 4:4:0, and the web-typical 4:2:0 (r11; chroma
 upsampled by replication, the decode-side inverse of the encoder's
 box average — exact wherever chroma is constant per sampling cell,
 which is the analytically-pinned class; T.81 leaves the upsampling
 filter decoder-defined, so byte-exactness across decoders has no
 spec meaning for subsampled files and the contract is a bound) —
-optional restart markers, one interleaved scan. Progressive (SOF2),
-arithmetic coding, non-interleaved multi-scan, sampling factors > 2,
-and 12-bit raise ``NotImplementedError`` — real gates, never silent
-wrong answers. This covers the encoder's own output classes
-end-to-end plus externally produced single-scan baseline files at
-the common sampling grids.
+optional restart markers, interleaved or non-interleaved
+(multi-scan) scan organization (r12). Arithmetic coding (SOF9/10),
+hierarchical/lossless modes, sampling factors > 2, and 12-bit raise
+``NotImplementedError`` — real gates, never silent wrong answers.
+This covers the encoder's own output classes end-to-end plus
+externally produced sequential AND progressive files at the common
+sampling grids.
+
+Progressive proof strategy: :func:`encode_jpeg_scans` shares the
+per-block coefficient math with the baseline encoder, so a
+progressive round trip must decode to the baseline round trip's
+pixels BIT-FOR-BIT (scan organization cannot change values);
+decoder-only paths our capped encoder can't emit (EOBn spanning
+blocks) are pinned by hand-built spec vectors with custom DHT
+tables in the tests.
 
 Why this is testable without a reference library (the PNG-codec
 problem, solved the same way): the decoder is pinned by
@@ -448,24 +459,593 @@ def encode_jpeg(
     return b"".join(parts)
 
 
+def _component_coefs(
+    width: int,
+    height: int,
+    channels: int,
+    raw: bytes,
+    quant: int,
+    sampling: str,
+) -> tuple[list[np.ndarray], list[tuple[int, int]], int, int]:
+    """Quantized zigzag DCT coefficients per component — the shared
+    front half of every encoder flavor. Returns (coef arrays of shape
+    (blocks_v, blocks_h, 64), sampling factors, mcu_rows, mcu_cols).
+    Identical per-block float math to :func:`encode_jpeg` (same DCT,
+    same rounding), so scan organization cannot change values."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in [1, 255]")
+    if sampling not in _SAMPLING:
+        raise ValueError(
+            f"sampling must be one of {sorted(_SAMPLING)}, got "
+            f"{sampling!r}"
+        )
+    hmax, vmax = _SAMPLING[sampling] if channels == 3 else (1, 1)
+    px = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+    if px.size != width * height * channels:
+        raise ValueError(
+            f"raw has {px.size} bytes, expected {width * height * channels}"
+        )
+    px = px.reshape(height, width, channels)
+    if channels == 1:
+        planes = [px[..., 0]]
+        factors = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[..., 0]]
+        factors = [(hmax, vmax)]
+        for c in (1, 2):
+            p = ycc[..., c]
+            if (hmax, vmax) != (1, 1):
+                ph = -(-height // vmax) * vmax
+                pw = -(-width // hmax) * hmax
+                pad = np.pad(
+                    p, ((0, ph - height), (0, pw - width)), mode="edge"
+                )
+                p = pad.reshape(
+                    ph // vmax, vmax, pw // hmax, hmax
+                ).mean(axis=(1, 3))
+            planes.append(p)
+            factors.append((1, 1))
+    qtab = np.full(64, quant, dtype=np.int64)
+    mcu_rows = -(-height // (8 * vmax))
+    mcu_cols = -(-width // (8 * hmax))
+    coefs = []
+    for ci, plane in enumerate(planes):
+        h_i, v_i = factors[ci]
+        bv, bh = mcu_rows * v_i, mcu_cols * h_i
+        arr = np.zeros((bv, bh, 64), dtype=np.int64)
+        ph, pw = plane.shape
+        for by in range(bv):
+            for bx in range(bh):
+                ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, ph - 1)
+                xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, pw - 1)
+                block = plane[np.ix_(ys, xs)] - 128.0
+                coef = _C @ block @ _C.T
+                arr[by, bx] = np.round(
+                    coef.ravel()[ZIGZAG] / qtab
+                ).astype(np.int64)
+        coefs.append(arr)
+    return coefs, factors, mcu_rows, mcu_cols
+
+
+class _ScanEmitter:
+    """Entropy emission for one progressive/sequential scan — the
+    jcphuff shape: EOB-run accumulation with buffered correction
+    bits, flushed before any other symbol."""
+
+    def __init__(self, w: "_BitWriter", ac_codes: dict | None):
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits riding the EOB run
+        # The Annex K tables carry no EOBn symbols beyond EOB0
+        # ((r<<4)|0 for r>=1 is absent), so with these tables every
+        # block's EOB flushes immediately — less compression, always
+        # legal. A custom-DHT encoder would raise this toward the
+        # spec cap 0x7FFF; the DECODER handles any EOBn (spec-vector
+        # tested with a hand-built table).
+        self.max_eobrun = 1
+
+    def emit_sym(self, codes: dict, sym: int) -> None:
+        code, ln = codes[sym]
+        self.w.write(code, ln)
+
+    def emit_signed(self, v: int, t: int) -> None:
+        self.w.write(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            t = self.eobrun.bit_length() - 1
+            self.emit_sym(self.ac, t << 4)
+            if t:
+                self.w.write(self.eobrun - (1 << t), t)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+
+    def bump_eobrun(self, block_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(block_bits)
+        if self.eobrun >= self.max_eobrun:
+            self.flush_eobrun()
+
+
+def _emit_ac_first(
+    em: _ScanEmitter, coefz: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(coefz[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            run += 1
+            continue
+        em.flush_eobrun()
+        while run > 15:
+            em.emit_sym(em.ac, 0xF0)
+            run -= 16
+        s = t.bit_length()
+        em.emit_sym(em.ac, (run << 4) | s)
+        em.emit_signed(t if v >= 0 else -t, s)
+        run = 0
+    if run > 0:
+        em.bump_eobrun([])
+
+
+def _emit_ac_refine(
+    em: _ScanEmitter, coefz: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    absv = [
+        (abs(int(coefz[k])) >> al) for k in range(ss, se + 1)
+    ]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    run = 0
+    br: list[int] = []  # this block's correction bits
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            em.flush_eobrun()
+            em.emit_sym(em.ac, 0xF0)
+            run -= 16
+            for b in br:
+                em.w.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        em.flush_eobrun()
+        em.emit_sym(em.ac, (run << 4) | 1)
+        em.w.write(1 if int(coefz[k]) >= 0 else 0, 1)
+        for b in br:
+            em.w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        em.bump_eobrun(br)
+
+
+def encode_jpeg_scans(
+    width: int,
+    height: int,
+    channels: int,
+    raw: bytes,
+    scans: list[tuple[list[int], int, int, int, int]],
+    quant: int = 1,
+    sampling: str = "444",
+    progressive: bool = True,
+) -> bytes:
+    """Scan-script JPEG encoder (r12): emits SOF2 (progressive) or
+    SOF0 (sequential) with an explicit scan list of
+    ``(component_indices, Ss, Se, Ah, Al)`` entries — the encoder
+    twin the progressive decoder is pinned against, plus the way to
+    produce legal NON-interleaved sequential files (several full-band
+    single-component scans). Uses the Annex K Huffman tables and a
+    flat quant table like :func:`encode_jpeg`; per-block coefficient
+    math is shared (:func:`_component_coefs`), so a progressive
+    round trip must reproduce the baseline round trip bit-for-bit in
+    pixel space."""
+    coefs, factors, mcu_rows, mcu_cols = _component_coefs(
+        width, height, channels, raw, quant, sampling
+    )
+    dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
+    ac_codes = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    parts = [b"\xff\xd8"]
+    parts.append(
+        seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    )
+    qbytes = bytes([quant] * 64)
+    parts.append(seg(0xFFDB, bytes([0]) + qbytes))
+    if channels == 3:
+        parts.append(seg(0xFFDB, bytes([1]) + qbytes))
+    comp = b"".join(
+        bytes(
+            [
+                i + 1,
+                (factors[i][0] << 4) | factors[i][1],
+                0 if i == 0 else 1,
+            ]
+        )
+        for i in range(channels)
+    )
+    parts.append(
+        seg(
+            0xFFC2 if progressive else 0xFFC0,
+            struct.pack(">BHHB", 8, height, width, channels) + comp,
+        )
+    )
+    for tc, th, tbl in (
+        [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA)]
+        + ([(0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)] if channels == 3 else [])
+    ):
+        parts.append(
+            seg(
+                0xFFC4,
+                bytes([(tc << 4) | th]) + bytes(tbl[0]) + bytes(tbl[1]),
+            )
+        )
+
+    for scan_comps, ss, se, ah, al in scans:
+        if progressive:
+            if ss == 0 and se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            if ss > 0 and len(scan_comps) != 1:
+                raise ValueError("progressive AC scan must be 1 component")
+        elif (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                "sequential scans must be full-band (0,63,0,0)"
+            )
+        sos_comp = b"".join(
+            bytes([ci + 1, ((0 if ci == 0 else 1) * 0x11)])
+            for ci in scan_comps
+        )
+        parts.append(
+            seg(
+                0xFFDA,
+                bytes([len(scan_comps)])
+                + sos_comp
+                + bytes([ss, se, (ah << 4) | al]),
+            )
+        )
+        w = _BitWriter()
+        refining = ah != 0
+        if ss == 0 and not (progressive and refining):
+            # DC-first (or full sequential) scan: predictor chain on
+            # the point-transformed values
+            pred = {ci: 0 for ci in scan_comps}
+        if len(scan_comps) > 1:
+            blocks = [
+                (ci, by * v_i + v, bx * h_i + hh)
+                for by in range(mcu_rows)
+                for bx in range(mcu_cols)
+                for ci in scan_comps
+                for v_i in [factors[ci][1]]
+                for h_i in [factors[ci][0]]
+                for v in range(v_i)
+                for hh in range(h_i)
+            ]
+        else:
+            ci = scan_comps[0]
+            hmax = max(f[0] for f in factors)
+            vmax = max(f[1] for f in factors)
+            h_i, v_i = factors[ci]
+            cw = -(-width * h_i // hmax)
+            ch = -(-height * v_i // vmax)
+            blocks = [
+                (ci, by, bx)
+                for by in range(-(-ch // 8))
+                for bx in range(-(-cw // 8))
+            ]
+        em = _ScanEmitter(w, None)
+        for ci, by, bx in blocks:
+            cz = coefs[ci][by, bx]
+            tid = 0 if ci == 0 else 1
+            em.ac = ac_codes[tid] if se > 0 else None
+            if ss == 0:
+                if refining:
+                    w.write((int(cz[0]) >> al) & 1, 1)
+                else:
+                    cur = int(cz[0]) >> al  # arithmetic shift (G.1.2.1)
+                    diff = cur - pred[ci]
+                    pred[ci] = cur
+                    t = _category(diff)
+                    code, ln = dc_codes[tid][t]
+                    w.write(code, ln)
+                    if t:
+                        em.emit_signed(diff, t)
+                if se == 0:
+                    continue
+                # sequential full-band scan: AC follows in-block, and
+                # EOB flushes PER BLOCK (eobrun accumulation across
+                # blocks is progressive-only syntax)
+                _emit_ac_first(em, cz, 1, se, 0)
+                em.flush_eobrun()
+            elif refining:
+                _emit_ac_refine(em, cz, ss, se, al)
+            else:
+                _emit_ac_first(em, cz, ss, se, al)
+        em.flush_eobrun()
+        parts.append(w.flush())
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    channels: int,
+    raw: bytes,
+    quant: int = 1,
+    sampling: str = "444",
+) -> bytes:
+    """Progressive JFIF encoder with the libjpeg-style default scan
+    script: DC first at Al=1, luma AC 1-5 then 6-63 at Al=2, chroma
+    AC at Al=1, then successive-approximation refinements down to
+    Al=0 — every scan type the decoder implements (DC/AC x
+    first/refine, interleaved DC, non-interleaved AC) in one file."""
+    if channels == 1:
+        scans = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        scans = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return encode_jpeg_scans(
+        width, height, channels, raw, scans, quant, sampling,
+        progressive=True,
+    )
+
+
+def _decode_scan(
+    data: bytes,
+    scan_map: list[tuple[int, int, int]],
+    comps: list[tuple[int, int, int, int]],
+    coefs: list[np.ndarray],
+    huff: dict[tuple[int, int], "_HuffDecoder"],
+    geom: tuple[int, int, int, int, int, int],
+    restart_interval: int,
+    progressive: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode ONE entropy-coded scan into the per-component zigzag
+    coefficient arrays (T.81 Annex F sequential, Annex G progressive
+    with spectral selection + successive approximation). Returns the
+    number of entropy bytes consumed so the caller can resume marker
+    parsing. ``coefs[ci]`` has shape (blocks_v, blocks_h, 64),
+    zigzag index order."""
+    width, height, hmax, vmax, mcu_rows, mcu_cols = geom
+    if progressive:
+        # T.81 B.2.3 scan-header constraints — violations are
+        # structural damage, not honest gates
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "JPEG: progressive scan with Ss=0 must be DC-only "
+                f"(Se={se})"
+            )
+        if ss > 0 and len(scan_map) != 1:
+            raise ValueError(
+                "JPEG: progressive AC scan must cover exactly one "
+                f"component ({len(scan_map)} in SOS)"
+            )
+        if not (0 <= ss <= se <= 63):
+            raise ValueError(f"JPEG: bad spectral range {ss}..{se}")
+        if ah != 0 and ah != al + 1:
+            raise ValueError(
+                f"JPEG: successive approximation Ah={ah} must be Al+1"
+            )
+    else:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError(
+                "JPEG: sequential scan header must be Ss=0 Se=63 "
+                f"Ah=Al=0 (got {ss},{se},{ah},{al})"
+            )
+
+    r = _BitReader(data)
+    p1 = 1 << al
+    m1 = -p1
+    nc = len(comps)
+    pred = [0] * nc
+    eobrun = 0
+    refining = ah != 0
+
+    def first_block(coefz, ci, dc_dec, ac_dec) -> None:
+        # sequential block, progressive DC-first, or AC-first band
+        nonlocal eobrun
+        k = ss
+        if ss == 0:
+            t = dc_dec.decode(r)
+            pred[ci] += _extend(r.bits(t), t)
+            coefz[0] = pred[ci] << al
+            k = 1
+            if se == 0:
+                return
+        if eobrun > 0:  # progressive AC band inside an EOB run
+            eobrun -= 1
+            return
+        while k <= se:
+            sym = ac_dec.decode(r)
+            rr, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if rr == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            k += rr
+            if k > se:
+                raise ValueError("JPEG: AC index overflow")
+            coefz[k] = _extend(r.bits(s), s) << al
+            k += 1
+
+    def refine_dc_block(coefz) -> None:
+        if r.bit():
+            coefz[0] |= p1
+
+    def refine_ac_block(coefz, ac_dec) -> None:
+        # T.81 G.1.2.3 correction-bit decoding (the jdphuff shape)
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = ac_dec.decode(r)
+                rr, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if rr != 15:
+                        # EOBn COUNTS the current block: its remaining
+                        # nonzero-history coefficients still receive
+                        # correction bits below (the EOB0 case is the
+                        # classic slip: eobrun hits 0 only after the
+                        # tail of THIS block is refined)
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "JPEG: refinement magnitude must be 1"
+                        )
+                    val = p1 if r.bit() else m1
+                # advance over nonzero-history coefficients (reading
+                # their correction bits) until rr zero-history slots
+                # have been skipped
+                while k <= se:
+                    c = int(coefz[k])
+                    if c != 0:
+                        if r.bit() and (c & p1) == 0:
+                            coefz[k] = c + (p1 if c > 0 else m1)
+                    else:
+                        rr -= 1
+                        if rr < 0:
+                            break
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("JPEG: refinement run overflow")
+                    coefz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # refine the rest of the band
+                c = int(coefz[k])
+                if c != 0 and r.bit() and (c & p1) == 0:
+                    coefz[k] = c + (p1 if c > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    if len(scan_map) > 1:
+        # interleaved: MCU order, h_i x v_i blocks per component
+        mcu_count = 0
+        for by in range(mcu_rows):
+            for bx in range(mcu_cols):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    r.align_restart()
+                    pred = [0] * nc
+                    eobrun = 0
+                for ci, dc_t, ac_t in scan_map:
+                    _, _, h_i, v_i = comps[ci]
+                    for v in range(v_i):
+                        for hh in range(h_i):
+                            cz = coefs[ci][by * v_i + v, bx * h_i + hh]
+                            if refining:
+                                refine_dc_block(cz)
+                            else:
+                                first_block(
+                                    cz, ci, huff[(0, dc_t)],
+                                    huff.get((1, ac_t)),
+                                )
+                mcu_count += 1
+    else:
+        # non-interleaved: raster over the component's OWN block grid
+        # (T.81 A.2.2 — the grid of the ACTUAL component samples, not
+        # the MCU-padded grid)
+        ci, dc_t, ac_t = scan_map[0]
+        _, _, h_i, v_i = comps[ci]
+        cw = -(-width * h_i // hmax)
+        ch = -(-height * v_i // vmax)
+        nbh, nbv = -(-cw // 8), -(-ch // 8)
+        dc_dec = huff.get((0, dc_t))
+        ac_dec = huff.get((1, ac_t))
+        mcu_count = 0
+        for by in range(nbv):
+            for bx in range(nbh):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    r.align_restart()
+                    pred = [0] * nc
+                    eobrun = 0
+                cz = coefs[ci][by, bx]
+                if not refining:
+                    first_block(cz, ci, dc_dec, ac_dec)
+                elif ss == 0:
+                    refine_dc_block(cz)
+                else:
+                    refine_ac_block(cz, ac_dec)
+                mcu_count += 1
+    return r.pos
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG to (width, height, channels, raw pixel
-    bytes). Supported: SOF0, 8-bit, Huffman, all sampling factors
-    1 or 2 per axis (greyscale / YCbCr 4:4:4, 4:2:2, 4:4:0, 4:2:0 —
-    subsampled chroma upsampled by replication, r11), restart
-    markers, one interleaved scan. Progressive, arithmetic coding,
-    sampling factors > 2, and non-interleaved multi-scan files raise
-    ``NotImplementedError``."""
+    """Decode a JPEG to (width, height, channels, raw pixel bytes).
+    Supported: baseline/extended sequential (SOF0/SOF1) AND
+    progressive (SOF2, r12 — T.81 Annex G spectral selection +
+    successive approximation), 8-bit, Huffman, interleaved or
+    non-interleaved (multi-scan) scans, all sampling factors 1 or 2
+    per axis (greyscale / YCbCr 4:4:4, 4:2:2, 4:4:0, 4:2:0 —
+    subsampled chroma upsampled by replication), restart markers.
+    Arithmetic coding (SOF9/10), hierarchical/lossless modes,
+    sampling factors > 2, and 12-bit raise ``NotImplementedError``."""
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     width = height = None
-    comps = []  # (id, qtab_id)
-    scan_map = []  # (comp_index, dc_table, ac_table)
+    comps = []  # (id, qtab_id, h, v)
     restart_interval = 0
-    data_start = None
+    progressive = False
+    coefs = None  # per-comp zigzag coefficient arrays
+    geom = None
+    nscans = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG: bad marker byte at {pos}")
@@ -509,7 +1089,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 ).astype(np.int64)
                 qtabs[tid] = tab.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2
+            if width is not None:
+                raise ValueError("JPEG: multiple SOF markers")
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -525,110 +1108,84 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                         "per axis: 4:4:4/4:2:2/4:4:0/4:2:0)"
                     )
                 comps.append((cid, qid, h_i, v_i))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}): "
+                "arithmetic/lossless/hierarchical coding"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if width is None:
+                raise ValueError("JPEG: SOS before SOF")
+            if coefs is None:
+                if len(comps) == 1:
+                    # T.81 A.2.2: in a single-component frame the
+                    # block grid is the image grid regardless of the
+                    # declared sampling factors (they only relate
+                    # components to each other). Normalizing to 1x1
+                    # reproduces exactly that geometry.
+                    comps = [(comps[0][0], comps[0][1], 1, 1)]
+                hmax = max(h for _, _, h, _ in comps)
+                vmax = max(v for _, _, _, v in comps)
+                mcu_rows = -(-height // (8 * vmax))
+                mcu_cols = -(-width // (8 * hmax))
+                geom = (width, height, hmax, vmax, mcu_rows, mcu_cols)
+                coefs = [
+                    np.zeros((mcu_rows * v, mcu_cols * h, 64),
+                             dtype=np.int64)
+                    for _, _, h, v in comps
+                ]
             ns = body[0]
-            if ns != len(comps):
-                # A legal baseline file may carry NON-INTERLEAVED
-                # scans (each SOS covers a subset of the SOF
-                # components, several SOS segments follow); this
-                # decoder handles the single interleaved scan only —
-                # decoding just the first scan would silently leave
-                # the remaining planes all-zero, so gate LOUDLY like
-                # progressive/subsampled (ADVICE r10).
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) baseline JPEG: SOS "
-                    f"covers {ns} of {len(comps)} components"
-                )
+            scan_map = []
             for i in range(ns):
                 cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
                 idx = next(
-                    j
-                    for j, (c, _, _, _) in enumerate(comps)
-                    if c == cid
+                    (
+                        j
+                        for j, (c, _, _, _) in enumerate(comps)
+                        if c == cid
+                    ),
+                    None,
                 )
+                if idx is None:
+                    raise ValueError(
+                        f"JPEG: SOS component id {cid} not in frame"
+                    )
                 scan_map.append((idx, tsel >> 4, tsel & 0xF))
+            sss, sse, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             data_start = pos + 2 + ln
-            break
+            consumed = _decode_scan(
+                payload[data_start:], scan_map, comps, coefs, huff,
+                geom, restart_interval, progressive,
+                sss, sse, a >> 4, a & 0xF,
+            )
+            nscans += 1
+            pos = data_start + consumed
+            continue
         pos += 2 + ln
-    if width is None or data_start is None:
-        raise ValueError("JPEG: missing SOF0 or SOS")
+    if width is None or coefs is None or nscans == 0:
+        raise ValueError("JPEG: missing SOF or SOS")
 
-    r = _BitReader(payload[data_start:])
+    # dequantize + IDCT + assemble planes
+    width, height, hmax, vmax, mcu_rows, mcu_cols = geom
     nc = len(comps)
-    if nc == 1:
-        # T.81 A.2.2: a single-component scan is NON-interleaved —
-        # one 8x8 data unit per MCU in raster order over the
-        # component's own block grid, and in a single-component
-        # FRAME that grid is the image grid regardless of the
-        # declared sampling factors (they only relate components to
-        # each other). Normalizing to 1x1 reproduces exactly that
-        # geometry; without this, a grayscale file declaring h2v2
-        # (e.g. jpegtran -grayscale keeping the source's luma
-        # factors) would decode scrambled or die mid-stream.
-        comps = [(comps[0][0], comps[0][1], 1, 1)]
-    hmax = max(h for _, _, h, _ in comps)
-    vmax = max(v for _, _, _, v in comps)
-    # an MCU is 8*hmax x 8*vmax image pixels; component ci contributes
-    # h_i x v_i blocks per MCU into its OWN (subsampled) plane
-    mcu_rows = -(-height // (8 * vmax))
-    mcu_cols = -(-width // (8 * hmax))
-    planes = [
-        np.zeros((mcu_rows * 8 * v, mcu_cols * 8 * h))
-        for _, _, h, v in comps
-    ]
-    pred = [0] * nc
-    mcu_count = 0
-    for by in range(mcu_rows):
-        for bx in range(mcu_cols):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                r.align_restart()
-                pred = [0] * nc
-            for ci, dc_t, ac_t in scan_map:
-                _, qid, h_i, v_i = comps[ci]
-                dc_dec = huff[(0, dc_t)]
-                ac_dec = huff[(1, ac_t)]
-                for v in range(v_i):
-                    for hh in range(h_i):
-                        q = np.zeros(64, dtype=np.int64)
-                        t = dc_dec.decode(r)
-                        pred[ci] += _extend(r.bits(t), t)
-                        q[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            sym = ac_dec.decode(r)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            if k > 63:
-                                raise ValueError(
-                                    "JPEG: AC index overflow"
-                                )
-                            t = sym & 0xF
-                            q[k] = _extend(r.bits(t), t)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[ZIGZAG] = (
-                            q * qtabs[qid].ravel()[ZIGZAG]
-                        )
-                        block = _C.T @ coef.reshape(8, 8) @ _C + 128.0
-                        y0 = (by * v_i + v) * 8
-                        x0 = (bx * h_i + hh) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-            mcu_count += 1
+    planes = []
+    for ci, (_, qid, h_i, v_i) in enumerate(comps):
+        if qid not in qtabs:
+            raise ValueError(f"JPEG: missing quant table {qid}")
+        qflat = qtabs[qid].ravel()[ZIGZAG]
+        bv, bh = coefs[ci].shape[:2]
+        plane = np.zeros((bv * 8, bh * 8))
+        for by in range(bv):
+            for bx in range(bh):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = coefs[ci][by, bx] * qflat
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ coef.reshape(8, 8) @ _C + 128.0
+                )
+        planes.append(plane)
 
     # upsample subsampled planes to full resolution by replication
     # (nearest-neighbor — the decode-side inverse of the encoder's

@@ -80,10 +80,14 @@ def quantized_second_moments(
         # silently NULLs decimal->long overflow, which would be
         # exactly the cross-engine drift the all-integer output
         # exists to rule out. Guard explicitly instead.
-        lim = F.lit(9223372036854775807).cast("decimal(38,0)")
+        # asymmetric bounds (ADVICE r11): BIGINT reaches -2^63 but
+        # only +2^63-1; an abs() guard would reject the representable
+        # minimum
+        hi = F.lit(9223372036854775807).cast("decimal(38,0)")
+        lo = F.lit(-9223372036854775808).cast("decimal(38,0)")
         return (
             F.when(
-                F.abs(c) > lim,
+                (c > hi) | (c < lo),
                 F.raise_error(
                     F.lit(
                         f"quantized_second_moments: {name} exceeds "

@@ -7,11 +7,13 @@ Codec status: **PNG pixel decode is REAL** (r10 —
 ``decode_png``/``encode_png``, stdlib zlib + the five RFC 2083
 scanline filters; r11 adds palette at all legal palette depths and
 Adam7 interlace, with ``encode_png_indexed`` as the fixture twin;
-no media library needed), **baseline JPEG is REAL
-for greyscale/4:4:4/4:2:2/4:4:0/4:2:0** (r10, subsampling r11 —
+no media library needed), **sequential AND progressive JPEG are
+REAL for greyscale/4:4:4/4:2:2/4:4:0/4:2:0** (r10 baseline,
+subsampling r11, progressive + non-interleaved multi-scan r12 —
 ``operators/jpeg.py``, pure numpy: Huffman + dequant + IDCT, Annex K
-tables, restart markers, replication chroma upsampling;
-progressive, non-interleaved multi-scan, and factors > 2 raise), **GIF is REAL** (r11 — ``decode_gif``/
+tables, restart markers, replication chroma upsampling, T.81 Annex G
+spectral selection + successive approximation; arithmetic coding
+and factors > 2 raise), **GIF is REAL** (r11 — ``decode_gif``/
 ``encode_gif``, full variable-width LZW, global/local color tables,
 interlace de-weave; multi-frame animations raise), and **WAV
 integer PCM is REAL** (r11 — ``decode_wav``/``encode_wav``,
@@ -129,15 +131,15 @@ def decode_media(
     (tags lie at web scale; magic bytes don't): PNG-signature
     payloads decode through the REAL stdlib-zlib codec
     (:func:`decode_png`, r10), JPEG SOI payloads through the real
-    baseline Huffman+IDCT codec (``operators/jpeg.decode_jpeg``,
-    wired r11), and GIF87a/89a payloads through the real LZW codec
+    Huffman+IDCT codec — sequential AND progressive as of r12
+    (``operators/jpeg.decode_jpeg``), and GIF87a/89a payloads through the real LZW codec
     (:func:`decode_gif`, r11) — all return actual pixel dimensions
     and n_frames=1. A multi-frame GIF reports its logical-screen
     dims and REAL frame count from a pure descriptor walk
     (:func:`gif_frame_count`, r12) — honest header metadata — while
     its pixel decode stays gated in operators that need pixels.
-    The honestly-gated classes inside those codecs (progressive /
-    multi-scan JPEG, 16-bit PNG)
+    The honestly-gated classes inside those codecs
+    (arithmetic-coded JPEG, 16-bit PNG)
     raise ``NotImplementedError`` LOUDLY rather than answering
     wrong. Payloads with neither signature (this repo's fixture
     stand-ins are UTF-8 text; real deployments: WebP/video, which
@@ -148,9 +150,9 @@ def decode_media(
 
     - ``"raise"`` (default) — any malformed or honestly-gated payload
       raises through mapInPandas and fails the stage. Right for
-      trusted fixtures and tests; at web scale one progressive JPEG
-      in the first batch would kill a 100 TB decode stage, so real
-      crawl runs use one of the lenient modes.
+      trusted fixtures and tests; at web scale one corrupt or
+      arithmetic-coded JPEG in the first batch would kill a 100 TB
+      decode stage, so real crawl runs use one of the lenient modes.
     - ``"status"`` — schema becomes :data:`DECODED_STATUS_SCHEMA`:
       every input row survives with ``status`` in
       ``{"ok","gated","corrupt"}`` and a deterministic
@@ -550,22 +552,26 @@ def _png_unfilter(data: bytes, offset: int, stride: int, bpp: int,
     return raw, offset + need
 
 
-def _png_unpack_indices(row: bytes, width: int, depth: int) -> list:
+def _png_unpack_indices(row: bytes, width: int, depth: int):
     """Unpack a palette scanline of ``depth``-bit indices (MSB-first
-    within each byte, per RFC 2083 §2.3) to ``width`` ints."""
+    within each byte, per RFC 2083 §2.3) to ``width`` uint8 values —
+    vectorized (ADVICE r11): one shift/mask broadcast per row."""
+    import numpy as np
+
     if depth == 8:
-        return list(row[:width])
+        if len(row) < width:
+            raise ValueError("PNG palette row underflow")
+        return np.frombuffer(row[:width], dtype=np.uint8)
     per_byte = 8 // depth
     mask = (1 << depth) - 1
-    out = []
-    for byte in row:
-        for k in range(per_byte):
-            out.append((byte >> (8 - depth * (k + 1))) & mask)
-            if len(out) == width:
-                return out
-    if len(out) < width:
+    arr = np.frombuffer(row, dtype=np.uint8)
+    shifts = np.array(
+        [8 - depth * (k + 1) for k in range(per_byte)], dtype=np.uint8
+    )
+    out = ((arr[:, None] >> shifts) & mask).ravel()
+    if out.size < width:
         raise ValueError("PNG palette row underflow")
-    return out
+    return out[:width].astype(np.uint8)
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -649,9 +655,19 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     passes = _png_pass_layout(width, height, interlace == 1)
 
     out_ch = 3 if color_type == 3 else spp
-    raw = bytearray(width * height * out_ch)
-    offset = 0
+    # vectorized placement (ADVICE r11): rows land through numpy
+    # strided assignment into an (h, w, ch) view — no per-pixel loop;
+    # interlace passes are just xs::xstep slices of the same view
+    import numpy as np
+
+    raw = np.zeros((height, width, out_ch), dtype=np.uint8)
+    pal_np = (
+        np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        if color_type == 3
+        else None
+    )
     n_colors = len(palette) // 3 if palette else 0
+    offset = 0
     for (xs, ys, xstep, ystep), pw, ph in passes:
         rows, offset = _png_unfilter(
             data, offset, row_stride(pw), bpp, ph
@@ -661,23 +677,20 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             row = bytes(rows[r * rs : (r + 1) * rs])
             y = ys + r * ystep
             if color_type == 3:
-                idxs = _png_unpack_indices(row, pw, bit_depth)
-                for i, ix in enumerate(idxs):
-                    if ix >= n_colors:
-                        raise ValueError(
-                            "PNG palette index outside PLTE"
-                        )
-                    x = xs + i * xstep
-                    o = (y * width + x) * 3
-                    raw[o : o + 3] = palette[3 * ix : 3 * ix + 3]
+                idxs = np.asarray(
+                    _png_unpack_indices(row, pw, bit_depth),
+                    dtype=np.uint8,
+                )
+                if idxs.size and int(idxs.max()) >= n_colors:
+                    raise ValueError("PNG palette index outside PLTE")
+                raw[y, xs::xstep] = pal_np[idxs]
             else:
-                for i in range(pw):
-                    x = xs + i * xstep
-                    o = (y * width + x) * spp
-                    raw[o : o + spp] = row[i * spp : (i + 1) * spp]
+                raw[y, xs::xstep] = np.frombuffer(
+                    row[: pw * spp], dtype=np.uint8
+                ).reshape(pw, spp)
     if offset != len(data):
         raise ValueError("PNG pixel data length mismatch")
-    return width, height, out_ch, bytes(raw)
+    return width, height, out_ch, raw.tobytes()
 
 
 RESIZED_SCHEMA = StructType(
@@ -1164,23 +1177,62 @@ def image_dims(payload) -> "F.Column":
 
 
 # ---------------------------------------------------------------------
-# REAL WAV/PCM audio codec (r11): the PNG/JPEG playbook applied to the
-# third modality. RIFF/WAVE integer PCM needs only `struct` — so the
-# header parse and the sample bytes are REAL, and the genuinely-coded
-# classes (IEEE-float WAV, a-law/mu-law, extensible, MP3-in-WAV)
+# REAL WAV/PCM audio codec (r11; G.711 r12): the PNG/JPEG playbook
+# applied to the third modality. RIFF/WAVE integer PCM needs only
+# `struct`; G.711 A-law/mu-law expand through the exact integer spec
+# tables (verified entry-for-entry against stdlib audioop). The
+# genuinely-coded classes (IEEE-float WAV, extensible, MP3-in-WAV)
 # raise NotImplementedError loudly instead of faking samples.
 # ---------------------------------------------------------------------
 
 
+def alaw_to_linear(b: int) -> int:
+    """ITU-T G.711 A-law byte -> 16-bit linear sample. Pure integer
+    (the spec's segment expansion), so fixtures are formula-exact."""
+    b ^= 0x55
+    sign = b & 0x80
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    if exp == 0:
+        s = (mant << 4) + 8
+    else:
+        s = ((mant << 4) + 0x108) << (exp - 1)
+    # G.711 A-law transmits sign bit 1 for POSITIVE (inverted vs
+    # mu-law) — verified entry-for-entry against stdlib audioop
+    return s if sign else -s
+
+
+def ulaw_to_linear(b: int) -> int:
+    """ITU-T G.711 mu-law byte -> 16-bit linear sample (the classic
+    Sun/CCITT expansion: bias 0x84, 3-bit exponent segments)."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    s = (((mant << 3) + 0x84) << exp) - 0x84
+    return -s if sign else s
+
+
+_ALAW_TABLE = [alaw_to_linear(i) for i in range(256)]
+_ULAW_TABLE = [ulaw_to_linear(i) for i in range(256)]
+
+
 def encode_wav(
-    sample_rate: int, channels: int, bits: int, frames: bytes
+    sample_rate: int,
+    channels: int,
+    bits: int,
+    frames: bytes,
+    audio_fmt: int = 1,
 ) -> bytes:
     """Minimal canonical RIFF/WAVE writer — integer PCM (format tag
     1), 8-bit unsigned or 16-bit signed little-endian, interleaved
     frames. Deterministic: identical inputs produce identical bytes,
     so formula-synthesized fixtures are reproducible. Odd-sized data
     gets the RIFF pad byte (excluded from the chunk size), so 8-bit
-    mono with an odd sample count round-trips chunk-walk-correctly."""
+    mono with an odd sample count round-trips chunk-walk-correctly.
+    ``audio_fmt`` 6 (A-law) or 7 (mu-law) writes G.711 companded
+    bytes (r12; ``frames`` are then the 8-bit companded codes and
+    ``bits`` must be 8)."""
     import struct
 
     if channels < 1:
@@ -1189,6 +1241,10 @@ def encode_wav(
         raise ValueError(f"bits must be 8 or 16, got {bits}")
     if sample_rate < 1:
         raise ValueError(f"sample_rate must be >= 1, got {sample_rate}")
+    if audio_fmt not in (1, 6, 7):
+        raise ValueError(f"audio_fmt must be 1, 6 or 7, got {audio_fmt}")
+    if audio_fmt != 1 and bits != 8:
+        raise ValueError("G.711 WAV is 8-bit companded")
     block_align = channels * (bits // 8)
     if len(frames) % block_align:
         raise ValueError(
@@ -1197,7 +1253,7 @@ def encode_wav(
         )
     fmt = struct.pack(
         "<HHIIHH",
-        1,
+        audio_fmt,
         channels,
         sample_rate,
         sample_rate * block_align,
@@ -1218,14 +1274,18 @@ def encode_wav(
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a RIFF/WAVE integer-PCM payload to (sample_rate,
-    channels, bits, frame bytes). The chunk walk is spec-shaped:
+    """Decode a RIFF/WAVE payload to (sample_rate, channels, bits,
+    frame bytes). Integer PCM (tag 1) returns its frames verbatim;
+    G.711 A-law/mu-law (tags 6/7, r12) EXPAND through the exact
+    integer spec tables to 16-bit signed little-endian linear PCM
+    (the return is then bits=16 — the linear form every downstream
+    frame/energy operator consumes). The chunk walk is spec-shaped:
     unknown chunks (LIST, fact, cue, ...) are SKIPPED with the RIFF
     odd-size pad byte honored, fmt must precede data, and the data
     chunk is truncated to its declared size. Gated loudly: IEEE
-    float (tag 3), a-law/mu-law (6/7), WAVE_FORMAT_EXTENSIBLE
-    (0xFFFE), MP3-in-WAV (0x55), and any other non-PCM tag raise
-    NotImplementedError; malformed structure raises ValueError."""
+    float (tag 3), WAVE_FORMAT_EXTENSIBLE (0xFFFE), MP3-in-WAV
+    (0x55), and any other coded tag raise NotImplementedError;
+    malformed structure raises ValueError."""
     import struct
 
     if payload is None or payload[:4] != b"RIFF":
@@ -1257,18 +1317,20 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
                 block_align,
                 bits,
             ) = fmt
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 6, 7):
                 names = {
                     3: "IEEE-float WAV",
-                    6: "a-law WAV",
-                    7: "mu-law WAV",
                     0x55: "MP3-in-WAV",
                     0xFFFE: "WAVE_FORMAT_EXTENSIBLE",
                 }
                 raise NotImplementedError(
                     f"{names.get(audio_fmt, 'non-PCM WAV')} "
                     f"(format tag 0x{audio_fmt:04X}): only integer "
-                    "PCM decodes"
+                    "PCM and G.711 decode"
+                )
+            if audio_fmt != 1 and bits != 8:
+                raise ValueError(
+                    f"G.711 WAV must be 8-bit, fmt declares {bits}"
                 )
             if bits not in (8, 16):
                 raise NotImplementedError(
@@ -1289,6 +1351,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
                     f"data size {len(data)} not a multiple of the "
                     f"{block_align}-byte frame"
                 )
+            if audio_fmt != 1:
+                # G.711 expansion: 256-entry integer lookup to linear
+                # 16-bit LE — the form downstream audio ops consume
+                table = _ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE
+                out = bytearray(2 * len(data))
+                for i, b in enumerate(data):
+                    v = table[b]
+                    out[2 * i] = v & 0xFF
+                    out[2 * i + 1] = (v >> 8) & 0xFF
+                return sample_rate, channels, 16, bytes(out)
             return sample_rate, channels, bits, data
         # unknown chunk: skip, honoring the RIFF odd-size pad byte
         pos = body_start + size + (size % 2)
@@ -1314,18 +1386,24 @@ def _lzw_decode(mcs: int, data: bytes, expected: int) -> bytes:
         raise ValueError(f"bad LZW min code size {mcs}")
     clear, end = 1 << mcs, (1 << mcs) + 1
     out = bytearray()
-    # bit reader: LSB-first across the byte stream
+    # bit reader: LSB-first across the byte stream. A code is <= 12
+    # bits so it spans <= 3 bytes — extract in O(1) from a 24-bit
+    # window instead of bit-by-bit (ADVICE r11: the per-bit loop was
+    # the decode hot spot); two pad bytes let the window read run
+    # past the real end without branching.
     bitpos = 0
     total_bits = len(data) * 8
+    padded = data + b"\x00\x00"
 
     def read_code(width: int) -> int:
         nonlocal bitpos
         if bitpos + width > total_bits:
             raise ValueError("LZW stream truncated")
-        v = 0
-        for i in range(width):
-            byte = data[(bitpos + i) >> 3]
-            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        i = bitpos >> 3
+        window = (
+            padded[i] | (padded[i + 1] << 8) | (padded[i + 2] << 16)
+        )
+        v = (window >> (bitpos & 7)) & ((1 << width) - 1)
         bitpos += width
         return v
 
@@ -1622,12 +1700,17 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
                     ]
                 idx = bytes(de)
             n_colors = len(table) // 3
-            if any(i >= n_colors for i in idx):
+            # vectorized palette map (ADVICE r11): index -> RGB via
+            # one numpy take instead of a per-pixel loop
+            import numpy as _np
+
+            ia = _np.frombuffer(idx, dtype=_np.uint8)
+            if ia.size and int(ia.max()) >= n_colors:
                 raise ValueError("GIF index outside color table")
-            rgb = bytearray(3 * w * h)
-            for p, i in enumerate(idx):
-                rgb[3 * p : 3 * p + 3] = table[3 * i : 3 * i + 3]
-            frame = (w, h, 3, bytes(rgb))
+            pal = _np.frombuffer(
+                bytes(table[: 3 * n_colors]), dtype=_np.uint8
+            ).reshape(n_colors, 3)
+            frame = (w, h, 3, pal[ia].tobytes())
             continue
         raise ValueError(f"bad GIF block 0x{b:02X} at {pos}")
     if frame is None:

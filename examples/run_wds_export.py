@@ -59,19 +59,28 @@ if __name__ == "__main__":
 
     meta = json.load(open(os.path.join(out, "_MANIFEST.json")))
     print(f"wrote {meta['samples']} samples / {meta['shards']} shards -> {out}")
+    # read back THROUGH SPARK (r12: the tar_shard source — partition
+    # per shard, samples regrouped from adjacent members) and DECODE
+    # the pixels: the full loader handoff inside the engine
+    from cc2dataset_spark.operators.multimodal import decode_png
+
+    back = spark.read.format("tar_shard").option("path", out).load()
+    print(f"read back {back.count()} samples, schema: {back.columns}")
+    row = back.orderBy("key").first()
+    w, h, ch, raw = decode_png(bytes(row.png))
+    print(
+        f"decoded {row.key}.png via Spark read: {w}x{h}x{ch}, "
+        f"{len(raw)} raw bytes; caption: {bytes(row.txt).decode()[:40]!r}"
+    )
+    # byte-level spot check against the raw tar (loader equivalence)
     shard = next(
         p for p in sorted(os.listdir(out)) if p.startswith("part-")
     )
-    # read back like a training loader would — and DECODE the pixels
-    from cc2dataset_spark.operators.multimodal import decode_png
-
     with tarfile.open(os.path.join(out, shard)) as tar:
-        members = tar.getmembers()
-        for m in members[:4]:
-            print(f"  {shard}:{m.name} ({m.size} B)")
-        png_member = next(m for m in members if m.name.endswith(".png"))
-        w, h, ch, raw = decode_png(tar.extractfile(png_member).read())
-        print(
-            f"decoded {png_member.name}: {w}x{h}x{ch}, "
-            f"{len(raw)} raw bytes"
+        m = next(m for m in tar.getmembers() if m.name.endswith(".png"))
+        key = m.name.rsplit(".", 1)[0]
+        spark_bytes = bytes(
+            back.where(F.col("key") == key).first().png
         )
+        assert spark_bytes == tar.extractfile(m).read()
+        print(f"tar member {m.name} == Spark-read bytes ({m.size} B)")

@@ -124,10 +124,18 @@ def test_byte_stuffing_present_and_handled():
 
 def test_unsupported_shapes_raise():
     good = bytearray(encode_jpeg(8, 8, 1, bytes(64)))
-    # flip SOF0 (0xFFC0) to SOF2 (progressive)
+    # flip SOF0 (0xFFC0) to SOF9 (arithmetic-coded sequential) — a
+    # genuinely-gated entropy coder (r12: SOF2 progressive now
+    # DECODES, so the gate test moved to the arithmetic class)
     i = good.find(b"\xff\xc0")
-    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    arith = bytes(good[:i]) + b"\xff\xc9" + bytes(good[i + 2 :])
     with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(arith)
+    # SOF2 with a SEQUENTIAL scan header (Ss=0,Se=63) violates the
+    # T.81 B.2.3 progressive constraints -> structural ValueError,
+    # not a silent wrong decode
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    with pytest.raises(ValueError, match="DC-only"):
         decode_jpeg(prog)
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
@@ -246,36 +254,28 @@ def test_fill_bytes_and_tem_marker_tolerated():
     assert decode_jpeg(bytes(patched)) == ref
 
 
-def test_non_interleaved_multi_scan_gates_loudly():
-    """A baseline file whose SOS covers fewer components than the SOF
-    declares (non-interleaved scans, several SOS segments) must raise
-    NotImplementedError — decoding only the first scan would silently
-    return all-zero planes for the rest."""
-    import struct as _s
+def test_non_interleaved_multi_scan_decodes():
+    """r12: a legal baseline file with three single-component
+    full-band scans (non-interleaved — formerly a loud gate) decodes
+    to the IDENTICAL pixels of its interleaved twin: scan
+    organization must not change values (same coefficient math, same
+    tables)."""
+    from cc2dataset_spark.operators.jpeg import encode_jpeg_scans
 
-    payload = bytearray(encode_jpeg(8, 8, 3, bytes(192)))
-    # find the SOS segment and shrink it to cover one component
-    i = 2
-    while i < len(payload):
-        assert payload[i] == 0xFF
-        m = payload[i + 1]
-        (ln,) = _s.unpack(">H", payload[i + 2 : i + 4])
-        if m == 0xDA:
-            body = payload[i + 4 : i + 2 + ln]
-            ns = body[0]
-            assert ns == 3
-            new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[7:])
-            new = (
-                payload[: i + 2]
-                + _s.pack(">H", 2 + len(new_body))
-                + new_body
-                + payload[i + 2 + ln :]
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for w, h, samp in [(8, 8, "444"), (16, 16, "420"), (13, 11, "440")]:
+        raw = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+        interleaved = decode_jpeg(encode_jpeg(w, h, 3, raw, sampling=samp))
+        multi = decode_jpeg(
+            encode_jpeg_scans(
+                w, h, 3, raw,
+                [([0], 0, 63, 0, 0), ([1], 0, 63, 0, 0), ([2], 0, 63, 0, 0)],
+                sampling=samp, progressive=False,
             )
-            with pytest.raises(NotImplementedError, match="1 of 3"):
-                decode_jpeg(bytes(new))
-            return
-        i += 2 + ln
-    raise AssertionError("no SOS found")
+        )
+        assert multi == interleaved
 
 
 def test_dims_parser_tolerates_fill_bytes(spark):
@@ -318,3 +318,212 @@ def test_truncated_fill_bytes_raise_valueerror():
     documented ValueError, not IndexError."""
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(b"\xff\xd8\xff\xff")
+
+
+# ---------------------------------------------------------------------
+# r12: progressive JPEG (T.81 Annex G — spectral selection +
+# successive approximation)
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,samp",
+    [
+        (8, 8, 1, "444"),
+        (16, 8, 1, "444"),
+        (13, 11, 1, "444"),
+        (8, 8, 3, "444"),
+        (16, 16, 3, "420"),
+        (13, 11, 3, "422"),
+        (24, 17, 3, "440"),
+        (5, 9, 3, "420"),
+        (64, 48, 3, "420"),
+    ],
+)
+def test_progressive_equals_baseline_pixels(w, h, ch, samp):
+    """The libjpeg-style default progressive script (DC/AC x
+    first/refine, interleaved DC, split spectral bands) must decode
+    to the BIT-IDENTICAL pixels of the baseline encoding: both
+    encoders share the per-block coefficient math, so any slip in
+    scan assembly, EOB-run bookkeeping, or correction-bit order shows
+    up as a pixel diff."""
+    from cc2dataset_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(w * 1000 + h * 10 + ch)
+    raw = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, ch, raw, sampling=samp))
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, ch, raw, sampling=samp))
+    assert prog == base
+
+
+def test_progressive_solid_color_exact():
+    """Analytic vector: a solid image has one DCT coefficient per
+    block (DC), so the whole progressive chain — point transform,
+    DC refinement bit, dequant, IDCT — must reproduce the input
+    EXACTLY, like the baseline analytic case."""
+    from cc2dataset_spark.operators.jpeg import encode_jpeg_progressive
+
+    for v in (0, 1, 127, 128, 200, 255):
+        raw = bytes([v]) * (16 * 16)
+        got = decode_jpeg(encode_jpeg_progressive(16, 16, 1, raw))
+        assert got == (16, 16, 1, raw)
+    raw = bytes([10, 200, 99]) * (8 * 8)
+    w_, h_, c_, out = decode_jpeg(encode_jpeg_progressive(8, 8, 3, raw))
+    ref = decode_jpeg(encode_jpeg(8, 8, 3, raw))[3]
+    assert out == ref
+
+
+def test_progressive_eobrun_spans_blocks_spec_vector():
+    """Hand-built spec vector for EOBn with n>0 (our encoder caps at
+    EOB0 because the Annex K tables carry no longer EOB symbols, so
+    the DECODER's multi-block EOB-run path needs an independent
+    vector): a 32x8 greyscale progressive file, DC scan coding block
+    values 128+8k, then an AC scan whose entire content is ONE EOB4
+    symbol from a custom DHT — all four blocks end with zero AC."""
+    import struct as _s
+
+    from cc2dataset_spark.operators.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        _category,
+        _DC_LUMA,
+    )
+
+    def seg(marker, body):
+        return _s.pack(">HH", marker, len(body) + 2) + body
+
+    parts = [b"\xff\xd8"]
+    parts.append(seg(0xFFDB, bytes([0]) + bytes([1] * 64)))
+    parts.append(
+        seg(0xFFC2, _s.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    )
+    parts.append(
+        seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]),
+        )
+    )
+    # DC-first scan (Ss=0,Se=0,Ah=0,Al=0): blocks flat at DC=8k ->
+    # pixel value 128+k after IDCT (orthonormal DC gain is 8)
+    dcc = _canonical_codes(*_DC_LUMA)
+    w = _BitWriter()
+    pred = 0
+    dc_values = [8 * 1, 8 * 5, 8 * (-3), 8 * 20]
+    for dv in dc_values:
+        diff = dv - pred
+        pred = dv
+        t = _category(diff)
+        code, ln = dcc[t]
+        w.write(code, ln)
+        if t:
+            w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    parts.append(seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0])))
+    parts.append(w.flush())
+    # custom AC table: single symbol 0x40 (EOB4 class) with code '0'
+    parts.append(
+        seg(
+            0xFFC4,
+            bytes([0x10])
+            + bytes([1] + [0] * 15)  # one code of length 1
+            + bytes([0x40]),
+        )
+    )
+    # AC scan 1..63: one EOB4 symbol + 4 extra bits 0b0100 = 4 ->
+    # eobrun = (1<<4) + 4 = 20 >= 4 blocks? No: choose extra bits so
+    # the run covers EXACTLY the four blocks of the scan: (1<<4)=16
+    # would overshoot; use symbol 0x20 (EOB2): run = 4 + extra(0..3).
+    # Rebuild with 0x20 and extra bits 00 -> run of exactly 4.
+    parts[-1] = seg(
+        0xFFC4,
+        bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x20]),
+    )
+    w = _BitWriter()
+    w.write(0, 1)  # the EOB2-class symbol's code
+    w.write(0, 2)  # extra bits: run = (1<<2) + 0 = 4 blocks
+    parts.append(seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0])))
+    parts.append(w.flush())
+    parts.append(b"\xff\xd9")
+    payload = b"".join(parts)
+
+    gw, gh, gc, out = decode_jpeg(payload)
+    assert (gw, gh, gc) == (32, 8, 1)
+    px = np.frombuffer(out, dtype=np.uint8).reshape(8, 32)
+    for b, dv in enumerate(dc_values):
+        want = min(255, max(0, 128 + dv // 8))
+        assert (px[:, b * 8 : b * 8 + 8] == want).all(), (b, dv)
+
+
+def test_progressive_restart_markers():
+    """Progressive DC scan with restart markers: DRI=2, RST between
+    every two blocks, predictor resets — hand-assembled because the
+    repo encoder doesn't emit restarts in progressive mode."""
+    import struct as _s
+
+    from cc2dataset_spark.operators.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        _category,
+        _DC_LUMA,
+    )
+
+    def seg(marker, body):
+        return _s.pack(">HH", marker, len(body) + 2) + body
+
+    dcc = _canonical_codes(*_DC_LUMA)
+    dc_values = [8, 16, 24, 40]  # blocks: 128+1, +2, +3, +5
+
+    def dc_bits(values, pred0=0):
+        w = _BitWriter()
+        pred = pred0
+        for dv in values:
+            diff = dv - pred
+            pred = dv
+            t = _category(diff)
+            code, ln = dcc[t]
+            w.write(code, ln)
+            if t:
+                w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return w.flush()
+
+    parts = [b"\xff\xd8"]
+    parts.append(seg(0xFFDB, bytes([0]) + bytes([1] * 64)))
+    parts.append(seg(0xFFDD, _s.pack(">H", 2)))
+    parts.append(
+        seg(0xFFC2, _s.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    )
+    parts.append(
+        seg(0xFFC4, bytes([0x00]) + bytes(_DC_LUMA[0]) + bytes(_DC_LUMA[1]))
+    )
+    parts.append(seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0])))
+    parts.append(dc_bits(dc_values[:2]))
+    parts.append(b"\xff\xd0")  # RST0
+    parts.append(dc_bits(dc_values[2:], pred0=0))  # predictor reset
+    parts.append(b"\xff\xd9")
+    payload = b"".join(parts)
+
+    gw, gh, gc, out = decode_jpeg(payload)
+    px = np.frombuffer(out, dtype=np.uint8).reshape(8, 32)
+    for b, dv in enumerate(dc_values):
+        assert (px[:, b * 8 : b * 8 + 8] == 128 + dv // 8).all()
+
+
+def test_progressive_structural_violations_raise():
+    """B.2.3 violations are ValueError (structural damage), and the
+    still-gated classes stay NotImplementedError."""
+    from cc2dataset_spark.operators.jpeg import encode_jpeg_scans
+
+    raw = bytes(64)
+    # AC scan covering 2 components
+    with pytest.raises(ValueError, match="1 component"):
+        encode_jpeg_scans(8, 8, 3, bytes(192), [([0, 1], 1, 5, 0, 0)])
+    # refinement with Ah != Al+1 (decoder side)
+    good = encode_jpeg_scans(
+        8, 8, 1, raw, [([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)]
+    )
+    bad = bytearray(good)
+    # patch the second SOS's (Ah<<4)|Al byte: find second 0xFFDA
+    first = bad.index(b"\xff\xda")
+    second = bad.index(b"\xff\xda", first + 2)
+    bad[second + 2 + 2 + 1 + 2 + 2] = 0x30  # Ah=3, Al=0
+    with pytest.raises(ValueError, match="Al"):
+        decode_jpeg(bytes(bad))

@@ -290,10 +290,12 @@ def test_decode_media_signature_dispatch(spark):
     )
     assert (got[4]["width"], got[4]["height"], got[4]["n_frames"]) == (7, 3, 1)
 
-    # gated class: SOF0 -> SOF2 (progressive) must surface, not fake
+    # gated class: SOF0 -> SOF9 (arithmetic coding) must surface, not
+    # fake (r12: SOF2 progressive decodes now, so the gate check
+    # moved to the arithmetic class)
     bad = bytearray(jpg)
     i = bad.index(b"\xff\xc0")
-    bad[i + 1] = 0xC2
+    bad[i + 1] = 0xC9
     bdf = spark.createDataFrame(
         [(9, bytes(bad), "jpeg")], "doc_id long, payload binary, fmt string"
     ).select(

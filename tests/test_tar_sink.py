@@ -175,3 +175,88 @@ def test_key_invariants_enforced(registered, tmp_path):
             bad.write.format("tar_shard").option(
                 "path", str(tmp_path / name)
             ).mode("append").save()
+
+
+# ---------------------------------------------------------------------
+# r12: tar_shard READ source — the loader-handoff loop closed
+# ---------------------------------------------------------------------
+
+
+def test_read_source_roundtrips_byte_identical(registered, sf_dir, tmp_path):
+    """write -> read through Spark: every sample comes back with its
+    exact member bytes (text columns as their UTF-8 encodings —
+    extension-based decoding is the loader's job), schema from the
+    sink manifest, one partition per shard."""
+    spark = registered
+    out = str(tmp_path / "wds_rt")
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.format_string("%06d", "doc_id").alias("key"),
+            F.col("text").alias("txt"),
+            F.to_json(F.struct("lang", "source")).alias("json"),
+            F.encode("text", "utf-8").alias("bin"),
+        )
+        .limit(40)
+    )
+    src.repartition(3).write.format("tar_shard").option(
+        "path", out
+    ).mode("append").save()
+
+    back = spark.read.format("tar_shard").option("path", out).load()
+    assert back.columns == ["key", "txt", "json", "bin"]
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "string", "binary", "binary", "binary",
+    ]
+    got = {
+        r.key: (bytes(r.txt), bytes(r.json), bytes(r.bin))
+        for r in back.collect()
+    }
+    want = {
+        r.key: (
+            r.txt.encode("utf8"),
+            r.json.encode("utf8"),
+            bytes(r.bin),
+        )
+        for r in src.collect()
+    }
+    assert got == want
+    # one partition per shard file
+    n_shards = len(
+        [p for p in os.listdir(out) if p.startswith("part-")]
+    )
+    assert back.rdd.getNumPartitions() == n_shards
+
+
+def test_read_source_null_members_and_options(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "wds_nulls")
+    df = spark.createDataFrame(
+        [("a", "hello", None), ("b", None, b"\x00\xff")],
+        "key string, txt string, bin binary",
+    )
+    df.coalesce(1).write.format("tar_shard").option("path", out).mode(
+        "append"
+    ).save()
+    rows = {
+        r.key: (r.txt, r.bin)
+        for r in spark.read.format("tar_shard")
+        .option("path", out)
+        .load()
+        .collect()
+    }
+    assert rows["a"] == (b"hello", None)
+    assert rows["b"] == (None, b"\x00\xff")
+
+    # explicit columns option (foreign shards without a manifest)
+    os.remove(os.path.join(out, "_MANIFEST.json"))
+    with pytest.raises(Exception, match="columns"):
+        spark.read.format("tar_shard").option("path", out).load().collect()
+    rows2 = (
+        spark.read.format("tar_shard")
+        .option("path", out)
+        .option("columns", "key,txt,bin")
+        .load()
+        .collect()
+    )
+    assert len(rows2) == 2

@@ -58,8 +58,6 @@ def test_trailing_bytes_after_data_ignored():
     "tag,name",
     [
         (3, "IEEE-float"),
-        (6, "a-law"),
-        (7, "mu-law"),
         (0x55, "MP3-in-WAV"),
         (0xFFFE, "WAVE_FORMAT_EXTENSIBLE"),
         (2, "non-PCM"),
@@ -147,3 +145,87 @@ def test_roundtrip_fuzz(sr, ch, bits, n, seed):
         bits,
         frames,
     )
+
+
+# ---------------------------------------------------------------------
+# r12: G.711 A-law / mu-law expansion (format tags 6/7)
+# ---------------------------------------------------------------------
+
+
+def test_g711_tables_match_spec_vectors():
+    """Hand vectors from the G.711 segment layout, then (when the
+    stdlib still ships audioop) every one of the 512 table entries
+    against an independent implementation."""
+    from cc2dataset_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        alaw_to_linear,
+        ulaw_to_linear,
+    )
+
+    # mu-law anchors: 0xFF -> 0, 0x7F -> -0, 0x00 -> -32124,
+    # 0x80 -> +32124 (bias 0x84 segment expansion)
+    assert ulaw_to_linear(0xFF) == 0
+    assert ulaw_to_linear(0x7F) == 0
+    assert ulaw_to_linear(0x00) == -32124
+    assert ulaw_to_linear(0x80) == 32124
+    # A-law anchors: sign bit 1 is POSITIVE in G.711 A-law
+    assert alaw_to_linear(0xD5) == 8
+    assert alaw_to_linear(0x55) == -8
+    assert alaw_to_linear(0xAA) == 32256
+    assert alaw_to_linear(0x2A) == -32256
+
+    try:
+        import audioop
+    except ImportError:
+        return
+    import struct as _s
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        for i in range(256):
+            assert _ALAW_TABLE[i] == _s.unpack(
+                "<h", audioop.alaw2lin(bytes([i]), 2)
+            )[0], i
+            assert _ULAW_TABLE[i] == _s.unpack(
+                "<h", audioop.ulaw2lin(bytes([i]), 2)
+            )[0], i
+
+
+def test_g711_wav_decodes_to_linear16():
+    """A G.711 WAV decodes to bits=16 linear PCM through the exact
+    integer tables; the 8-bit companded container round-trips every
+    code value."""
+    from cc2dataset_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+    )
+
+    codes = bytes(range(256))
+    for tag, table in [(6, _ALAW_TABLE), (7, _ULAW_TABLE)]:
+        payload = encode_wav(16000, 1, 8, codes, audio_fmt=tag)
+        sr, ch, bits, data = decode_wav(payload)
+        assert (sr, ch, bits) == (16000, 1, 16)
+        assert list(struct.unpack("<256h", data)) == table
+    # stereo interleave preserved
+    payload = encode_wav(8000, 2, 8, bytes([0x55, 0xFF, 0xD5, 0x7F]),
+                         audio_fmt=6)
+    sr, ch, bits, data = decode_wav(payload)
+    assert (ch, bits) == (2, 16)
+    from cc2dataset_spark.operators.multimodal import alaw_to_linear
+
+    assert list(struct.unpack("<4h", data)) == [
+        alaw_to_linear(0x55), alaw_to_linear(0xFF),
+        alaw_to_linear(0xD5), alaw_to_linear(0x7F),
+    ]
+
+
+def test_g711_declared_16bit_is_structural_damage():
+    payload = _riff(
+        _chunk(b"fmt ", _fmt(tag=6, bits=16)), _chunk(b"data", b"\x00\x00")
+    )
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_wav(payload)
+    with pytest.raises(ValueError, match="8-bit companded"):
+        encode_wav(8000, 1, 16, b"\x00\x00", audio_fmt=6)
