@@ -15,7 +15,8 @@ tables, restart markers, replication chroma upsampling, T.81 Annex G
 spectral selection + successive approximation; arithmetic coding
 and factors > 2 raise), **GIF is REAL** (r11 — ``decode_gif``/
 ``encode_gif``, full variable-width LZW, global/local color tables,
-interlace de-weave; multi-frame animations raise), and **WAV
+interlace de-weave; multi-frame animations decode IN FULL with
+real GCE compositing via ``decode_gif_frames``, r12), and **WAV
 integer PCM is REAL** (r11 — ``decode_wav``/``encode_wav``,
 spec-shaped RIFF chunk walk; IEEE-float/a-law/mu-law/extensible/MP3
 raise). ``decode_media`` dispatches on payload magic bytes across
@@ -297,7 +298,7 @@ def media_decode_stats(status_df: DataFrame) -> DataFrame:
 # gated there). The remaining genuinely-gated format is WebP/video
 # (VP8 entropy coding needs codec libs). 8-bit greyscale/RGB/RGBA,
 # palette at all legal palette depths, and Adam7 interlace all decode
-# (r11); 16-bit and sub-8-bit greyscale raise, honestly.
+# (r11); sub-8-bit greyscale decodes (r12); 16-bit raises, honestly.
 # ---------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -535,6 +536,20 @@ def _png_unfilter(data: bytes, offset: int, stride: int, bpp: int,
         row = bytearray(data[base + 1 : base + 1 + stride])
         if f > 4:
             raise ValueError(f"PNG filter type {f}")
+        if f == 0:  # None: no per-byte work
+            raw.extend(row)
+            prev = bytes(row)
+            continue
+        if f == 2:  # Up: no intra-row dependency — vectorize
+            import numpy as _np
+
+            up = (
+                _np.frombuffer(bytes(row), dtype=_np.uint8)
+                + _np.frombuffer(prev, dtype=_np.uint8)
+            ).astype(_np.uint8)
+            raw.extend(up.tobytes())
+            prev = up.tobytes()
+            continue
         for i in range(stride):
             a = row[i - bpp] if i >= bpp else 0
             b = prev[i]
@@ -582,8 +597,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     PALETTE at every legal palette depth (1/2/4/8-bit indices -> RGB
     through PLTE, r11), and Adam7 INTERLACE for all of those (7
     independently filtered passes scattered back to raster order,
-    r11). Gated loudly: 16-bit samples and sub-8-bit greyscale raise
-    NotImplementedError — real gates, not silent wrong answers. tRNS
+    r11), and sub-8-bit GREYSCALE (1/2/4-bit samples expanded by the
+    exact v*255/(2^d-1) integer map, r12). Gated loudly: 16-bit
+    samples raise NotImplementedError — a real gate, not a silent
+    wrong answer. tRNS
     transparency is palette-mapped like any other index (compositing
     concern, not a stored-pixel one)."""
     import struct
@@ -617,6 +634,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                     raise ValueError(
                         f"illegal palette bit depth {bit_depth}"
                     )
+                spp = 1
+            elif color_type == 0 and bit_depth in (1, 2, 4):
+                # sub-8-bit greyscale (r12): same MSB-first packed
+                # rows as palette, samples scale to 8-bit by the
+                # exact integer expansion v*255/(2^d-1)
                 spp = 1
             else:
                 if bit_depth != 8:
@@ -684,6 +706,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
                 if idxs.size and int(idxs.max()) >= n_colors:
                     raise ValueError("PNG palette index outside PLTE")
                 raw[y, xs::xstep] = pal_np[idxs]
+            elif bit_depth != 8:
+                # sub-8-bit grey: unpack, then exact 8-bit expansion
+                vals = _png_unpack_indices(row, pw, bit_depth)
+                scale = 255 // ((1 << bit_depth) - 1)
+                raw[y, xs::xstep, 0] = vals * np.uint8(scale)
             else:
                 raw[y, xs::xstep] = np.frombuffer(
                     row[: pw * spp], dtype=np.uint8
@@ -1368,14 +1395,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 # ---------------------------------------------------------------------
-# REAL GIF pixel codec (r11): GIF's only compression is LZW — pure
-# stdlib-implementable — so this closes the LAST major image-decode
-# gate (PNG r10, baseline JPEG r10/r11). Single-frame GIF87a/89a,
-# global or local color table, interlaced or not; multi-frame
-# animations gate loudly (decoding only frame 1 of an animation and
-# calling it the image would be a silent wrong answer). GIF is
-# LOSSLESS (palette indices round-trip exactly), so formula oracles
-# work exactly as for PNG.
+# REAL GIF pixel codec (r11; animations r12): GIF's only compression
+# is LZW — pure stdlib-implementable — so this closes the LAST major
+# image-decode gate (PNG r10, baseline JPEG r10/r11). Single-frame
+# GIF87a/89a, global or local color table, interlaced or not;
+# multi-frame animations decode IN FULL via ``decode_gif_frames``
+# (r12): real GCE compositing — disposal keep/restore-background/
+# restore-previous, transparency skip, sub-rectangle frames onto the
+# logical screen. GIF is LOSSLESS (palette indices round-trip
+# exactly), so formula oracles work exactly as for PNG.
 # ---------------------------------------------------------------------
 
 
@@ -1609,15 +1637,214 @@ def gif_frame_count(payload: bytes) -> tuple[int, int, int]:
     return sw, sh, n_frames
 
 
+def encode_gif_animation(
+    width: int,
+    height: int,
+    palette: list,
+    frames: list,
+) -> bytes:
+    """Deterministic multi-frame GIF89a writer for fixtures: global
+    color table only; ``frames`` is a list of dicts with keys
+    ``left top w h indices`` and optional ``disposal`` (0-3, default
+    0), ``transparent`` (palette index or None), ``interlace``
+    (default False). Every frame gets a Graphic Control Extension
+    carrying its disposal method + transparency flag, the spec
+    vehicle for animation compositing."""
+    import struct
+
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    bits = max(1, (len(palette) - 1).bit_length())
+    table_n = 1 << bits
+    gct = bytearray()
+    for j in range(table_n):
+        r, g, b = palette[j] if j < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    mcs = max(2, bits)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += gct
+    for fr in frames:
+        left, top = fr.get("left", 0), fr.get("top", 0)
+        fw, fh = fr["w"], fr["h"]
+        idx = fr["indices"]
+        if len(idx) != fw * fh:
+            raise ValueError("frame indices size mismatch")
+        if left + fw > width or top + fh > height:
+            raise ValueError("frame rectangle outside logical screen")
+        if any(i >= len(palette) for i in idx):
+            raise ValueError("index out of palette range")
+        disposal = fr.get("disposal", 0)
+        trans = fr.get("transparent")
+        interlace = bool(fr.get("interlace", False))
+        packed = (disposal & 7) << 2
+        if trans is not None:
+            packed |= 1
+        out += bytes([0x21, 0xF9, 4, packed, 0, 0,
+                      trans if trans is not None else 0, 0])
+        if interlace:
+            rows = []
+            for off, step in _GIF_INTERLACE_PASSES:
+                rows.extend(range(off, fh, step))
+            stream = b"".join(
+                idx[r * fw : (r + 1) * fw] for r in rows
+            )
+        else:
+            stream = idx
+        lzw = _lzw_encode(mcs, stream)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", left, top, fw, fh, 0x40 if interlace else 0
+        )
+        out += bytes([mcs])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """Decode EVERY frame of a GIF (r12 — retires the multi-frame and
+    sub-rectangle gates): returns (width, height, [RGB canvas bytes
+    after each frame]) with real compositing per the GIF89a GCE
+    rules — the canvas starts at the background color, a frame's
+    rectangle draws over it skipping transparent indices, disposal 1
+    keeps the result, disposal 2 restores the frame's RECTANGLE to
+    the background color, disposal 3 restores the canvas state from
+    before the frame. Structural damage raises ValueError; a frame
+    rectangle outside the screen raises (it cannot composite)."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 1 << ((packed & 7) + 1)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("GIF global color table truncated")
+        pos += 3 * n
+    if gct is None:
+        raise ValueError("animation decode needs a global color table")
+    n_gct = len(gct) // 3
+    bg_rgb = (
+        gct[3 * bg : 3 * bg + 3] if bg < n_gct else b"\x00\x00\x00"
+    )
+    canvas = np.frombuffer(bg_rgb * (sw * sh), dtype=np.uint8).reshape(
+        sh, sw, 3
+    ).copy()
+    frames_out = []
+    # pending GCE state for the NEXT image descriptor
+    disposal, transparent = 0, None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = payload[pos + 1] if pos + 1 < len(payload) else None
+            if label == 0xF9 and pos + 7 < len(payload):
+                blk = payload[pos + 2]
+                if blk >= 4:
+                    gpack = payload[pos + 3]
+                    disposal = (gpack >> 2) & 7
+                    transparent = (
+                        payload[pos + 6] if gpack & 1 else None
+                    )
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b == 0x2C:
+            left, top, w, h, ip = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            if left + w > sw or top + h > sh:
+                raise ValueError(
+                    f"GIF frame rectangle ({left},{top},{w},{h}) "
+                    f"outside the {sw}x{sh} screen"
+                )
+            table = gct
+            if ip & 0x80:
+                n = 1 << ((ip & 7) + 1)
+                table = payload[pos : pos + 3 * n]
+                if len(table) < 3 * n:
+                    raise ValueError("GIF local color table truncated")
+                pos += 3 * n
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunk = payload[pos + 1 : pos + 1 + ln]
+                if len(chunk) < ln:
+                    raise ValueError("GIF data sub-block truncated")
+                lzw += chunk
+                pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("GIF data stream unterminated")
+            pos += 1
+            idx = _lzw_decode(mcs, bytes(lzw), w * h)
+            if ip & 0x40:
+                rows = []
+                for off, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(off, h, step))
+                de = bytearray(w * h)
+                for src_r, dst_r in enumerate(rows):
+                    de[dst_r * w : (dst_r + 1) * w] = idx[
+                        src_r * w : (src_r + 1) * w
+                    ]
+                idx = bytes(de)
+            n_colors = len(table) // 3
+            ia = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+            if ia.size and int(ia.max()) >= n_colors:
+                raise ValueError("GIF index outside color table")
+            pal = np.frombuffer(
+                bytes(table[: 3 * n_colors]), dtype=np.uint8
+            ).reshape(n_colors, 3)
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + h, left : left + w]
+            rgb = pal[ia]
+            if transparent is not None:
+                mask = ia != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[...] = rgb
+            frames_out.append(canvas.tobytes())
+            # apply disposal AFTER presenting the frame
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = np.frombuffer(
+                    bg_rgb, dtype=np.uint8
+                )
+            elif disposal == 3:
+                canvas = before
+            disposal, transparent = 0, None
+            continue
+        raise ValueError(f"bad GIF block 0x{b:02X} at {pos}")
+    if not frames_out:
+        raise ValueError("GIF has no image descriptor")
+    return sw, sh, frames_out
+
+
 def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a single-frame GIF to (width, height, 3, RGB bytes).
 
     Real spec walk: logical screen descriptor, global/local color
     table, extension skipping (sub-block chained), interlace
-    de-weaving, full LZW. Gated loudly: a SECOND image descriptor
-    (animation — returning frame 1 as 'the image' would be silently
-    wrong) raises NotImplementedError; structural damage raises
-    ValueError. GCE transparency is palette-mapped like any other
+    de-weaving, full LZW. A SECOND image descriptor (animation —
+    returning frame 1 as 'the image' would be silently wrong) raises
+    NotImplementedError — decode the full animation with
+    :func:`decode_gif_frames` (r12), which composites every canvas;
+    structural damage raises ValueError. GCE transparency is palette-mapped like any other
     index (transparency affects compositing, not the stored
     pixels)."""
     import struct

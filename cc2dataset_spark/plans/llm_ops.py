@@ -5251,3 +5251,133 @@ def multimodal_jpeg_progressive_stats(
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+@query(
+    "multimodal_gif_animation_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 6 + 3 AS w,
+             doc_id % 5 + 3 AS h,
+             doc_id % 8 AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, w, h, t, f, r, c
+      FROM p,
+           generate_series(0, 2) AS gf(f),
+           generate_series(0, 7) AS gr(r),
+           generate_series(0, 7) AS gc(c)
+      WHERE r < h AND c < w
+    ), v AS (
+      SELECT doc_id, f, r, c, w, h,
+             -- grey palette: pal(i) = (i*37+5) % 200 + 10
+             CASE
+               WHEN f = 0 THEN
+                 ((doc_id + (r*w + c)*3) % 8 * 37 + 5) % 200 + 10
+               WHEN f = 1 THEN
+                 CASE WHEN r BETWEEN 1 AND h-2 AND c BETWEEN 1 AND w-2
+                        AND (doc_id*5 + ((r-1)*(w-2) + (c-1))*7) % 8 <> t
+                      THEN ((doc_id*5 + ((r-1)*(w-2) + (c-1))*7) % 8
+                            * 37 + 5) % 200 + 10
+                      ELSE ((doc_id + (r*w + c)*3) % 8 * 37 + 5)
+                           % 200 + 10
+                 END
+               ELSE
+                 CASE WHEN r = 0 THEN
+                        ((doc_id*11 + c) % 8 * 37 + 5) % 200 + 10
+                      WHEN r BETWEEN 1 AND h-2 AND c BETWEEN 1 AND w-2
+                      THEN (0 * 37 + 5) % 200 + 10
+                      ELSE ((doc_id + (r*w + c)*3) % 8 * 37 + 5)
+                           % 200 + 10
+                 END
+             END AS val
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(SUM(val * 3) AS BIGINT) AS sum_px,
+           CAST(SUM(val * (9*(r*w + c) + 3)) AS BIGINT) AS wsum_px
+    FROM v GROUP BY doc_id, f
+    """,
+    tags=("multimodal", "image", "llm"),
+)
+def multimodal_gif_animation_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL multi-frame GIF decode with real compositing (r12 —
+    retires the animation and sub-rectangle gates): each doc encodes
+    a 3-frame GIF89a animation — a full-screen base (disposal 1), a
+    sub-rectangle overlay with a TRANSPARENT index and disposal 2
+    (restore-to-background), and a top-row redraw that must land on
+    the background-cleared rectangle — and `decode_gif_frames`
+    composites every canvas per the GCE rules. Per-frame pixel sum +
+    position-weighted checksum over the composited canvases; the
+    oracle states every canvas pixel in closed form (grey palette,
+    CASE on rectangle membership / transparency / disposal), so a
+    compositing slip — transparent pixel overwritten, disposal-2
+    clear missed, rectangle offset wrong — hashes red.
+
+    Plan: ONE Arrow-batched mapInPandas over doc_id emitting 3 rows
+    per doc — zero shuffle, zero collect; frame fan-out inside the
+    kernel."""
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("frame_idx", ST.IntegerType()),
+            ST.StructField("sum_px", ST.LongType()),
+            ST.StructField("wsum_px", ST.LongType()),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        import numpy as np
+
+        from cc2dataset_spark.operators.multimodal import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        pal = [((j * 37 + 5) % 200 + 10,) * 3 for j in range(8)]
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, t = d % 6 + 3, d % 5 + 3, d % 8
+                idx1 = bytes((d + p * 3) % 8 for p in range(w * h))
+                rw, rh = w - 2, h - 2
+                idx2 = bytes((d * 5 + p * 7) % 8 for p in range(rw * rh))
+                idx3 = bytes((d * 11 + c) % 8 for c in range(w))
+                payload = encode_gif_animation(
+                    w, h, pal,
+                    [
+                        {"w": w, "h": h, "indices": idx1, "disposal": 1},
+                        {"left": 1, "top": 1, "w": rw, "h": rh,
+                         "indices": idx2, "transparent": t,
+                         "disposal": 2},
+                        {"w": w, "h": 1, "indices": idx3},
+                    ],
+                )
+                sw, sh, frames = decode_gif_frames(payload)
+                for f, canvas in enumerate(frames):
+                    a = np.frombuffer(canvas, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    wts = np.arange(a.size, dtype=np.int64)
+                    recs.append(
+                        (d, f, int(a.sum()), int((a * wts).sum()))
+                    )
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)

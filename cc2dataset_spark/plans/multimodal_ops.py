@@ -205,8 +205,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 # real-codec round trip: the hash input is what
                 # decode_png RETURNS, not the synthesis formula
+                # (filter None everywhere: pixel-identical decode,
+                # ~2x less per-image filter work in the hot kernel)
                 payload = encode_png(
-                    32, 32, 1, _phash_pixels(d).tobytes()
+                    32, 32, 1, _phash_pixels(d).tobytes(),
+                    filter_for_row=lambda r: 0,
                 )
                 w, h, ch, raw = decode_png(payload)
                 p = np.frombuffer(raw, dtype=np.uint8).astype(

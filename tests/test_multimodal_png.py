@@ -3,8 +3,8 @@ decode is pinned against HAND-BUILT spec-vector files (constructed
 here with struct+zlib directly, independent of encode_png, filters
 computed by hand from RFC 2083 §6), round-trips with the encoder
 across sizes/channel counts/filter choices/palette depths/Adam7
-interlace (r11), and the still-unsupported shapes (16-bit, sub-8-bit
-greyscale) raise instead of answering wrong."""
+interlace (r11), sub-8-bit greyscale (r12), and the still-unsupported
+16-bit shapes raise instead of answering wrong."""
 
 import struct
 import zlib
@@ -94,7 +94,7 @@ def test_multi_idat_chunks_concatenate():
     "bit_depth,color_type,interlace,err",
     [
         (16, 2, 0, NotImplementedError),  # 16-bit truecolor
-        (4, 0, 0, NotImplementedError),  # sub-8-bit greyscale
+        (16, 0, 0, NotImplementedError),  # 16-bit greyscale
         (3, 3, 0, ValueError),  # illegal palette depth
         (8, 3, 0, ValueError),  # palette missing PLTE
     ],
@@ -536,3 +536,26 @@ def test_resize_media_errors_and_source_format(spark):
 
     kept = MM.resize_media(df, 4, 4, errors="skip").collect()
     assert sorted(r.doc_id for r in kept) == [1, 3]
+
+
+def test_hand_vector_sub8_greyscale():
+    """r12: 1/2/4-bit greyscale decodes through the exact integer
+    expansion v*255/(2^d-1) — hand-built vectors (MSB-first packing,
+    odd widths exercising pad bits), never touching the encoder."""
+    # 4-bit, 3x2: rows pack two samples/byte, odd width pads
+    rows = b"\x00" + bytes([0x0F, 0xA0]) + b"\x00" + bytes([0x51, 0x30])
+    png = _hand_png(3, 2, 4, 0, 0, rows)
+    w, h, ch, raw = decode_png(png)
+    assert (w, h, ch) == (3, 2, 1)
+    assert raw == bytes(v * 17 for v in [0, 15, 10, 5, 1, 3])
+    # 1-bit, 9x1: 9 samples span two bytes
+    png = _hand_png(9, 1, 1, 0, 0, b"\x00" + bytes([0b10110001, 0b10000000]))
+    assert decode_png(png)[3] == bytes(
+        255 * b for b in [1, 0, 1, 1, 0, 0, 0, 1, 1]
+    )
+    # 2-bit, 2x2 with Sub filter on row 2 (filters operate on BYTES)
+    row1 = bytes([0b01_10_0000])  # samples 1,2
+    row2_raw = bytes([0b11_00_0000])  # samples 3,0
+    sub = bytes([(row2_raw[0] - 0) & 0xFF])
+    png = _hand_png(2, 2, 2, 0, 0, b"\x00" + row1 + b"\x01" + sub)
+    assert decode_png(png)[3] == bytes(85 * v for v in [1, 2, 3, 0])
