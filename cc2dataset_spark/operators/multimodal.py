@@ -18,8 +18,9 @@ and factors > 2 raise), **GIF is REAL** (r11 — ``decode_gif``/
 interlace de-weave; multi-frame animations decode IN FULL with
 real GCE compositing via ``decode_gif_frames``, r12), and **WAV
 integer PCM is REAL** (r11 — ``decode_wav``/``encode_wav``,
-spec-shaped RIFF chunk walk; IEEE-float/a-law/mu-law/extensible/MP3
-raise). ``decode_media`` dispatches on payload magic bytes across
+spec-shaped RIFF chunk walk; G.711 a-law/mu-law expand via the
+exact ITU tables, IEEE-float converts to int16, extensible unwraps
+its SubFormat — r12; MP3-in-WAV raises). ``decode_media`` dispatches on payload magic bytes across
 all three image codecs. WebP/video decode stays honestly stubbed
 behind ``decode_stub`` because their entropy coders genuinely need
 codec libs (a real deployment drops in pillow/ffmpeg inside the
@@ -893,16 +894,50 @@ def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
     frame rows inside the Arrow batch — the output batch length is
     independent of the input batch length, which is exactly what
     mapInPandas allows and mapPartitions-free DataFrame ops don't.
-    Frame payloads are stubbed (deterministic slices); n_frames comes
-    from the decode step."""
+
+    REAL for animated GIFs (r12): a multi-frame GIF payload decodes
+    through :func:`decode_gif_frames` and every k-th COMPOSITED
+    canvas re-encodes as a lossless PNG frame payload — the actual
+    keyframe-extraction product. Everything else keeps the
+    deterministic stub slice (real video needs ffmpeg in the same
+    batch function); n_frames comes from the decode step."""
+    import os
+
+    _pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.multimodal import (
+            decode_gif_frames,
+            encode_png,
+        )
+
         for pdf in it:
             ids, idxs, payloads = [], [], []
             for doc_id, n_frames, payload in zip(
                 pdf["doc_id"], pdf["n_frames"], pdf["payload"]
             ):
                 p = b"" if payload is None else bytes(payload)
+                if (
+                    p[:6] in (b"GIF87a", b"GIF89a")
+                    and int(n_frames) > 1
+                ):
+                    sw, sh, frames = decode_gif_frames(p)
+                    for f in range(0, len(frames), every_k):
+                        ids.append(doc_id)
+                        idxs.append(f)
+                        payloads.append(
+                            encode_png(
+                                sw, sh, 3, frames[f],
+                                filter_for_row=lambda r: 0,
+                            )
+                        )
+                    continue
                 for f in range(0, int(n_frames), every_k):
                     ids.append(doc_id)
                     idxs.append(f)
@@ -1207,9 +1242,12 @@ def image_dims(payload) -> "F.Column":
 # REAL WAV/PCM audio codec (r11; G.711 r12): the PNG/JPEG playbook
 # applied to the third modality. RIFF/WAVE integer PCM needs only
 # `struct`; G.711 A-law/mu-law expand through the exact integer spec
-# tables (verified entry-for-entry against stdlib audioop). The
-# genuinely-coded classes (IEEE-float WAV, extensible, MP3-in-WAV)
-# raise NotImplementedError loudly instead of faking samples.
+# tables (verified entry-for-entry against stdlib audioop),
+# IEEE-float converts to int16 by the standard clamp*32767
+# round-half-even map, and WAVE_FORMAT_EXTENSIBLE unwraps its
+# SubFormat GUID (all r12). The genuinely-coded classes (MP3-in-WAV,
+# non-KSDATA extensible) raise NotImplementedError loudly instead of
+# faking samples.
 # ---------------------------------------------------------------------
 
 
@@ -1304,14 +1342,19 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a RIFF/WAVE payload to (sample_rate, channels, bits,
     frame bytes). Integer PCM (tag 1) returns its frames verbatim;
     G.711 A-law/mu-law (tags 6/7, r12) EXPAND through the exact
-    integer spec tables to 16-bit signed little-endian linear PCM
-    (the return is then bits=16 — the linear form every downstream
-    frame/energy operator consumes). The chunk walk is spec-shaped:
-    unknown chunks (LIST, fact, cue, ...) are SKIPPED with the RIFF
-    odd-size pad byte honored, fmt must precede data, and the data
-    chunk is truncated to its declared size. Gated loudly: IEEE
-    float (tag 3), WAVE_FORMAT_EXTENSIBLE (0xFFFE), MP3-in-WAV
-    (0x55), and any other coded tag raise NotImplementedError;
+    integer spec tables to 16-bit signed little-endian linear PCM;
+    IEEE-float (tag 3, r12) converts float32/float64 samples to
+    int16 by the standard clamp-to-[-1,1] * 32767 round-half-even
+    map (lossy by NATURE of the target width — documented, not
+    silent: the return says bits=16, the linear form every
+    downstream frame/energy operator consumes);
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE, r12) unwraps its SubFormat GUID
+    and dispatches to the PCM or float path. The chunk walk is
+    spec-shaped: unknown chunks (LIST, fact, cue, ...) are SKIPPED
+    with the RIFF odd-size pad byte honored, fmt must precede data,
+    and the data chunk is truncated to its declared size. Gated
+    loudly: MP3-in-WAV (0x55), extensible wrapping a non-PCM/float
+    GUID, and any other coded tag raise NotImplementedError;
     malformed structure raises ValueError."""
     import struct
 
@@ -1333,6 +1376,31 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
             fmt = struct.unpack(
                 "<HHIIHH", payload[body_start : body_start + 16]
             )
+            if fmt[0] == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE (r12): the REAL format rides
+                # in the 16-byte SubFormat GUID after cbSize +
+                # validBits + channelMask; the GUID's first 4 bytes
+                # are the classic tag, the rest is the fixed KSDATA
+                # suffix
+                if size < 40:
+                    raise ValueError(
+                        f"extensible fmt chunk too short ({size} bytes)"
+                    )
+                guid = payload[body_start + 24 : body_start + 40]
+                if guid[4:] != (
+                    b"\x00\x00\x10\x00\x80\x00\x00\xaa"
+                    b"\x00\x38\x9b\x71"
+                ):
+                    raise NotImplementedError(
+                        f"extensible WAV with non-KSDATA SubFormat "
+                        f"{guid.hex()}"
+                    )
+                (sub_tag,) = struct.unpack("<I", guid[:4])
+                if sub_tag not in (1, 3, 6, 7):
+                    raise NotImplementedError(
+                        f"extensible WAV SubFormat tag 0x{sub_tag:04X}"
+                    )
+                fmt = (sub_tag,) + fmt[1:]
         elif tag == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt chunk")
@@ -1344,22 +1412,23 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
                 block_align,
                 bits,
             ) = fmt
-            if audio_fmt not in (1, 6, 7):
-                names = {
-                    3: "IEEE-float WAV",
-                    0x55: "MP3-in-WAV",
-                    0xFFFE: "WAVE_FORMAT_EXTENSIBLE",
-                }
+            if audio_fmt not in (1, 3, 6, 7):
+                names = {0x55: "MP3-in-WAV"}
                 raise NotImplementedError(
                     f"{names.get(audio_fmt, 'non-PCM WAV')} "
                     f"(format tag 0x{audio_fmt:04X}): only integer "
-                    "PCM and G.711 decode"
+                    "PCM, IEEE float, and G.711 decode"
                 )
-            if audio_fmt != 1 and bits != 8:
+            if audio_fmt in (6, 7) and bits != 8:
                 raise ValueError(
                     f"G.711 WAV must be 8-bit, fmt declares {bits}"
                 )
-            if bits not in (8, 16):
+            if audio_fmt == 3 and bits not in (32, 64):
+                raise ValueError(
+                    f"IEEE-float WAV must be 32/64-bit, fmt "
+                    f"declares {bits}"
+                )
+            if audio_fmt == 1 and bits not in (8, 16):
                 raise NotImplementedError(
                     f"{bits}-bit PCM (only 8/16-bit)"
                 )
@@ -1378,7 +1447,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
                     f"data size {len(data)} not a multiple of the "
                     f"{block_align}-byte frame"
                 )
-            if audio_fmt != 1:
+            if audio_fmt in (6, 7):
                 # G.711 expansion: 256-entry integer lookup to linear
                 # 16-bit LE — the form downstream audio ops consume
                 table = _ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE
@@ -1388,6 +1457,21 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
                     out[2 * i] = v & 0xFF
                     out[2 * i + 1] = (v >> 8) & 0xFF
                 return sample_rate, channels, 16, bytes(out)
+            if audio_fmt == 3:
+                # IEEE float -> int16: clamp to [-1, 1], scale by
+                # 32767, round half-even (np.rint) — the standard
+                # conversion, deterministic and documented
+                import numpy as np
+
+                dt = "<f4" if bits == 32 else "<f8"
+                f = np.frombuffer(data, dtype=dt)
+                q = np.rint(np.clip(f, -1.0, 1.0) * 32767.0)
+                return (
+                    sample_rate,
+                    channels,
+                    16,
+                    q.astype("<i2").tobytes(),
+                )
             return sample_rate, channels, bits, data
         # unknown chunk: skip, honoring the RIFF odd-size pad byte
         pos = body_start + size + (size % 2)

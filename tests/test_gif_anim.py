@@ -137,3 +137,51 @@ def test_fuzz_against_reference_compositor():
         want = _reference_composite(sw, sh, 0, frames)
         assert got[0] == sw and got[1] == sh
         assert got[2] == want, (trial, frames)
+
+
+def test_sample_frames_real_for_animations(spark):
+    """r12: sample_frames emits REAL PNG-encoded composited canvases
+    for animated GIFs (every k-th frame), stub slices otherwise."""
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.operators.multimodal import (
+        decode_media,
+        decode_png,
+        sample_frames,
+    )
+
+    frames = [
+        {"w": 2, "h": 2, "indices": bytes([1, 2, 3, 0]), "disposal": 1},
+        {"left": 0, "top": 0, "w": 1, "h": 1, "indices": bytes([3])},
+        {"w": 2, "h": 2, "indices": bytes([0, 0, 1, 1])},
+    ]
+    anim = encode_gif_animation(2, 2, PAL, frames)
+    txt = b"not media at all"
+    df = spark.createDataFrame(
+        [(1, anim, "gif"), (2, txt, "webm")],
+        "doc_id long, payload binary, fmt string",
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.col("fmt").alias("format"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.col("doc_id").alias("source_id"),
+        ).alias("meta"),
+    )
+    decoded = decode_media(df).join(
+        df.select("doc_id", "payload"), "doc_id"
+    )
+    out = sample_frames(decoded, every_k=2).collect()
+    got = {(r.doc_id, r.frame_idx): bytes(r.frame_payload) for r in out}
+    # animation: frames 0 and 2 sampled, payloads are decodable PNGs
+    # equal to the composited canvases
+    want = _reference_composite(2, 2, 0, frames)
+    assert decode_png(got[(1, 0)]) == (2, 2, 3, want[0])
+    assert decode_png(got[(1, 2)]) == (2, 2, 3, want[2])
+    assert (1, 1) not in got
+    # stub path unchanged for non-media payloads
+    stub_keys = [k for k in got if k[0] == 2]
+    assert stub_keys and all(
+        got[k] == txt[k[1] : k[1] + 16] for k in stub_keys
+    )

@@ -57,9 +57,7 @@ def test_trailing_bytes_after_data_ignored():
 @pytest.mark.parametrize(
     "tag,name",
     [
-        (3, "IEEE-float"),
         (0x55, "MP3-in-WAV"),
-        (0xFFFE, "WAVE_FORMAT_EXTENSIBLE"),
         (2, "non-PCM"),
     ],
 )
@@ -229,3 +227,89 @@ def test_g711_declared_16bit_is_structural_damage():
         decode_wav(payload)
     with pytest.raises(ValueError, match="8-bit companded"):
         encode_wav(8000, 1, 16, b"\x00\x00", audio_fmt=6)
+
+
+# ---------------------------------------------------------------------
+# r12: IEEE-float (tag 3) + WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+# ---------------------------------------------------------------------
+
+_KSDATA = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def _fmt_ext(sub_tag, ch=1, sr=8000, bits=16):
+    ba = ch * (bits // 8)
+    base = struct.pack(
+        "<HHIIHH", 0xFFFE, ch, sr, sr * ba, ba, bits
+    )
+    ext = struct.pack("<HHI", 22, bits, 0) + struct.pack("<I", sub_tag) + _KSDATA
+    return base + ext
+
+
+def test_ieee_float_wav_converts_to_int16():
+    import numpy as np
+
+    vals = np.array([0.0, 1.0, -1.0, 0.5, -0.25, 2.0, -3.0], dtype="<f4")
+    payload = _riff(
+        _chunk(b"fmt ", _fmt(tag=3, bits=32)),
+        _chunk(b"data", vals.tobytes()),
+    )
+    sr, ch, bits, data = decode_wav(payload)
+    assert bits == 16
+    got = list(struct.unpack("<7h", data))
+    # clamp then *32767, round half-even: 0.5 -> 16383.5 -> 16384
+    assert got == [0, 32767, -32767, 16384, -8192, 32767, -32767]
+    # float64 path
+    payload = _riff(
+        _chunk(b"fmt ", _fmt(tag=3, bits=64)),
+        _chunk(b"data", vals.astype("<f8").tobytes()),
+    )
+    assert decode_wav(payload)[3] == data
+    # declared 16-bit float is structural damage
+    bad = _riff(
+        _chunk(b"fmt ", _fmt(tag=3, bits=16)), _chunk(b"data", b"\x00\x00")
+    )
+    with pytest.raises(ValueError, match="32/64"):
+        decode_wav(bad)
+
+
+def test_extensible_unwraps_subformat():
+    samples = struct.pack("<4h", 1, -2, 3, -4)
+    payload = _riff(
+        _chunk(b"fmt ", _fmt_ext(1)), _chunk(b"data", samples)
+    )
+    assert decode_wav(payload) == (8000, 1, 16, samples)
+    # extensible wrapping IEEE float
+    import numpy as np
+
+    fv = np.array([0.25, -0.5], dtype="<f4")
+    payload = _riff(
+        _chunk(b"fmt ", _fmt_ext(3, bits=32)),
+        _chunk(b"data", fv.tobytes()),
+    )
+    sr, ch, bits, data = decode_wav(payload)
+    assert struct.unpack("<2h", data) == (8192, -16384)
+    # extensible wrapping G.711 a-law
+    payload = _riff(
+        _chunk(b"fmt ", _fmt_ext(6, bits=8)),
+        _chunk(b"data", bytes([0xD5, 0x55])),
+    )
+    assert struct.unpack("<2h", decode_wav(payload)[3]) == (8, -8)
+    # non-KSDATA GUID gates loudly
+    bad_fmt = _fmt_ext(1)[:24] + struct.pack("<I", 1) + b"\x00" * 12
+    payload = _riff(
+        _chunk(b"fmt ", bad_fmt), _chunk(b"data", samples)
+    )
+    with pytest.raises(NotImplementedError, match="SubFormat"):
+        decode_wav(payload)
+    # extensible wrapping an unsupported tag (MP3) gates loudly
+    payload = _riff(
+        _chunk(b"fmt ", _fmt_ext(0x55)), _chunk(b"data", samples)
+    )
+    with pytest.raises(NotImplementedError, match="SubFormat tag"):
+        decode_wav(payload)
+    # truncated extensible fmt is structural damage
+    payload = _riff(
+        _chunk(b"fmt ", _fmt(tag=0xFFFE)), _chunk(b"data", samples)
+    )
+    with pytest.raises(ValueError, match="extensible fmt"):
+        decode_wav(payload)
