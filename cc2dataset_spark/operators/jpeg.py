@@ -878,6 +878,23 @@ def _decode_scan(
     eobrun = 0
     refining = ah != 0
 
+    # a missing Huffman table is STRUCTURAL damage — validate up
+    # front so corrupt files raise ValueError, not AttributeError
+    # from a huff.get(...) miss deep in the block loop (r12 review)
+    for _ci, _dc_t, _ac_t in scan_map:
+        if ss == 0 and not refining and (0, _dc_t) not in huff:
+            raise ValueError(
+                f"JPEG: scan references missing DC Huffman table {_dc_t}"
+            )
+        if (
+            se > 0
+            and not (refining and ss == 0)
+            and (1, _ac_t) not in huff
+        ):
+            raise ValueError(
+                f"JPEG: scan references missing AC Huffman table {_ac_t}"
+            )
+
     def first_block(coefz, ci, dc_dec, ac_dec) -> None:
         # sequential block, progressive DC-first, or AC-first band
         nonlocal eobrun
@@ -1046,6 +1063,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     coefs = None  # per-comp zigzag coefficient arrays
     geom = None
     nscans = 0
+    seq_covered: set = set()  # components fully coded (sequential)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG: bad marker byte at {pos}")
@@ -1162,11 +1180,22 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 sss, sse, a >> 4, a & 0xF,
             )
             nscans += 1
+            if not progressive:
+                seq_covered.update(idx for idx, _, _ in scan_map)
             pos = data_start + consumed
             continue
         pos += 2 + ln
     if width is None or coefs is None or nscans == 0:
         raise ValueError("JPEG: missing SOF or SOS")
+    if not progressive and len(seq_covered) < len(comps):
+        # an incomplete multi-scan sequential file would silently
+        # decode the missing planes as flat zero — the exact wrong
+        # answer the old r11 gate refused (r12 review: the gate's
+        # PROTECTION survives the gate's removal)
+        raise ValueError(
+            f"JPEG: sequential scans cover {len(seq_covered)} of "
+            f"{len(comps)} components"
+        )
 
     # dequantize + IDCT + assemble planes
     width, height, hmax, vmax, mcu_rows, mcu_cols = geom

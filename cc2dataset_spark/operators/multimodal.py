@@ -79,12 +79,38 @@ DECODED_STATUS_SCHEMA = StructType(
 # Exception classes a malformed-or-gated payload may legitimately
 # raise out of the pure-python codecs: ValueError (structural
 # violations — the codecs' own loud checks), NotImplementedError
-# (honestly-gated classes: progressive JPEG, 16-bit PNG, animated
-# GIF, non-PCM WAV), zlib.error (corrupt DEFLATE inside PNG),
-# struct.error (truncated fixed-size headers). Anything else is a
-# kernel BUG and must propagate even in lenient modes.
+# (honestly-gated classes: arithmetic JPEG, 16-bit PNG, MP3-in-WAV),
+# zlib.error (corrupt DEFLATE inside PNG), struct.error (truncated
+# fixed-size headers), IndexError (byte walks running off truncated
+# payloads — the codecs guard the common sites with ValueError, but
+# arbitrary truncation can always land between guards). Anything
+# else is a kernel BUG and must propagate even in lenient modes.
+# ONE module-scope definition (r12 review): both decode_media and
+# resize_media import this tuple, so exception-coverage fixes land
+# in one place.
+def _media_contained() -> tuple:
+    import struct
+    import zlib
+
+    return (
+        ValueError,
+        NotImplementedError,
+        zlib.error,
+        struct.error,
+        IndexError,
+    )
+
+
 def _media_error_status(exc: BaseException) -> str:
     return "gated" if isinstance(exc, NotImplementedError) else "corrupt"
+
+
+def _media_error_record(exc: BaseException) -> tuple:
+    """(status, deterministic error string) for a contained failure."""
+    return (
+        _media_error_status(exc),
+        f"{type(exc).__name__}: {exc}"[:200],
+    )
 
 
 def attach_binary_payload(
@@ -228,14 +254,12 @@ def decode_media(
                     return (w, h, 1)
             return _stub(payload, fmt)
 
-        import struct
-        import zlib
-
         from cc2dataset_spark.operators.multimodal import (
-            _media_error_status,
+            _media_contained,
+            _media_error_record,
         )
 
-        contained = (ValueError, NotImplementedError, zlib.error, struct.error)
+        contained = _media_contained()
 
         for pdf in it:
             meta = pdf["meta"]
@@ -253,12 +277,7 @@ def decode_media(
                     if errors == "skip":
                         continue
                     recs.append(
-                        base
-                        + (None, None, None)
-                        + (
-                            _media_error_status(exc),
-                            f"{type(exc).__name__}: {exc}"[:200],
-                        )
+                        base + (None, None, None) + _media_error_record(exc)
                     )
             cols = [f.name for f in out_schema.fields]
             if errors == "skip":
@@ -282,12 +301,16 @@ def media_decode_stats(status_df: DataFrame) -> DataFrame:
     ok = (F.col("status") == "ok").cast("long")
     gated = (F.col("status") == "gated").cast("long")
     corrupt = (F.col("status") == "corrupt").cast("long")
+    # coalesce: SUM over zero rows is NULL in Spark, and an EMPTY
+    # decode stage must account as zeros, not NULLs (r12 review)
+    zero = F.lit(0).cast("long")
+    n_ok = F.coalesce(F.sum(ok), zero)
     return status_df.agg(
         F.count("*").alias("records_total"),
-        F.sum(ok).alias("records_ok"),
-        F.sum(gated).alias("records_gated"),
-        F.sum(corrupt).alias("records_corrupt"),
-        (F.count("*") - F.sum(ok)).alias("records_dropped"),
+        n_ok.alias("records_ok"),
+        F.coalesce(F.sum(gated), zero).alias("records_gated"),
+        F.coalesce(F.sum(corrupt), zero).alias("records_corrupt"),
+        (F.count("*") - n_ok).alias("records_dropped"),
     )
 
 
@@ -842,14 +865,12 @@ def resize_media(
                 return fmt, None
             return fmt, bytes(payload)[: max(1, (width * height) % 4096)]
 
-        import struct
-        import zlib
-
         from cc2dataset_spark.operators.multimodal import (
-            _media_error_status,
+            _media_contained,
+            _media_error_record,
         )
 
-        contained = (ValueError, NotImplementedError, zlib.error, struct.error)
+        contained = _media_contained()
 
         for pdf in it:
             meta = pdf["meta"]
@@ -873,9 +894,8 @@ def resize_media(
                     if errors == "skip":
                         continue
                     recs.append(
-                        (int(doc_id), None, src_fmt, width, height, None,
-                         _media_error_status(exc),
-                         f"{type(exc).__name__}: {exc}"[:200])
+                        (int(doc_id), None, src_fmt, width, height, None)
+                        + _media_error_record(exc)
                     )
             cols = [f.name for f in out_schema.fields]
             if errors == "skip":
@@ -922,6 +942,11 @@ def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
             for doc_id, n_frames, payload in zip(
                 pdf["doc_id"], pdf["n_frames"], pdf["payload"]
             ):
+                if pd.isna(n_frames):
+                    # a decode_media(errors="status") gated/corrupt
+                    # row: nothing to sample — containment must
+                    # survive composition (r12 review)
+                    continue
                 p = b"" if payload is None else bytes(payload)
                 if (
                     p[:6] in (b"GIF87a", b"GIF89a")
@@ -1449,14 +1474,17 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
                 )
             if audio_fmt in (6, 7):
                 # G.711 expansion: 256-entry integer lookup to linear
-                # 16-bit LE — the form downstream audio ops consume
-                table = _ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE
-                out = bytearray(2 * len(data))
-                for i, b in enumerate(data):
-                    v = table[b]
-                    out[2 * i] = v & 0xFF
-                    out[2 * i + 1] = (v >> 8) & 0xFF
-                return sample_rate, channels, 16, bytes(out)
+                # 16-bit LE — one vectorized numpy take, not a
+                # per-byte loop (r12 review; this sits in the hot
+                # Arrow decode kernel)
+                import numpy as np
+
+                table = np.array(
+                    _ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE,
+                    dtype="<i2",
+                )
+                codes = np.frombuffer(data, dtype=np.uint8)
+                return sample_rate, channels, 16, table[codes].tobytes()
             if audio_fmt == 3:
                 # IEEE float -> int16: clamp to [-1, 1], scale by
                 # 32767, round half-even (np.rint) — the standard
@@ -1465,7 +1493,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
 
                 dt = "<f4" if bits == 32 else "<f8"
                 f = np.frombuffer(data, dtype=dt)
-                q = np.rint(np.clip(f, -1.0, 1.0) * 32767.0)
+                # NaN samples (corrupt bytes) map to 0 EXPLICITLY —
+                # np.rint(NaN).astype(int16) is platform-defined and
+                # warns (r12 review); +/-inf clamp via the clip
+                q = np.rint(
+                    np.clip(np.nan_to_num(f, nan=0.0), -1.0, 1.0)
+                    * 32767.0
+                )
                 return (
                     sample_rate,
                     channels,
@@ -1816,9 +1850,10 @@ def decode_gif_frames(payload: bytes):
         if len(gct) < 3 * n:
             raise ValueError("GIF global color table truncated")
         pos += 3 * n
-    if gct is None:
-        raise ValueError("animation decode needs a global color table")
-    n_gct = len(gct) // 3
+    # GCT is OPTIONAL (r12 review): an animation may carry only
+    # per-frame local color tables; the background is then defined
+    # black (there is no table to index)
+    n_gct = len(gct) // 3 if gct else 0
     bg_rgb = (
         gct[3 * bg : 3 * bg + 3] if bg < n_gct else b"\x00\x00\x00"
     )
@@ -1848,6 +1883,8 @@ def decode_gif_frames(payload: bytes):
             pos += 1
             continue
         if b == 0x2C:
+            if pos + 10 > len(payload):
+                raise ValueError("GIF image descriptor truncated")
             left, top, w, h, ip = struct.unpack(
                 "<HHHHB", payload[pos + 1 : pos + 10]
             )
@@ -1864,6 +1901,10 @@ def decode_gif_frames(payload: bytes):
                 if len(table) < 3 * n:
                     raise ValueError("GIF local color table truncated")
                 pos += 3 * n
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            if pos >= len(payload):
+                raise ValueError("GIF truncated before LZW code size")
             mcs = payload[pos]
             pos += 1
             lzw = bytearray()
@@ -1963,6 +2004,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
                     "multi-frame GIF (animation): refusing to call "
                     "frame 1 'the image'"
                 )
+            if pos + 10 > len(payload):
+                raise ValueError("GIF image descriptor truncated")
             left, top, w, h, ip = struct.unpack(
                 "<HHHHB", payload[pos + 1 : pos + 10]
             )
@@ -1986,6 +2029,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
                 pos += 3 * n
             if table is None:
                 raise ValueError("GIF image has no color table")
+            if pos >= len(payload):
+                raise ValueError("GIF truncated before LZW code size")
             mcs = payload[pos]
             pos += 1
             lzw = bytearray()
