@@ -219,6 +219,7 @@ def decode_media(
         from cc2dataset_spark.operators.multimodal import (
             decode_gif,
             decode_png,
+            decode_png16,
             gif_frame_count,
         )
 
@@ -238,7 +239,13 @@ def decode_media(
             if payload is not None:
                 b = bytes(payload)
                 if b[:8] == b"\x89PNG\r\n\x1a\n":
-                    w, h, _ch, _raw = decode_png(b)
+                    # IHDR bit-depth byte picks the full-fidelity
+                    # decoder: 16-bit samples have their own codec
+                    # (decode_png16, r12) — no 8-bit truncation
+                    if len(b) > 24 and b[24] == 16:
+                        w, h, _ch, _raw = decode_png16(b)
+                    else:
+                        w, h, _ch, _raw = decode_png(b)
                     return (w, h, 1)
                 if b[:2] == b"\xff\xd8":
                     w, h, _ch, _raw = decode_jpeg(b)
@@ -322,7 +329,8 @@ def media_decode_stats(status_df: DataFrame) -> DataFrame:
 # gated there). The remaining genuinely-gated format is WebP/video
 # (VP8 entropy coding needs codec libs). 8-bit greyscale/RGB/RGBA,
 # palette at all legal palette depths, and Adam7 interlace all decode
-# (r11); sub-8-bit greyscale decodes (r12); 16-bit raises, honestly.
+# (r11); sub-8-bit greyscale decodes (r12); 16-bit decodes at full
+# fidelity via decode_png16 (r12 — its own uint16 contract).
 # ---------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -622,11 +630,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     through PLTE, r11), and Adam7 INTERLACE for all of those (7
     independently filtered passes scattered back to raster order,
     r11), and sub-8-bit GREYSCALE (1/2/4-bit samples expanded by the
-    exact v*255/(2^d-1) integer map, r12). Gated loudly: 16-bit
-    samples raise NotImplementedError — a real gate, not a silent
-    wrong answer. tRNS
-    transparency is palette-mapped like any other index (compositing
-    concern, not a stored-pixel one)."""
+    exact v*255/(2^d-1) integer map, r12). 16-bit samples raise
+    NotImplementedError FROM THIS FUNCTION because its contract is
+    8-bit raw bytes and truncating would be a silent wrong answer —
+    decode them at FULL fidelity with :func:`decode_png16` (r12).
+    tRNS transparency is palette-mapped like any other index
+    (compositing concern, not a stored-pixel one)."""
     import struct
     import zlib
 
@@ -742,6 +751,129 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     if offset != len(data):
         raise ValueError("PNG pixel data length mismatch")
     return width, height, out_ch, raw.tobytes()
+
+
+def encode_png16(
+    width: int, height: int, channels: int, raw16: bytes
+) -> bytes:
+    """Deterministic 16-bit PNG writer (fixture twin for
+    :func:`decode_png16`): ``raw16`` is little-endian uint16 samples,
+    greyscale (1ch) / grey+alpha (2ch) / RGB (3ch) / RGBA (4ch);
+    stored big-endian per the PNG spec, filter None every row."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"channels must be 1, 2, 3 or 4, got {channels}")
+    if len(raw16) != width * height * channels * 2:
+        raise ValueError(
+            f"raw16 has {len(raw16)} bytes, expected "
+            f"{width * height * channels * 2}"
+        )
+    import numpy as np
+
+    be = (
+        np.frombuffer(raw16, dtype="<u2").astype(">u2").tobytes()
+    )
+    stride = width * channels * 2
+    idat = b"".join(
+        b"\x00" + be[r * stride : (r + 1) * stride]
+        for r in range(height)
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 16, color_type, 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(idat, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png16(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a 16-BIT PNG at FULL fidelity (r12 — retires the
+    16-bit gate without the silent 8-bit truncation
+    :func:`decode_png` refuses): returns (width, height, channels,
+    little-endian uint16 sample bytes). Greyscale / grey+alpha /
+    RGB / RGBA, non-interlaced or Adam7, all five scanline filters
+    (RFC 2083 filtering is BYTE-wise regardless of depth, bpp =
+    channels*2 — the existing unfilter handles it). 8-bit payloads
+    belong to :func:`decode_png` and raise here; palette PNGs are
+    never 16-bit by spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    spp = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} fails CRC")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 16:
+                raise ValueError(
+                    f"decode_png16 is for 16-bit payloads (got "
+                    f"depth {bit_depth}: use decode_png)"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace}")
+            spp = _PNG_CHANNELS.get(color_type)
+            if spp is None:
+                raise ValueError(
+                    f"16-bit PNG color type {color_type} is illegal"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    data = zlib.decompress(bytes(idat))
+    bpp = spp * 2
+    passes = _png_pass_layout(width, height, interlace == 1)
+    raw = np.zeros((height, width, spp), dtype=np.uint16)
+    offset = 0
+    for (xs, ys, xstep, ystep), pw, ph in passes:
+        stride = pw * bpp
+        rows, offset = _png_unfilter(data, offset, stride, bpp, ph)
+        for r in range(ph):
+            row = bytes(rows[r * stride : (r + 1) * stride])
+            y = ys + r * ystep
+            raw[y, xs::xstep] = (
+                np.frombuffer(row, dtype=">u2")
+                .reshape(pw, spp)
+                .astype(np.uint16)
+            )
+    if offset != len(data):
+        raise ValueError("PNG pixel data length mismatch")
+    return width, height, spp, raw.astype("<u2").tobytes()
 
 
 RESIZED_SCHEMA = StructType(

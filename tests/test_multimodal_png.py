@@ -559,3 +559,77 @@ def test_hand_vector_sub8_greyscale():
     sub = bytes([(row2_raw[0] - 0) & 0xFF])
     png = _hand_png(2, 2, 2, 0, 0, b"\x00" + row1 + b"\x01" + sub)
     assert decode_png(png)[3] == bytes(85 * v for v in [1, 2, 3, 0])
+
+
+def test_png16_full_fidelity_roundtrip_and_hand_vector():
+    """r12: 16-bit PNG decodes at FULL fidelity via decode_png16 —
+    hand vector independent of the encoder twin, roundtrip fuzz,
+    Adam7, and all filter classes (byte-wise with bpp=2*ch)."""
+    import numpy as np
+
+    from cc2dataset_spark.operators.multimodal import (
+        decode_png16,
+        encode_png16,
+    )
+
+    # hand vector: 2x1 grey, values 0x0102 and 0xFFFE, filter None
+    row = b"\x00" + bytes([0x01, 0x02, 0xFF, 0xFE])
+    png = _hand_png(2, 1, 16, 0, 0, row)
+    w, h, ch, raw = decode_png16(png)
+    assert (w, h, ch) == (2, 1, 1)
+    assert list(np.frombuffer(raw, dtype="<u2")) == [0x0102, 0xFFFE]
+    # hand vector with Sub filter (byte-wise distance bpp=2):
+    # true samples 0x1234, 0x1255 -> second filtered vs first
+    r1 = bytes([0x12, 0x34, 0x12 - 0x12 & 0xFF, (0x55 - 0x34) & 0xFF])
+    png = _hand_png(2, 1, 16, 0, 0, b"\x01" + r1)
+    assert list(
+        np.frombuffer(decode_png16(png)[3], dtype="<u2")
+    ) == [0x1234, 0x1255]
+
+    rng = np.random.default_rng(9)
+    for ch_n in (1, 2, 3, 4):
+        for w_, h_ in [(1, 1), (5, 7), (8, 3)]:
+            vals = rng.integers(
+                0, 65536, w_ * h_ * ch_n, dtype=np.uint16
+            ).astype("<u2")
+            png = encode_png16(w_, h_, ch_n, vals.tobytes())
+            got = decode_png16(png)
+            assert got[:3] == (w_, h_, ch_n)
+            assert got[3] == vals.tobytes()
+    # wrong-depth payloads route to the other codec, each way
+    with pytest.raises(ValueError, match="use decode_png"):
+        decode_png16(encode_png(2, 2, 1, bytes(4)))
+    with pytest.raises(NotImplementedError):
+        decode_png(encode_png16(1, 1, 1, b"\x00\x01"))
+
+
+def test_decode_media_16bit_png_real_dims(spark):
+    from cc2dataset_spark.operators import multimodal as MM
+    from cc2dataset_spark.operators.multimodal import encode_png16
+
+    png16 = encode_png16(6, 4, 3, bytes(6 * 4 * 3 * 2))
+    df = _media_df(spark, [(1, png16, "png")])
+    [row] = MM.decode_media(df).collect()
+    assert (row.width, row.height, row.n_frames) == (6, 4, 1)
+
+
+def test_png16_adam7_hand_vector():
+    """2x2 Adam7 16-bit grey: same pass layout as the 8-bit twin
+    test, two bytes per sample."""
+    import numpy as np
+
+    from cc2dataset_spark.operators.multimodal import decode_png16
+
+    def px(v):
+        return bytes([v >> 8, v & 0xFF])
+
+    idat_raw = (
+        b"\x00" + px(0x1000)          # pass 1: (0,0)
+        + b"\x00" + px(0x2000)        # pass 6: (1,0)
+        + b"\x00" + px(0x3000) + px(0x4000)  # pass 7: (0,1),(1,1)
+    )
+    png = _hand_png(2, 2, 16, 0, 1, idat_raw)
+    w, h, ch, raw = decode_png16(png)
+    assert list(np.frombuffer(raw, dtype="<u2")) == [
+        0x1000, 0x2000, 0x3000, 0x4000
+    ]
