@@ -79,68 +79,72 @@ def query(
 # stays covered by the local oracle suite (tests/test_oracle.py), which
 # runs ALL oracle-backed queries every CI pass.
 #
-# Round-12 window: 5 debuts + 45 re-confirmation slots.
-# CORRECTNESS_r11 landed 50 green / 0 red, so every r11 slot is
-# cedable (rule 2); debuts are the r11 registration wave in queue
-# order (rule 5 — the five media-codec rows); re-confirmations are
-# the stalest greens oldest-first: 45 of the 46-query
-# last-green-r8 cohort in r8-window order (`events_scd2_event_type`
-# onward). The one leftover r8 row (`events_lateness_profile`)
-# is queued FIRST for r13. After this window no query's latest
-# driver green is older than r8, and only that single row is r8.
+# Round-13 window: 5 debuts + 45 re-confirmation slots.
+# CORRECTNESS_r12 landed 50 green / 0 red, so every r12 slot is
+# cedable (rule 2); debuts are the r12 registration wave in queue
+# order (rule 5 — error containment, resize chain, G.711,
+# progressive JPEG, GIF animation compositing); re-confirmations
+# are the stalest greens oldest-first: `events_lateness_profile`
+# (the last r8 green) then 44 of the 50-query last-green-r9 cohort
+# in r9-window order (`cc_url_param_stats` onward). The 6 leftover
+# r9 rows (`sketch_countmin_event_types`, `curate_full_recipe`,
+# `events_sessionize`, `graph_pagerank_brands`, `agg_corr_lineitem`,
+# `q8_market_share`) are queued FIRST for r14. After this window no
+# query's latest driver green is older than r9.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r12 debuts — the r11 registration wave (queue order)
-    "multimodal_jpeg_pixel_stats",
-    "multimodal_wav_sample_stats",
-    "multimodal_gif_pixel_stats",
-    "multimodal_decode_real_mixed",
-    "multimodal_wav_frame_energy",
-    # re-confirmation: 45 oldest last-green-r8 (r8-window order)
-    "events_scd2_event_type",
-    "dedup_ngram_span_coverage",
-    "curate_dsir_weights",
-    "events_markov_transitions",
-    "text_collocation_lift",
-    "sample_weighted_tickets",
-    "multimodal_cdc_chunks",
-    "join_interval_busy_hours",
-    "sketch_kmv_distinct_users",
-    "events_quantile_sketch_bottomk",
-    "er_snm_cluster_survivors",
-    "text_heavy_hitter_words",
-    "curate_pack_sequences",
-    "sample_stratified_per_lang",
-    "text_bm25_topk",
-    "events_time_weighted_avg",
-    "sketch_kmv_setops",
-    "join_salted_skew",
-    "multimodal_image_dims",
-    "dedup_cluster_best_quality",
-    "curate_boilerplate_prefix",
-    "text_unicode_nfc",
-    "events_m4_downsample",
-    "profile_cross_source_overlap",
-    "curate_dedup_paragraphs",
-    "cc_domain_stats",
-    "dedup_truncated_docs",
-    "text_vocab_stats",
-    "cc_anchor_text_corpus",
-    "graph_triangle_counts",
-    "multimodal_phash_neardup",
-    "io_compaction_plan",
-    "text_readability",
-    "curate_unimax_budget",
-    "text_kneser_ney_counts",
-    "events_anomaly_mad",
-    "cc_image_text_manifest",
-    "search_hybrid_rrf",
-    "profile_key_skew",
-    "multimodal_audio_frames",
-    "curate_score_calibration",
-    "graph_degree_distribution",
-    "text_zipf_fit",
-    "curate_dedup_report",
-    "curate_langid_confusion",
+    # r13 debuts — the r12 registration wave (queue order)
+    "multimodal_decode_errors",
+    "multimodal_resize_pixel_stats",
+    "multimodal_wav_g711_stats",
+    "multimodal_jpeg_progressive_stats",
+    "multimodal_gif_animation_stats",
+    # re-confirmation: the last r8 green, then 44 oldest
+    # last-green-r9 (r9-window order)
+    "events_lateness_profile",
+    "cc_url_param_stats",
+    "multimodal_caption_stats",
+    "events_user_concentration",
+    "text_ngram_novelty",
+    "curate_blocklist_filter",
+    "scalar_string_part",
+    "grouping_sets_geo",
+    "pivot_status_by_priority",
+    "join_full_outer_nation_roles",
+    "cross_join_region_matrix",
+    "agg_approx_distinct",
+    "scalar_date_arithmetic",
+    "array_ops_embeddings",
+    "subquery_correlated_scalar",
+    "scalar_struct_map_ops",
+    "unpivot_customer_metrics",
+    "udaf_user_trend",
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+    "top_tokens_per_lang",
+    "knn_label_vote",
+    "text_tokenize_udtf",
+    "dedup_exact_min_survivor",
+    "dedup_cluster_survivors",
+    "events_sliding_10m_5m",
+    "events_followup_pairs_10m",
+    "join_asof_union_last_order",
+    "window_range_frame_1h",
+    "setop_multiset_suppliers",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q19_discounted_revenue",
+    "q22_dormant_rich_customers",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "cc_extract_image_wat",
+    "cc_extract_dedup_links",
+    "dedup_minhash_neardup",
+    "dedup_simhash_embeddings",
+    "dedup_incremental_index",
+    "ann_ivf_topk",
+    "multimodal_decode_stub",
 )
 
 
