@@ -161,11 +161,14 @@ def decode_media(
     (:func:`decode_png`, r10), JPEG SOI payloads through the real
     Huffman+IDCT codec — sequential AND progressive as of r12
     (``operators/jpeg.decode_jpeg``), and GIF87a/89a payloads through the real LZW codec
-    (:func:`decode_gif`, r11) — all return actual pixel dimensions
-    and n_frames=1. A multi-frame GIF reports its logical-screen
-    dims and REAL frame count from a pure descriptor walk
-    (:func:`gif_frame_count`, r12) — honest header metadata — while
-    its pixel decode stays gated in operators that need pixels.
+    (:func:`decode_gif_frames`, r13) — all return actual pixel
+    dimensions. EVERY GIF — single-frame, sub-rectangle, or
+    animation — fully decodes through the compositing codec, so
+    width/height are uniformly the LOGICAL SCREEN dims and a
+    status="ok" row certifies that every frame's LZW stream and
+    color table actually decode (r13 advice: the old descriptor-only
+    walk let a corrupt-frame-2 animation pass the status gate and
+    kill a downstream :func:`sample_frames`).
     The honestly-gated classes inside those codecs
     (arithmetic-coded JPEG, 16-bit PNG)
     raise ``NotImplementedError`` LOUDLY rather than answering
@@ -217,10 +220,9 @@ def decode_media(
             sys.path.insert(0, _pkg_root)
         from cc2dataset_spark.operators.jpeg import decode_jpeg
         from cc2dataset_spark.operators.multimodal import (
-            decode_gif,
+            decode_gif_frames,
             decode_png,
             decode_png16,
-            gif_frame_count,
         )
 
         def _stub(payload, fmt):
@@ -251,14 +253,13 @@ def decode_media(
                     w, h, _ch, _raw = decode_jpeg(b)
                     return (w, h, 1)
                 if b[:6] in (b"GIF87a", b"GIF89a"):
-                    # descriptor walk first (r12): an animation's
-                    # screen dims + frame COUNT are honest header
-                    # metadata; only its pixel decode stays gated
-                    sw, sh, nf = gif_frame_count(b)
-                    if nf > 1:
-                        return (sw, sh, nf)
-                    w, h, _ch, _raw = decode_gif(b)
-                    return (w, h, 1)
+                    # full pixel decode for EVERY GIF (r13): the
+                    # compositor validates each frame's LZW stream
+                    # and color table, so "ok" certifies decodable
+                    # pixels, and dims are the logical screen for
+                    # single- and multi-frame GIFs alike
+                    sw, sh, frames = decode_gif_frames(b)
+                    return (sw, sh, len(frames))
             return _stub(payload, fmt)
 
         from cc2dataset_spark.operators.multimodal import (
@@ -1854,9 +1855,11 @@ def gif_frame_count(payload: bytes) -> tuple[int, int, int]:
     if packed & 0x80:
         pos += 3 * (1 << ((packed & 7) + 1))
     n_frames = 0
+    saw_trailer = False
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
+            saw_trailer = True
             break
         if b == 0x21:  # extension
             pos += 2
@@ -1884,6 +1887,10 @@ def gif_frame_count(payload: bytes) -> tuple[int, int, int]:
         raise ValueError(f"bad GIF block 0x{b:02X} at {pos}")
     if n_frames == 0:
         raise ValueError("GIF has no image descriptor")
+    if not saw_trailer:
+        # a payload cut after the last frame's sub-blocks is still
+        # structural damage (r13 advice #3)
+        raise ValueError("GIF missing trailer")
     return sw, sh, n_frames
 
 
@@ -1995,9 +2002,11 @@ def decode_gif_frames(payload: bytes):
     frames_out = []
     # pending GCE state for the NEXT image descriptor
     disposal, transparent = 0, None
+    saw_trailer = False
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:
+            saw_trailer = True
             break
         if b == 0x21:
             label = payload[pos + 1] if pos + 1 < len(payload) else None
@@ -2089,6 +2098,8 @@ def decode_gif_frames(payload: bytes):
         raise ValueError(f"bad GIF block 0x{b:02X} at {pos}")
     if not frames_out:
         raise ValueError("GIF has no image descriptor")
+    if not saw_trailer:
+        raise ValueError("GIF missing trailer")
     return sw, sh, frames_out
 
 
@@ -2120,9 +2131,11 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("GIF global color table truncated")
         pos += 3 * n
     frame = None
+    saw_trailer = False
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
+            saw_trailer = True
             break
         if b == 0x21:  # extension: label + chained sub-blocks
             pos += 2
@@ -2203,4 +2216,6 @@ def decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"bad GIF block 0x{b:02X} at {pos}")
     if frame is None:
         raise ValueError("GIF has no image descriptor")
+    if not saw_trailer:
+        raise ValueError("GIF missing trailer")
     return frame
