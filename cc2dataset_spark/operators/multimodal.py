@@ -169,13 +169,15 @@ def decode_media(
     color table actually decode (r13 advice: the old descriptor-only
     walk let a corrupt-frame-2 animation pass the status gate and
     kill a downstream :func:`sample_frames`).
-    The honestly-gated classes inside those codecs
-    (arithmetic-coded JPEG, 16-bit PNG)
-    raise ``NotImplementedError`` LOUDLY rather than answering
-    wrong. Payloads with neither signature (this repo's fixture
-    stand-ins are UTF-8 text; real deployments: WebP/video, which
-    genuinely need codec libs) fall to the deterministic stub
-    formula that ``multimodal_decode_stub``'s oracle replays.
+    RIFF/WEBP payloads decode through the real VP8L bitstream codec
+    (``operators/webp.decode_webp``, r13) when lossless; the
+    honestly-gated classes (lossy VP8, animated WebP,
+    arithmetic-coded JPEG) raise ``NotImplementedError`` LOUDLY
+    rather than answering wrong. Payloads with no known signature
+    (this repo's fixture stand-ins are UTF-8 text; real deployments:
+    video, which genuinely needs codec libs) fall to the
+    deterministic stub formula that ``multimodal_decode_stub``'s
+    oracle replays.
 
     ``errors`` is the record-level containment policy (r12; X7):
 
@@ -224,6 +226,7 @@ def decode_media(
             decode_png,
             decode_png16,
         )
+        from cc2dataset_spark.operators.webp import decode_webp
 
         def _stub(payload, fmt):
             if payload is None:
@@ -260,6 +263,12 @@ def decode_media(
                     # single- and multi-frame GIFs alike
                     sw, sh, frames = decode_gif_frames(b)
                     return (sw, sh, len(frames))
+                if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    # lossless VP8L decodes for real (r13); lossy
+                    # VP8 / animated WebP raise NotImplementedError
+                    # inside decode_webp -> "gated" in lenient modes
+                    w, h, _ch, _raw = decode_webp(b)
+                    return (w, h, 1)
             return _stub(payload, fmt)
 
         from cc2dataset_spark.operators.multimodal import (
@@ -978,6 +987,7 @@ def resize_media(
             encode_png,
             resize_pixels,
         )
+        from cc2dataset_spark.operators.webp import decode_webp
 
         def _resize(payload, fmt):
             if payload is not None:
@@ -989,6 +999,8 @@ def resize_media(
                     decoded = decode_jpeg(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     decoded = decode_gif(b)
+                elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    decoded = decode_webp(b)
                 if decoded is not None:
                     w, h, ch, raw = decoded
                     out = resize_pixels(raw, w, h, ch, width, height)

@@ -5381,3 +5381,167 @@ def multimodal_gif_animation_stats(
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
+# r13: lossless WebP (VP8L) — catalog row
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_webp_pixel_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 11 + 2 AS w, doc_id % 8 + 2 AS h,
+             doc_id % 6 AS variant
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, variant,
+             unnest(generate_series(0, w * h - 1)) AS p
+      FROM d
+    ), f AS (
+      SELECT doc_id, w, h, variant, p,
+             (doc_id * 11 + p * 7) % 16 AS j,
+             (p // w) AS rr, (p % w) AS cc
+      FROM px
+    ), rgb AS (
+      SELECT doc_id, w, h, p,
+             CASE WHEN variant = 5 THEN (j * 53 + 7) % 256
+                  ELSE (doc_id * 7 + rr * 131 + cc * 17) % 256
+             END AS r,
+             CASE WHEN variant = 5 THEN (j * 97 + 13) % 256
+                  ELSE (doc_id * 7 + rr * 131 + cc * 17 + 59) % 256
+             END AS g,
+             CASE WHEN variant = 5 THEN (j * 29 + 31) % 256
+                  ELSE (doc_id * 7 + rr * 131 + cc * 17 + 118) % 256
+             END AS b
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS width,
+           CAST(MAX(h) AS INT) AS height,
+           CAST(MAX(w * h) AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((p + 1) * (r + g + b)) AS BIGINT) AS wsum_rgb
+    FROM rgb GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "webp", "llm"),
+)
+def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP pixel decode (r13) — closes the largest
+    remaining decode_media gate real crawl bytes hit (WebP is a major
+    share of modern web images; the r12 verdict's top codec ask).
+    VP8L is LOSSLESS, so the PNG/GIF formula-oracle protocol applies
+    end to end (operators/webp.decode_webp: RIFF walk + full VP8L
+    bitstream — canonical prefix codes, color cache, LZ77 with the
+    120-entry 2D distance map, and all four transforms).
+
+    Fixture protocol: each document synthesizes deterministic RGB
+    pixels (w = id%11+2, h = id%8+2) and encodes them with the
+    VP8L feature class picked by id%6 — 0 plain literals,
+    1 subtract-green, 2 per-block spatial predictors cycling all 14
+    modes, 3 a color transform, 4 color-cache + LZ77 runs, 5 a
+    16-color palette (color-indexing with sub-byte packing) — then
+    DECODES the payload through the production codec. Variants 0-4
+    share pixel(row, col, c) = (id*7 + row*131 + col*17 + c*59) %
+    256; variant 5 uses the 16-color palette formulas. Channel sums
+    plus the POSITION-WEIGHTED checksum (sum (p+1)*(r+g+b)) catch
+    any transform-inverse or raster-order slip; the oracle computes
+    everything from the formulas and never sees a WebP. Hand-built
+    bit vectors pin the decoder independently of the encoder twin
+    (tests/test_webp.py).
+
+    Plan: ONE Arrow-batched mapInPandas over doc_id — zero shuffle,
+    zero collect, embarrassingly parallel; 8 integers per image
+    leave Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("width", ST.IntegerType()),
+            ST.StructField("height", ST.IntegerType()),
+            ST.StructField("n_pixels", ST.LongType()),
+            ST.StructField("sum_r", ST.LongType()),
+            ST.StructField("sum_g", ST.LongType()),
+            ST.StructField("sum_b", ST.LongType()),
+            ST.StructField("wsum_rgb", ST.LongType()),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.webp import (
+            decode_webp,
+            encode_webp_lossless,
+        )
+
+        pal = [
+            ((j * 53 + 7) % 256, (j * 97 + 13) % 256, (j * 29 + 31) % 256)
+            for j in range(16)
+        ]
+        variants = (
+            {},
+            dict(subtract_green=True),
+            dict(
+                predictor_bits=2,
+                predictor_mode=lambda bx, by: (bx + by) % 14,
+            ),
+            dict(color_transform=(3, (23, -17, 42))),
+            dict(cache_bits=3, use_rle=True),
+            dict(use_palette=True),
+        )
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 11 + 2, d % 8 + 2
+                variant = d % 6
+                if variant == 5:
+                    raw = b"".join(
+                        bytes(pal[(d * 11 + p * 7) % 16])
+                        for p in range(w * h)
+                    )
+                else:
+                    rr = np.arange(h).reshape(h, 1, 1)
+                    cc = np.arange(w).reshape(1, w, 1)
+                    ch = np.arange(3).reshape(1, 1, 3)
+                    raw = (
+                        (d * 7 + rr * 131 + cc * 17 + ch * 59) % 256
+                    ).astype(np.uint8).tobytes()
+                payload = encode_webp_lossless(
+                    w, h, 3, raw, **variants[variant]
+                )
+                dw, dh, dch, rgb = decode_webp(payload)
+                a = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(dh * dw, 3)
+                    .astype(np.int64)
+                )
+                pw = np.arange(1, dh * dw + 1, dtype=np.int64)
+                recs.append(
+                    (
+                        d,
+                        dw,
+                        dh,
+                        dw * dh,
+                        int(a[:, 0].sum()),
+                        int(a[:, 1].sum()),
+                        int(a[:, 2].sum()),
+                        int((pw * a.sum(axis=1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
