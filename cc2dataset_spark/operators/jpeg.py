@@ -1235,3 +1235,107 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     rgb = _ycbcr_to_rgb(np.moveaxis(full, 0, -1))
     out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return width, height, 3, out.tobytes()
+
+
+# --------------------------------------------------------------------------
+# EXIF orientation (r13)
+# --------------------------------------------------------------------------
+
+
+def _exif_orientation_from_tiff(t: bytes) -> int:
+    """Tag 0x0112 from a TIFF blob (the part after "Exif\\0\\0"):
+    byte-order mark, magic 42, IFD0 entry walk. Absent tag -> 1;
+    malformed structure raises ValueError."""
+    if len(t) < 8:
+        raise ValueError("EXIF TIFF header truncated")
+    if t[:2] == b"II":
+        end = "<"
+    elif t[:2] == b"MM":
+        end = ">"
+    else:
+        raise ValueError("EXIF byte-order mark invalid")
+    (magic,) = struct.unpack(end + "H", t[2:4])
+    if magic != 42:
+        raise ValueError("EXIF TIFF magic invalid")
+    (ifd0,) = struct.unpack(end + "I", t[4:8])
+    if ifd0 + 2 > len(t):
+        raise ValueError("EXIF IFD0 offset out of range")
+    (n,) = struct.unpack(end + "H", t[ifd0 : ifd0 + 2])
+    base = ifd0 + 2
+    if base + 12 * n > len(t):
+        raise ValueError("EXIF IFD0 entries truncated")
+    for i in range(n):
+        e = t[base + 12 * i : base + 12 * i + 12]
+        tag, typ = struct.unpack(end + "HH", e[:4])
+        if tag != 0x0112:
+            continue
+        (cnt,) = struct.unpack(end + "I", e[4:8])
+        if typ != 3 or cnt != 1:
+            raise ValueError("EXIF orientation entry malformed")
+        (v,) = struct.unpack(end + "H", e[8:10])
+        if not 1 <= v <= 8:
+            raise ValueError(f"EXIF orientation {v} out of range")
+        return v
+    return 1
+
+
+def jpeg_orientation(payload: bytes) -> int:
+    """EXIF orientation (TIFF tag 0x0112) via a BOUNDED APP1 walk —
+    no entropy decode, stops at SOS (r13; r12 verdict ask #4: at
+    crawl scale a visible fraction of photos carry orientation 3/6/8
+    and ignoring it transposes resize_media's output). Returns 1
+    (top-left / normal) when the JPEG has no APP1/Exif segment or no
+    orientation tag; a PRESENT but malformed EXIF structure raises
+    ValueError (classified 'corrupt' by the X7 containment layer)."""
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG: bad marker byte at {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("JPEG: truncated in marker padding")
+        marker = payload[pos + 1]
+        if marker in (0xD9, 0xDA):  # EXIF must precede the scan
+            return 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG: truncated segment header")
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            return _exif_orientation_from_tiff(body[6:])
+        pos += 2 + ln
+    return 1
+
+
+def add_exif_orientation(
+    payload: bytes, orientation: int, byte_order: str = "II"
+) -> bytes:
+    """Fixture helper: insert a minimal APP1/Exif segment (one-entry
+    IFD0 carrying tag 0x0112) right after SOI, in either TIFF byte
+    order."""
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    if not 1 <= orientation <= 8:
+        raise ValueError("orientation must be 1..8")
+    if byte_order not in ("II", "MM"):
+        raise ValueError("byte_order must be II or MM")
+    end = "<" if byte_order == "II" else ">"
+    tiff = (
+        byte_order.encode()
+        + struct.pack(end + "H", 42)
+        + struct.pack(end + "I", 8)
+        + struct.pack(end + "H", 1)
+        + struct.pack(end + "HHI", 0x0112, 3, 1)
+        + struct.pack(end + "H", orientation)
+        + b"\x00\x00"
+        + struct.pack(end + "I", 0)
+    )
+    body = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    return payload[:2] + seg + payload[2:]

@@ -936,11 +936,45 @@ def resize_pixels(
     return a[rows][:, cols].tobytes()
 
 
+def apply_exif_orientation(
+    raw: bytes, w: int, h: int, ch: int, orientation: int
+):
+    """(display raw, display width, display height) per TIFF tag
+    0x0112: 1 top-left (normal), 2 flip-H, 3 rotate 180, 4 flip-V,
+    5 transpose, 6 rotate 90 CW, 7 transverse, 8 rotate 90 CCW.
+    Orientations 5-8 swap the displayed dimensions. Codec-agnostic:
+    operates on the decoded raster, so the same map serves any
+    format that carries EXIF."""
+    import numpy as np
+
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"EXIF orientation {orientation} out of range")
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    if orientation == 1:
+        out = a
+    elif orientation == 2:
+        out = a[:, ::-1]
+    elif orientation == 3:
+        out = a[::-1, ::-1]
+    elif orientation == 4:
+        out = a[::-1, :]
+    elif orientation == 5:
+        out = a.transpose(1, 0, 2)
+    elif orientation == 6:
+        out = a.transpose(1, 0, 2)[:, ::-1]
+    elif orientation == 7:
+        out = a.transpose(1, 0, 2)[::-1, ::-1]
+    else:
+        out = a.transpose(1, 0, 2)[::-1, :]
+    return out.tobytes(), int(out.shape[1]), int(out.shape[0])
+
+
 def resize_media(
     df: DataFrame,
     width: int = 224,
     height: int = 224,
     errors: str = "raise",
+    orientation: str = "ignore",
 ) -> DataFrame:
     """mapInPandas resize to a fixed target: the standard pre-training
     normalization step.
@@ -966,9 +1000,21 @@ def resize_media(
     with a NULL output payload on failure; ``"skip"`` drops failed
     rows inside the Arrow batch. Only codec-shaped exceptions
     (ValueError / NotImplementedError / zlib.error / struct.error)
-    are contained — kernel bugs propagate in every mode."""
+    are contained — kernel bugs propagate in every mode.
+
+    ``orientation="honor"`` (r13) applies the EXIF orientation tag
+    (``jpeg_orientation`` + :func:`apply_exif_orientation`) to JPEG
+    rasters BEFORE resampling, so a phone photo stored rotated lands
+    upright in the training crop; the default ``"ignore"`` keeps the
+    stored raster (byte-compatible with pre-r13 output). A present
+    but malformed EXIF block is a codec-shaped ValueError and
+    follows the ``errors`` policy."""
     if errors not in ("raise", "status", "skip"):
         raise ValueError(f"errors must be raise|status|skip, got {errors!r}")
+    if orientation not in ("ignore", "honor"):
+        raise ValueError(
+            f"orientation must be ignore|honor, got {orientation!r}"
+        )
     import os
 
     _pkg_root = os.path.dirname(
@@ -980,8 +1026,12 @@ def resize_media(
 
         if _pkg_root not in sys.path:
             sys.path.insert(0, _pkg_root)
-        from cc2dataset_spark.operators.jpeg import decode_jpeg
+        from cc2dataset_spark.operators.jpeg import (
+            decode_jpeg,
+            jpeg_orientation,
+        )
         from cc2dataset_spark.operators.multimodal import (
+            apply_exif_orientation,
             decode_gif,
             decode_png,
             encode_png,
@@ -993,16 +1043,23 @@ def resize_media(
             if payload is not None:
                 b = bytes(payload)
                 decoded = None
+                exif = 1
                 if b[:8] == b"\x89PNG\r\n\x1a\n":
                     decoded = decode_png(b)
                 elif b[:2] == b"\xff\xd8":
                     decoded = decode_jpeg(b)
+                    if orientation == "honor":
+                        exif = jpeg_orientation(b)
                 elif b[:6] in (b"GIF87a", b"GIF89a"):
                     decoded = decode_gif(b)
                 elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
                     decoded = decode_webp(b)
                 if decoded is not None:
                     w, h, ch, raw = decoded
+                    if exif != 1:
+                        raw, w, h = apply_exif_orientation(
+                            raw, w, h, ch, exif
+                        )
                     out = resize_pixels(raw, w, h, ch, width, height)
                     return "png", encode_png(width, height, ch, out)
             # legacy stub for unrecognized payloads

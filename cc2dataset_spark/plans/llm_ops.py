@@ -5545,3 +5545,109 @@ def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
+# r13: EXIF orientation — catalog row
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_exif_dims",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 8 + 1 AS orientation,
+             doc_id % 13 + 4 AS sw,
+             doc_id % 11 + 4 AS sh,
+             (doc_id * 37 + 11) % 256 AS v
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(orientation AS INT) AS orientation,
+           CAST(sw AS INT) AS stored_width,
+           CAST(sh AS INT) AS stored_height,
+           CAST(CASE WHEN orientation >= 5 THEN sh ELSE sw END AS INT)
+             AS display_width,
+           CAST(CASE WHEN orientation >= 5 THEN sw ELSE sh END AS INT)
+             AS display_height,
+           CAST(v * sw * sh AS BIGINT) AS pixel_sum
+    FROM d
+    """,
+    tags=("multimodal", "image", "jpeg", "exif", "llm"),
+)
+def multimodal_exif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation end to end (r13; r12 verdict ask #4): each
+    document synthesizes a real baseline JPEG (solid grey, the
+    codec's exactly-decodable class: w = id%13+4, h = id%11+4,
+    v = (id*37+11)%256) and injects an APP1/Exif segment carrying
+    orientation id%8+1 — little-endian TIFF for even ids, big-endian
+    for odd, so BOTH byte orders are driver-proven. The kernel then
+    runs the production chain: ``jpeg_orientation`` (bounded APP1
+    walk, no entropy decode) -> ``decode_jpeg`` -> ``apply_exif_
+    orientation``, and reports stored vs DISPLAYED dims (orientations
+    5-8 transpose) plus the exact pixel sum v*w*h proving the decode
+    actually ran on the EXIF-bearing payload. The oracle states all
+    of it in closed form; a walk slip (wrong endianness, wrong tag
+    offset, orientation mis-mapped to the transpose set) hashes red.
+
+    Plan: ONE Arrow-batched mapInPandas over doc_id — zero shuffle,
+    zero collect, embarrassingly parallel."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("orientation", ST.IntegerType()),
+            ST.StructField("stored_width", ST.IntegerType()),
+            ST.StructField("stored_height", ST.IntegerType()),
+            ST.StructField("display_width", ST.IntegerType()),
+            ST.StructField("display_height", ST.IntegerType()),
+            ST.StructField("pixel_sum", ST.LongType()),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.jpeg import (
+            add_exif_orientation,
+            decode_jpeg,
+            encode_jpeg,
+            jpeg_orientation,
+        )
+        from cc2dataset_spark.operators.multimodal import (
+            apply_exif_orientation,
+        )
+
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                o = d % 8 + 1
+                w, h, v = d % 13 + 4, d % 11 + 4, (d * 37 + 11) % 256
+                payload = add_exif_orientation(
+                    encode_jpeg(w, h, 1, bytes([v]) * (w * h)),
+                    o,
+                    "II" if d % 2 == 0 else "MM",
+                )
+                got_o = jpeg_orientation(payload)
+                dw, dh, dch, raw = decode_jpeg(payload)
+                disp, disp_w, disp_h = apply_exif_orientation(
+                    raw, dw, dh, dch, got_o
+                )
+                a = np.frombuffer(disp, dtype=np.uint8).astype(np.int64)
+                recs.append(
+                    (d, got_o, dw, dh, disp_w, disp_h, int(a.sum()))
+                )
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)
