@@ -335,9 +335,10 @@ def media_decode_stats(status_df: DataFrame) -> DataFrame:
 # REAL PNG pixel codec (r10): PNG needs no media library — the format
 # is zlib (stdlib) + five byte-level scanline filters (RFC 2083 §6).
 # Baseline JPEG decodes for real too since operators/jpeg.py landed
-# (pure-numpy Huffman + IDCT; progressive/subsampled/multi-scan stay
-# gated there). The remaining genuinely-gated format is WebP/video
-# (VP8 entropy coding needs codec libs). 8-bit greyscale/RGB/RGBA,
+# (pure-numpy Huffman + IDCT; progressive landed r12), and lossless
+# WebP since operators/webp.py (r13). The remaining genuinely-gated
+# formats are lossy VP8 / animated WebP / video (full DCT video
+# codecs need codec libs). 8-bit greyscale/RGB/RGBA,
 # palette at all legal palette depths, and Adam7 interlace all decode
 # (r11); sub-8-bit greyscale decodes (r12); 16-bit decodes at full
 # fidelity via decode_png16 (r12 — its own uint16 contract).

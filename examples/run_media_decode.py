@@ -58,10 +58,33 @@ def main() -> None:
             )
         )
     (media / "README.txt").write_bytes(b"not media, pruned at listing")
+    # lossless WebP decodes for real too (r13)
+    from cc2dataset_spark.operators.webp import encode_webp_lossless
+
+    for i in range(4):
+        w, h = i % 5 + 4, i % 4 + 3
+        raw = bytes(((i * 7 + k * 13) % 256) for k in range(w * h * 3))
+        (media / f"pic_{i:02d}.webp").write_bytes(
+            encode_webp_lossless(w, h, 3, raw, subtract_green=bool(i % 2))
+        )
+    # planted failures: a 100 TB crawl's first batch always carries
+    # corruption and gated classes — status mode must survive both
+    import struct as _struct
+
+    (media / "broken.png").write_bytes(
+        MM.encode_png(4, 3, 3, bytes(range(36)))[:20]
+    )
+    sof9 = b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    (media / "arith.jpg").write_bytes(
+        b"\xff\xd8\xff\xc9"
+        + _struct.pack(">H", len(sof9) + 2)
+        + sof9
+        + b"\xff\xd9"
+    )
 
     spark = build_spark_session(app_name="media-decode-example")
     df = read_binary_files(
-        spark, str(media), path_glob="*.{png,jpg,gif}"
+        spark, str(media), path_glob="*.{png,jpg,gif,webp}"
     )
     wrapped = df.select(
         F.monotonically_increasing_id().alias("doc_id"),
@@ -72,7 +95,12 @@ def main() -> None:
             F.lit(0).cast("long").alias("source_id"),
         ).alias("meta"),
     )
-    decoded = MM.decode_media(wrapped)
+    # X7 containment: every record survives with a typed status and
+    # the aggregate accounts for each drop — the production posture
+    decoded = MM.decode_media(wrapped, errors="status")
+    print("drop accounting (planted: 1 corrupt, 1 gated):")
+    MM.media_decode_stats(decoded).show(truncate=False)
+    decoded = decoded.filter(F.col("status") == "ok")
     # magic-byte dispatch doesn't trust the meta tag, so recover the
     # real format from the decoded payload head for the report
     stats = (
@@ -87,6 +115,10 @@ def main() -> None:
                 .when(
                     F.substring("payload", 1, 3) == F.lit(b"GIF"),
                     "gif",
+                )
+                .when(
+                    F.substring("payload", 1, 4) == F.lit(b"RIFF"),
+                    "webp",
                 )
                 .otherwise("jpeg")
                 .alias("kind"),

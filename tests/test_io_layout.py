@@ -227,3 +227,90 @@ def test_binaryfile_to_decode_media_end_to_end(spark, tmp_path):
     ).join(wrapped.select("doc_id", "name"), "doc_id")
     got = {r["name"]: (r["width"], r["height"]) for r in decoded.collect()}
     assert got == {"a.png": (9, 7), "b.jpg": (16, 12), "c.gif": (11, 5)}
+
+
+def test_binaryfile_containment_pipeline_end_to_end(spark, tmp_path):
+    """The PRODUCTION composition of the r12 containment pieces (r12
+    verdict ask #6): real files on disk — clean PNG/GIF/WebP plus
+    PLANTED corrupt (truncated PNG) and gated (arithmetic-coded SOF9
+    JPEG, lossy VP8 WebP) payloads — through the real binaryFile
+    source -> decode_media(errors="status") -> media_decode_stats,
+    with drop accounting equal to the planted counts. This is the
+    first batch of any 100 TB crawl in miniature: the stage must
+    survive it and account for every record."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.operators import multimodal as MM
+    from cc2dataset_spark.operators.webp import encode_webp_lossless
+    from cc2dataset_spark.sources.files import read_binary_files
+
+    media = tmp_path / "crawl"
+    media.mkdir()
+    pal = [(j * 16, 255 - j * 16, j) for j in range(16)]
+    good_png = MM.encode_png(4, 3, 3, bytes(range(36)))
+    sof9_body = b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    arith_jpeg = (
+        b"\xff\xd8\xff\xc9"
+        + _struct.pack(">H", len(sof9_body) + 2)
+        + sof9_body
+        + b"\xff\xd9"
+    )
+    lossy_webp = (
+        b"RIFF" + _struct.pack("<I", 22) + b"WEBP"
+        + b"VP8 " + _struct.pack("<I", 10) + b"\x00" * 10
+    )
+    files = {
+        "a.png": good_png,
+        "b.png": MM.encode_png(5, 5, 1, bytes(25)),
+        "c.gif": MM.encode_gif(6, 4, pal, bytes(p % 16 for p in range(24))),
+        "d.webp": encode_webp_lossless(
+            7, 3, 3, bytes((i * 11) % 256 for i in range(63)),
+            subtract_green=True,
+        ),
+        "trunc.png": good_png[:20],      # planted corrupt
+        "arith.jpg": arith_jpeg,         # planted gated
+        "lossy.webp": lossy_webp,        # planted gated
+    }
+    for name, payload in files.items():
+        (media / name).write_bytes(payload)
+
+    df = read_binary_files(
+        spark, str(media), path_glob="*.{png,gif,jpg,webp}"
+    )
+    wrapped = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit("auto").alias("format"),
+            F.col("length").alias("n_bytes"),
+            F.lit(0).cast("long").alias("source_id"),
+        ).alias("meta"),
+    )
+    decoded = MM.decode_media(
+        wrapped.select("doc_id", "payload", "meta"), errors="status"
+    )
+    [stats] = MM.media_decode_stats(decoded).collect()
+    assert (
+        stats.records_total,
+        stats.records_ok,
+        stats.records_gated,
+        stats.records_corrupt,
+        stats.records_dropped,
+    ) == (7, 4, 2, 1, 3)
+    # per-record classes land where planted
+    by_name = {
+        r["name"]: r
+        for r in decoded.join(
+            wrapped.select("doc_id", "name"), "doc_id"
+        ).collect()
+    }
+    assert by_name["trunc.png"].status == "corrupt"
+    assert by_name["arith.jpg"].status == "gated"
+    assert by_name["lossy.webp"].status == "gated"
+    assert by_name["d.webp"].status == "ok"
+    assert (by_name["d.webp"].width, by_name["d.webp"].height) == (7, 3)
+    # the ok rows carry real dims; failed rows carry NULLs
+    assert by_name["a.png"].width == 4 and by_name["trunc.png"].width is None
