@@ -179,15 +179,28 @@ def main() -> None:
         if anchor in times and anchor not in slowest:
             slowest.append(anchor)
         warm_times: dict[str, float] = {}
+        reps_used: dict[str, int] = {}
         for name in slowest:
+            # The ITERATIVE family (cluster / pagerank / SNM) runs
+            # ~20 small jobs whose per-job scheduler/GC jitter does
+            # not amortize like one large shuffle job: the r12
+            # forensics (ROTATION.md) measured an inherent ±20% warm
+            # band that a 3-rep median cannot squeeze, so that
+            # cohort gets >=4 reps (r12 verdict ask #5 — the
+            # artifact now matches its own protocol).
+            iterative = any(
+                k in name for k in ("cluster", "pagerank", "snm")
+            )
+            n_reps = max(warm_reps, 4) if iterative else warm_reps
             samples = []
-            for _ in range(warm_reps):
+            for _ in range(n_reps):
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 samples.append(time.perf_counter() - t0)
             warm_times[name] = round(statistics.median(samples), 3)
+            reps_used[name] = n_reps
         warm_payload = {
             "metric": "warm_median_top_queries",
             "unit": "sec",
@@ -195,6 +208,15 @@ def main() -> None:
             "cold_queries": {n: times[n] for n in slowest},
             "sf": float(sf),
             "reps": warm_reps,
+            "reps_per_query": reps_used,
+            # The calibration anchor's warm median rides IN the
+            # artifact so cross-round readers decode host state
+            # without ROTATION.md: documented steady state is
+            # 1.83-1.93 s at sf0.1 on an idle host; read cross-round
+            # deltas as ratios to this value.
+            "anchor": anchor,
+            "anchor_warm": warm_times.get(anchor),
+            "anchor_steady_state_sec": [1.83, 1.93],
             "run": "warm",
             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
