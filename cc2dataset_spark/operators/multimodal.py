@@ -1299,8 +1299,10 @@ def cdc_chunk_fingerprints(
 def image_dims(payload) -> "F.Column":
     """REAL image-dimension extraction from a ``binary`` payload column
     — pure JVM codegen (hex + substring + base-16 conv), no Python, no
-    media library — for the three container formats whose headers the
-    specs pin:
+    media library — for the four container formats whose headers the
+    specs pin (PNG / GIF / JPEG below, plus WebP in all three RIFF
+    layouts — VP8L bit-packed u14s, VP8X canvas u24s, lossy VP8
+    start-code + u16s — see the webp_struct comment):
 
     - **PNG** (ISO 15948 §5.3/11.2.2): the 8-byte signature is always
       followed by the IHDR chunk, so width/height are the big-endian
@@ -1442,6 +1444,77 @@ def image_dims(payload) -> "F.Column":
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
     )
+
+    # WebP (r13): RIFF + "WEBP", dims by first-chunk layout — all
+    # three container forms the format ships (RFC 9649 container
+    # spec), still pure hex arithmetic:
+    #   VP8L  (lossless): sig byte 0x2F then a LE u32 whose low 14
+    #          bits are width-1 and next 14 height-1;
+    #   VP8X  (extended): canvas width-1/height-1 as LE u24 at chunk
+    #          offsets 4 and 7;
+    #   "VP8 " (lossy): 3-byte frame tag, start code 9D 01 2A, then
+    #          LE u16 width/height (14 significant bits each).
+    is_webp = hx.startswith("52494646") & (
+        F.substring(hx, 17, 8) == "57454250"
+    )
+    fourcc = F.substring(hx, 25, 8)
+
+    def le32(start_char: int):
+        return F.conv(
+            F.concat(
+                F.substring(hx, start_char + 6, 2),
+                F.substring(hx, start_char + 4, 2),
+                F.substring(hx, start_char + 2, 2),
+                F.substring(hx, start_char, 2),
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    def le24(start_char: int):
+        return F.conv(
+            F.concat(
+                F.substring(hx, start_char + 4, 2),
+                F.substring(hx, start_char + 2, 2),
+                F.substring(hx, start_char, 2),
+            ),
+            16,
+            10,
+        ).cast("int")
+
+    vp8l_bits = le32(43)
+    webp_fmt = F.lit("webp")
+    webp_struct = (
+        F.when(
+            (fourcc == "5650384C") & (F.substring(hx, 41, 2) == "2F"),
+            F.struct(
+                webp_fmt.alias("format"),
+                ((vp8l_bits % 16384) + 1).cast("int").alias("width"),
+                ((F.shiftright(vp8l_bits, 14) % 16384) + 1)
+                .cast("int")
+                .alias("height"),
+            ),
+        )
+        .when(
+            fourcc == "56503858",
+            F.struct(
+                webp_fmt.alias("format"),
+                (le24(49) + 1).alias("width"),
+                (le24(55) + 1).alias("height"),
+            ),
+        )
+        .when(
+            (fourcc == "56503820")
+            & (F.substring(hx, 47, 6) == "9D012A"),
+            F.struct(
+                webp_fmt.alias("format"),
+                (le16(53) % 16384).alias("width"),
+                (le16(57) % 16384).alias("height"),
+            ),
+        )
+        .otherwise(null_struct)
+    )
+
     # CaseWhen evaluates only the matched branch's VALUE, so png/gif/
     # non-image rows never run the walk at all.
     return (
@@ -1462,6 +1535,7 @@ def image_dims(payload) -> "F.Column":
             ),
         )
         .when(is_jpg, jpeg_struct)
+        .when(is_webp, webp_struct)
         .otherwise(null_struct)
     )
 

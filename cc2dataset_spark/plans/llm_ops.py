@@ -3199,19 +3199,47 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH syn AS (
       SELECT doc_id, text,
-        CASE CAST(doc_id % 3 AS INT)
+        CASE CAST(doc_id % 4 AS INT)
           WHEN 0 THEN '89504E470D0A1A0A' || '0000000D49484452'
                || lpad(hex(doc_id % 640 + 16), 8, '0')
                || lpad(hex(doc_id % 480 + 16), 8, '0') || '0806000000'
           WHEN 1 THEN 'FFD8FFE000104A46494600010100000100010000FFC0001108'
                || lpad(hex(doc_id % 480 + 16), 4, '0')
                || lpad(hex(doc_id % 640 + 16), 4, '0') || '03'
-          ELSE '474946383961'
+          WHEN 2 THEN '474946383961'
                || substr(lpad(hex(doc_id % 640 + 16), 4, '0'), 3, 2)
                || substr(lpad(hex(doc_id % 640 + 16), 4, '0'), 1, 2)
                || substr(lpad(hex(doc_id % 480 + 16), 4, '0'), 3, 2)
                || substr(lpad(hex(doc_id % 480 + 16), 4, '0'), 1, 2)
                || '800000'
+          ELSE '524946460000000057454250'
+               || CASE CAST((doc_id // 4) % 3 AS INT)
+                 WHEN 0 THEN '5650384C' || '00000000' || '2F'
+                   || substr(lpad(hex((doc_id % 640 + 15)
+                                      + (doc_id % 480 + 15) * 16384),
+                             8, '0'), 7, 2)
+                   || substr(lpad(hex((doc_id % 640 + 15)
+                                      + (doc_id % 480 + 15) * 16384),
+                             8, '0'), 5, 2)
+                   || substr(lpad(hex((doc_id % 640 + 15)
+                                      + (doc_id % 480 + 15) * 16384),
+                             8, '0'), 3, 2)
+                   || substr(lpad(hex((doc_id % 640 + 15)
+                                      + (doc_id % 480 + 15) * 16384),
+                             8, '0'), 1, 2)
+                 WHEN 1 THEN '56503858' || '0A000000' || '00' || '000000'
+                   || substr(lpad(hex(doc_id % 640 + 15), 6, '0'), 5, 2)
+                   || substr(lpad(hex(doc_id % 640 + 15), 6, '0'), 3, 2)
+                   || substr(lpad(hex(doc_id % 640 + 15), 6, '0'), 1, 2)
+                   || substr(lpad(hex(doc_id % 480 + 15), 6, '0'), 5, 2)
+                   || substr(lpad(hex(doc_id % 480 + 15), 6, '0'), 3, 2)
+                   || substr(lpad(hex(doc_id % 480 + 15), 6, '0'), 1, 2)
+                 ELSE '56503820' || '00000000' || '000000' || '9D012A'
+                   || substr(lpad(hex(doc_id % 640 + 16), 4, '0'), 3, 2)
+                   || substr(lpad(hex(doc_id % 640 + 16), 4, '0'), 1, 2)
+                   || substr(lpad(hex(doc_id % 480 + 16), 4, '0'), 3, 2)
+                   || substr(lpad(hex(doc_id % 480 + 16), 4, '0'), 1, 2)
+               END
         END AS hdr
       FROM documents
     ), pl AS (
@@ -3231,18 +3259,40 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         starts_with(hx, '89504E470D0A1A0A') AS is_png,
         starts_with(hx, '474946383961')
           OR starts_with(hx, '474946383761') AS is_gif,
-        starts_with(hx, 'FFD8') AS is_jpg
+        starts_with(hx, 'FFD8') AS is_jpg,
+        starts_with(hx, '52494646')
+          AND substr(hx, 17, 8) = '57454250' AS is_webp,
+        substr(hx, 25, 8) AS fourcc
       FROM pl
+    ), wp AS (
+      SELECT doc_id, hx, sof, is_png, is_gif, is_jpg, is_webp, fourcc,
+        CASE WHEN is_webp AND fourcc = '5650384C'
+                  AND substr(hx, 41, 2) = '2F'
+          THEN CAST(concat('0x', substr(hx, 49, 2) || substr(hx, 47, 2)
+                           || substr(hx, 45, 2) || substr(hx, 43, 2))
+                    AS BIGINT) END AS v8l
+      FROM sofp
     )
     SELECT doc_id,
       CASE WHEN is_png THEN 'png' WHEN is_gif THEN 'gif'
-           WHEN is_jpg AND sof IS NOT NULL THEN 'jpeg' END AS format,
+           WHEN is_jpg AND sof IS NOT NULL THEN 'jpeg'
+           WHEN v8l IS NOT NULL OR (is_webp AND (fourcc = '56503858'
+                OR (fourcc = '56503820' AND substr(hx, 47, 6) = '9D012A')))
+             THEN 'webp' END AS format,
       CAST(CASE
         WHEN is_png THEN CAST(concat('0x', substr(hx, 33, 8)) AS BIGINT)
         WHEN is_gif THEN CAST(concat('0x', substr(hx, 15, 2)
                                            || substr(hx, 13, 2)) AS BIGINT)
         WHEN is_jpg AND sof IS NOT NULL
           THEN CAST(concat('0x', substr(hx, sof + 14, 4)) AS BIGINT)
+        WHEN v8l IS NOT NULL THEN v8l % 16384 + 1
+        WHEN is_webp AND fourcc = '56503858'
+          THEN CAST(concat('0x', substr(hx, 53, 2) || substr(hx, 51, 2)
+                           || substr(hx, 49, 2)) AS BIGINT) + 1
+        WHEN is_webp AND fourcc = '56503820'
+             AND substr(hx, 47, 6) = '9D012A'
+          THEN CAST(concat('0x', substr(hx, 55, 2)
+                           || substr(hx, 53, 2)) AS BIGINT) % 16384
       END AS INT) AS width,
       CAST(CASE
         WHEN is_png THEN CAST(concat('0x', substr(hx, 41, 8)) AS BIGINT)
@@ -3250,8 +3300,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            || substr(hx, 17, 2)) AS BIGINT)
         WHEN is_jpg AND sof IS NOT NULL
           THEN CAST(concat('0x', substr(hx, sof + 10, 4)) AS BIGINT)
+        WHEN v8l IS NOT NULL THEN (v8l >> 14) % 16384 + 1
+        WHEN is_webp AND fourcc = '56503858'
+          THEN CAST(concat('0x', substr(hx, 59, 2) || substr(hx, 57, 2)
+                           || substr(hx, 55, 2)) AS BIGINT) + 1
+        WHEN is_webp AND fourcc = '56503820'
+             AND substr(hx, 47, 6) = '9D012A'
+          THEN CAST(concat('0x', substr(hx, 59, 2)
+                           || substr(hx, 57, 2)) AS BIGINT) % 16384
       END AS INT) AS height
-    FROM sofp
+    FROM wp
     """,
     tags=("multimodal", "image", "llm"),
 )
@@ -3259,21 +3317,26 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-dimension extraction over a binary payload column —
     upgrades the multimodal family's decode step from stub to spec:
     operators/multimodal.image_dims parses PNG (IHDR at the
-    spec-pinned offset), GIF (little-endian logical-screen u16s) and
-    JPEG (first-SOF-marker scan behind variable app segments) in pure
-    JVM codegen — hex, substring, base-16 conv — no Python, no media
-    library, so it runs at full scan speed on binaryFile ingests.
+    spec-pinned offset), GIF (little-endian logical-screen u16s),
+    JPEG (first-SOF-marker scan behind variable app segments) and —
+    r13 — WebP in all three RIFF layouts (VP8L bit-packed u14
+    dims, VP8X canvas u24s, lossy-VP8 start-code + u14-in-u16) in
+    pure JVM codegen — hex, substring, base-16 conv — no Python, no
+    media library, so it runs at full scan speed on binaryFile
+    ingests.
 
     The fixture payloads are SYNTHESIZED (this container ships no
     media files): each document gets a byte-faithful format-correct
     header — real PNG signature+IHDR, real JFIF APP0 then SOF0, real
-    GIF89a screen descriptor — with dimensions derived from doc_id,
-    prepended to the document bytes. The oracle rebuilds the identical
-    payload byte-for-byte AND re-parses it with the generic signature
-    checks (not the known answers), so the driver row proves the
-    parser, not the synthesis. The parser itself is additionally
-    pinned against hand-crafted spec files in
-    tests/test_llm_ops.py::test_image_dims_real_headers.
+    GIF89a screen descriptor, real RIFF/WEBP first chunk (VP8L /
+    VP8X / lossy VP8 cycling by doc_id//4 % 3) — with dimensions
+    derived from doc_id, prepended to the document bytes. The oracle
+    rebuilds the identical payload byte-for-byte AND re-parses it
+    with the generic signature checks (not the known answers), so
+    the driver row proves the parser, not the synthesis. The parser
+    itself is additionally pinned against REAL encoded files in
+    tests/test_llm_ops.py::test_image_dims_real_headers and
+    tests/test_webp.py.
 
     Plan: zero shuffles — one scan, per-row projections end to end."""
     w = F.col("doc_id") % 640 + 16
@@ -3284,9 +3347,50 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     def le(c4):
         return F.concat(F.substring(c4, 3, 2), F.substring(c4, 1, 2))
 
+    def le32(c8):
+        return F.concat(
+            F.substring(c8, 7, 2),
+            F.substring(c8, 5, 2),
+            F.substring(c8, 3, 2),
+            F.substring(c8, 1, 2),
+        )
+
+    def le24(c6):
+        return F.concat(
+            F.substring(c6, 5, 2),
+            F.substring(c6, 3, 2),
+            F.substring(c6, 1, 2),
+        )
+
+    vp8l_bits = F.lpad(F.hex((w - 1) + (h - 1) * 16384), 8, "0")
+    w6m1 = F.lpad(F.hex(w - 1), 6, "0")
+    h6m1 = F.lpad(F.hex(h - 1), 6, "0")
+    webp_sub = (F.floor(F.col("doc_id") / 4) % 3).cast("int")
+    webp_hdr = F.concat(
+        F.lit("524946460000000057454250"),
+        F.when(
+            webp_sub == 0,
+            F.concat(F.lit("5650384C000000002F"), le32(vp8l_bits)),
+        )
+        .when(
+            webp_sub == 1,
+            F.concat(
+                F.lit("565038580A0000000" + "0000000"),
+                le24(w6m1),
+                le24(h6m1),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("5650382000000000" + "000000" + "9D012A"),
+                le(w4),
+                le(h4),
+            )
+        ),
+    )
     hdr = (
         F.when(
-            (F.col("doc_id") % 3).cast("int") == 0,
+            (F.col("doc_id") % 4).cast("int") == 0,
             F.concat(
                 F.lit("89504E470D0A1A0A" + "0000000D49484452"),
                 w8,
@@ -3295,7 +3399,7 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .when(
-            (F.col("doc_id") % 3).cast("int") == 1,
+            (F.col("doc_id") % 4).cast("int") == 1,
             F.concat(
                 F.lit(
                     "FFD8FFE000104A46494600010100000100010000FFC0001108"
@@ -3305,9 +3409,11 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("03"),
             ),
         )
-        .otherwise(
-            F.concat(F.lit("474946383961"), le(w4), le(h4), F.lit("800000"))
+        .when(
+            (F.col("doc_id") % 4).cast("int") == 2,
+            F.concat(F.lit("474946383961"), le(w4), le(h4), F.lit("800000")),
         )
+        .otherwise(webp_hdr)
     )
     docs = load_table(spark, sf_dir, "documents")
     payload = F.concat(F.unhex(hdr), F.encode(F.col("text"), "utf-8"))

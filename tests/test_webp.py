@@ -550,3 +550,38 @@ def test_resize_media_webp_roundtrip(spark):
     w, h, ch, out = MM.decode_png(bytes(row.payload))
     assert (w, h, ch) == (5, 4, 3)
     assert out == MM.resize_pixels(raw, 10, 6, 3, 5, 4)
+
+
+def test_image_dims_sql_walk_webp(spark):
+    """The pure-SQL image_dims walk parses all three RIFF layouts —
+    on REAL encoder output for VP8L, crafted spec headers for VP8X
+    and lossy VP8 — and NULLs unknown first chunks."""
+    from pyspark.sql import functions as F
+
+    from cc2dataset_spark.operators.multimodal import image_dims
+
+    vp8l = W.encode_webp_lossless(300, 77, 3, bytes(300 * 77 * 3))
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+        + b"VP8X" + struct.pack("<I", 10)
+        + bytes([0]) + b"\x00" * 3
+        + (499).to_bytes(3, "little") + (259).to_bytes(3, "little")
+    )
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 10)
+        + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 640, 360)
+    )
+    bad = b"RIFF\x00\x00\x00\x00WEBPXXXX\x00\x00\x00\x00"
+    df = spark.createDataFrame(
+        [(1, vp8l), (2, vp8x), (3, vp8), (4, bad)], "id long, p binary"
+    )
+    got = {
+        r.id: (r.d["format"], r.d["width"], r.d["height"])
+        for r in df.select("id", image_dims("p").alias("d")).collect()
+    }
+    assert got[1] == ("webp", 300, 77)
+    assert got[2] == ("webp", 500, 260)
+    assert got[3] == ("webp", 640, 360)
+    assert got[4] == (None, None, None)
