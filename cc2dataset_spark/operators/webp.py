@@ -939,6 +939,63 @@ def _write_image_data(bw, pixels, w, h, cache_bits=0, use_rle=False,
             bw.write(dev, deb)
 
 
+def _write_image_data_meta(bw, pixels, w, h, meta_bits, group_fn):
+    """Main-image emission through a META PREFIX IMAGE: pixels in
+    block (bx, by) decode through prefix-code group ``group_fn(bx,
+    by)``. Literal-only (no cache / LZ77) so the per-pixel group
+    selection stays the whole story. Exercises the decoder's
+    multi-group path, which single-group emission never touches."""
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix image present
+    bw.write(meta_bits - 2, 3)
+    meta_xs = _sub_block_dims(w, meta_bits)
+    meta_ys = _sub_block_dims(h, meta_bits)
+    groups = sorted(
+        {group_fn(bx, by) for by in range(meta_ys) for bx in range(meta_xs)}
+    )
+    if groups != list(range(len(groups))):
+        raise ValueError("group ids must be dense from 0")
+    # meta pixel: group id in (red<<8)|green -> green carries ids <256
+    meta_px = [
+        0xFF000000 | (group_fn(bx, by) << 8)
+        for by in range(meta_ys)
+        for bx in range(meta_xs)
+    ]
+    _write_image_data(bw, meta_px, meta_xs, meta_ys)
+    # per-group symbol sets
+    per_group = {g: ([], [], [], []) for g in groups}
+    assignments = []
+    for i, px in enumerate(pixels):
+        x, y = i % w, i // w
+        g = group_fn(x >> meta_bits, y >> meta_bits)
+        assignments.append(g)
+        gs, rs, bs, as_ = per_group[g]
+        gs.append((px >> 8) & 0xFF)
+        rs.append((px >> 16) & 0xFF)
+        bs.append(px & 0xFF)
+        as_.append((px >> 24) & 0xFF)
+    codes = {}
+    for g in groups:
+        gs, rs, bs, as_ = per_group[g]
+        codes[g] = (
+            _write_prefix_code(bw, set(gs), 280),
+            _write_prefix_code(bw, set(rs), 256),
+            _write_prefix_code(bw, set(bs), 256),
+            _write_prefix_code(bw, set(as_), 256),
+            _write_prefix_code(bw, {0}, 40),
+        )
+    for px, g in zip(pixels, assignments):
+        g_codes, r_codes, b_codes, a_codes, _ = codes[g]
+        c, l = g_codes[(px >> 8) & 0xFF]
+        bw.write_code(c, l)
+        c, l = r_codes[(px >> 16) & 0xFF]
+        bw.write_code(c, l)
+        c, l = b_codes[px & 0xFF]
+        bw.write_code(c, l)
+        c, l = a_codes[(px >> 24) & 0xFF]
+        bw.write_code(c, l)
+
+
 def encode_webp_lossless(
     width: int,
     height: int,
@@ -952,6 +1009,8 @@ def encode_webp_lossless(
     use_palette: bool = False,
     cache_bits: int = 0,
     use_rle: bool = False,
+    meta_bits: int = 0,
+    meta_group_fn=None,
 ) -> bytes:
     """Deterministic VP8L writer for fixtures (lossless, so the
     formula-oracle protocol applies end to end).
@@ -1069,10 +1128,23 @@ def encode_webp_lossless(
         _write_image_data(bw, sub, sub_xs, sub_ys)
         px = res
     bw.write(0, 1)  # end of transforms
-    _write_image_data(
-        bw, px, xsize, height, cache_bits=cache_bits, use_rle=use_rle,
-        is_main=True,
-    )
+    if meta_bits:
+        # meta prefix image: per-block prefix-code groups (mutually
+        # exclusive with cache/rle in this writer — literal-only so
+        # group selection stays the variable under test)
+        if cache_bits or use_rle:
+            raise ValueError("meta_bits excludes cache_bits/use_rle")
+        group_fn = (
+            meta_group_fn
+            if meta_group_fn is not None
+            else (lambda bx, by: (bx + by) % 2)
+        )
+        _write_image_data_meta(bw, px, xsize, height, meta_bits, group_fn)
+    else:
+        _write_image_data(
+            bw, px, xsize, height, cache_bits=cache_bits, use_rle=use_rle,
+            is_main=True,
+        )
     body = bw.payload()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) & 1:

@@ -585,3 +585,72 @@ def test_image_dims_sql_walk_webp(spark):
     assert got[2] == ("webp", 500, 260)
     assert got[3] == ("webp", 640, 360)
     assert got[4] == (None, None, None)
+
+
+def test_hand_meta_prefix_image_groups():
+    """Meta prefix image: an 8x1 image with meta_bits=2 has two 4px
+    blocks; the meta image's (red<<8)|green selects the prefix-code
+    group per block. All codes are single-symbol, so group selection
+    is the ONLY thing deciding the pixels."""
+    bits = header(Bits(), 8, 1)
+    bits.lsb(0, 1)  # no transforms
+    bits.lsb(0, 1)  # no color cache
+    bits.lsb(1, 1)  # meta prefix image present
+    bits.lsb(0, 3)  # meta_bits - 2 = 0 -> block size 4 -> meta 2x1
+    # meta image (2x1, entropy-coded, no meta of its own):
+    sub_image_prelude(bits)
+    simple_pair(bits, 0, 1)  # green: group ids 0 then 1
+    simple_single(bits, 0)  # red
+    simple_single(bits, 0)  # blue
+    simple_single(bits, 0xFF)  # alpha
+    simple_single(bits, 0)  # distance
+    bits.code("0").code("1")  # block 0 -> group 0, block 1 -> group 1
+    # group 0: solid (a=ff, r=10, g=20, b=30)
+    argb_literal_codes(bits, a=0xFF, r=0x10, g=0x20, b=0x30)
+    # group 1: solid (a=ff, r=40, g=50, b=60)
+    argb_literal_codes(bits, a=0xFF, r=0x40, g=0x50, b=0x60)
+    # main data: every code is single-symbol -> zero data bits
+    w, h, ch, raw = W.decode_webp(wrap_riff(bits.payload()))
+    assert (w, h, ch) == (8, 1, 3)
+    assert raw == bytes([0x10, 0x20, 0x30]) * 4 + bytes([0x40, 0x50, 0x60]) * 4
+
+
+@pytest.mark.parametrize("dims", [(8, 8), (13, 7), (16, 5)])
+def test_roundtrip_meta_groups(dims):
+    """Encoder-twin meta emission: 4 groups by block parity, with and
+    without a stacked transform."""
+    w, h = dims
+    raw = formula_pixels(w, h, 3, w + h)
+    for opts in (
+        dict(meta_bits=2),
+        dict(meta_bits=2, meta_group_fn=lambda bx, by: (bx * 2 + by) % 4),
+        dict(meta_bits=3, subtract_green=True),
+    ):
+        enc = W.encode_webp_lossless(w, h, 3, raw, **opts)
+        assert W.decode_webp(enc)[3] == raw
+
+
+def test_meta_excludes_cache_and_rle():
+    raw = formula_pixels(4, 4, 3, 1)
+    with pytest.raises(ValueError, match="meta_bits excludes"):
+        W.encode_webp_lossless(4, 4, 3, raw, meta_bits=2, cache_bits=2)
+
+
+def test_vp8x_wrapping_vp8l_decodes():
+    """A VP8X extended container whose image chunk is VP8L decodes
+    through the chunk walk (the non-animated VP8X path)."""
+    inner = W.encode_webp_lossless(6, 5, 3, formula_pixels(6, 5, 3, 4))
+    vp8l_chunk = inner[12:]  # strip RIFF/WEBP prefix, keep VP8L chunk
+    vp8x = (
+        b"VP8X" + struct.pack("<I", 10)
+        + bytes([0]) + b"\x00" * 3
+        + (5).to_bytes(3, "little") + (4).to_bytes(3, "little")
+    )
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + len(vp8x) + len(vp8l_chunk))
+        + b"WEBP" + vp8x + vp8l_chunk
+    )
+    w, h, ch, raw = W.decode_webp(payload)
+    assert (w, h) == (6, 5)
+    assert raw == formula_pixels(6, 5, 3, 4)
+    assert W.webp_dims(payload) == (6, 5)  # VP8X canvas dims
