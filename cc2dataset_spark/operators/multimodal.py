@@ -226,7 +226,11 @@ def decode_media(
             decode_png,
             decode_png16,
         )
-        from cc2dataset_spark.operators.webp import decode_webp
+        from cc2dataset_spark.operators.webp import (
+            decode_webp,
+            decode_webp_frames,
+            webp_is_animated,
+        )
 
         def _stub(payload, fmt):
             if payload is None:
@@ -264,9 +268,14 @@ def decode_media(
                     sw, sh, frames = decode_gif_frames(b)
                     return (sw, sh, len(frames))
                 if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-                    # lossless VP8L decodes for real (r13); lossy
-                    # VP8 / animated WebP raise NotImplementedError
-                    # inside decode_webp -> "gated" in lenient modes
+                    # lossless VP8L decodes for real (r13) — still
+                    # images AND animations (every ANMF frame
+                    # composited, same contract as GIF); lossy VP8
+                    # frames raise NotImplementedError inside the
+                    # codec -> "gated" in lenient modes
+                    if webp_is_animated(b):
+                        cw, chh, frames = decode_webp_frames(b)
+                        return (cw, chh, len(frames))
                     w, h, _ch, _raw = decode_webp(b)
                     return (w, h, 1)
             return _stub(payload, fmt)
@@ -1139,6 +1148,7 @@ def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
             decode_gif_frames,
             encode_png,
         )
+        from cc2dataset_spark.operators.webp import decode_webp_frames
 
         for pdf in it:
             ids, idxs, payloads = [], [], []
@@ -1162,6 +1172,24 @@ def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
                         payloads.append(
                             encode_png(
                                 sw, sh, 3, frames[f],
+                                filter_for_row=lambda r: 0,
+                            )
+                        )
+                    continue
+                if (
+                    p[:4] == b"RIFF"
+                    and p[8:12] == b"WEBP"
+                    and int(n_frames) > 1
+                ):
+                    # animated lossless WebP (r13): every k-th
+                    # composited RGBA canvas as a lossless PNG frame
+                    cw, chh, frames = decode_webp_frames(p)
+                    for f in range(0, len(frames), every_k):
+                        ids.append(doc_id)
+                        idxs.append(f)
+                        payloads.append(
+                            encode_png(
+                                cw, chh, 4, frames[f],
                                 filter_for_row=lambda r: 0,
                             )
                         )

@@ -16,10 +16,13 @@ sub-byte packing), applied inverse in reverse read order.
 
 Scope and honesty:
 
-- Lossless VP8L decodes fully (this module).
-- Lossy VP8 and animated WebP raise ``NotImplementedError`` LOUDLY —
-  the X7 containment layer classifies them as ``gated`` in lenient
-  modes, so they are drop-accounted, never wrong-answered.
+- Lossless VP8L decodes fully (this module) — still images AND
+  animations (:func:`decode_webp_frames`: real ANMF compositing with
+  blend/dispose semantics over the ANIM background canvas).
+- Lossy VP8 — still or as animation frames (ALPH implies lossy) —
+  raises ``NotImplementedError`` LOUDLY; the X7 containment layer
+  classifies it ``gated`` in lenient modes, so it is drop-accounted,
+  never wrong-answered.
 - Pure-Python prefix decoding is a per-image constant inside an
   embarrassingly-parallel Arrow map; production swaps libwebp into
   the same batch function, plan shape unchanged.
@@ -996,7 +999,7 @@ def _write_image_data_meta(bw, pixels, w, h, meta_bits, group_fn):
         bw.write_code(c, l)
 
 
-def encode_webp_lossless(
+def _encode_vp8l_stream(
     width: int,
     height: int,
     channels: int,
@@ -1145,8 +1148,229 @@ def encode_webp_lossless(
             bw, px, xsize, height, cache_bits=cache_bits, use_rle=use_rle,
             is_main=True,
         )
-    body = bw.payload()
+    return bw.payload()
+
+
+def _vp8l_chunk(body: bytes) -> bytes:
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) & 1:
         chunk += b"\x00"
+    return chunk
+
+
+def encode_webp_lossless(width, height, channels, raw, **opts) -> bytes:
+    """RIFF-wrapped single-image VP8L writer — see
+    :func:`_encode_vp8l_stream` for the feature options."""
+    chunk = _vp8l_chunk(
+        _encode_vp8l_stream(width, height, channels, raw, **opts)
+    )
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# --------------------------------------------------------------------------
+# animated WebP (lossless frames) — r13
+# --------------------------------------------------------------------------
+
+
+def webp_is_animated(payload: bytes) -> bool:
+    """True when the container is VP8X with the ANIM flag set."""
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WEBP"
+    ):
+        raise ValueError("not a WebP payload")
+    for fourcc, body in _walk_riff_chunks(payload):
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("VP8X chunk truncated")
+            return bool(body[0] & 0x02)
+        return False  # first chunk decides; still images have no VP8X ANIM
+    return False
+
+
+def _blend_over(canvas, src, top, left):
+    """Alpha-composite src (h, w, 4 uint8) OVER the canvas rectangle
+    in place — the container spec's non-premultiplied 'over' formula
+    realized in exact integer arithmetic (round-half-up on the 255
+    scale; degenerates exactly for alpha in {0, 255}, the class the
+    oracle fixtures use)."""
+    h, w = src.shape[0], src.shape[1]
+    region = canvas[top : top + h, left : left + w].astype(np.int64)
+    s = src.astype(np.int64)
+    sa = s[..., 3:4]
+    da = region[..., 3:4]
+    ba_num = sa * 255 + da * (255 - sa)  # alpha numerator, /255^2 scale
+    out_a = (ba_num + 127) // 255
+    num_rgb = s[..., :3] * sa * 255 + region[..., :3] * da * (255 - sa)
+    safe = np.maximum(ba_num, 1)
+    out_rgb = (num_rgb + safe // 2) // safe
+    out_rgb = np.where(ba_num > 0, out_rgb, 0)
+    out = np.concatenate([out_rgb, out_a], axis=-1).astype(np.uint8)
+    canvas[top : top + h, left : left + w] = out
+
+
+def decode_webp_frames(payload: bytes):
+    """Decode an ANIMATED WebP whose frames are LOSSLESS (VP8L):
+    returns (canvas_w, canvas_h, [RGBA canvas bytes after each
+    frame]) with real ANMF compositing — frame rectangles at even
+    (x, y) offsets, blend method B (0 = alpha-blend over the canvas,
+    1 = overwrite), disposal method D (0 = keep, 1 = restore the
+    frame rectangle to the ANIM background color). The canvas starts
+    at the ANIM background color (the spec's stated default fill).
+
+    Frames carrying lossy VP8 (or a separate ALPH plane, which only
+    accompanies lossy frames) raise NotImplementedError — the same
+    honest gate as still lossy WebP; structural damage raises
+    ValueError."""
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WEBP"
+    ):
+        raise ValueError("not a WebP payload")
+    canvas = None
+    bg = None
+    cw = ch = None
+    frames_out = []
+    saw_vp8x = saw_anim = False
+    for fourcc, body in _walk_riff_chunks(payload):
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("VP8X chunk truncated")
+            if not body[0] & 0x02:
+                raise ValueError("WebP has no animation (ANIM flag unset)")
+            saw_vp8x = True
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+        elif fourcc == b"ANIM":
+            if not saw_vp8x:
+                raise ValueError("ANIM chunk before VP8X")
+            if len(body) < 6:
+                raise ValueError("ANIM chunk truncated")
+            # background color is stored [B, G, R, A]
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg = np.array([r_, g_, b_, a_], dtype=np.uint8)
+            canvas = np.tile(bg, (ch, cw, 1))
+            saw_anim = True
+        elif fourcc == b"ANMF":
+            if not saw_anim:
+                raise ValueError("ANMF chunk before ANIM")
+            if len(body) < 16:
+                raise ValueError("ANMF header truncated")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError(
+                    f"ANMF frame rectangle ({fx},{fy},{fw},{fh}) outside "
+                    f"the {cw}x{ch} canvas"
+                )
+            # frame data: sub-chunks (ALPH? + VP8/VP8L)
+            sub = body[16:]
+            pos = 0
+            frame_rgba = None
+            while pos + 8 <= len(sub):
+                fcc = sub[pos : pos + 4]
+                (sz,) = struct.unpack("<I", sub[pos + 4 : pos + 8])
+                payload_f = sub[pos + 8 : pos + 8 + sz]
+                if len(payload_f) < sz:
+                    raise ValueError("ANMF sub-chunk truncated")
+                if fcc == b"VP8L":
+                    w, h, _hint, argb = decode_vp8l(payload_f)
+                    if (w, h) != (fw, fh):
+                        raise ValueError(
+                            "ANMF frame dims disagree with its VP8L "
+                            "bitstream"
+                        )
+                    arr = np.array(argb, dtype=np.uint32).reshape(h, w)
+                    frame_rgba = np.empty((h, w, 4), dtype=np.uint8)
+                    frame_rgba[..., 0] = (arr >> 16) & 0xFF
+                    frame_rgba[..., 1] = (arr >> 8) & 0xFF
+                    frame_rgba[..., 2] = arr & 0xFF
+                    frame_rgba[..., 3] = (arr >> 24) & 0xFF
+                    break
+                if fcc in (b"VP8 ", b"ALPH"):
+                    raise NotImplementedError(
+                        "animated WebP with lossy (VP8/ALPH) frames"
+                    )
+                pos += 8 + sz + (sz & 1)
+            if frame_rgba is None:
+                raise ValueError("ANMF frame has no image chunk")
+            if no_blend:
+                canvas[fy : fy + fh, fx : fx + fw] = frame_rgba
+            else:
+                _blend_over(canvas, frame_rgba, fy, fx)
+            frames_out.append(canvas.tobytes())
+            if dispose_bg:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif fourcc in (b"VP8 ",):
+            raise NotImplementedError(
+                "lossy VP8 WebP: DCT entropy decode requires the full "
+                "VP8 keyframe codec"
+            )
+    if not frames_out:
+        raise ValueError("animated WebP has no ANMF frames")
+    return cw, ch, frames_out
+
+
+def encode_webp_animation(
+    canvas_w: int,
+    canvas_h: int,
+    background,
+    frames,
+) -> bytes:
+    """Deterministic animated-WebP writer for fixtures: VP8X (ANIM
+    flag) + ANIM (background RGBA, loop 0) + one ANMF per frame, each
+    embedding a lossless VP8L bitstream. ``frames`` is a list of
+    dicts with keys ``x y w h rgba`` (x/y even, rgba = w*h*4 bytes)
+    and optional ``blend`` (default True = alpha-blend), ``dispose``
+    (default False), ``duration`` (ms, default 100)."""
+    r, g, b, a = background
+    chunks = bytearray()
+    vp8x = (
+        bytes([0x02]) + b"\x00" * 3
+        + (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little")
+    )
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = bytes([b, g, r, a]) + struct.pack("<H", 0)
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for fr in frames:
+        x, y = fr.get("x", 0), fr.get("y", 0)
+        fw, fh = fr["w"], fr["h"]
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even")
+        if x + fw > canvas_w or y + fh > canvas_h:
+            raise ValueError("frame rectangle outside canvas")
+        rgba = fr["rgba"]
+        if len(rgba) != fw * fh * 4:
+            raise ValueError("frame rgba size mismatch")
+        body = _vp8l_chunk(_encode_vp8l_stream(fw, fh, 4, rgba))
+        flags = 0
+        if not fr.get("blend", True):
+            flags |= 0x02
+        if fr.get("dispose", False):
+            flags |= 0x01
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(fr.get("duration", 100)).to_bytes(3, "little")
+            + bytes([flags])
+        )
+        anmf = hdr + body
+        chunks += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            chunks += b"\x00"
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP"
+        + bytes(chunks)
+    )

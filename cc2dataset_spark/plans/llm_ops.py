@@ -5757,3 +5757,169 @@ def multimodal_exif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
+# r13: animated lossless WebP — catalog row
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_webp_animation_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 6 + 6 AS w, doc_id % 5 + 5 AS h
+      FROM documents
+    ), g AS (
+      SELECT doc_id, w, h, f, r, c, r * w + c AS px
+      FROM p,
+           generate_series(0, 2) AS gf(f),
+           generate_series(0, 10) AS gr(r),
+           generate_series(0, 10) AS gc(c)
+      WHERE r < h AND c < w
+    ), chn AS (
+      SELECT doc_id, w, h, f, r, c, px, ci
+      FROM g, generate_series(0, 3) AS gci(ci)
+    ), v AS (
+      SELECT doc_id, f, px,
+        CASE
+          WHEN f = 0 THEN
+            CASE WHEN ci = 3 THEN 255
+                 ELSE (doc_id * 5 + px * 13 + ci * 29) % 256 END
+          WHEN f = 1 THEN
+            CASE WHEN r BETWEEN 2 AND 3 AND c BETWEEN 2 AND 4 THEN
+                   CASE WHEN ci = 3 THEN 255
+                        ELSE (doc_id * 11
+                              + ((r - 2) * 3 + (c - 2)) * 17
+                              + ci * 23) % 256 END
+                 WHEN ci = 3 THEN 255
+                 ELSE (doc_id * 5 + px * 13 + ci * 29) % 256 END
+          ELSE
+            CASE WHEN r <= 2 AND c <= 3
+                      AND (r * 4 + c + doc_id) % 2 = 0 THEN
+                   CASE WHEN ci = 3 THEN 255
+                        ELSE (doc_id * 19 + (r * 4 + c) * 7
+                              + ci * 3) % 256 END
+                 WHEN r BETWEEN 2 AND 3 AND c BETWEEN 2 AND 4 THEN
+                   CASE ci WHEN 0 THEN doc_id % 256
+                           WHEN 1 THEN (doc_id * 3) % 256
+                           WHEN 2 THEN (doc_id * 7) % 256
+                           ELSE 255 END
+                 WHEN ci = 3 THEN 255
+                 ELSE (doc_id * 5 + px * 13 + ci * 29) % 256 END
+        END AS val
+      FROM chn
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(SUM(val) AS BIGINT) AS sum_px,
+           CAST(SUM(val * (px + 1)) AS BIGINT) AS wsum_px
+    FROM v GROUP BY doc_id, f
+    """,
+    tags=("multimodal", "image", "webp", "llm"),
+)
+def multimodal_webp_animation_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL animated-WebP compositing over lossless frames (r13) —
+    the GIF-animation contract applied to the WebP container:
+    ``decode_webp_frames`` walks VP8X/ANIM/ANMF, decodes each VP8L
+    frame, and composites per the container rules (blend method over
+    the canvas, dispose-to-background rectangles, even frame
+    offsets). Retires the blanket animated-WebP gate for the
+    lossless class; animations carrying lossy VP8 frames stay
+    honestly gated.
+
+    Fixture protocol: canvas w = id%6+6, h = id%5+5, background
+    (id, 3id, 7id) % 256 opaque; frame 0 covers the canvas with
+    opaque formula pixels rgb(px, c) = (id*5 + px*13 + c*29) % 256;
+    frame 1 draws an opaque 3x2 rectangle at (2,2) with
+    (id*11 + q*17 + c*23) % 256 and DISPOSES it to background;
+    frame 2 alpha-blends a 4x3 rectangle at (0,0) whose alpha
+    alternates 255/0 by (q+id) parity — transparent pixels must show
+    whatever is underneath, INCLUDING the just-disposed background
+    where the rectangles overlap. The oracle states every composited
+    canvas pixel (all four RGBA channels) in closed form with a
+    position-weighted checksum per frame; any blend, disposal,
+    offset, or channel-order slip hashes red.
+
+    Plan: ONE Arrow-batched mapInPandas over doc_id — zero shuffle,
+    zero collect; 3 frame rows per document leave Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("frame_idx", ST.IntegerType()),
+            ST.StructField("sum_px", ST.LongType()),
+            ST.StructField("wsum_px", ST.LongType()),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def batches(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.webp import (
+            decode_webp_frames,
+            encode_webp_animation,
+        )
+
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = d % 6 + 6, d % 5 + 5
+                bg = (d % 256, (d * 3) % 256, (d * 7) % 256, 255)
+                f0 = bytes(
+                    (d * 5 + px * 13 + c * 29) % 256 if c < 3 else 255
+                    for px in range(w * h)
+                    for c in range(4)
+                )
+                f1 = bytes(
+                    (d * 11 + q * 17 + c * 23) % 256 if c < 3 else 255
+                    for q in range(3 * 2)
+                    for c in range(4)
+                )
+                f2 = bytes(
+                    (
+                        (d * 19 + q * 7 + c * 3) % 256
+                        if c < 3
+                        else (255 if (q + d) % 2 == 0 else 0)
+                    )
+                    for q in range(4 * 3)
+                    for c in range(4)
+                )
+                payload = encode_webp_animation(
+                    w, h, bg,
+                    [
+                        {"w": w, "h": h, "rgba": f0},
+                        {"x": 2, "y": 2, "w": 3, "h": 2, "rgba": f1,
+                         "dispose": True},
+                        {"x": 0, "y": 0, "w": 4, "h": 3, "rgba": f2},
+                    ],
+                )
+                cw, chh, frames = decode_webp_frames(payload)
+                for f, canvas in enumerate(frames):
+                    a = np.frombuffer(canvas, dtype=np.uint8).reshape(
+                        chh * cw, 4
+                    ).astype(np.int64)
+                    pw = np.arange(1, chh * cw + 1, dtype=np.int64)
+                    recs.append(
+                        (
+                            d,
+                            f,
+                            int(a.sum()),
+                            int((pw * a.sum(axis=1)).sum()),
+                        )
+                    )
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(batches, schema)

@@ -525,16 +525,26 @@ def test_decode_media_webp_dispatch(spark):
         + bytes([0x02]) + b"\x00" * 9
     )
     truncated = good[:-4]
+    # an ANIM-flagged animation whose only frame is lossy VP8: gated
+    lossy_anim = W.encode_webp_animation(
+        4, 4, (0, 0, 0, 255),
+        [{"w": 4, "h": 4, "rgba": bytes(64)}],
+    ).replace(b"VP8L", b"VP8 ", 1)
     df = _media_df(
-        spark, [(1, good), (2, lossy), (3, vp8x_anim), (4, truncated)]
+        spark,
+        [(1, good), (2, lossy), (3, vp8x_anim), (4, truncated),
+         (5, lossy_anim)],
     )
     got = {r.doc_id: r for r in
            MM.decode_media(df, errors="status").collect()}
     assert (got[1].width, got[1].height, got[1].n_frames, got[1].status) \
         == (9, 4, 1, "ok")
     assert got[2].status == "gated"
-    assert got[3].status == "gated"
+    # a bare VP8X-ANIM container with no ANIM/ANMF chunks is
+    # structural damage now that lossless animations decode (r13)
+    assert got[3].status == "corrupt"
     assert got[4].status == "corrupt"
+    assert got[5].status == "gated"
 
 
 def test_resize_media_webp_roundtrip(spark):
@@ -654,3 +664,140 @@ def test_vp8x_wrapping_vp8l_decodes():
     assert (w, h) == (6, 5)
     assert raw == formula_pixels(6, 5, 3, 4)
     assert W.webp_dims(payload) == (6, 5)  # VP8X canvas dims
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (lossless frames)
+# ---------------------------------------------------------------------------
+
+
+def _rgba(w, h, seed, alpha=255):
+    return bytes(
+        v
+        for i in range(w * h)
+        for v in ((seed + i) % 256, (seed * 3 + i) % 256,
+                  (seed * 7 + i) % 256, alpha)
+    )
+
+
+def test_webp_animation_compositing_rules():
+    """Dispose-to-background, overwrite (no blend), and transparent
+    blend all land on hand-computable canvases."""
+    import numpy as np
+
+    anim = W.encode_webp_animation(
+        8, 6, (10, 20, 30, 255),
+        [
+            {"w": 8, "h": 6, "rgba": _rgba(8, 6, 1)},
+            {"x": 2, "y": 2, "w": 4, "h": 3, "rgba": _rgba(4, 3, 9),
+             "dispose": True},
+            {"x": 0, "y": 0, "w": 2, "h": 2,
+             "rgba": _rgba(2, 2, 5, alpha=0)},  # transparent blend
+        ],
+    )
+    assert W.webp_is_animated(anim)
+    cw, ch, frames = W.decode_webp_frames(anim)
+    assert (cw, ch, len(frames)) == (8, 6, 3)
+    f1 = np.frombuffer(frames[0], np.uint8).reshape(6, 8, 4)
+    assert f1.tobytes() == _rgba(8, 6, 1)
+    f2 = np.frombuffer(frames[1], np.uint8).reshape(6, 8, 4)
+    assert f2[2:5, 2:6].tobytes() == _rgba(4, 3, 9)
+    f3 = np.frombuffer(frames[2], np.uint8).reshape(6, 8, 4)
+    assert (f3[2:5, 2:6] == np.array([10, 20, 30, 255])).all()  # disposed
+    assert (f3[0:2, 0:2] == f1[0:2, 0:2]).all()  # transparent -> kept
+
+
+def test_webp_animation_no_blend_overwrites():
+    import numpy as np
+
+    transparent = _rgba(2, 2, 5, alpha=0)
+    anim = W.encode_webp_animation(
+        4, 4, (0, 0, 0, 255),
+        [
+            {"w": 4, "h": 4, "rgba": _rgba(4, 4, 3)},
+            {"x": 0, "y": 0, "w": 2, "h": 2, "rgba": transparent,
+             "blend": False},
+        ],
+    )
+    _, _, frames = W.decode_webp_frames(anim)
+    f2 = np.frombuffer(frames[1], np.uint8).reshape(4, 4, 4)
+    # overwrite mode copies the transparent pixels verbatim
+    assert f2[0:2, 0:2].tobytes() == transparent
+
+
+def test_webp_animation_fractional_blend_formula():
+    """Half-transparent blend follows the documented integer 'over'
+    realization: hand-compute one pixel."""
+    import numpy as np
+
+    base = bytes([100, 100, 100, 255]) * 4
+    overlay = bytes([200, 60, 20, 128]) * 4
+    anim = W.encode_webp_animation(
+        2, 2, (0, 0, 0, 0),
+        [
+            {"w": 2, "h": 2, "rgba": base},
+            {"w": 2, "h": 2, "rgba": overlay},
+        ],
+    )
+    _, _, frames = W.decode_webp_frames(anim)
+    got = np.frombuffer(frames[1], np.uint8).reshape(2, 2, 4)[0, 0]
+    sa, da = 128, 255
+    ba_num = sa * 255 + da * (255 - sa)
+    out_a = (ba_num + 127) // 255
+    def ch(sv, dv):
+        num = sv * sa * 255 + dv * da * (255 - sa)
+        return (num + ba_num // 2) // ba_num
+    assert list(got) == [ch(200, 100), ch(60, 100), ch(20, 100), out_a]
+
+
+def test_webp_animation_gates_and_damage():
+    anim = W.encode_webp_animation(
+        4, 4, (0, 0, 0, 255), [{"w": 4, "h": 4, "rgba": _rgba(4, 4, 2)}]
+    )
+    # a lossy frame: replace the inner VP8L chunk fourcc with VP8
+    lossy = anim.replace(b"VP8L", b"VP8 ", 1)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        W.decode_webp_frames(lossy)
+    with pytest.raises(ValueError):
+        W.decode_webp_frames(anim[:-5])  # truncated
+    with pytest.raises(ValueError, match="even"):
+        W.encode_webp_animation(
+            4, 4, (0, 0, 0, 255),
+            [{"x": 1, "y": 0, "w": 2, "h": 2, "rgba": _rgba(2, 2, 1)}],
+        )
+    with pytest.raises(ValueError, match="outside"):
+        W.encode_webp_animation(
+            4, 4, (0, 0, 0, 255),
+            [{"x": 2, "y": 0, "w": 4, "h": 2, "rgba": _rgba(4, 2, 1)}],
+        )
+    # still decoder keeps refusing animations
+    with pytest.raises(NotImplementedError, match="animated"):
+        W.decode_webp(anim)
+
+
+def test_decode_media_and_sample_frames_webp_animation(spark):
+    """decode_media reports canvas dims + real frame count for a
+    lossless animation, and sample_frames emits composited RGBA
+    canvases as PNG payloads."""
+    from cc2dataset_spark.operators import multimodal as MM
+
+    anim = W.encode_webp_animation(
+        6, 4, (1, 2, 3, 255),
+        [
+            {"w": 6, "h": 4, "rgba": _rgba(6, 4, 1)},
+            {"x": 2, "y": 0, "w": 2, "h": 2, "rgba": _rgba(2, 2, 7)},
+        ],
+    )
+    df = _media_df(spark, [(1, anim)])
+    [row] = MM.decode_media(df).collect()
+    assert (row.width, row.height, row.n_frames) == (6, 4, 2)
+    decoded = MM.decode_media(df, errors="status")
+    frames = MM.sample_frames(
+        decoded.join(df.select("doc_id", "payload"), "doc_id"), every_k=1
+    ).collect()
+    assert len(frames) == 2
+    _, _, expected = W.decode_webp_frames(anim)
+    for f in frames:
+        w, h, ch, raw = MM.decode_png(bytes(f.frame_payload))
+        assert (w, h, ch) == (6, 4, 4)
+        assert raw == expected[f.frame_idx]
