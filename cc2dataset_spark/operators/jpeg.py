@@ -1313,20 +1313,16 @@ def jpeg_orientation(payload: bytes) -> int:
     return 1
 
 
-def add_exif_orientation(
-    payload: bytes, orientation: int, byte_order: str = "II"
-) -> bytes:
-    """Fixture helper: insert a minimal APP1/Exif segment (one-entry
-    IFD0 carrying tag 0x0112) right after SOI, in either TIFF byte
-    order."""
-    if payload is None or payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload")
+def exif_tiff_blob(orientation: int, byte_order: str = "II") -> bytes:
+    """A minimal TIFF blob (one-entry IFD0 carrying tag 0x0112) in
+    either byte order — shared by the JPEG APP1 and WebP EXIF-chunk
+    fixture helpers."""
     if not 1 <= orientation <= 8:
         raise ValueError("orientation must be 1..8")
     if byte_order not in ("II", "MM"):
         raise ValueError("byte_order must be II or MM")
     end = "<" if byte_order == "II" else ">"
-    tiff = (
+    return (
         byte_order.encode()
         + struct.pack(end + "H", 42)
         + struct.pack(end + "I", 8)
@@ -1336,6 +1332,16 @@ def add_exif_orientation(
         + b"\x00\x00"
         + struct.pack(end + "I", 0)
     )
-    body = b"Exif\x00\x00" + tiff
+
+
+def add_exif_orientation(
+    payload: bytes, orientation: int, byte_order: str = "II"
+) -> bytes:
+    """Fixture helper: insert a minimal APP1/Exif segment (one-entry
+    IFD0 carrying tag 0x0112) right after SOI, in either TIFF byte
+    order."""
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    body = b"Exif\x00\x00" + exif_tiff_blob(orientation, byte_order)
     seg = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
     return payload[:2] + seg + payload[2:]

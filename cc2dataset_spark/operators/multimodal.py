@@ -1047,7 +1047,10 @@ def resize_media(
             encode_png,
             resize_pixels,
         )
-        from cc2dataset_spark.operators.webp import decode_webp
+        from cc2dataset_spark.operators.webp import (
+            decode_webp,
+            webp_orientation,
+        )
 
         def _resize(payload, fmt):
             if payload is not None:
@@ -1064,6 +1067,8 @@ def resize_media(
                     decoded = decode_gif(b)
                 elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
                     decoded = decode_webp(b)
+                    if orientation == "honor":
+                        exif = webp_orientation(b)
                 if decoded is not None:
                     w, h, ch, raw = decoded
                     if exif != 1:

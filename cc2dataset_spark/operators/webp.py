@@ -1374,3 +1374,60 @@ def encode_webp_animation(
         b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP"
         + bytes(chunks)
     )
+
+
+# --------------------------------------------------------------------------
+# EXIF orientation in the WebP container — r13
+# --------------------------------------------------------------------------
+
+
+def webp_orientation(payload: bytes) -> int:
+    """EXIF orientation (TIFF tag 0x0112) from the container's EXIF
+    chunk (VP8X extended files may carry one after the image data).
+    Returns 1 when no EXIF chunk or no orientation tag is present;
+    a present but malformed TIFF structure raises ValueError (the
+    X7 layer classifies it 'corrupt'). Accepts the chunk payload
+    with or without the JPEG-style "Exif\\0\\0" prefix — both occur
+    in the wild."""
+    from cc2dataset_spark.operators.jpeg import (
+        _exif_orientation_from_tiff,
+    )
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WEBP"
+    ):
+        raise ValueError("not a WebP payload")
+    for fourcc, body in _walk_riff_chunks(payload):
+        if fourcc == b"EXIF":
+            t = body[6:] if body[:6] == b"Exif\x00\x00" else body
+            return _exif_orientation_from_tiff(t)
+    return 1
+
+
+def add_webp_exif_orientation(
+    payload: bytes, orientation: int, byte_order: str = "II"
+) -> bytes:
+    """Fixture helper: rewrap a still VP8L WebP in a VP8X extended
+    container (EXIF flag set) carrying an EXIF chunk with tag
+    0x0112."""
+    from cc2dataset_spark.operators.jpeg import exif_tiff_blob
+
+    w, h = webp_dims(payload)
+    image_chunks = payload[12:]
+    vp8x = (
+        bytes([0x08]) + b"\x00" * 3  # EXIF flag
+        + (w - 1).to_bytes(3, "little")
+        + (h - 1).to_bytes(3, "little")
+    )
+    exif = exif_tiff_blob(orientation, byte_order)
+    chunks = (
+        b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        + image_chunks
+        + b"EXIF" + struct.pack("<I", len(exif)) + exif
+    )
+    if len(exif) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks

@@ -5677,23 +5677,28 @@ def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS display_width,
            CAST(CASE WHEN orientation >= 5 THEN sw ELSE sh END AS INT)
              AS display_height,
-           CAST(v * sw * sh AS BIGINT) AS pixel_sum
+           CAST(v * sw * sh
+                * (CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END)
+                AS BIGINT) AS pixel_sum
     FROM d
     """,
     tags=("multimodal", "image", "jpeg", "exif", "llm"),
 )
 def multimodal_exif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF orientation end to end (r13; r12 verdict ask #4): each
-    document synthesizes a real baseline JPEG (solid grey, the
-    codec's exactly-decodable class: w = id%13+4, h = id%11+4,
-    v = (id*37+11)%256) and injects an APP1/Exif segment carrying
-    orientation id%8+1 — little-endian TIFF for even ids, big-endian
-    for odd, so BOTH byte orders are driver-proven. The kernel then
-    runs the production chain: ``jpeg_orientation`` (bounded APP1
-    walk, no entropy decode) -> ``decode_jpeg`` -> ``apply_exif_
+    document synthesizes a real image with EXIF orientation id%8+1 —
+    a baseline JPEG (solid grey, the codec's exactly-decodable
+    class) with an injected APP1/Exif segment for id%3 in {0,1}, or
+    a lossless WebP (solid RGB) rewrapped in a VP8X container with
+    an EXIF chunk for id%3==2 (w = id%13+4, h = id%11+4,
+    v = (id*37+11)%256); little-endian TIFF for even ids, big-endian
+    for odd, so BOTH byte orders AND both carriers are
+    driver-proven. The kernel runs the production chain:
+    ``jpeg_orientation``/``webp_orientation`` (bounded TIFF walk, no
+    entropy decode) -> real pixel decode -> ``apply_exif_
     orientation``, and reports stored vs DISPLAYED dims (orientations
-    5-8 transpose) plus the exact pixel sum v*w*h proving the decode
-    actually ran on the EXIF-bearing payload. The oracle states all
+    5-8 transpose) plus the exact pixel sum (v*w*h, x3 channels for
+    the WebP class) proving the decode ran on the tagged payload. The oracle states all
     of it in closed form; a walk slip (wrong endianness, wrong tag
     offset, orientation mis-mapped to the transpose set) hashes red.
 
@@ -5731,6 +5736,12 @@ def multimodal_exif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         from cc2dataset_spark.operators.multimodal import (
             apply_exif_orientation,
         )
+        from cc2dataset_spark.operators.webp import (
+            add_webp_exif_orientation,
+            decode_webp,
+            encode_webp_lossless,
+            webp_orientation,
+        )
 
         cols = [f.name for f in schema.fields]
         for pdf in it:
@@ -5739,13 +5750,27 @@ def multimodal_exif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 o = d % 8 + 1
                 w, h, v = d % 13 + 4, d % 11 + 4, (d * 37 + 11) % 256
-                payload = add_exif_orientation(
-                    encode_jpeg(w, h, 1, bytes([v]) * (w * h)),
-                    o,
-                    "II" if d % 2 == 0 else "MM",
-                )
-                got_o = jpeg_orientation(payload)
-                dw, dh, dch, raw = decode_jpeg(payload)
+                bo = "II" if d % 2 == 0 else "MM"
+                if d % 3 == 2:
+                    # WebP container: solid-color lossless VP8L +
+                    # EXIF chunk (r13 — same tag, other carrier)
+                    payload = add_webp_exif_orientation(
+                        encode_webp_lossless(
+                            w, h, 3, bytes([v]) * (w * h * 3)
+                        ),
+                        o,
+                        bo,
+                    )
+                    got_o = webp_orientation(payload)
+                    dw, dh, dch, raw = decode_webp(payload)
+                else:
+                    payload = add_exif_orientation(
+                        encode_jpeg(w, h, 1, bytes([v]) * (w * h)),
+                        o,
+                        bo,
+                    )
+                    got_o = jpeg_orientation(payload)
+                    dw, dh, dch, raw = decode_jpeg(payload)
                 disp, disp_w, disp_h = apply_exif_orientation(
                     raw, dw, dh, dch, got_o
                 )

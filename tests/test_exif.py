@@ -170,3 +170,65 @@ def test_resize_media_orientation_param_validated(spark):
     df = _media_df(spark, [(1, encode_jpeg(4, 4, 1, bytes(16)))])
     with pytest.raises(ValueError, match="orientation"):
         MM.resize_media(df, orientation="sideways")
+
+
+# ---------------------------------------------------------------------------
+# WebP container EXIF (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_webp_orientation_roundtrip():
+    from cc2dataset_spark.operators.webp import (
+        add_webp_exif_orientation,
+        decode_webp,
+        encode_webp_lossless,
+        webp_orientation,
+    )
+
+    raw = bytes((7 * i) % 256 for i in range(6 * 4 * 3))
+    still = encode_webp_lossless(6, 4, 3, raw)
+    assert webp_orientation(still) == 1  # no EXIF chunk
+    for o in (1, 3, 6, 8):
+        for bo in ("II", "MM"):
+            tagged = add_webp_exif_orientation(still, o, bo)
+            assert webp_orientation(tagged) == o
+            # the rewrap must not disturb the pixel decode
+            assert decode_webp(tagged)[3] == raw
+
+
+def test_webp_orientation_malformed_raises():
+    from cc2dataset_spark.operators.webp import (
+        add_webp_exif_orientation,
+        encode_webp_lossless,
+        webp_orientation,
+    )
+
+    still = encode_webp_lossless(4, 4, 3, bytes(48))
+    tagged = bytearray(add_webp_exif_orientation(still, 6))
+    exif_at = bytes(tagged).rindex(b"EXIF") + 8  # chunk body start
+    tagged[exif_at] = ord("X")  # wreck the TIFF byte-order mark
+    with pytest.raises(ValueError, match="byte-order"):
+        webp_orientation(bytes(tagged))
+
+
+def test_resize_media_honors_webp_orientation(spark):
+    from cc2dataset_spark.operators.webp import (
+        add_webp_exif_orientation,
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    w, h = 8, 4
+    raw = bytes((13 * i) % 256 for i in range(w * h * 3))
+    payload = add_webp_exif_orientation(
+        encode_webp_lossless(w, h, 3, raw), 6
+    )
+    assert decode_webp(payload)[3] == raw  # lossless
+    df = _media_df(spark, [(1, payload)])
+    [honored] = MM.resize_media(
+        df, width=4, height=4, orientation="honor"
+    ).collect()
+    disp, dw, dh = MM.apply_exif_orientation(raw, w, h, 3, 6)
+    _, _, _, raw_hon = MM.decode_png(bytes(honored.payload))
+    assert (dw, dh) == (h, w)
+    assert raw_hon == MM.resize_pixels(disp, dw, dh, 3, 4, 4)
