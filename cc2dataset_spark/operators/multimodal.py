@@ -151,9 +151,12 @@ def decode_stub(payload: bytes, fmt: str) -> tuple[int, int, int]:
 def decode_media(
     df: DataFrame, batch_size_hint: int = 1024, errors: str = "raise"
 ) -> DataFrame:
-    """mapInPandas decode: Arrow-batched, schema-stable. The input is
-    repartitioned range-free (payloads are independent) so decode
-    parallelism equals core count regardless of upstream layout.
+    """mapInPandas decode: Arrow-batched, schema-stable. Decode
+    parallelism follows the INPUT partitioning (payload rows are
+    never reshuffled here — at crawl scale that would move the whole
+    corpus); callers whose source collapses to few partitions
+    repartition the cheap upstream id/path stream first (see
+    plans/llm_ops._ids_across_cores).
 
     Dispatch is by PAYLOAD SIGNATURE, not the metadata format tag
     (tags lie at web scale; magic bytes don't): PNG-signature

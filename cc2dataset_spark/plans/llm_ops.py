@@ -3427,6 +3427,20 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _ids_across_cores(df):
+    """doc_id stream repartitioned to the session's core count so an
+    Arrow media kernel engages every executor thread. The fixture
+    documents table is ONE parquet file -> one scan partition, which
+    silently serialized every mapInPandas media kernel onto a single
+    core (r13 finding: the WebP rows measured 11-27 s at sf0.1 on
+    local[32] purely from this). The exchange moves 8 bytes/row —
+    negligible against the per-payload decode work it spreads; at
+    production scale it pins kernel parallelism to cores instead of
+    source file count."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _package_root() -> str:
     """Repo root that makes cc2dataset_spark importable inside
     executor Python workers launched from an arbitrary cwd (the
@@ -3564,7 +3578,7 @@ def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 @query(
@@ -3698,7 +3712,7 @@ def multimodal_png_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=["doc_id", "ahash_bits"])
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select("doc_id").mapInPandas(batches, schema)
+    hashed = _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
     w_grp = Window.partitionBy("ahash_bits")
     return hashed.select(
         "doc_id",
@@ -3802,7 +3816,7 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 @query(
@@ -3929,7 +3943,7 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 @query(
@@ -4025,7 +4039,7 @@ def multimodal_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 @query(
@@ -4140,7 +4154,7 @@ def multimodal_decode_real_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc2dataset_spark.operators.multimodal import decode_media
 
     docs = load_table(spark, sf_dir, "documents")
-    wrapped = docs.select("doc_id").mapInPandas(synth, pay_schema)
+    wrapped = _ids_across_cores(docs.select("doc_id")).mapInPandas(synth, pay_schema)
     decoded = decode_media(wrapped)
     return decoded.select(
         "doc_id", "format", "width", "height", "n_frames"
@@ -4256,7 +4270,7 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 @query(
@@ -5000,7 +5014,7 @@ def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc2dataset_spark.operators.multimodal import decode_media
 
     docs = load_table(spark, sf_dir, "documents")
-    wrapped = docs.select("doc_id").mapInPandas(synth, pay_schema)
+    wrapped = _ids_across_cores(docs.select("doc_id")).mapInPandas(synth, pay_schema)
     decoded = decode_media(wrapped, errors="status")
     return decoded.select(
         "doc_id", "format", "width", "height", "n_frames", "status"
@@ -5136,7 +5150,7 @@ def multimodal_resize_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     from cc2dataset_spark.operators.multimodal import resize_media
 
     docs = load_table(spark, sf_dir, "documents")
-    wrapped = docs.select("doc_id").mapInPandas(synth, pay_schema)
+    wrapped = _ids_across_cores(docs.select("doc_id")).mapInPandas(synth, pay_schema)
     resized = resize_media(wrapped, width=16, height=16)
     return resized.select(
         "doc_id", "width", "height", "payload"
@@ -5274,7 +5288,7 @@ def multimodal_wav_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 @query(
@@ -5356,7 +5370,7 @@ def multimodal_jpeg_progressive_stats(
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 @query(
@@ -5486,7 +5500,7 @@ def multimodal_gif_animation_stats(
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 # --------------------------------------------------------------------------
@@ -5650,7 +5664,7 @@ def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 # --------------------------------------------------------------------------
@@ -5781,7 +5795,7 @@ def multimodal_exif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
 
 
 # --------------------------------------------------------------------------
@@ -5947,4 +5961,4 @@ def multimodal_webp_animation_stats(
             yield pd.DataFrame(recs, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id").mapInPandas(batches, schema)
+    return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)

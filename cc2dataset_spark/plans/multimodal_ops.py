@@ -224,8 +224,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recs.append((d, phash))
             yield pd.DataFrame(recs, columns=["doc_id", "phash"])
 
+    from cc2dataset_spark.plans.llm_ops import _ids_across_cores
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    img = docs.mapInPandas(hash_batches, hash_schema)
+    # 8-byte id exchange buys full-core decode parallelism (the
+    # fixture table is one scan partition — see _ids_across_cores)
+    img = _ids_across_cores(docs).mapInPandas(hash_batches, hash_schema)
     keyed = img.select(
         "doc_id",
         "phash",
