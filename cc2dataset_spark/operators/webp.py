@@ -676,7 +676,14 @@ def decode_webp(payload: bytes):
                 "VP8 keyframe codec"
             )
         if fourcc in (b"ANIM", b"ANMF"):
-            raise NotImplementedError("animated WebP")
+            # legitimate animations lead with a VP8X whose ANIM flag
+            # routes them to decode_webp_frames before this walk; an
+            # ANIM/ANMF chunk HERE means the container violates the
+            # spec (no VP8X first, or flag unset) — structural
+            # damage, not a gated class (r13 review finding #4)
+            raise ValueError(
+                "ANIM/ANMF chunk in a non-animated WebP container"
+            )
         if fourcc == b"VP8X":
             if len(body) < 10:
                 raise ValueError("VP8X chunk truncated")
@@ -771,23 +778,35 @@ def _encoder_codes(lengths_by_symbol):
 
 def _write_prefix_code(bw: _BitWriter, used, alphabet_size: int):
     """Emit one prefix code for the used symbol set; returns the
-    symbol -> (code, length) map for the data pass."""
+    symbol -> (code, length) map for the data pass.
+
+    Simple codes carry at most 8-bit symbols (the spec's field
+    widths), so any used symbol >= 256 — LZ77 length codes (256+)
+    and color-cache codes (280+) — forces the normal-code path even
+    for 1-2 symbols (r13 review finding: the old writer silently
+    truncated such symbols to 8 bits, producing wrong-pixel or
+    unparseable streams)."""
     used = sorted(set(used))
     if not used:
         # an unused code still must parse: single symbol 0
         used = [0]
-    if len(used) == 1:
-        bw.write(1, 1)  # simple
-        bw.write(0, 1)  # one symbol
-        s = used[0]
-        if s <= 1:
-            bw.write(0, 1)
-            bw.write(s, 1)
-        else:
-            bw.write(1, 1)
-            bw.write(s, 8)
-        return {used[0]: (0, 0)}
-    if len(used) == 2:
+    if used[-1] >= alphabet_size:
+        raise ValueError(
+            f"prefix-code symbol {used[-1]} outside alphabet "
+            f"{alphabet_size}"
+        )
+    if len(used) <= 2 and used[-1] <= 255:
+        if len(used) == 1:
+            bw.write(1, 1)  # simple
+            bw.write(0, 1)  # one symbol
+            s = used[0]
+            if s <= 1:
+                bw.write(0, 1)
+                bw.write(s, 1)
+            else:
+                bw.write(1, 1)
+                bw.write(s, 8)
+            return {used[0]: (0, 0)}
         bw.write(1, 1)  # simple
         bw.write(1, 1)  # two symbols
         s0, s1 = used
@@ -800,7 +819,13 @@ def _write_prefix_code(bw: _BitWriter, used, alphabet_size: int):
         bw.write(s1, 8)
         return {s0: (0, 1), s1: (1, 1)}
     bw.write(0, 1)  # normal code
-    lengths = _balanced_lengths(used)
+    if len(used) == 1:
+        # one-symbol canonical code decodes with 0 bits
+        lengths = {used[0]: 1}
+    elif len(used) == 2:
+        lengths = {used[0]: 1, used[1]: 1}
+    else:
+        lengths = _balanced_lengths(used)
     max_used = max(used)
     # code-length code over the length values we will literally emit
     cl_used = sorted({lengths.get(s, 0) for s in range(max_used + 1)})
@@ -826,6 +851,9 @@ def _write_prefix_code(bw: _BitWriter, used, alphabet_size: int):
     for s in range(n_emit):
         c, l = cl_codes[lengths.get(s, 0)]
         bw.write_code(c, l)
+    if len(used) == 1:
+        # the decoder's one-symbol canonical code reads 0 bits
+        return {used[0]: (0, 0)}
     return _encoder_codes(lengths)
 
 

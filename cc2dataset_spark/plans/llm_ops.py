@@ -5527,12 +5527,18 @@ def multimodal_gif_animation_stats(
     ), rgb AS (
       SELECT doc_id, w, h, p,
              CASE WHEN variant = 5 THEN (j * 53 + 7) % 256
+                  WHEN variant = 4
+                    THEN (doc_id * 13 + ((p // 6) % 3) * 37) % 256
                   ELSE (doc_id * 7 + rr * 131 + cc * 17) % 256
              END AS r,
              CASE WHEN variant = 5 THEN (j * 97 + 13) % 256
+                  WHEN variant = 4
+                    THEN (doc_id * 13 + ((p // 6) % 3) * 37 + 41) % 256
                   ELSE (doc_id * 7 + rr * 131 + cc * 17 + 59) % 256
              END AS g,
              CASE WHEN variant = 5 THEN (j * 29 + 31) % 256
+                  WHEN variant = 4
+                    THEN (doc_id * 13 + ((p // 6) % 3) * 37 + 82) % 256
                   ELSE (doc_id * 7 + rr * 131 + cc * 17 + 118) % 256
              END AS b
       FROM f
@@ -5561,12 +5567,17 @@ def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture protocol: each document synthesizes deterministic RGB
     pixels (w = id%11+2, h = id%8+2) and encodes them with the
     VP8L feature class picked by id%6 — 0 plain literals,
-    1 subtract-green, 2 per-block spatial predictors cycling all 14
-    modes, 3 a color transform, 4 color-cache + LZ77 runs, 5 a
-    16-color palette (color-indexing with sub-byte packing) — then
-    DECODES the payload through the production codec. Variants 0-4
-    share pixel(row, col, c) = (id*7 + row*131 + col*17 + c*59) %
-    256; variant 5 uses the 16-color palette formulas. Channel sums
+    1 subtract-green, 2 per-block spatial predictors (doc_id enters
+    the block-mode formula so all 14 modes are exercised across the
+    corpus), 3 a color transform, 4 color-cache + LZ77 runs over a
+    run-friendly pixel class (constant 6-pixel stretches whose
+    colors cycle with period 3 — the stream REALLY carries backrefs
+    and cache hits), 5 a 16-color palette (color-indexing with
+    sub-byte packing) — then DECODES the payload through the
+    production codec. Variants 0-3 share pixel(row, col, c) =
+    (id*7 + row*131 + col*17 + c*59) % 256; variant 4 uses
+    (id*13 + ((p div 6) mod 3)*37 + c*41) % 256; variant 5 the
+    16-color palette formulas. Channel sums
     plus the POSITION-WEIGHTED checksum (sum (p+1)*(r+g+b)) catch
     any transform-inverse or raster-order slip; the oracle computes
     everything from the formulas and never sees a WebP. Hand-built
@@ -5612,10 +5623,7 @@ def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         variants = (
             {},
             dict(subtract_green=True),
-            dict(
-                predictor_bits=2,
-                predictor_mode=lambda bx, by: (bx + by) % 14,
-            ),
+            None,  # per-doc predictor modes, built in the loop
             dict(color_transform=(3, (23, -17, 42))),
             dict(cache_bits=3, use_rle=True),
             dict(use_palette=True),
@@ -5632,6 +5640,17 @@ def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bytes(pal[(d * 11 + p * 7) % 16])
                         for p in range(w * h)
                     )
+                elif variant == 4:
+                    # run/cache-friendly class (r13 review #2): the
+                    # pixel is constant over 6-pixel stretches and
+                    # the stretch colors cycle with period 3, so the
+                    # emitted stream REALLY contains LZ77 runs and
+                    # color-cache hits (asserted in tests/test_webp)
+                    raw = bytes(
+                        (d * 13 + ((p // 6) % 3) * 37 + c * 41) % 256
+                        for p in range(w * h)
+                        for c in range(3)
+                    )
                 else:
                     rr = np.arange(h).reshape(h, 1, 1)
                     cc = np.arange(w).reshape(1, w, 1)
@@ -5639,8 +5658,22 @@ def multimodal_webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     raw = (
                         (d * 7 + rr * 131 + cc * 17 + ch * 59) % 256
                     ).astype(np.uint8).tobytes()
+                if variant == 2:
+                    # doc_id enters the block-mode formula so ALL 14
+                    # predictor modes are exercised across the
+                    # corpus, not just the 0..4 a 3x3 block grid's
+                    # bx+by can reach (r13 review #3)
+                    opts = dict(
+                        predictor_bits=2,
+                        predictor_mode=(
+                            lambda bx, by, _d=d: (bx * 5 + by * 7 + _d)
+                            % 14
+                        ),
+                    )
+                else:
+                    opts = variants[variant]
                 payload = encode_webp_lossless(
-                    w, h, 3, raw, **variants[variant]
+                    w, h, 3, raw, **opts
                 )
                 dw, dh, dch, rgb = decode_webp(payload)
                 a = (
