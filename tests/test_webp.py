@@ -801,3 +801,108 @@ def test_decode_media_and_sample_frames_webp_animation(spark):
         w, h, ch, raw = MM.decode_png(bytes(f.frame_payload))
         assert (w, h, ch) == (6, 4, 4)
         assert raw == expected[f.frame_idx]
+
+
+# ---------------------------------------------------------------------------
+# property fuzz + container robustness
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    variant=st.integers(0, 7),
+)
+def test_fuzz_roundtrip(w, h, ch, seed, variant):
+    """Arbitrary rasters through every encoder feature class must
+    round-trip byte-exactly (losslessness is the whole contract)."""
+    rng = seed
+    vals = []
+    for _ in range(w * h * ch):
+        rng = (rng * 1103515245 + 12345) % (1 << 31)
+        vals.append(rng & 0xFF)
+    raw = bytes(vals)
+    opts = [
+        {},
+        dict(subtract_green=True),
+        dict(cache_bits=1 + seed % 10),
+        dict(use_rle=True),
+        dict(predictor_bits=2 + seed % 2,
+             predictor_mode=lambda bx, by: (bx + by + seed) % 14),
+        dict(color_transform=(2 + seed % 3,
+                              (seed % 256 - 128, (seed // 7) % 256 - 128,
+                               (seed // 49) % 256 - 128))),
+        dict(subtract_green=True, cache_bits=2, use_rle=True),
+        dict(meta_bits=2 + seed % 2),
+    ][variant]
+    enc = W.encode_webp_lossless(w, h, ch, raw, **opts)
+    dw, dh, dch, out = W.decode_webp(enc)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert out == raw
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    n_colors=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fuzz_palette_roundtrip(w, h, n_colors, seed):
+    colors = []
+    rng = seed
+    for _ in range(n_colors):
+        rng = (rng * 1103515245 + 12345) % (1 << 31)
+        colors.append((rng & 0xFF, (rng >> 8) & 0xFF, (rng >> 16) & 0xFF))
+    raw = b"".join(
+        bytes(colors[(seed + i) % n_colors]) for i in range(w * h)
+    )
+    enc = W.encode_webp_lossless(w, h, 3, raw, use_palette=True)
+    assert W.decode_webp(enc)[3] == raw
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.binary(min_size=0, max_size=120))
+def test_fuzz_garbage_never_wrong_class(data):
+    """Arbitrary bytes in a VP8L wrapper must decode or raise a
+    CONTAINED class (ValueError/NotImplementedError) — never an
+    uncontained exception that would escape the X7 layer."""
+    payload = wrap_riff(data)
+    try:
+        W.decode_webp(payload)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.binary(min_size=12, max_size=160))
+def test_fuzz_container_garbage_contained(data):
+    payload = b"RIFF" + data[:4] + b"WEBP" + data[4:]
+    try:
+        W.decode_webp(payload)
+        W.webp_dims(payload)
+        W.webp_is_animated(payload)
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_unknown_chunks_before_image_are_skipped():
+    """ICCP/XMP (or any unknown) chunks ahead of the VP8L chunk must
+    not disturb the walk — real files carry them routinely."""
+    inner = W.encode_webp_lossless(5, 3, 3, formula_pixels(5, 3, 3, 8))
+    vp8l_chunk = inner[12:]
+    iccp = b"ICCP" + struct.pack("<I", 5) + b"fake\x00" + b"\x00"  # padded
+    xmp = b"XMP " + struct.pack("<I", 4) + b"<x/>"
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(iccp) + len(xmp) + len(vp8l_chunk))
+        + b"WEBP" + iccp + xmp + vp8l_chunk
+    )
+    w, h, ch, raw = W.decode_webp(payload)
+    assert (w, h) == (5, 3) and raw == formula_pixels(5, 3, 3, 8)
+    assert W.webp_dims(payload) == (5, 3)
