@@ -1838,6 +1838,160 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
 # ---------------------------------------------------------------------
 
 
+def resample_pcm16(
+    samples: bytes, src_rate: int, dst_rate: int
+) -> bytes:
+    """Exact-integer linear resample of mono 16-bit little-endian PCM
+    (r13) — the sample-rate normalization every ASR pipeline runs
+    before feature extraction (16 kHz mono is the de-facto training
+    standard). Output length n_out = (n_in * dst) // src; output
+    sample k interpolates between input samples i = (k*src) // dst
+    and min(i+1, n_in-1) with fraction fr = (k*src) % dst:
+
+        out_u[k] = (u[i]*(dst-fr) + u[i+1]*fr) // dst,  u = s + 32768
+
+    The interpolation runs on the UNSIGNED offset values so the
+    floor division is plain truncation on non-negative integers —
+    identical in Spark, DuckDB, and numpy — then shifts back. Every
+    step is integer-exact and SQL-replayable (the formula-oracle
+    protocol); src == dst returns the input verbatim. This is plain
+    linear interpolation — production ASR stacks may prefer a
+    windowed-sinc polyphase (lossy either way); what this buys is a
+    DETERMINISTIC, cross-engine-provable resample."""
+    import numpy as np
+
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("sample rates must be positive")
+    if len(samples) % 2:
+        raise ValueError("odd byte length for 16-bit PCM")
+    s = np.frombuffer(samples, dtype="<i2").astype(np.int64)
+    n_in = len(s)
+    if n_in == 0:
+        return b""
+    if src_rate == dst_rate:
+        return bytes(samples)
+    u = s + 32768
+    n_out = (n_in * dst_rate) // src_rate
+    k = np.arange(n_out, dtype=np.int64)
+    pos = k * src_rate
+    i = pos // dst_rate
+    fr = pos % dst_rate
+    i1 = np.minimum(i + 1, n_in - 1)
+    out_u = (u[i] * (dst_rate - fr) + u[i1] * fr) // dst_rate
+    return (out_u - 32768).astype("<i2").tobytes()
+
+
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_rate", IntegerType()),
+        StructField("dst_rate", IntegerType()),
+        StructField("n_in", LongType()),
+        StructField("n_out", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resample_audio(
+    df: DataFrame, target_rate: int = 16000, errors: str = "raise"
+) -> DataFrame:
+    """mapInPandas audio resample: decode each WAV payload (any class
+    :func:`decode_wav` handles — PCM, G.711, float, extensible),
+    down-mix is NOT performed (multi-channel payloads raise: silently
+    averaging channels would be a policy decision, not a codec fact),
+    linear-resample to ``target_rate`` via :func:`resample_pcm16`,
+    and re-encode as mono 16-bit PCM WAV. ``errors`` follows the X7
+    policy of decode_media/resize_media exactly."""
+    if errors not in ("raise", "status", "skip"):
+        raise ValueError(f"errors must be raise|status|skip, got {errors!r}")
+    import os
+
+    _pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.multimodal import (
+            _media_contained,
+            _media_error_record,
+            decode_wav,
+            encode_wav,
+            resample_pcm16,
+        )
+
+        contained = _media_contained()
+
+        def _resample(payload):
+            sr, ch, bits, frames = decode_wav(bytes(payload))
+            if ch != 1:
+                raise NotImplementedError(
+                    f"{ch}-channel resample: down-mix policy is the "
+                    "caller's decision"
+                )
+            if bits != 16:
+                raise NotImplementedError(f"{bits}-bit resample")
+            out = resample_pcm16(frames, sr, target_rate)
+            return (
+                sr,
+                len(frames) // 2,
+                len(out) // 2,
+                encode_wav(target_rate, 1, 16, out),
+            )
+
+        out_schema = (
+            RESAMPLED_STATUS_SCHEMA
+            if errors == "status"
+            else RESAMPLED_SCHEMA
+        )
+        cols = [f.name for f in out_schema.fields]
+        for pdf in it:
+            recs = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                base = (int(doc_id),)
+                if errors == "raise":
+                    sr, n_in, n_out, enc = _resample(p)
+                    recs.append(
+                        base + (sr, target_rate, n_in, n_out, enc)
+                    )
+                    continue
+                try:
+                    sr, n_in, n_out, enc = _resample(p)
+                    recs.append(
+                        base
+                        + (sr, target_rate, n_in, n_out, enc, "ok", None)
+                    )
+                except contained as exc:
+                    if errors == "skip":
+                        continue
+                    recs.append(
+                        base
+                        + (None, target_rate, None, None, None)
+                        + _media_error_record(exc)
+                    )
+            if errors == "skip":
+                recs = [r[:6] for r in recs]
+            yield pd.DataFrame(recs, columns=cols)
+
+    out_schema = (
+        RESAMPLED_STATUS_SCHEMA if errors == "status" else RESAMPLED_SCHEMA
+    )
+    return df.mapInPandas(batches, out_schema)
+
+
+RESAMPLED_STATUS_SCHEMA = StructType(
+    RESAMPLED_SCHEMA.fields
+    + [
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
 def _lzw_decode(mcs: int, data: bytes, expected: int) -> bytes:
     """GIF-variant LZW: variable code width mcs+1..12, clear/end
     codes, KwKwK case; stops after ``expected`` indices."""

@@ -5995,3 +5995,172 @@ def multimodal_webp_animation_stats(
 
     docs = load_table(spark, sf_dir, "documents")
     return _ids_across_cores(docs.select("doc_id")).mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
+# r13: exact-integer audio resample — catalog row
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_wav_resample_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             8000 AS src,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 11025 WHEN 1 THEN 16000 ELSE 6000 END AS dst,
+             200 + doc_id % 150 AS n
+      FROM documents
+    ), o AS (
+      SELECT doc_id, src, dst, n,
+             unnest(generate_series(0, (n * dst) // src - 1)) AS k
+      FROM p
+    ), c AS (
+      SELECT doc_id, src, dst, n, k,
+             (k * src) // dst AS i,
+             (k * src) % dst AS fr
+      FROM o
+    ), u AS (
+      SELECT doc_id, src, dst, n, k, fr,
+             (doc_id * 31 + i * 17) % 65536 AS u0,
+             (doc_id * 31 + LEAST(i + 1, n - 1) * 17) % 65536 AS u1
+      FROM c
+    ), v AS (
+      SELECT doc_id, src, dst, n, k,
+             (u0 * (dst - fr) + u1 * fr) // dst AS out_u
+      FROM u
+    )
+    SELECT doc_id,
+           CAST(MAX(src) AS INT) AS src_rate,
+           CAST(MAX(dst) AS INT) AS dst_rate,
+           CAST(MAX(n) AS BIGINT) AS n_in,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM((k + 1) * out_u) AS BIGINT) AS checksum
+    FROM v GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "wav", "llm"),
+)
+def multimodal_wav_resample_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-integer audio resampling (r13) — the sample-rate
+    normalization step every speech-data pipeline runs before
+    feature extraction (16 kHz mono is the de-facto ASR training
+    standard). The kernel runs the production resample chain
+    (``resample_audio``'s exact steps: decode_wav -> resample_pcm16
+    -> encode_wav -> decode_wav; the operator itself takes ONE
+    target rate, so this row varies dst per doc to stress the
+    arithmetic — the operator surface is pinned in
+    tests/test_wav_resample.py). The corpus synthesizes real mono
+    PCM16 WAVs
+    (n = 200 + id%150 samples at 8 kHz, unsigned sample formula
+    u_k = (id*31 + k*17) % 65536) and resamples each to the rate
+    picked by id%3 (11025 up-irrational-ish / 16000 clean 2x / 6000
+    down); the kernel then DECODES the operator's re-encoded output
+    WAV and reports exact counts plus the position-weighted checksum
+    over the unsigned samples. The resample is linear interpolation
+    in pure integer arithmetic on the unsigned offset scale
+    (out_u[k] = (u[i]*(dst-fr) + u[i+1]*fr) // dst with
+    i = (k*src) // dst, fr = (k*src) % dst, endpoint clamped), so
+    the oracle replays every output sample in closed form and any
+    index, rounding, or endpoint slip hashes red.
+
+    Plan: two Arrow-batched mapInPandas stages (synthesize,
+    resample+stats) over the core-repartitioned id stream — zero
+    heavy shuffle, zero collect."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as ST
+
+    pay_schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("payload", ST.BinaryType()),
+            ST.StructField("dst", ST.IntegerType()),
+        ]
+    )
+    schema = ST.StructType(
+        [
+            ST.StructField("doc_id", ST.LongType()),
+            ST.StructField("src_rate", ST.IntegerType()),
+            ST.StructField("dst_rate", ST.IntegerType()),
+            ST.StructField("n_in", ST.LongType()),
+            ST.StructField("n_out", ST.LongType()),
+            ST.StructField("checksum", ST.LongType()),
+        ]
+    )
+
+    _pkg_root = _package_root()
+
+    def synth(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.multimodal import encode_wav
+
+        for pdf in it:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 200 + d % 150
+                u = (d * 31 + np.arange(n) * 17) % 65536
+                payload = encode_wav(
+                    8000, 1, 16, (u - 32768).astype("<i2").tobytes()
+                )
+                dst = (11025, 16000, 6000)[d % 3]
+                recs.append((d, payload, dst))
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "payload", "dst"]
+            )
+
+    def stats(it):
+        import sys
+
+        if _pkg_root not in sys.path:
+            sys.path.insert(0, _pkg_root)
+        from cc2dataset_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+            resample_pcm16,
+        )
+
+        cols = [f.name for f in schema.fields]
+        for pdf in it:
+            recs = []
+            for d, payload, dst in zip(
+                pdf["doc_id"], pdf["payload"], pdf["dst"]
+            ):
+                d, dst = int(d), int(dst)
+                # the production chain: decode -> resample ->
+                # re-encode -> decode (resample_audio's kernel steps,
+                # with the re-encoded WAV round-tripped to prove the
+                # output container too)
+                sr, ch, bits, frames = decode_wav(bytes(payload))
+                out = resample_pcm16(frames, sr, dst)
+                sr2, _ch2, _b2, frames2 = decode_wav(
+                    encode_wav(dst, 1, 16, out)
+                )
+                a = (
+                    np.frombuffer(frames2, dtype="<i2").astype(np.int64)
+                    + 32768
+                )
+                k = np.arange(1, len(a) + 1, dtype=np.int64)
+                recs.append(
+                    (
+                        d,
+                        sr,
+                        sr2,
+                        len(frames) // 2,
+                        len(a),
+                        int((k * a).sum()),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = _ids_across_cores(docs.select("doc_id")).mapInPandas(
+        synth, pay_schema
+    )
+    return wrapped.mapInPandas(stats, schema)
