@@ -55,6 +55,26 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Driver-JVM heap sized to the machine (optimization guide §5): in
+    # local mode the driver JVM IS the executor, and the PySpark
+    # default of 1 GB put a 209-query sweep's shuffles, broadcasts and
+    # MEMORY_AND_DISK pins of local[32] under permanent GC pressure —
+    # measured r13-opt: cold sweep 657.5 s at -Xmx1g with the early
+    # queries inflated 3-13x (ann_simhash_topk 75.5 s cold vs 1.8 s
+    # warm) and warm>cold inversions on the persist-heavy family.
+    # Scale-adaptive (total RAM / 8, clamped to [4, 32] GB), overridable
+    # via SPARK_GRAFT_DRIVER_MEM_GB; on a real cluster the submitter
+    # sizes executor memory instead and this knob is inert.
+    mem_env = os.environ.get("SPARK_GRAFT_DRIVER_MEM_GB")
+    if mem_env is None:
+        try:
+            total_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) / (1 << 30)
+            mem_env = str(max(4, min(32, int(total_gb // 8))))
+        except (ValueError, OSError):
+            mem_env = "8"
+
     spark = build_spark_session(
         master=f"local[{cpus}]",
         app_name="cc2dataset_spark-bench",
@@ -65,6 +85,7 @@ def main() -> None:
         # default 1000 would evict early stages mid-run and the
         # cumulative sums would silently shrink between samples.
         extra_conf={
+            "spark.driver.memory": f"{mem_env}g",
             "spark.ui.enabled": "true",
             "spark.ui.retainedStages": "100000",
             # The driver parses the headline JSON out of a fixed-size
