@@ -1376,7 +1376,27 @@ def image_dims(payload) -> "F.Column":
     tests pin the adversarial superiority.
     """
     col = F.col(payload) if isinstance(payload, str) else payload
-    hx = F.upper(F.hex(col))
+    return image_dims_hex(F.upper(F.hex(col)))
+
+
+def image_dims_hex(hx) -> "F.Column":
+    """:func:`image_dims` over a PRE-COMPUTED uppercase hex twin.
+
+    The dims expression references the hex twin ~30 times (signature
+    checks, all four containers' offset arithmetic, the JPEG walk's
+    finish). Column expressions inline per reference, so calling
+    :func:`image_dims` on an EXPENSIVE payload expression (e.g. the
+    fixture synthesis concat) embeds that whole subtree ~30x — and
+    ~3x more per consumed struct field — which r13-opt measured as
+    the query's dominant cost: a plan tree so large that per-TASK
+    expression preparation (not per-row work) took ~4.6 s regardless
+    of row count, and 32 concurrent tasks of it OOMed a default-heap
+    session. Callers with a non-trivial payload expression should
+    project the hex twin once (behind an exchange or other collapse
+    barrier, so CollapseProject cannot re-inline it) and pass the
+    ATTRIBUTE here; then every reference is a cheap column read.
+    """
+    hx = F.col(hx) if isinstance(hx, str) else hx
 
     def be(start_char: int, n_chars: int):
         return F.conv(F.substring(hx, start_char, n_chars), 16, 10).cast(
@@ -1403,20 +1423,28 @@ def image_dims(payload) -> "F.Column":
     ]
     _STANDALONE = ["01", "D0", "D1", "D2", "D3", "D4", "D5", "D6", "D7", "D8"]
 
-    def _walk_step(acc, _):
-        h, pos, sof = acc["h"], acc["pos"], acc["sof"]
+    def _walk_step(acc, h):
+        # ``h`` is the hex twin, delivered as the fold's ARRAY ELEMENT
+        # (array_repeat of one string -> 64 references to the same
+        # UTF8String, never 64 copies). It must NOT live in the
+        # accumulator: interpreted ArrayAggregate deep-copies the
+        # accumulator row every merge step, so an accumulator carrying
+        # the hex twin copied the whole payload's hex 64x per row —
+        # measured r13-opt as the memory wall that OOMed 32 concurrent
+        # tasks of this walk in a default-heap (1 GB) session and the
+        # dominant per-row cost of multimodal_image_dims. With the
+        # 2-int accumulator the same walk is allocation-flat.
+        pos, sof = acc["pos"], acc["sof"]
         ff = F.substring(h, pos, 2)
         mk = F.substring(h, pos + 2, 2)
         seglen = F.conv(F.substring(h, pos + 4, 4), 16, 10).cast("int")
         halt = F.struct(
-            h.alias("h"),
             F.lit(-1).alias("pos"),
             F.lit(None).cast("int").alias("sof"),
         )
 
         def adv(p):
             return F.struct(
-                h.alias("h"),
                 p.cast("int").alias("pos"),
                 F.lit(None).cast("int").alias("sof"),
             )
@@ -1428,7 +1456,6 @@ def image_dims(payload) -> "F.Column":
             .when(
                 mk.isin(*_SOF_MARKERS),
                 F.struct(
-                    h.alias("h"),
                     pos.alias("pos"),
                     pos.cast("int").alias("sof"),
                 ),
@@ -1448,27 +1475,30 @@ def image_dims(payload) -> "F.Column":
         # sof from several outer columns would embed (and re-evaluate)
         # the entire fold per reference (ArrayAggregate is
         # CodegenFallback, and outer subtrees duplicate per reference
-        # — the functions/hashes.py model). SOF frame header must be
-        # complete: FFCx(4) LL(4) precision(2) height(4) width(4) ->
-        # 17 chars past sof must exist.
-        h, sof = acc["h"], acc["sof"]
-        ok = sof.isNotNull() & (F.length(h) >= sof + 17)
+        # — the functions/hashes.py model). The hex twin is read from
+        # the OUTER hx here (finish runs once per row, so these three
+        # references cost three hex re-evaluations per JPEG row —
+        # nothing next to the 64 accumulator copies they replace).
+        # SOF frame header must be complete: FFCx(4) LL(4)
+        # precision(2) height(4) width(4) -> 17 chars past sof must
+        # exist.
+        sof = acc["sof"]
+        ok = sof.isNotNull() & (F.length(hx) >= sof + 17)
         return F.struct(
             F.when(ok, F.lit("jpeg"))
             .otherwise(F.lit(None).cast("string"))
             .alias("format"),
             F.when(
-                ok, F.conv(F.substring(h, sof + 14, 4), 16, 10).cast("int")
+                ok, F.conv(F.substring(hx, sof + 14, 4), 16, 10).cast("int")
             ).alias("width"),
             F.when(
-                ok, F.conv(F.substring(h, sof + 10, 4), 16, 10).cast("int")
+                ok, F.conv(F.substring(hx, sof + 10, 4), 16, 10).cast("int")
             ).alias("height"),
         )
 
     jpeg_struct = F.aggregate(
-        F.sequence(F.lit(1), F.lit(64)),
+        F.array_repeat(hx, 64),
         F.struct(
-            hx.alias("h"),
             F.lit(5).cast("int").alias("pos"),  # first marker after FFD8
             F.lit(None).cast("int").alias("sof"),
         ),

@@ -310,8 +310,21 @@ def duplicate_substring_spans(
     k = min_len + ext
 
     doc_id_type = docs.schema[doc_id_col].dataType
-    toked = docs.select(
-        F.col(doc_id_col).alias("doc_id"), T.tokens(text_col).alias("t")
+    # The tokenize+explode suffix build is the corpus-scale CPU stage
+    # and it runs TWICE (the range sampler evaluates it once more), so
+    # it must engage every core; a single-row-group source (the
+    # fixture layout) plans a 1-partition scan that would serialize
+    # both passes onto one core (guide §2.5 — no-op when the scan
+    # already has >= defaultParallelism partitions).
+    from cc2dataset_spark.sources.tables import spread_small_scan
+
+    toked = spread_small_scan(
+        docs.select(
+            F.col(doc_id_col).alias("doc_id"), F.col(text_col)
+        ),
+        "doc_id",
+    ).select(
+        "doc_id", T.tokens(text_col).alias("t")
     ).where(F.size("t") >= min_len)
     explode_pos = F.explode(
         F.sequence(F.lit(1), F.size("t") - F.lit(min_len - 1))

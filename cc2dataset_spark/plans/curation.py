@@ -19,7 +19,7 @@ from cc2dataset_spark.functions import text as T
 from cc2dataset_spark.functions.hashes import md5_mod
 from cc2dataset_spark.functions.numeric import RATIO6_BIG_SQL, RATIO6_SQL
 from cc2dataset_spark.plans.catalog import query
-from cc2dataset_spark.sources.tables import load_table
+from cc2dataset_spark.sources.tables import load_table, spread_small_scan
 
 _DUCK_TOKENS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
 
@@ -413,7 +413,11 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum accumulates in DECIMAL(38,18) so order cannot matter,
     the mean rounds to 6, and exp of that already-identical mean
     re-rounds to 6."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale per-row CPU over the 1-partition single-row-group
+    # fixture scan (guide §2.5; no-op at production parallelism)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return _per_doc_nll(docs).select(
         "doc_id",
         "n_tokens",
@@ -491,7 +495,11 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (IEEE ops are deterministic given the same tree),
     each surprisal rounds to 9, the per-doc sum accumulates in
     DECIMAL(38,18), the mean rounds to 6, exp re-rounds to 6."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale per-row CPU over the 1-partition single-row-group
+    # fixture scan (guide §2.5; no-op at production parallelism)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     t = docs.select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("tk")
     ).where(F.size("tk") >= 2)
@@ -579,7 +587,11 @@ def curate_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.storagelevel import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale per-row CPU over the 1-partition single-row-group
+    # fixture scan (guide §2.5; no-op at production parallelism)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     # persisted because the range partitioner's boundary-sampling pass
     # is a full extra evaluation of the surprisal chain otherwise
     from cc2dataset_spark import caching
@@ -873,7 +885,11 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the per-doc-bucket stream, so the scoring join is
     shuffle-free and the per-doc rollup rides the existing doc-keyed
     partials. The corpus is scanned ONCE."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale per-row CPU over the 1-partition single-row-group
+    # fixture scan (guide §2.5; no-op at production parallelism)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     bg = docs.select(
         "doc_id",
         (F.col("lang") == "en").alias("tgt"),
@@ -1372,7 +1388,11 @@ def curate_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, no quadratic surface anywhere."""
     from cc2dataset_spark.operators.dedup import dedup_paragraphs
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale per-row CPU over the 1-partition single-row-group
+    # fixture scan (guide §2.5; no-op at production parallelism)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     tok = docs.select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
     ).where(F.size("t") > 0)
@@ -2076,7 +2096,11 @@ def curate_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric."""
     from cc2dataset_spark.operators.rank import global_row_number
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # corpus-scale per-row CPU over the 1-partition single-row-group
+    # fixture scan (guide §2.5; no-op at production parallelism)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select(
         "doc_id", "text", "lang"
     )
     corpus = (
@@ -2203,7 +2227,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, prev, cur) dedup is the corpus-scale stage (map-side
     partials absorb duplication); both aggregates ride it; output is
     bucket-count-sized."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale per-row CPU over the 1-partition single-row-group
+    # fixture scan (guide §2.5; no-op at production parallelism)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     t = docs.select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("tk")
     ).where(F.size("tk") >= 2)

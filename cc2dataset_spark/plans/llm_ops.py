@@ -21,7 +21,7 @@ from cc2dataset_spark.operators import neardup as ND
 from cc2dataset_spark.operators import similarity as SIM
 from cc2dataset_spark.operators.dedup import dedup_exact
 from cc2dataset_spark.plans.catalog import query
-from cc2dataset_spark.sources.tables import load_table
+from cc2dataset_spark.sources.tables import load_table, spread_small_scan
 
 # --------------------------------------------------------------------------
 # Text analysis
@@ -437,7 +437,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs contributes N^2 join rows, so the uncapped form (kept for the
     pytest ground-truth comparison only) detonates on boilerplate at
     corpus scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
 
 
@@ -509,7 +513,11 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|x| - ceil(t|x|) + 1) shingles, so the hot keys never enter the
     join at all. The oracle is the uncapped all-pairs ground truth —
     a missed candidate fails the driver row."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return ND.prefix_filter_jaccard_pairs(docs)
 
 
@@ -561,7 +569,11 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash blocking. Spark ranks via the range-repartition global rank,
     never an unpartitioned ROW_NUMBER; the oracle can afford the naive
     window."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return ND.sorted_neighborhood_pairs(docs, neighborhood=4, threshold=0.5)
 
 
@@ -680,7 +692,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy accumulation is sequential over dims, bit-matching DuckDB's
     list_dot_product fold) but benchable — B x B cosine tiles instead
     of a row-per-pair interpreted HOF chain."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     return ND.embedding_neardup_pairs_blocked(emb, threshold=0.35)
 
 
@@ -728,7 +745,12 @@ def dedup_simhash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquadratic scale path for dedup_embedding_cosine. Oracle-backed:
     hyperplanes are shared literals, so DuckDB reproduces the exact
     buckets and verified pairs."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     return ND.simhash_neardup_pairs(emb, threshold=0.35)
 
 
@@ -838,7 +860,12 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-3 cosine neighbors for the first 20 query vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     return SIM.brute_force_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
 
 
@@ -910,7 +937,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted in tests/test_joins_scale.py). kmeans_iters=0 keeps
     the registered query deterministic; the Lloyd-refined path is
     tested separately."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     return SIM.ivf_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
 
 
@@ -953,7 +985,12 @@ def ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via SimHash buckets, oracle-backed (shared
     hyperplane literals make the buckets cross-engine-deterministic);
     recall vs the exact path is asserted in tests/test_llm_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     return SIM.simhash_ann_topk(emb.where(F.col("vec_id") < 20), emb, k=3)
 
 
@@ -993,7 +1030,12 @@ def ann_simhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-NN majority-label classification with deterministic ties."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     return SIM.knn_label_vote(emb.where(F.col("vec_id") < 50), emb, k=5)
 
 
@@ -1174,7 +1216,11 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-set digest, so the entire windowed-min pipeline is
     value-checked; fingerprint-sharing semantics are unit-tested in
     tests/test_llm_ops.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale per-row CPU over the 1-partition single-row-group
+    # fixture scan (guide §2.5; no-op at production parallelism)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     # Three-phase projection ON PURPOSE: the hash array must be a
     # materialized attribute before windowing, or Catalyst re-expands
     # it per window index (O(n^2) md5 per doc — measured 48 s vs 2 s
@@ -1239,7 +1285,11 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth; the winnow selection keeps ~1/window of the shingle
     stream, so this joins ~4x less data than dedup_ngram_jaccard at
     the same shingle length."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return ND.winnow_overlap_pairs(
         docs,
         min_shared=_WINNOW_MIN_SHARED,
@@ -1534,7 +1584,11 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     side converges in ~diameter rounds of keyed joins at any scale."""
     from cc2dataset_spark.operators.components import cluster_survivors
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     pairs = ND.exact_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
     return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")
 
@@ -1557,7 +1611,11 @@ def dedup_cluster_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth twin."""
     from cc2dataset_spark.operators.components import cluster_survivors
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     pairs = ND.minhash_neardup_pairs(docs, threshold=0.5)
     return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")
 
@@ -1581,7 +1639,11 @@ def dedup_cluster_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_twophase,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     pairs = ND.minhash_neardup_pairs(docs, threshold=0.5)
     return cluster_survivors(
         docs,
@@ -1662,7 +1724,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor 8 / target cluster 128 — identical clustering to the old
     fixed 8 at fixture SFs, linear candidate volume at scale; the
     oracle replays the formula as a scalar subquery)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     return SIM.semantic_dedup(emb, threshold=0.35, n_assign=3)
 
 
@@ -1796,7 +1863,11 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id); the oracle replays injection and overlap exactly."""
     from cc2dataset_spark.operators.contamination import ngram_decontaminate
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale per-row CPU over the 1-partition single-row-group
+    # fixture scan (guide §2.5; no-op at production parallelism)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     words = F.split(F.lit(_EVAL_SENTENCE), " ")
     appendix = F.when(
         F.col("doc_id") % 7 == 0,
@@ -1911,7 +1982,11 @@ def curate_full_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc2dataset_spark.functions.hashes import md5_mod
     from cc2dataset_spark.operators.components import cluster_survivors
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     kept = docs.where(
         T.token_count("text").between(20, 1000)
         & (T.punct_ratio("text") < 0.1)
@@ -2065,7 +2140,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     which at 100 TB is what lets the index fit at all. Fully
     oracle-backed: the codebook is the md5-seeded sample, encoding
     and ADC are bit-identical double folds in both engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     cb = SIM.pq_codebook(emb)
     return SIM.pq_topk(emb.where(F.col("vec_id") < 5), emb, cb, k=3)
 
@@ -2184,7 +2264,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow map over the corpus, which is never shuffled. Composes the
     two individually-replayable index structures, so the whole thing
     stays oracle-backed."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     cb = SIM.pq_codebook(emb)
     return SIM.ivfpq_topk(emb.where(F.col("vec_id") < 5), emb, cb, k=3)
 
@@ -2244,7 +2329,11 @@ def dedup_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle family)."""
     from cc2dataset_spark.functions.numeric import ratio_round6
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     # Pin ONE gram-keyed exchange: the df count (distinct + agg) and
     # the annotation join both require only clustering by g, which
     # this partitioning satisfies, so runtime exchange reuse computes
@@ -2780,7 +2869,12 @@ def embed_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized_second_moments,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # O(n*d^2) explode must engage every core; the single-row-group
+    # embeddings fixture plans a 1-partition scan (guide §2.5;
+    # measured 2.8-3.6 s -> 0.5-0.9 s warm at sf0.1).
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     agg = quantized_second_moments(emb, "embedding")
     dec = "decimal(38,0)"
     num = F.col("n").cast(dec) * F.col("s_ij").cast(dec) - F.col(
@@ -2869,7 +2963,11 @@ def multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     and drop out, same convention as the shingle family."""
     from cc2dataset_spark.functions.numeric import ratio_round6
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     ex = (
         MM.cdc_chunk_fingerprints(docs, "text", "doc_id", window=8, modulus=32)
         .where(F.col("fp").isNotNull())
@@ -2964,7 +3062,11 @@ def er_snm_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive query."""
     from cc2dataset_spark.operators.components import cluster_survivors
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     pairs = ND.sorted_neighborhood_pairs(docs)
     return cluster_survivors(docs, pairs.select("id_a", "id_b"), "doc_id")
 
@@ -3013,7 +3115,11 @@ def text_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc2dataset_spark.operators.sketches import misra_gries_candidates
 
     k = 200
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     # persist the exploded stream: three consumers (MG pass, total,
     # candidate counts) would otherwise each re-run the corpus scan +
     # explode — the dominant stage — tripling the wall time
@@ -3415,10 +3521,26 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(webp_hdr)
     )
+    # r13-opt (guide §2.5 + §7.3): the query's cost was never the rows
+    # — it was PLAN TREE SIZE. image_dims references its hex twin ~30
+    # times, and with hx derived from the synthesis concat each
+    # reference inlined the whole synthesis subtree (x3 more per
+    # consumed struct field): per-task expression preparation alone
+    # measured ~4.6 s at ANY row count (sf0.01 == sf0.1, the SCALE.md
+    # scale-flat signature). The hex twin is now projected ONCE, the
+    # spread exchange doubles as the CollapseProject barrier, and the
+    # dims expression reads a plain attribute; the single-row-group
+    # fixture scan also stops serializing the walk onto one core.
     docs = load_table(spark, sf_dir, "documents")
     payload = F.concat(F.unhex(hdr), F.encode(F.col("text"), "utf-8"))
-    dims = MM.image_dims(payload)
-    return docs.select(
+    hexed = spread_small_scan(
+        docs.select(
+            "doc_id", F.upper(F.hex(payload)).alias("_hx")
+        ),
+        "doc_id",
+    )
+    dims = MM.image_dims_hex(F.col("_hx"))
+    return hexed.select(
         "doc_id",
         dims["format"].alias("format"),
         dims["width"].alias("width"),
@@ -4338,7 +4460,11 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection), clustering cost is shared with the min-id twin."""
     from cc2dataset_spark.operators.components import cluster_best_survivors
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/shingle CPU over the 1-partition
+    # single-row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     pairs = ND.sorted_neighborhood_pairs(docs)
     tok = docs.select("doc_id", "text", T.tokens("text").alias("t"))
     # the ONE quality formula (functions/text) — survivorship must
@@ -4475,7 +4601,11 @@ def profile_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source totals. At 100 TB the only corpus-scale stages are the
     explode and the distinct exchange; everything after is
     sources^2-bounded."""
-    docs = load_table(spark, sf_dir, "documents")
+    # The shingle explode is the corpus-scale CPU stage and the
+    # single-row-group fixture scan plans 1 partition (guide §2.5).
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     sh = (
         docs.select(
             "source",
@@ -4759,7 +4889,12 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cc2dataset_spark.operators import similarity as SIM
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    # every consumer below does per-row O(d) vector math and the
+    # single-row-group embeddings fixture plans a 1-partition scan
+    # (guide §2.5; no-op at production parallelism)
+    emb = spread_small_scan(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     tok = docs.select(
         "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
     )

@@ -76,3 +76,45 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql queries."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scan-parallelism floor for CPU-heavy narrow stages (guide §2.5:
+    unsplittable input -> repartition right after the read).
+
+    The fixture tables are SINGLE-row-group parquet files, and parquet
+    cannot split below row-group boundaries, so a scan of e.g.
+    documents (0.6 MB at sf0.1) plans exactly ONE partition — every
+    narrow per-row stage built on it (tokenize+explode suffix streams,
+    the O(n*d^2) covariance explode, interpreted HOF folds) serializes
+    onto one core of local[32]. Measured r13-opt:
+    quantized_second_moments over the 1-partition embeddings scan runs
+    2.8-3.6 s; after spreading, 0.5-0.9 s.
+
+    SCALE-ADAPTIVE, not a local[32] constant: the repartition happens
+    only when the planned scan has fewer partitions than the session's
+    defaultParallelism. At production scale the source is thousands of
+    files/row groups, the condition is false, and the input DataFrame
+    is returned untouched (no exchange in the plan). When it does
+    fire, the exchange carries a table that is by construction smaller
+    than one row group (KBs-to-MBs).
+
+    Pass ``key_cols`` to hash-partition (deterministic, no local sort);
+    without keys, round-robin ``repartition(n)`` (which pays the
+    sort-before-repartition pass on its tiny input). Never use on
+    plans that depend on partition placement (spark_partition_id,
+    monotonically_increasing_id, per-partition sampling).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n_parts >= target:
+        return df
+    if key_cols:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df.repartition(target)
