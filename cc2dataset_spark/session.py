@@ -78,6 +78,21 @@ _ENGINE_DEFAULTS = {
     # reference sets task retries to 10 for flaky remote IO
     # (/root/reference/cc2dataset/spark_session_builder.py:44)
     "spark.task.maxFailures": "10",
+    # Generated-class cache (static conf, default 100 entries): a
+    # session running a many-query workload (the 209-query bench
+    # sweep, or any long-lived production ETL with hundreds of
+    # distinct stages) evicts constantly at 100, and every miss
+    # re-runs ExpressionCanonicalizer + a Janino compile INSIDE the
+    # first task that needs the projection while sibling tasks block
+    # on the cache loader — jstack'd during r13-opt: HashAggregateExec
+    # .createHashMap -> UnsafeProjection.create -> GenerateUnsafe
+    # Projection compile storms re-firing on WARM reps, 5-46 s spikes
+    # on the composite queries (measured A/B at 100 vs 5000:
+    # curate_full_recipe warm median 24.9 s -> 7.6 s, spikes gone).
+    # Entries are weak-keyed on the generated source, so the cache
+    # holds only classes whose plans are still reachable; 5000 bounds
+    # metaspace growth while fitting a multi-hundred-query session.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     "spark.sql.shuffle.partitions": "64",
     # Spark rejects parquet TIMESTAMP(NANOS) outright; read as long and
     # convert at the source (sources/tables.py truncates ns -> us, the
