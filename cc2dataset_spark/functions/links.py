@@ -360,6 +360,42 @@ def _psl_match_table() -> tuple[tuple[tuple[str, int, bool, bool, bool], ...], t
     return rows, ms
 
 
+# Session-scoped cache of the PSL match table as a lineage-truncated
+# DataFrame, keyed by applicationId (a stopped context gets a new id,
+# so stale sessions can never serve a live caller). Why (r13-opt,
+# guide §5 "very large query plans" / §3.3 "materialise to truncate"):
+# the match table is STATIC PROGRAM DATA (the checked-in PSL snapshot
+# — the same constant whether expressed as literals or rows), but
+# building it per call embedded an ~8k-row LocalRelation into the
+# caller's logical plan FIVE times (once per match-label-count join),
+# so every PSL query paid ~3.6 s of driver-side createDataFrame
+# (pickled-list path) plus analysis/canonicalization over a plan
+# carrying 5x8k inline rows — measured 3.0-3.1 s WARM per execution
+# of cc_domain_stats, and a 24-53 s cold tail. The cached frame is
+# built once per session via the Arrow path and localCheckpoint'd, so
+# every subsequent plan references five tiny RDD-scan nodes instead.
+# This caches no query result and nothing derived from input data.
+_PSL_RULES_DF_CACHE: dict[str, "DataFrame"] = {}
+
+
+def _psl_rules_df(spark) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    cached = _PSL_RULES_DF_CACHE.get(app_id)
+    if cached is not None:
+        return cached
+    import pandas as pd
+
+    rows, _ = _psl_match_table()
+    pdf = pd.DataFrame(
+        rows, columns=["m_str", "m", "ex", "wild", "exc"]
+    )
+    rules_df = spark.createDataFrame(
+        pdf, "m_str string, m int, ex boolean, wild boolean, exc boolean"
+    ).localCheckpoint(eager=True)
+    _PSL_RULES_DF_CACHE[app_id] = rules_df
+    return rules_df
+
+
 def with_registrable_domain(
     df: DataFrame,
     url_col: str | Column | None = None,
@@ -399,9 +435,7 @@ def with_registrable_domain(
         raise ValueError("pass exactly one of url_col / host_col")
     rows, ms = _psl_match_table()
     spark = df.sparkSession
-    rules_df = spark.createDataFrame(
-        list(rows), "m_str string, m int, ex boolean, wild boolean, exc boolean"
-    )
+    rules_df = _psl_rules_df(spark)
     host = (
         host_from_url(url_col) if url_col is not None else F.col(host_col)
     )

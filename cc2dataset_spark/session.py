@@ -147,6 +147,57 @@ def build_spark_session(
     return builder.getOrCreate()
 
 
+def pinned_driver_heap_conf(mem_gb: int | None = None) -> dict[str, str]:
+    """Driver-JVM heap settings for a LOCAL measurement/ETL session
+    (bench.py, tools/time_queries.py): a moderate heap pinned at
+    ``-Xms == -Xmx`` and pre-touched at startup.
+
+    Why pinned and pre-touched (optimization guide §5, measured
+    r13-opt): on this class of virtualized host, first-touch page
+    faults are catastrophically slow (measured 0.07-0.43 GB/s
+    single-threaded zeroing vs the multi-GB/s of bare metal), so every
+    G1 heap commit/uncommit cycle costs tens of seconds of kernel time
+    charged to whichever query is running — /proc monitoring during the
+    stalls showed the JVM burning 20+ CPUs of SYSTEM time while
+    committed memory grew by GBs, then releasing ~8 GB at once
+    (uncommit), then paying the fault storm again on the next heavy
+    query. Anchor reps under a growable 16 GB heap: 43.7, 20.3, then
+    1.6-1.9 steady, then fresh 11-18 s spikes after each uncommit.
+    With a 5-8 GB heap pinned and pre-touched, 8 interleaved reps of
+    (curate_full_recipe, anchor) measured ZERO spikes (4.0-4.9 s /
+    1.7-2.4 s). AlwaysPreTouch moves the one-time commit cost to
+    session startup — outside any timed region — and Xms == Xmx means
+    G1 never returns pages, so the cost is never paid twice.
+
+    Moderate on purpose: a bigger heap is NOT better here — every
+    additional GB must be zeroed once (slowly), and G1 sizes its young
+    gen to the heap, touching all of it. RAM/16 clamped to [4, 12] GB
+    (8 GB on this 128 GiB sandbox) is comfortably above the measured
+    working set of the heaviest catalog query at sf0.1 while keeping
+    pre-touch under ~10 s. ``SPARK_GRAFT_DRIVER_MEM_GB`` overrides; on
+    a real cluster the submitter sizes executor memory and this helper
+    is simply not called.
+    """
+    if mem_gb is None:
+        env = os.environ.get("SPARK_GRAFT_DRIVER_MEM_GB")
+        if env is not None:
+            mem_gb = int(env)
+        else:
+            try:
+                total_gb = (
+                    os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+                ) / (1 << 30)
+                mem_gb = max(4, min(12, int(total_gb // 16)))
+            except (ValueError, OSError):
+                mem_gb = 8
+    return {
+        "spark.driver.memory": f"{mem_gb}g",
+        "spark.driver.extraJavaOptions": (
+            f"-Xms{mem_gb}g -XX:+AlwaysPreTouch"
+        ),
+    }
+
+
 def local_session(
     cpus: int | None = None, app_name: str = "cc2dataset_spark"
 ) -> SparkSession:

@@ -28,6 +28,58 @@ def test_spread_small_scan_noop_when_already_parallel(spark):
     assert out is df
 
 
+def test_pinned_driver_heap_conf_shape(monkeypatch):
+    # pinned heap: -Xms must equal spark.driver.memory, pre-touch on,
+    # and the env override must win over the RAM-derived default
+    from cc2dataset_spark.session import pinned_driver_heap_conf
+
+    conf = pinned_driver_heap_conf(mem_gb=6)
+    assert conf["spark.driver.memory"] == "6g"
+    assert "-Xms6g" in conf["spark.driver.extraJavaOptions"]
+    assert "-XX:+AlwaysPreTouch" in conf["spark.driver.extraJavaOptions"]
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM_GB", "5")
+    conf = pinned_driver_heap_conf()
+    assert conf["spark.driver.memory"] == "5g"
+    assert "-Xms5g" in conf["spark.driver.extraJavaOptions"]
+
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM_GB")
+    conf = pinned_driver_heap_conf()
+    mem = int(conf["spark.driver.memory"].rstrip("g"))
+    assert 4 <= mem <= 12
+    assert f"-Xms{mem}g" in conf["spark.driver.extraJavaOptions"]
+
+
+def test_psl_rules_df_cached_per_session_and_lineage_truncated(spark):
+    # the PSL match table must be built once per session, reused on
+    # the second call, and carry a truncated lineage (no 8k-row
+    # LocalRelation in consumer plans)
+    from cc2dataset_spark.functions import links
+
+    app_id = spark.sparkContext.applicationId
+    links._PSL_RULES_DF_CACHE.pop(app_id, None)
+    a = links._psl_rules_df(spark)
+    b = links._psl_rules_df(spark)
+    assert a is b
+    rows, _ = links._psl_match_table()
+    assert a.count() == len(rows)
+    # lineage truncated: the plan is a scan of checkpointed blocks,
+    # not an inline LocalRelation of the full rule set
+    plan = a._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" not in plan
+
+    # a consumer still computes the correct eTLD+1 through the cache
+    df = spark.createDataFrame(
+        [("www.example.co.uk",), ("a.b.city.kawasaki.jp",)], "host string"
+    )
+    out = {
+        r["host"]: r["domain"]
+        for r in links.with_registrable_domain(df, host_col="host").collect()
+    }
+    assert out["www.example.co.uk"] == "example.co.uk"
+    assert out["a.b.city.kawasaki.jp"] == "city.kawasaki.jp"
+
+
 def test_image_dims_hex_equals_image_dims(spark):
     # real headers through both entry points: the payload variant must
     # be exactly the hex variant over upper(hex(payload))

@@ -32,20 +32,16 @@ def main() -> None:
     from cc2dataset_spark.plans.catalog import queries
     from cc2dataset_spark.session import build_spark_session
 
+    from cc2dataset_spark.session import pinned_driver_heap_conf
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    mem_env = os.environ.get("SPARK_GRAFT_DRIVER_MEM_GB")
-    if mem_env is None:
-        total_gb = (
-            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-        ) / (1 << 30)
-        mem_env = str(max(4, min(32, int(total_gb // 8))))
     spark = build_spark_session(
         master=f"local[{cpus}]",
         app_name="time-queries",
         shuffle_partitions=max(32, cpus),
         extra_conf={
-            "spark.driver.memory": f"{mem_env}g",
+            **pinned_driver_heap_conf(),
             "spark.ui.enabled": "false",
         },
     )
