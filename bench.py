@@ -151,6 +151,12 @@ def main() -> None:
         "multimodal_decode_errors",  # full decode stack + containment
         "cc_domain_stats",          # PSL 5x broadcast-probe join chain
         "ann_ivf_topk",             # driver-side fit loop + ADC probe
+        # the widest composite plan: compiles the largest generated-
+        # class set AND is the only query needing 2 concurrent Python
+        # stages (64 workers) — its first call grew the worker pool by
+        # 33 processes mid-query (measured 22.9 s first call unwarmed
+        # vs 6.7 s after one sf0.001 self-run + daemon preload)
+        "curate_full_recipe",
     ]
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
         for _pass in range(2):

@@ -124,6 +124,24 @@ def build_spark_session(
         builder = builder.master(master)
     for k, v in _ENGINE_DEFAULTS.items():
         builder = builder.config(k, v)
+    if master is not None and master.startswith("local"):
+        # Pre-import numpy/pandas/pyarrow in the worker daemon so forked
+        # workers inherit them via copy-on-write (see pydaemon.py for
+        # the measurement). Local masters only by default: the daemon
+        # module must be importable on the worker host, which is
+        # guaranteed here (same machine) via executorEnv.PYTHONPATH; on
+        # a cluster, ship the package (--py-files) and set these two
+        # confs at submit time — same standard practice as any UDF
+        # library. extra_conf below can override either key.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.python.daemon.module", "cc2dataset_spark.pydaemon"
+        )
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            repo_root + (os.pathsep + existing if existing else ""),
+        )
     if mem_gb is not None:
         # 90/10 heap/overhead split, as in the reference
         # (/root/reference/cc2dataset/spark_session_builder.py:33-38).

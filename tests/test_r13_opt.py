@@ -80,6 +80,42 @@ def test_psl_rules_df_cached_per_session_and_lineage_truncated(spark):
     assert out["a.b.city.kawasaki.jp"] == "city.kawasaki.jp"
 
 
+def test_preloading_daemon_wired_and_workers_function(spark):
+    # local sessions must run Python workers under the preloading
+    # daemon (pydaemon pre-imports numpy/pandas/pyarrow before fork —
+    # copy-on-write inheritance instead of per-worker imports), and a
+    # pandas UDF must compute correctly through it
+    assert (
+        spark.conf.get("spark.python.daemon.module")
+        == "cc2dataset_spark.pydaemon"
+    )
+    import os
+
+    assert any(
+        os.path.isdir(os.path.join(p, "cc2dataset_spark"))
+        for p in spark.conf.get("spark.executorEnv.PYTHONPATH").split(
+            os.pathsep
+        )
+    )
+    # the daemon module itself must expose pyspark.daemon's entry point
+    from cc2dataset_spark import pydaemon
+
+    assert callable(pydaemon.manager)
+
+    df = spark.range(0, 100, 1, 4)
+
+    def double(it):
+        for b in it:
+            yield b.assign(x=b.id * 2)
+
+    total = (
+        df.mapInPandas(double, "id long, x long")
+        .agg(F.sum("x"))
+        .collect()[0][0]
+    )
+    assert total == 99 * 100  # sum(2*i) = n(n-1)
+
+
 def test_image_dims_hex_equals_image_dims(spark):
     # real headers through both entry points: the payload variant must
     # be exactly the hex variant over upper(hex(payload))
