@@ -79,14 +79,19 @@ def main() -> None:
         app_name="cc2dataset_spark-bench",
         shuffle_partitions=max(32, cpus),
         # UI on: its REST endpoint is the per-query shuffle-byte
-        # accounting source (recorded in BENCH_FULL.json). Stage
-        # retention raised far above the catalog's stage count — the
-        # default 1000 would evict early stages mid-run and the
-        # cumulative sums would silently shrink between samples.
+        # accounting source (recorded in BENCH_FULL.json), read from
+        # the EXECUTOR cumulative totals (one row in local mode, never
+        # evicted) — not by summing retained stages. r13-opt: the
+        # previous stage-sum approach needed retainedStages=100000,
+        # and holding every stage object of a 209-query sweep in the
+        # status store measurably AGED the session (the end-of-sweep
+        # warm pass read 2-3x inflated on multi-job iterative queries
+        # at a healthy 1.80 s anchor; per-boundary REST calls also
+        # serialized thousands of stages). Default retention now
+        # applies; eviction cannot shrink executor totals.
         extra_conf={
             **pinned_driver_heap_conf(),
             "spark.ui.enabled": "true",
-            "spark.ui.retainedStages": "100000",
             # The driver parses the headline JSON out of a fixed-size
             # stdout tail; console progress bars from ~650 warm-pass
             # jobs flooded that tail in r9 and cost the round its
@@ -97,19 +102,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def _shuffle_write_bytes() -> int | None:
-        """Cumulative shuffle write bytes across all stages so far
-        (REST status API); None if the endpoint is unavailable —
-        metrics must never fail the bench."""
+        """Cumulative shuffle write bytes since app start, from the
+        executor summaries (REST status API — `totalShuffleWrite` is
+        maintained per executor and is immune to stage eviction);
+        None if the endpoint is unavailable — metrics must never fail
+        the bench."""
         try:
             import urllib.request
 
             ui = spark.sparkContext.uiWebUrl
             app = spark.sparkContext.applicationId
             with urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{app}/stages", timeout=10
+                f"{ui}/api/v1/applications/{app}/executors", timeout=10
             ) as r:
-                stages = json.load(r)
-            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+                executors = json.load(r)
+            return sum(e.get("totalShuffleWrite", 0) for e in executors)
         except Exception:
             return None
 
