@@ -164,6 +164,13 @@ def main() -> None:
         # 33 processes mid-query (measured 22.9 s first call unwarmed
         # vs 6.7 s after one sf0.001 self-run + daemon preload)
         "curate_full_recipe",
+        # SNM blocking + connected-components + argmax survivorship:
+        # alphabetically the FIRST of the cluster family in the sweep,
+        # so it absorbs the whole family's first-call codegen — the
+        # largest cold entry of the closing sweep (13.1 s vs a 4-6 s
+        # settled state; isolated probe: 44 s first call in a session
+        # warmed only by the other 13 shapes, 9 s by the third call)
+        "dedup_cluster_best_quality",
     ]
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
         for _pass in range(2):

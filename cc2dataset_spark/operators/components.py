@@ -138,7 +138,20 @@ def _driver_union_find(both: DataFrame) -> DataFrame:
     Only one direction of the symmetrized frame is collected: union is
     commutative, so (b, a) adds nothing over (a, b) — and a self-loop
     (a, a) survives the filter as src == dst. Halving the transfer
-    doubles the edge budget the driver_threshold guard can afford."""
+    doubles the edge budget the driver_threshold guard can afford.
+
+    The returned frame carries an explicit broadcast hint (guide §3.1):
+    a createDataFrame-backed plan has no size statistics, so the
+    planner never auto-broadcasts it and every downstream join against
+    the labels (universe labeling in cluster_survivors /
+    cluster_best_survivors, plus their aggregate join-backs) planned as
+    a full sort-merge join — shuffling and sorting the corpus-sized
+    side to meet a frame we just PROVED fits on the driver (the
+    union-find only runs under the <= driver_threshold edge guard, so
+    the labels are bounded by 2x threshold rows of two ids each —
+    comfortably under broadcast limits). Callers raising
+    driver_threshold far above the default must budget executor memory
+    for the correspondingly larger broadcast."""
     rows = both.where(F.col("src") <= F.col("dst")).collect()
     parent: dict = {}
 
@@ -162,7 +175,7 @@ def _driver_union_find(both: DataFrame) -> DataFrame:
     schema = both.select(
         F.col("src").alias("id"), F.col("src").alias("component")
     ).schema
-    return both.sparkSession.createDataFrame(labels, schema)
+    return F.broadcast(both.sparkSession.createDataFrame(labels, schema))
 
 
 def cluster_survivors(

@@ -28,6 +28,33 @@ def test_spread_small_scan_noop_when_already_parallel(spark):
     assert out is df
 
 
+def test_driver_union_find_labels_are_broadcast(spark):
+    # The driver-union-find path of connected_components returns a
+    # createDataFrame-backed labels frame with NO size statistics; the
+    # explicit broadcast hint is what keeps every downstream join
+    # against it a BroadcastHashJoin instead of a corpus-shuffling
+    # sort-merge join (r13-opt; guide §3.1). Pin both the hint and the
+    # planned join strategy.
+    from cc2dataset_spark.operators.components import (
+        cluster_survivors,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    universe = spark.range(1, 20).select(F.col("id").alias("doc_id"))
+    out = cluster_survivors(universe, edges, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the labels side must never be met by shuffling the universe:
+    # the only SortMergeJoins allowed are the aggregate join-backs
+    # on component_id, which both sides reach via one hash exchange
+    comp = connected_components(edges)
+    rows = {(r.id, r.component) for r in comp.collect()}
+    assert rows == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_pinned_driver_heap_conf_shape(monkeypatch):
     # pinned heap: -Xms must equal spark.driver.memory, pre-touch on,
     # and the env override must win over the RAM-derived default
