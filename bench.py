@@ -46,6 +46,57 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Arrow kernel constant, so even the exact verifier is benchable.
 EXCLUDE: set[str] = set()
 
+# JVM/codegen warmup shapes, run on the smallest fixtures so per-query
+# times measure the plan, not first-call compilation. Module-level so
+# probe tooling (tools/time_queries.py) warms the SAME shapes as the
+# bench. r13-opt measurement-bug fix (documented in OPTIMIZATION_r13.md
+# with the old single-query-warmup numbers kept): one warmup query does
+# not warm the JVM — with it, the first heavy query of a sweep still
+# paid interpreter-mode execution plus C1/C2 compilation of the
+# whole-stage-codegen/shuffle/Arrow machinery, measured at 30-75 s for
+# a query whose warm median is under 2 s (ann_simhash_topk 75.5 s cold
+# vs 1.77 s warm; a fresh-session first run of dedup_minhash_neardup on
+# an IDLE host: 56 s vs 5 s on its second run). The warmup covers each
+# distinct execution shape — scan+hash-agg, multi-join, window,
+# explode+distinct+self-join, big-literal expression trees, interpreted
+# HOF folds, hash-heavy dedup, and the Arrow/Python mapInPandas worker
+# pool — twice at sf0.001 plus once at sf0.01 (1/100th-1/10th of the
+# benched data: nothing of the timed computation is precomputed or
+# cached — a different scale factor cannot seed any result; it only
+# compiles code). Disable with SPARK_GRAFT_WARMUP=0 to reproduce the
+# old regime.
+_WARMUP_SHAPES = [
+    "q1_pricing_summary",       # parquet scan + hash agg + decimal
+    "q21_waiting_suppliers",    # SMJ + broadcast + semi/anti joins
+    "udaf_user_trend",          # window + pandas-UDAF/Arrow agg
+    "profile_cross_source_overlap",  # explode + distinct + self-join
+    "ann_simhash_topk",         # big literal tree + bcast + rank
+    "dedup_minhash_neardup",    # hash-heavy explode + groupBy
+    "multimodal_image_dims",    # interpreted HOF fold (hex/conv)
+    "multimodal_resize_pixel_stats",  # mapInPandas x2, Python pool
+    "events_followup_pairs_10m",  # events scan (nanosAsLong) + lag
+    # r13-opt additions — shapes the 9 above measurably did NOT
+    # cover (each first-called at 14-35 s inside the timed sweep
+    # vs a sub-2 s warm median, and each drops to its warm value
+    # after one sf0.001 self-run):
+    "multimodal_decode_errors",  # full decode stack + containment
+    "cc_domain_stats",          # PSL 5x broadcast-probe join chain
+    "ann_ivf_topk",             # driver-side fit loop + ADC probe
+    # the widest composite plan: compiles the largest generated-
+    # class set AND is the only query needing 2 concurrent Python
+    # stages (64 workers) — its first call grew the worker pool by
+    # 33 processes mid-query (measured 22.9 s first call unwarmed
+    # vs 6.7 s after one sf0.001 self-run + daemon preload)
+    "curate_full_recipe",
+    # SNM blocking + connected-components + argmax survivorship:
+    # alphabetically the FIRST of the cluster family in the sweep,
+    # so it absorbs the whole family's first-call codegen — the
+    # largest cold entry of the closing sweep (13.1 s vs a 4-6 s
+    # settled state; isolated probe: 44 s first call in a session
+    # warmed only by the other 13 shapes, 9 s by the third call)
+    "dedup_cluster_best_quality",
+]
+
 
 def main() -> None:
     from cc2dataset_spark.plans.catalog import queries
@@ -122,56 +173,6 @@ def main() -> None:
 
     qs = {n: fn for n, fn in queries().items() if n not in EXCLUDE}
 
-    # JVM/codegen warmup on the smallest fixture so per-query times
-    # measure the plan, not first-call compilation. r13-opt
-    # measurement-bug fix (documented in OPTIMIZATION_r13.md with the
-    # old single-query-warmup numbers kept): one warmup query does not
-    # warm the JVM — with it, the first heavy query of a sweep still
-    # paid interpreter-mode execution plus C1/C2 compilation of the
-    # whole-stage-codegen/shuffle/Arrow machinery, measured at 30-75 s
-    # for a query whose warm median is under 2 s (ann_simhash_topk
-    # 75.5 s cold vs 1.77 s warm; a fresh-session first run of
-    # dedup_minhash_neardup on an IDLE host: 56 s vs 5 s on its second
-    # run). The warmup now covers each distinct execution shape once —
-    # scan+hash-agg, multi-join, window, explode+distinct+self-join,
-    # big-literal expression trees, interpreted HOF folds, hash-heavy
-    # dedup, and the Arrow/Python mapInPandas worker pool — twice (the
-    # second pass runs hot paths enough for tiered compilation), still
-    # on sf0.001 (1/100th of the benched data: nothing of the timed
-    # computation is precomputed or cached — a different scale factor
-    # cannot seed any result; it only compiles code). Disable with
-    # SPARK_GRAFT_WARMUP=0 to reproduce the old regime.
-    _WARMUP_SHAPES = [
-        "q1_pricing_summary",       # parquet scan + hash agg + decimal
-        "q21_waiting_suppliers",    # SMJ + broadcast + semi/anti joins
-        "udaf_user_trend",          # window + pandas-UDAF/Arrow agg
-        "profile_cross_source_overlap",  # explode + distinct + self-join
-        "ann_simhash_topk",         # big literal tree + bcast + rank
-        "dedup_minhash_neardup",    # hash-heavy explode + groupBy
-        "multimodal_image_dims",    # interpreted HOF fold (hex/conv)
-        "multimodal_resize_pixel_stats",  # mapInPandas x2, Python pool
-        "events_followup_pairs_10m",  # events scan (nanosAsLong) + lag
-        # r13-opt additions — shapes the 9 above measurably did NOT
-        # cover (each first-called at 14-35 s inside the timed sweep
-        # vs a sub-2 s warm median, and each drops to its warm value
-        # after one sf0.001 self-run):
-        "multimodal_decode_errors",  # full decode stack + containment
-        "cc_domain_stats",          # PSL 5x broadcast-probe join chain
-        "ann_ivf_topk",             # driver-side fit loop + ADC probe
-        # the widest composite plan: compiles the largest generated-
-        # class set AND is the only query needing 2 concurrent Python
-        # stages (64 workers) — its first call grew the worker pool by
-        # 33 processes mid-query (measured 22.9 s first call unwarmed
-        # vs 6.7 s after one sf0.001 self-run + daemon preload)
-        "curate_full_recipe",
-        # SNM blocking + connected-components + argmax survivorship:
-        # alphabetically the FIRST of the cluster family in the sweep,
-        # so it absorbs the whole family's first-call codegen — the
-        # largest cold entry of the closing sweep (13.1 s vs a 4-6 s
-        # settled state; isolated probe: 44 s first call in a session
-        # warmed only by the other 13 shapes, 9 s by the third call)
-        "dedup_cluster_best_quality",
-    ]
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
         for _pass in range(2):
             for _wname in _WARMUP_SHAPES:

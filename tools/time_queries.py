@@ -49,12 +49,13 @@ def main() -> None:
 
     qs = queries()
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
-        for wname in [
-            "q1_pricing_summary", "q21_waiting_suppliers", "udaf_user_trend",
-            "profile_cross_source_overlap", "ann_simhash_topk",
-            "dedup_minhash_neardup", "multimodal_image_dims",
-            "multimodal_resize_pixel_stats", "events_followup_pairs_10m",
-        ]:
+        # the bench's shape list, so probes warm exactly what the
+        # bench warms (one sf0.001 pass: enough for a probe session,
+        # where the target query's own first sample is discarded by
+        # reading medians/ratios anyway)
+        from bench import _WARMUP_SHAPES
+
+        for wname in _WARMUP_SHAPES:
             if wname in qs:
                 qs[wname](spark, "/root/testdata/sf0.001").write.format(
                     "noop"
