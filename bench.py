@@ -98,6 +98,27 @@ _WARMUP_SHAPES = [
 ]
 
 
+def warmup_dirs(sf_dir: str) -> list[str]:
+    """Warmup scale factors derived from SF_DIR's PARENT (r14, VERDICT
+    ask #2): the r13 harness hardcoded /root/testdata/sf0.001 and
+    /root/testdata/sf0.01, so pointing SPARK_GRAFT_SF_DIR at any other
+    corpus root either warmed the wrong data or crashed the whole
+    bench on a missing path. Siblings of the benched dir that don't
+    exist (or ARE the benched dir) are skipped — warmup must never
+    read the benched scale factor, and a missing sibling degrades to
+    fewer warmup passes, never to a failed bench."""
+    root = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    return [
+        d
+        for d in (
+            os.path.join(root, "sf0.001"),
+            os.path.join(root, "sf0.01"),
+        )
+        if os.path.isdir(d)
+        and os.path.abspath(d) != os.path.abspath(sf_dir.rstrip("/"))
+    ]
+
+
 def main() -> None:
     from cc2dataset_spark.plans.catalog import queries
     from cc2dataset_spark.session import build_spark_session
@@ -105,6 +126,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    _warm_dirs = warmup_dirs(sf_dir)
 
     # Driver-JVM heap sized to the machine (optimization guide §5): in
     # local mode the driver JVM IS the executor, and the PySpark
@@ -173,27 +196,26 @@ def main() -> None:
 
     qs = {n: fn for n, fn in queries().items() if n not in EXCLUDE}
 
-    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
-        for _pass in range(2):
+    warmup_on = (
+        os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and bool(_warm_dirs)
+    )
+    if warmup_on:
+        # Two passes at the smallest warmup scale, then one pass at
+        # the next size up (when present): tiered compilation promotes
+        # the hot loops (parquet reader, hash-agg, Arrow codecs) to C2
+        # only after enough invocations, and the smallest batches
+        # alone are too small to get there — measured as a residual
+        # 2-4x first-call cost on the earliest sweep queries despite
+        # two sf0.001 passes. Warmup data stays 1/10th-1/100th of the
+        # benched scale: compiles code, cannot precompute any result.
+        _warm_plan = [_warm_dirs[0], _warm_dirs[0]] + _warm_dirs[1:]
+        for _wdir in _warm_plan:
             for _wname in _WARMUP_SHAPES:
                 _wfn = qs.get(_wname)
                 if _wfn is not None:
-                    _wfn(spark, "/root/testdata/sf0.001").write.format(
-                        "noop"
-                    ).mode("overwrite").save()
-        # One pass at sf0.01: tiered compilation promotes the hot
-        # loops (parquet reader, hash-agg, Arrow codecs) to C2 only
-        # after enough invocations, and sf0.001 batches are too small
-        # to get there — measured as a residual 2-4x first-call cost
-        # on the earliest sweep queries despite two sf0.001 passes.
-        # Still 1/10th of the benched data: compiles code, cannot
-        # precompute any sf0.1 result.
-        for _wname in _WARMUP_SHAPES:
-            _wfn = qs.get(_wname)
-            if _wfn is not None:
-                _wfn(spark, "/root/testdata/sf0.01").write.format(
-                    "noop"
-                ).mode("overwrite").save()
+                    _wfn(spark, _wdir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
 
     times: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
@@ -229,6 +251,11 @@ def main() -> None:
         # BENCH_FULL.json — point SPARK_GRAFT_BENCH_FULL elsewhere and
         # set SPARK_GRAFT_BENCH_LABEL.
         "run": os.environ.get("SPARK_GRAFT_BENCH_LABEL", "cold"),
+        # Whether the codegen warmup ran (and on which sibling dirs):
+        # cold/unwarmed and warmed artifacts must never be compared
+        # silently (r13 ADVICE) — the regime is now in the artifact.
+        "warmup": warmup_on,
+        "warmup_dirs": _warm_dirs if warmup_on else [],
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     if shuffle_mb:
@@ -342,9 +369,11 @@ def compact_line(payload: dict, budget: int = 1800) -> str:
     complete unfolded map.
     """
     out = dict(payload)
-    # per-query shuffle accounting lives in BENCH_FULL.json only; the
-    # stdout line keeps the scalar total within its byte budget
+    # per-query shuffle accounting and the warmup dir list live in
+    # BENCH_FULL.json only; the stdout line keeps scalars within its
+    # byte budget (the boolean "warmup" regime flag stays)
     out.pop("shuffle_write_mb", None)
+    out.pop("warmup_dirs", None)
 
     def render(qdict: dict) -> str:
         out["queries"] = qdict

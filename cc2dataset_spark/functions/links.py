@@ -391,7 +391,18 @@ def _psl_rules_df(spark) -> DataFrame:
     )
     rules_df = spark.createDataFrame(
         pdf, "m_str string, m int, ex boolean, wild boolean, exc boolean"
-    ).localCheckpoint(eager=True)
+    )
+    # localCheckpoint blocks live in NON-RELIABLE executor storage: on
+    # a real cluster (executor loss, dynamic allocation, spot nodes)
+    # the truncated-lineage frame becomes permanently unrecomputable
+    # and the appId-keyed cache would keep serving the broken entry
+    # (r13 ADVICE). Local masters can't lose their one "executor"
+    # without losing the session itself, so the lineage truncation is
+    # gated to them; clusters keep the plain Arrow-built frame — still
+    # built once per session, just with the (driver-resident, 8k-row)
+    # LocalRelation lineage intact and re-broadcastable forever.
+    if (spark.sparkContext.master or "").startswith("local"):
+        rules_df = rules_df.localCheckpoint(eager=True)
     _PSL_RULES_DF_CACHE[app_id] = rules_df
     return rules_df
 
@@ -433,7 +444,7 @@ def with_registrable_domain(
     joins, so the engines can never drift to different rule sets."""
     if (url_col is None) == (host_col is None):
         raise ValueError("pass exactly one of url_col / host_col")
-    rows, ms = _psl_match_table()
+    _, ms = _psl_match_table()  # rows live in the cached session frame
     spark = df.sparkSession
     rules_df = _psl_rules_df(spark)
     host = (

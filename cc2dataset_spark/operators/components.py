@@ -33,6 +33,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Ceiling (in label ROWS) under which the driver-union-find labels
+# frame gets a forced broadcast hint. ~100 bytes/row of framed
+# broadcast is a conservative estimate for two ids, so 1M labels is
+# ~100 MB built on the driver and resident per executor — past that,
+# the frame returns unhinted and the planner sizes the join itself
+# (a forced hint bypasses autoBroadcastJoinThreshold up to the 8 GB
+# hard cap, which at the default driver_threshold's ~2M-row worst
+# case could pressure small executors — r13 ADVICE).
+BROADCAST_LABEL_BOUND = 1_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -148,10 +158,14 @@ def _driver_union_find(both: DataFrame) -> DataFrame:
     a full sort-merge join — shuffling and sorting the corpus-sized
     side to meet a frame we just PROVED fits on the driver (the
     union-find only runs under the <= driver_threshold edge guard, so
-    the labels are bounded by 2x threshold rows of two ids each —
-    comfortably under broadcast limits). Callers raising
-    driver_threshold far above the default must budget executor memory
-    for the correspondingly larger broadcast."""
+    the labels are bounded by 2x threshold rows of two ids each).
+    Because the rows were just collected, the size is KNOWN, so the
+    hint is applied only under a measured-size bound (r14, r13 ADVICE):
+    a forced-broadcast hint bypasses autoBroadcastJoinThreshold up to
+    the 8 GB hard cap, and at the default driver_threshold the labels
+    can reach ~2M rows of wide string ids — enough to pressure small
+    executors. Past the bound the frame returns unhinted and the
+    planner sizes the join itself."""
     rows = both.where(F.col("src") <= F.col("dst")).collect()
     parent: dict = {}
 
@@ -175,7 +189,10 @@ def _driver_union_find(both: DataFrame) -> DataFrame:
     schema = both.select(
         F.col("src").alias("id"), F.col("src").alias("component")
     ).schema
-    return F.broadcast(both.sparkSession.createDataFrame(labels, schema))
+    out = both.sparkSession.createDataFrame(labels, schema)
+    if len(labels) <= BROADCAST_LABEL_BOUND:
+        out = F.broadcast(out)
+    return out
 
 
 def cluster_survivors(

@@ -1284,7 +1284,7 @@ def cdc_chunk_fingerprints(
     # whole per-position hash pass on one core (same hazard as the
     # shingle chains — operators/partitioning.py)
     base = spread_small_input(
-        df.select(F.col(id_col).alias("_cid"), c.alias("_ct"))
+        df.select(F.col(id_col).alias("_cid"), c.alias("_ct")), ref=df
     ).select("_cid", "_ct", F.length("_ct").alias("_cl")).where(
         F.col("_cl") > 0
     )

@@ -323,6 +323,7 @@ def duplicate_substring_spans(
             F.col(doc_id_col).alias("doc_id"), F.col(text_col)
         ),
         "doc_id",
+        ref=docs,
     ).select(
         "doc_id", T.tokens(text_col).alias("t")
     ).where(F.size("t") >= min_len)

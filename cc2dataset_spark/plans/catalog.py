@@ -79,72 +79,75 @@ def query(
 # stays covered by the local oracle suite (tests/test_oracle.py), which
 # runs ALL oracle-backed queries every CI pass.
 #
-# Round-13 window: 5 debuts + 45 re-confirmation slots.
-# CORRECTNESS_r12 landed 50 green / 0 red, so every r12 slot is
-# cedable (rule 2); debuts are the r12 registration wave in queue
-# order (rule 5 — error containment, resize chain, G.711,
-# progressive JPEG, GIF animation compositing); re-confirmations
-# are the stalest greens oldest-first: `events_lateness_profile`
-# (the last r8 green) then 44 of the 50-query last-green-r9 cohort
-# in r9-window order (`cc_url_param_stats` onward). The 6 leftover
-# r9 rows (`sketch_countmin_event_types`, `curate_full_recipe`,
-# `events_sessionize`, `graph_pagerank_brands`, `agg_corr_lineitem`,
-# `q8_market_share`) are queued FIRST for r14. After this window no
-# query's latest driver green is older than r9.
+# Round-14 window: 4 debuts + 46 re-confirmation slots.
+# CORRECTNESS_r13 landed 50 green / 0 red, so every r13 slot is
+# cedable (rule 2); debuts are the r13-build registration wave in
+# queue order (rule 5 — WebP pixel stats, EXIF dims, WebP animation,
+# integer audio resample), never driver-checked before.
+# Re-confirmations are the stalest greens oldest-first: the 6
+# remaining last-green-r9 rows, then 40 of the 49-query
+# last-green-r10 cohort in r10-window order (`dedup_substring_spans`
+# through `q20_dominant_suppliers`). The 9 leftover r10 rows
+# (`cc_dedup_normalized_url`, `text_bigram_perplexity`,
+# `dedup_winnow_overlap`, `dedup_bloom_prefilter`,
+# `profile_lineitem_columns`, `events_value_quantiles`,
+# `dedup_sorted_neighborhood`, `agg_distinct_counts`,
+# `agg_minmax_by`) queue FIRST for r15. After this window no query's
+# latest driver green is older than r10.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r13 debuts — the r12 registration wave (queue order)
-    "multimodal_decode_errors",
-    "multimodal_resize_pixel_stats",
-    "multimodal_wav_g711_stats",
-    "multimodal_jpeg_progressive_stats",
-    "multimodal_gif_animation_stats",
-    # re-confirmation: the last r8 green, then 44 oldest
-    # last-green-r9 (r9-window order)
-    "events_lateness_profile",
-    "cc_url_param_stats",
-    "multimodal_caption_stats",
-    "events_user_concentration",
-    "text_ngram_novelty",
-    "curate_blocklist_filter",
-    "scalar_string_part",
-    "grouping_sets_geo",
-    "pivot_status_by_priority",
-    "join_full_outer_nation_roles",
-    "cross_join_region_matrix",
-    "agg_approx_distinct",
-    "scalar_date_arithmetic",
-    "array_ops_embeddings",
-    "subquery_correlated_scalar",
-    "scalar_struct_map_ops",
-    "unpivot_customer_metrics",
-    "udaf_user_trend",
-    "text_lang_id",
-    "dedup_ngram_jaccard",
-    "top_tokens_per_lang",
-    "knn_label_vote",
-    "text_tokenize_udtf",
-    "dedup_exact_min_survivor",
-    "dedup_cluster_survivors",
-    "events_sliding_10m_5m",
-    "events_followup_pairs_10m",
-    "join_asof_union_last_order",
-    "window_range_frame_1h",
-    "setop_multiset_suppliers",
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q19_discounted_revenue",
-    "q22_dormant_rich_customers",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "cc_extract_image_wat",
-    "cc_extract_dedup_links",
-    "dedup_minhash_neardup",
-    "dedup_simhash_embeddings",
-    "dedup_incremental_index",
-    "ann_ivf_topk",
-    "multimodal_decode_stub",
+    # r14 debuts — the r13-build registration wave (queue order)
+    "multimodal_webp_pixel_stats",
+    "multimodal_exif_dims",
+    "multimodal_webp_animation_stats",
+    "multimodal_wav_resample_stats",
+    # re-confirmation: the 6 remaining last-green-r9 rows
+    "sketch_countmin_event_types",
+    "curate_full_recipe",
+    "events_sessionize",
+    "graph_pagerank_brands",
+    "agg_corr_lineitem",
+    "q8_market_share",
+    # re-confirmation: 40 oldest last-green-r10 (r10-window order)
+    "dedup_substring_spans",
+    "dedup_substring_apply",
+    "text_bpe_pair_counts",
+    "ann_simhash_topk",
+    "text_winnow_fingerprints",
+    "multimodal_frame_features",
+    "text_bpe_token_stats",
+    "curate_cap_per_source",
+    "dedup_cluster_survivors_lsh",
+    "dedup_cluster_twophase",
+    "dedup_semantic_clusters",
+    "curate_pii_scrub",
+    "curate_decontaminate",
+    "curate_train_val_split",
+    "dedup_index_upsert",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "text_tfidf_topterms",
+    "curate_repetition_flags",
+    "curate_mix_languages",
+    "text_char_entropy",
+    "text_unigram_perplexity",
+    "curate_quality_tiers",
+    "text_chunk_documents",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_value_outliers",
+    "events_rolling_wau",
+    "graph_pagerank_trade",
+    "join_asof_forward_next_order",
+    "join_asof_nearest_order",
+    "agg_regr_trend",
+    "window_percent_cume",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_latency",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_dominant_suppliers",
 )
 
 

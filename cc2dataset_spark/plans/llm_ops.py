@@ -2270,8 +2270,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_small_scan(
         load_table(spark, sf_dir, "embeddings"), "vec_id"
     )
-    cb = SIM.pq_codebook(emb)
-    return SIM.ivfpq_topk(emb.where(F.col("vec_id") < 5), emb, cb, k=3)
+    # codebook=None: centroid seed + codebook slice out of ONE bounded
+    # hash-sample collect (identical structures to the two-collect
+    # fit; r14 VERDICT ask #6 — half the driver-job stall exposure)
+    return SIM.ivfpq_topk(emb.where(F.col("vec_id") < 5), emb, None, k=3)
 
 
 _SPAN_RATIO = RATIO6_SQL.format(num="n_dup", den="n_grams")
@@ -3538,6 +3540,7 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.upper(F.hex(payload)).alias("_hx")
         ),
         "doc_id",
+        ref=docs,
     )
     dims = MM.image_dims_hex(F.col("_hx"))
     return hexed.select(

@@ -33,6 +33,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Session-scoped cache of the RESOLVED scan relation per
+# (applicationId, sf_dir, table) — r14, VERDICT ask #4 (the per-query
+# fixed floor): every `spark.read.parquet` call re-lists the path and
+# re-reads the parquet footer ON THE DRIVER, measured at 200-370 ms
+# per load_table call in a warm session — multiplied by ~2-4 table
+# loads per query across a 209-query sweep, that re-listing alone was
+# tens of seconds of pure driver time. The cached object is a LAZY
+# DataFrame (an analyzed read plan) — NO result, NO rows, NOTHING
+# derived from the data is cached; every action still scans the
+# parquet. Keyed by applicationId so a stopped session can never
+# serve a live caller (same invalidation contract as the PSL rules
+# frame in functions/links.py); entries from other applications are
+# pruned on insert so long-lived multi-session processes don't
+# accumulate dead handles. Correctness note: the fixtures are
+# immutable inputs by the driver contract — a mutated-in-place
+# parquet path would serve a stale FileIndex until the session ends,
+# the standard Spark cached-relation trade (same behavior as
+# spark.catalog temp views).
+_SCAN_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Parquet carries the schema; no inference.
 
@@ -57,6 +78,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _SCAN_RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -69,6 +94,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
         )
+    for stale in [k for k in _SCAN_RELATION_CACHE if k[0] != key[0]]:
+        del _SCAN_RELATION_CACHE[stale]
+    _SCAN_RELATION_CACHE[key] = df
     return df
 
 
@@ -78,7 +106,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+def spread_small_scan(
+    df: DataFrame, *key_cols: str, ref: DataFrame | None = None
+) -> DataFrame:
     """Scan-parallelism floor for CPU-heavy narrow stages (guide §2.5:
     unsplittable input -> repartition right after the read).
 
@@ -104,11 +134,21 @@ def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     sort-before-repartition pass on its tiny input). Never use on
     plans that depend on partition placement (spark_partition_id,
     monotonically_increasing_id, per-partition sampling).
+
+    ``ref``: optional NARROW ancestor of ``df`` (e.g. the base table a
+    caller just projected) whose planned partition count equals
+    ``df``'s; probing the ancestor lets the per-object memo absorb the
+    driver-side planning pass across query builds.
     """
+    from cc2dataset_spark.operators.partitioning import planned_partitions
+
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # planned_partitions memoizes the 175-280 ms driver-side planning
+    # pass per DataFrame object (r13 VERDICT note #5); the session-
+    # cached scan relations above make repeat query builds hit it.
     try:
-        n_parts = df.rdd.getNumPartitions()
+        n_parts = planned_partitions(ref if ref is not None else df)
     except Exception:
         return df
     if n_parts >= target:
@@ -116,5 +156,11 @@ def spread_small_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     if key_cols:
         from pyspark.sql import functions as F
 
-        return df.repartition(target, *[F.col(c) for c in key_cols])
-    return df.repartition(target)
+        out = df.repartition(target, *[F.col(c) for c in key_cols])
+    else:
+        out = df.repartition(target)
+    try:
+        out._sg_scan_parts = target  # the spread output's count is known
+    except Exception:
+        pass
+    return out

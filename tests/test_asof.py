@@ -2,6 +2,7 @@
 candidate-join + max_by formulation (same semantics, different scale
 envelope)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from cc2dataset_spark.operators.asof import asof_join_union
@@ -11,6 +12,7 @@ from cc2dataset_spark.sources.tables import load_table
 _load_all()
 
 
+@pytest.mark.slow
 def test_asof_union_equals_maxby(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")

@@ -1,6 +1,7 @@
 """bench.py is part of the driver contract: one JSON line with
 metric/value/unit/queries/sf. Run it at the smallest scale factor."""
 
+import pytest
 import json
 import os
 import subprocess
@@ -9,6 +10,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_bench_emits_contract_json(tmp_path):
     # BENCH_FULL goes to a tmp path: the repo's BENCH_FULL.json is the
     # driver-scale (sf0.1) record, and this sf0.001 run overwriting it

@@ -11,6 +11,7 @@ persist-site registers into the current GENERATION, and a generation
 drains only when it falls RELEASE_DEPTH (default 2) builds behind.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from cc2dataset_spark import caching
@@ -45,6 +46,7 @@ def test_generation_depth_two_keeps_previous_query_pinned(spark):
     caching.release_all()
 
 
+@pytest.mark.slow
 def test_query_build_releases_caches_at_depth(spark, sf_dir):
     """Three ranked queries back-to-back: the third build must release
     the first's pinned range/score caches, and an explicit release_all

@@ -65,6 +65,7 @@ def test_repetition_flags_exact_boundaries(spark, monkeypatch):
     # boundary and must stay clean
 
 
+@pytest.mark.slow
 def test_mix_languages_rates_and_caps(spark, monkeypatch):
     # 8 en docs vs target weight 0.30 of 10 -> rate 3/8; 2 zh docs vs
     # 0.30 of 10 -> rate capped at 1.0 (all kept)
@@ -91,6 +92,7 @@ def test_mix_languages_rates_and_caps(spark, monkeypatch):
     assert got["en"].n_sampled == manual
 
 
+@pytest.mark.slow
 def test_mix_languages_is_rerun_deterministic(spark, monkeypatch):
     rows = [(i, "t", "en", "s", 0) for i in range(50)]
     _with_docs(monkeypatch, _docs(spark, rows))

@@ -16,6 +16,7 @@ def wat_df(spark):
     return spark.createDataFrame(FIXTURE_RECORDS, WAT_SCHEMA)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("document_type", DOCUMENT_TYPES)
 def test_extraction_matches_oracle(spark, wat_df, document_type):
     got = sorted(tuple(r) for r in extract_document_links(wat_df, document_type).collect())

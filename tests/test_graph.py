@@ -54,6 +54,7 @@ def test_pagerank_matches_numpy(spark):
     assert got["a"] == pytest.approx(0.15 / 4, abs=1e-12)
 
 
+@pytest.mark.slow
 def test_pagerank_redistributed_preserves_mass(spark):
     # d has no out-edges; with redistribution the rank vector stays a
     # probability distribution (sum == 1) and matches NumPy.
@@ -86,6 +87,7 @@ def test_pagerank_empty_graph(spark):
         max_size=25,
     )
 )
+@pytest.mark.slow
 def test_pagerank_matches_numpy_on_random_graphs(spark, raw):
     # aggregate duplicate (src, dst) pairs — the operator's contract
     edges = {}
@@ -111,6 +113,7 @@ def test_pagerank_matches_numpy_on_random_graphs(spark, raw):
     ),
     index=st.lists(st.sampled_from("abcdefgh"), max_size=6),
 )
+@pytest.mark.slow
 def test_dedup_incremental_matches_python_model(spark, batch, index):
     """Random batches/indexes vs a direct Python model of the
     contract: survivors = min-id per content among batch rows whose
@@ -162,6 +165,7 @@ def test_dedup_incremental_semantics(spark):
     assert sorted(r.doc_id for r in out.collect()) == [11, 13]
 
 
+@pytest.mark.slow
 def test_pagerank_big_graph_path(spark, sf_dir):
     """The supplier -> part graph at sf0.01 (~59k edges) crosses the
     big-graph threshold, exercising the shuffle-hash / graph-sized

@@ -301,6 +301,7 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
         assert n == 1 + doc_id % 5, (doc_id, n)
 
 
+@pytest.mark.slow
 def test_twophase_components_match_union_find(spark):
     """Large-star/small-star must agree with union-find on random
     graphs AND on the long-path shape that defeats bounded-round
@@ -351,6 +352,7 @@ def test_twophase_components_match_union_find(spark):
         assert got == want
 
 
+@pytest.mark.slow
 def test_propagation_raises_instead_of_mislabeling_long_paths(spark):
     """A component with diameter > max_iter must fail loudly — bounded
     propagation previously returned silently wrong labels there."""

@@ -60,6 +60,7 @@ def sf01_con():
     con.close()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", _BOUNDARY_SENSITIVE)
 def test_boundary_sensitive_queries_at_sf01(spark, sf01_con, name):
     q = QUERIES[name]

@@ -194,6 +194,7 @@ def test_resume_rejects_changed_multipart(spark, tmp_path, wat_jsonl):
     assert n == len(_expected_unique_uids())
 
 
+@pytest.mark.slow
 def test_multipart_streams_manifest_slices(
     spark, tmp_path, wat_jsonl, monkeypatch
 ):

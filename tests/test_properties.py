@@ -9,6 +9,7 @@ One Spark job per example set, not per example.
 from urllib.parse import urljoin
 
 import pandas as pd
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -35,6 +36,8 @@ URLS = st.one_of(
     st.just(""),
 )
 
+
+pytestmark = pytest.mark.slow  # hypothesis property suites: full tier only
 
 def _py_reference(base: str, url: str) -> str:
     if url.startswith("http://") or url.startswith("https://"):

@@ -44,6 +44,7 @@ def test_matches_unpartitioned_window(spark, sf_dir):
     ),
     parts=st.integers(1, 9),
 )
+@pytest.mark.slow
 def test_matches_python_reference(spark, rows, parts):
     df = spark.createDataFrame(rows, ["rid", "v"])
     got = {
@@ -180,6 +181,7 @@ def test_global_running_sum_matches_window(spark, sf_dir):
     ),
     parts=st.integers(1, 9),
 )
+@pytest.mark.slow
 def test_global_running_sum_matches_python(spark, rows, parts):
     from cc2dataset_spark.operators.rank import global_running_sum
 

@@ -2,6 +2,8 @@
 the streaming surface. Oracle = batch groupBy on the same data (the
 final per-user state must equal the batch totals)."""
 
+import pytest
+
 import glob
 
 from pyspark.sql import functions as F
@@ -58,6 +60,7 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     assert total == load_table(spark, sf_dir, "events").count()
 
 
+@pytest.mark.slow
 def test_stateful_funnel_state_survives_restart(spark, sf_dir, tmp_path):
     """The streaming funnel must (a) converge to the batch funnel
     stages when fed the whole fixture, and (b) carry its per-user state
@@ -143,6 +146,7 @@ def test_stateful_funnel_state_survives_restart(spark, sf_dir, tmp_path):
     assert final == expected
 
 
+@pytest.mark.slow
 def test_sessionize_stateful_matches_batch_across_batches(
     spark, sf_dir, tmp_path
 ):
@@ -269,6 +273,7 @@ def test_transform_with_state_twin(spark, sf_dir):
     assert set(got) == set(want)
 
 
+@pytest.mark.slow
 def test_heavy_hitters_stateful_guarantee_across_batches(
     spark, sf_dir, tmp_path
 ):
@@ -343,6 +348,7 @@ def test_heavy_hitters_stateful_guarantee_across_batches(
             assert mg_c <= true_c <= mg_c + bound
 
 
+@pytest.mark.slow
 def test_heavy_hitters_state_survives_restart(spark, sf_dir, tmp_path):
     """The MG counters must carry across a query RESTART from the
     checkpoint: feeding the early events, stopping, then feeding the

@@ -60,6 +60,7 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     assert got.n == want  # no key emitted twice
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     """Stream-stream inner join with watermarks + interval condition:
     the micro-batch run must converge to the batch join (both sides of

@@ -71,6 +71,7 @@ def test_cross_doc_and_within_doc_merge(spark):
     assert _brute_spans(docs, 3) == want
 
 
+@pytest.mark.slow
 def test_adjacent_spans_merge_and_gaps_split(spark):
     # "a b c" dup at pos 1, "d e f" dup at pos 4 (adjacent windows
     # 1-3 and 4-6 merge); "x y z" dup at pos 9 stays separate.
@@ -133,6 +134,7 @@ def test_invalid_params_raise(spark):
     ),
     min_len=st.integers(2, 4),
 )
+@pytest.mark.slow
 def test_matches_brute_force(spark, texts, min_len):
     docs = [(i, t) for i, t in enumerate(texts)]
     assert _run(spark, docs, min_len=min_len) == _brute_spans(
@@ -157,6 +159,7 @@ def test_matches_brute_force(spark, texts, min_len):
     ),
     min_len=st.integers(2, 3),
 )
+@pytest.mark.slow
 def test_matches_brute_force_extending_tokens(spark, texts, min_len):
     docs = [(i, t) for i, t in enumerate(texts)]
     assert _run(spark, docs, min_len=min_len) == _brute_spans(
@@ -255,6 +258,7 @@ def test_fingerprint_mode_equals_tokens_mode(spark, parts):
     ),
     min_len=st.integers(2, 3),
 )
+@pytest.mark.slow
 def test_fingerprint_matches_brute_force(spark, texts, min_len):
     docs = [(i, t) for i, t in enumerate(texts)]
     assert _run(

@@ -109,6 +109,7 @@ def test_key_col_required_and_overridable(registered, tmp_path):
     assert set(_members(out)) == {"k1.txt"}
 
 
+@pytest.mark.slow
 def test_append_refuses_stale_parts_overwrite_replaces(
     registered, tmp_path
 ):

@@ -110,6 +110,7 @@ def test_encoder_reproduces_training_segmentation(spark):
     ),
     k=st.integers(0, 5),
 )
+@pytest.mark.slow
 def test_matches_reference_fuzz(spark, words, k):
     wf = spark.createDataFrame(list(words.items()), ["w", "c"])
     got = learn_bpe_merges(wf, k)
@@ -145,6 +146,7 @@ def test_fast_path_equals_distributed_loop(spark):
     ),
     k=st.integers(1, 4),
 )
+@pytest.mark.slow
 def test_fast_path_equals_distributed_fuzz(spark, words, k):
     wf = spark.createDataFrame(list(words.items()), ["w", "c"])
     assert learn_bpe_merges(wf, k) == learn_bpe_merges(

@@ -7,6 +7,7 @@ watermark past the first window's end (closing it); run 2 delivers a
 late event for that closed window — it must not reopen or re-emit.
 """
 
+import pytest
 import datetime
 
 import pyarrow as pa
@@ -65,6 +66,7 @@ def _run_once(spark, src_dir, chk_dir, emitted):
     q.awaitTermination(120)
 
 
+@pytest.mark.slow
 def test_late_rows_dropped_after_watermark(spark, tmp_path):
     src = tmp_path / "stream"
     src.mkdir()

@@ -53,13 +53,18 @@ def main() -> None:
         # bench warms (one sf0.001 pass: enough for a probe session,
         # where the target query's own first sample is discarded by
         # reading medians/ratios anyway)
-        from bench import _WARMUP_SHAPES
+        from bench import _WARMUP_SHAPES, warmup_dirs
 
-        for wname in _WARMUP_SHAPES:
-            if wname in qs:
-                qs[wname](spark, "/root/testdata/sf0.001").write.format(
-                    "noop"
-                ).mode("overwrite").save()
+        # smallest existing sibling of the probed dir (bench.py's
+        # derivation): never hardcode /root/testdata
+        dirs = warmup_dirs(sf_dir)
+        warm_dir = dirs[0] if dirs else None
+        if warm_dir is not None:
+            for wname in _WARMUP_SHAPES:
+                if wname in qs:
+                    qs[wname](spark, warm_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
 
     for name in names:
         samples = []
