@@ -85,8 +85,13 @@ def global_row_number(
         )
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
+    # off_df is <= #partitions rows BY CONSTRUCTION — broadcast it
+    # explicitly (guide §3.1) instead of waiting for AQE to discover
+    # the size at runtime: the static plan skips the shuffle-stage
+    # materialization + replan for this join (r14; same treatment as
+    # the pagerank loop joins).
     out = (
-        ranged.join(off_df, F.col("_pid") == F.col("_off_pid"))
+        ranged.join(F.broadcast(off_df), F.col("_pid") == F.col("_off_pid"))
         .withColumn(
             rank_col,
             (F.col("_offset") + F.row_number().over(w)).cast("bigint"),
@@ -263,8 +268,10 @@ def global_running_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # off_df <= #partitions rows by construction — explicit broadcast,
+    # same rationale as global_row_number (guide §3.1).
     out = (
-        ranged.join(off_df, F.col("_pid") == F.col("_off_pid"))
+        ranged.join(F.broadcast(off_df), F.col("_pid") == F.col("_off_pid"))
         .withColumn(
             sum_col,
             (F.col("_offset") + F.sum(F.col(value_col)).over(w)).cast(
