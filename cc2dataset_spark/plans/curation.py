@@ -63,7 +63,11 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k — no global sort. The idf is rounded to 6 decimals
     BEFORE the tf multiply so libm ulp differences between the JVM and
     DuckDB cannot flip the ranking; ties break on the term string."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/explode over the 1-partition single-row-
+    # group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     tok = docs.select(
         "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -295,7 +299,11 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals (libm ulps die there), the term to 12, and the terms sum
     in DECIMAL(38,18) so accumulation order cannot matter; the final
     value rounds to 6."""
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale per-CHARACTER explode over the 1-partition single-
+    # row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     ch = docs.select(
         "doc_id",
         F.explode(
@@ -362,7 +370,24 @@ def _per_doc_nll(docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
     )
-    total = tok.agg(F.count("*").cast("double").alias("n_total"))
+    # COUNT(*) over the exploded stream == SUM(size(tokens)) over the
+    # un-exploded rows (empty/NULL arrays explode to zero rows and
+    # sum as 0/NULL-skipped): same integer, but this pass no longer
+    # materializes the corpus-sized token stream just to count it
+    # (guide §2.3 "shuffle fewer bytes" applied to the Generate:
+    # tokenize once per row, emit one int)
+    # (NULL text guarded explicitly: legacy size(NULL) = -1 would
+    # corrupt the sum, while explode of NULL contributes zero rows)
+    total = docs.agg(
+        F.sum(
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(T.tokens(F.lower(F.col("text")))),
+            ).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("n_total")
+    )
     uc = F.count("*").over(Window.partitionBy("term"))
     srp = F.round(-F.log(uc.cast("double") / F.col("n_total")), 9)
     return (
@@ -517,7 +542,22 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = tok.groupBy("term").agg(
         F.count("*").cast("double").alias("c_uni")
     )
-    total = tok.agg(F.count("*").cast("double").alias("n_total"))
+    # n_total == COUNT(*) over the exploded token stream; computed as
+    # SUM(size(tokens)) over the un-exploded rows instead (same
+    # integer — empty/NULL arrays explode to zero rows and sum as 0),
+    # so the third corpus pass stops materializing a Generate just to
+    # count its rows (guide §2.3). NULL text guarded: legacy
+    # size(NULL) = -1 would corrupt the sum.
+    total = docs.agg(
+        F.sum(
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(T.tokens(F.lower(F.col("text")))),
+            ).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("n_total")
+    )
     w_big = Window.partitionBy("prev", "cur")
     w_prev = Window.partitionBy("prev")
     scored = (
@@ -1003,7 +1043,11 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cc2dataset_spark import caching
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/zip/explode over the 1-partition single-
+    # row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     t = docs.select(
         T.tokens(F.lower(F.col("text"))).alias("tk")
     ).where(F.size("tk") >= 2)
@@ -1740,7 +1784,11 @@ def text_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cc2dataset_spark import caching
 
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize/zip/explode over the 1-partition single-
+    # row-group fixture scan (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     t = docs.select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("tk")
     )

@@ -3230,7 +3230,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     QUERY_TERMS = ("spark", "vector", "hash")
     K1_TOP = 10
-    docs = load_table(spark, sf_dir, "documents")
+    # corpus-scale tokenize (twice: dl projection + the filtered
+    # explode) over the 1-partition single-row-group fixture scan
+    # (guide §2.5; no-op at production)
+    docs = spread_small_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     toks = T.tokens(F.lower(F.col("text")))
     dls = docs.select(
         "doc_id", F.size(toks).cast("bigint").alias("dl")

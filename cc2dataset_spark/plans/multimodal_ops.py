@@ -224,12 +224,30 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recs.append((d, phash))
             yield pd.DataFrame(recs, columns=["doc_id", "phash"])
 
+    from pyspark.storagelevel import StorageLevel
+
+    from cc2dataset_spark import caching
     from cc2dataset_spark.plans.llm_ops import _ids_across_cores
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # 8-byte id exchange buys full-core decode parallelism (the
     # fixture table is one scan partition — see _ids_across_cores)
-    img = _ids_across_cores(docs).mapInPandas(hash_batches, hash_schema)
+    #
+    # PERSISTED (guide §5/§8): the hash frame feeds FOUR plan branches
+    # (both sides of the banded self-join + both verification joins),
+    # and without the pin each branch re-runs the PNG encode->decode->
+    # DCT kernel — 4x the per-image Python work per execution,
+    # verified as 4 identical MapInPandas nodes in the r14 before-
+    # plan. The pinned rows are the 16-byte (doc_id, phash) proxy —
+    # exactly the "decide with small rows, move/compute big bytes
+    # once" shape of guide §8 — recomputed from the parquet inputs on
+    # every execution and released by the @query wrapper's generation
+    # protocol (cc2dataset_spark/caching.py).
+    img = caching.track(
+        _ids_across_cores(docs)
+        .mapInPandas(hash_batches, hash_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     keyed = img.select(
         "doc_id",
         "phash",
