@@ -94,3 +94,69 @@ def test_image_dims_hex_projection_survives_without_spread_exchange(spark):
     # _hx reference (~30) — 6 is headroom over the measured 4
     assert plan.count("payload ") <= 6
     assert len(plan) < 60_000
+
+
+def test_per_doc_nll_total_matches_explode_count_on_degenerate_text(spark):
+    # r14: _per_doc_nll computes the corpus token total as
+    # SUM(size(tokens)) over un-exploded rows instead of COUNT(*)
+    # over a third explode pass. The two must agree exactly —
+    # including on the degenerate rows where they could diverge:
+    # empty text, whitespace-only text (both tokenize to []), and
+    # NULL text (legacy size(NULL) = -1 is guarded to 0).
+    from cc2dataset_spark.functions import text as T
+    from cc2dataset_spark.plans.curation import _per_doc_nll
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat"),
+            (3, ""),
+            (4, "   \t  "),
+            (5, None),
+            (6, "mat the"),
+        ],
+        "doc_id bigint, text string",
+    )
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    n_explode = tok.count()  # the old formulation's total
+    n_sum = docs.agg(
+        F.sum(
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(T.tokens(F.lower(F.col("text")))),
+            ).otherwise(F.lit(0))
+        )
+    ).collect()[0][0]
+    assert n_sum == n_explode == 10
+    # and the full per-doc frame is sane: only token-bearing docs
+    # appear, n_tokens match, mean_nll is finite
+    rows = {r.doc_id: r for r in _per_doc_nll(docs).collect()}
+    assert set(rows) == {1, 2, 6}
+    assert rows[1].n_tokens == 6 and rows[2].n_tokens == 2
+    assert all(r.mean_nll is not None for r in rows.values())
+
+
+def test_phash_neardup_pins_single_hash_kernel(spark):
+    # r14: the perceptual-hash frame feeds four plan branches (both
+    # self-join sides + both verification joins); the (doc_id, phash)
+    # proxy is persisted via the generation-tracked cache so the PNG
+    # round-trip kernel runs once per execution instead of four times.
+    from cc2dataset_spark import caching
+    from cc2dataset_spark.plans.catalog import queries
+
+    df = queries()["multimodal_phash_neardup"](spark, "/root/testdata/sf0.001")
+    # the pinned proxy frame is registered in the current generation
+    pinned = [
+        f
+        for f in caching._GENERATIONS[-1]
+        if set(f.schema.names) == {"doc_id", "phash"}
+    ]
+    assert pinned and all(f.storageLevel.useMemory for f in pinned)
+    # and every branch of the executed plan reads the cache
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "InMemoryTableScan" in plan
